@@ -1,0 +1,3 @@
+"""Importing this package populates the t2 registry (registry.REGISTRY)."""
+
+from covid19i2b2_spark.queries import core  # noqa: F401

@@ -1,0 +1,78 @@
+"""SparkSession factory with defaults tuned for the engine.
+
+Design notes (SURVEY.md §4):
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- ``spark.sql.shuffle.partitions`` sized to cores for local mode; on a real
+  cluster this would be ~2-3x total executor cores and AQE coalesces down.
+- Session timezone pinned to UTC: DuckDB (the correctness oracle) uses
+  UTC-naive timestamps.
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver testdata's
+  ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's vectorized parquet
+  reader otherwise rejects; we read nanos as long and convert in the source
+  layer (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "covid19i2b2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores).  On a real cluster, pass ``master=None`` after setting
+    ``spark.master`` externally — every engine component only assumes a
+    plain SparkSession.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions
+        or (os.cpu_count() or 8 if cpus == "*" else int(cpus))
+    )
+    if driver_memory:
+        conf["spark.driver.memory"] = driver_memory
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Apply runtime-settable engine conf to an externally-created session.
+
+    The driver harness constructs its own SparkSession; queries must not
+    assume our builder ran.  Everything in DEFAULT_CONF that is
+    runtime-settable is applied here (best-effort: static conf raises and
+    is skipped).
+    """
+    for k, v in DEFAULT_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf (e.g. spark.ui.enabled) — fine to skip

@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from covid19i2b2_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="covid19i2b2-tests", master="local[8]", shuffle_partitions=8
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    from covid19i2b2_spark.schemas import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
