@@ -1,0 +1,130 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Numeric-parity design: the driver's correctness oracle is DuckDB, and
+float sums are order-dependent, so every "measure" aggregate offers an
+*exact* path — cast 2-dp money-style doubles to DECIMAL before summing
+(bit-identical in any summation order), divide/sqrt in double at the end.
+At 100 TB the decimal sums are still single-pass partial aggregates; the
+double fast path is one flag away.
+
+MSSQL semantics preserved where the reference depends on them:
+STDEV is sample stddev and returns NULL for n=1, which the reference
+wraps in ISNULL(STDEV(...), 0) (4CE §Labs ~L740-800 reconstructed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Exact for values < 10^10 with ≤ 2 decimal places; products of two stay
+# within decimal(38,_) so Spark/DuckDB both keep them exact.
+DEC = "decimal(12,2)"
+DEC_LOG = "decimal(18,6)"
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Order-independent exact sum of a 2-dp measure, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dmean(col: str | Column, alias: str) -> Column:
+    """Exact-sum mean: round(cast(sum_dec as double)/n, 6) — the same IEEE
+    ops DuckDB runs, so results hash-match."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(c), 6
+    ).alias(alias)
+
+
+def dstd(col: str | Column, alias: str) -> Column:
+    """Sample stddev from exact decimal sums of x and x², coalesced to 0
+    for n<2 (MSSQL ISNULL(STDEV,0) semantics the reference relies on)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast(DEC)
+    n = F.count(c).cast("double")
+    s1 = F.sum(d).cast("double")
+    s2 = F.sum(d * d).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return F.when(F.count(c) < 2, F.lit(0.0)).otherwise(
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    ).alias(alias)
+
+
+def log_value(col: str | Column, scale: float = 1.0, offset: float = 0.5) -> Column:
+    """Per-row log transform used by the reference's log-scale lab stats:
+    LOG(val*scale + 0.5) (§Labs, +0.5 keeps zeros finite; reconstructed).
+    Rounded to 6dp and cast to decimal so downstream sums are exact and
+    engine-independent (ln() itself may differ by 1 ulp across libms)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.log(c * F.lit(scale) + F.lit(offset)), 6).cast(DEC_LOG)
+
+
+def dmean_pre(col: str | Column, alias: str) -> Column:
+    """Mean of an already-decimal column (e.g. log_value output)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c).cast("double") / F.count(c), 6).alias(alias)
+
+
+def dstd_pre(col: str | Column, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    s1 = F.sum(c).cast("double")
+    s2 = F.sum(c * c).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return F.when(F.count(c) < 2, F.lit(0.0)).otherwise(
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    ).alias(alias)
+
+
+def count_distinct_where(cond: Column, col: str | Column, alias: str) -> Column:
+    """A8: COUNT(DISTINCT CASE WHEN cond THEN key END) — the reference's
+    severe-subset columns next to all-patient columns (every artifact).
+    Spark plans this as a single expand+two-phase distinct aggregate, no
+    extra join."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.count_distinct(F.when(cond, c)).alias(alias)
+
+
+def two_level_agg(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    group_cols: Sequence[str],
+    value_col: str,
+    per_entity_alias: str = "entity_value",
+) -> DataFrame:
+    """A7: one value per entity first (per patient-day mean), then group
+    stats over entities — prevents multi-draw patients dominating the lab
+    stats (§Labs reconstructed).  Two groupBys; Spark's partial aggregation
+    makes each a single shuffle, and the second input is already small.
+
+    The per-entity mean is rounded to 6dp and cast to decimal so the
+    second-level sums stay order-independent.
+    """
+    per_entity = df.groupBy(*entity_cols, *group_cols).agg(
+        F.round(
+            F.sum(F.col(value_col).cast(DEC)).cast("double") / F.count(value_col), 6
+        )
+        .cast(DEC_LOG)
+        .alias(per_entity_alias)
+    )
+    return per_entity
+
+
+def grouping_sets_margins(
+    spark_df: DataFrame,
+    group_cols: Sequence[str],
+    agg_cols: Sequence[Column],
+    all_label: str = "all",
+) -> DataFrame:
+    """A9: the reference's Demographics margins — UNION ALL of group-bys at
+    every granularity with 'all' placeholder rows (~L650-740 reconstructed)
+    — expressed as one ROLLUP (a single shuffle with grouping-id expand,
+    not k separate scans)."""
+    rolled = spark_df.rollup(*group_cols).agg(*agg_cols)
+    out = rolled
+    for c in group_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit(all_label)))
+    return out

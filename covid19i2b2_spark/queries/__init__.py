@@ -1,3 +1,12 @@
 """Importing this package populates the t2 registry (registry.REGISTRY)."""
 
-from covid19i2b2_spark.queries import core  # noqa: F401
+from covid19i2b2_spark.queries import (  # noqa: F401
+    aggregates,
+    core,
+    filters,
+    joins,
+    obfuscation,
+    scalar,
+    setops,
+    windows,
+)

@@ -1,0 +1,309 @@
+"""t2 queries: aggregations (SURVEY.md §2.4 A1-A11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark.operators.aggregates import (
+    count_distinct_where,
+    dmean,
+    dmean_pre,
+    dstd,
+    dstd_pre,
+    dsum,
+    log_value,
+    two_level_agg,
+)
+from covid19i2b2_spark.registry import query
+from covid19i2b2_spark.sources.tables import read_table
+
+
+@query(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_quantity), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4/A11: the TPC-H Q1 shape — grouped counts, sums, means.
+    Measures sum in exact decimal (order-independent, oracle-identical),
+    output as double; means divide the exact sum in double."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02")
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            dmean("l_quantity", "avg_qty"),
+            dmean("l_extendedprice", "avg_price"),
+            dmean("l_discount", "avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT(DISTINCT patient_num) — every 4CE output counts patients,
+    not rows.  Exact distinct (Spark expands to a two-shuffle plan; keys
+    bounded by entity count so it holds at 100 TB).  approx_count_distinct
+    is the opt-in interactive path (q_approx_distinct)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct(F.to_date("o_orderdate")).alias("n_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q_approx_distinct", oracle=None)  # estimator differs from DuckDB's -> rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 scale path: HyperLogLog++ approximate distinct for interactive
+    100 TB queries (rsd 1%).  Not oracle-checked — DuckDB's approx sketch
+    is a different estimator."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN c_custkey END)
+               AS n_customers_negative,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building,
+           CAST(SUM(CASE WHEN c_acctbal >= 5000
+                         THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS sum_acctbal_rich
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: filtered aggregation — the reference's ever-severe columns
+    beside all-patient columns (COUNT(DISTINCT CASE WHEN severe=1 THEN
+    patient_num END)) in every artifact."""
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            count_distinct_where(
+                F.col("c_acctbal") < 0, "c_custkey", "n_customers_negative"
+            ),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+            ).alias("n_building"),
+            F.sum(
+                F.when(
+                    F.col("c_acctbal") >= 5000,
+                    F.col("c_acctbal").cast("decimal(12,2)"),
+                )
+            )
+            .cast("double")
+            .alias("sum_acctbal_rich"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_two_level_agg",
+    oracle="""
+    WITH per_customer AS (
+        SELECT o_custkey,
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(o_totalprice), 6) AS DECIMAL(18,6)) AS entity_value
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(entity_value) AS DOUBLE) / COUNT(entity_value), 6)
+               AS mean_customer_avg,
+           CAST(MIN(entity_value) AS DOUBLE) AS min_customer_avg,
+           CAST(MAX(entity_value) AS DOUBLE) AS max_customer_avg
+    FROM per_customer JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: two-level aggregation — one value per entity first, then group
+    stats, so heavy entities can't dominate (4CE §Labs computes one value
+    per patient-day before the per-(loinc,day) moments; reconstructed)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    per_customer = two_level_agg(orders, ["o_custkey"], [], "o_totalprice")
+    joined = per_customer.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dmean_pre("entity_value", "mean_customer_avg"),
+            F.min("entity_value").cast("double").alias("min_customer_avg"),
+            F.max("entity_value").cast("double").alias("max_customer_avg"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'all') AS segment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), 'all') AS nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    ORDER BY segment, nationkey
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the Demographics margins — the reference UNION-ALLs group-bys at
+    each granularity with 'all' placeholder rows (~L650-740 reconstructed);
+    one ROLLUP produces identical rows in a single shuffle."""
+    from covid19i2b2_spark.operators.aggregates import grouping_sets_margins
+
+    cust = read_table(spark, sf_dir, "customer")
+    return grouping_sets_margins(
+        cust,
+        ["c_mktsegment", "c_nationkey"],
+        [F.count("*").alias("n_customers"), dsum("c_acctbal", "sum_acctbal")],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        "n_customers",
+        "sum_acctbal",
+    ).orderBy("segment", "nationkey")
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 5
+    ORDER BY nationkey
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: post-aggregate threshold filter."""
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") > 5)
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_labs_stats",
+    oracle="""
+    SELECT l_returnflag AS code,
+           COUNT(l_extendedprice) AS num_values,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 6) AS mean_value,
+           CASE WHEN COUNT(l_extendedprice) < 2 THEN 0.0 ELSE
+             ROUND(SQRT(GREATEST(
+               (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(l_extendedprice))
+               / (COUNT(l_extendedprice) - 1.0), 0.0)), 6) END AS stdev_value,
+           ROUND(CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 6) AS mean_log_value,
+           CASE WHEN COUNT(l_extendedprice) < 2 THEN 0.0 ELSE
+             ROUND(SQRT(GREATEST(
+               (CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                              AS DECIMAL(18,6))
+                         * CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                                AS DECIMAL(18,6))) AS DOUBLE)
+                - CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(l_extendedprice))
+               / (COUNT(l_extendedprice) - 1.0), 0.0)), 6) END AS stdev_log_value
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag
+    ORDER BY code
+    """,
+)
+def q_labs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5/A6/F9/F12/F16/P6: the Labs artifact's numeric moments — n,
+    mean, sample stddev (ISNULL(STDEV,0) for n<2, MSSQL semantics), and
+    log-scale moments LOG(val*scale + 0.5) (§Labs ~L740-800 reconstructed;
+    scale_factor=0.001 plays the unit-harmonization factor)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    lx = log_value("l_extendedprice", scale=0.001)
+    li = li.withColumn("__log_value", lx)
+    return (
+        li.groupBy(F.col("l_returnflag").alias("code"))
+        .agg(
+            F.count("l_extendedprice").alias("num_values"),
+            dmean("l_extendedprice", "mean_value"),
+            dstd("l_extendedprice", "stdev_value"),
+            dmean_pre("__log_value", "mean_log_value"),
+            dstd_pre("__log_value", "stdev_log_value"),
+        )
+        .orderBy("code")
+    )

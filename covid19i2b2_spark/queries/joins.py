@@ -1,0 +1,279 @@
+"""t2 queries: joins (SURVEY.md §2.3 J1-J9, §2.1 S2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from covid19i2b2_spark.operators.aggregates import dsum
+from covid19i2b2_spark.operators.joins import (
+    anti_join,
+    broadcast_map_join,
+    join_keyed,
+    range_join,
+    semi_join,
+)
+from covid19i2b2_spark.operators.windows import first_per_entity
+from covid19i2b2_spark.registry import query
+from covid19i2b2_spark.sources.tables import read_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the workhorse large×large equi-join (reference: fact ⋈
+    #covid_cohort on patient_num, ~L520-920 reconstructed).  Declarative —
+    AQE picks the strategy; at 100 TB both sides bucketed by the key makes
+    this shuffle-free."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    joined = join_keyed(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice", "sum_totalprice"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: large×small broadcast join (reference: fact ⋈ #lab_map/#med_map,
+    ~L740/~L860).  part plays the code map; F.broadcast pins
+    BroadcastHashJoin so the fact side never shuffles."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    return (
+        broadcast_map_join(li, part.select("l_partkey", "p_brand"), "l_partkey")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"), dsum("l_quantity", "sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+               AS sum_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_nationkey
+    ORDER BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join preserving customers with no orders (reference:
+    cohort LEFT JOIN death/race sources, ~L650 reconstructed)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return (
+        join_keyed(cust, orders, "c_custkey", "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/P3/U4: WHERE EXISTS membership (reference: concept_cd IN
+    (SELECT local_med_code FROM #med_map), cohort membership tests)."""
+    cust = read_table(spark, sf_dir, "customer")
+    open_orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(cust, open_orders, "c_custkey").select(
+        "c_custkey", "c_nationkey"
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    ORDER BY c_custkey
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/U3: NOT EXISTS (reference: patients without severe indicators,
+    ~L470 reconstructed).  Filtered to 'P' orders so the complement is
+    non-empty at every sf (an all-rows or zero-rows anti-join would be a
+    trivially-passing check)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(cust, orders, "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH stays AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS admit_date,
+               CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INTEGER)
+                   AS discharge_date
+        FROM orders
+    ),
+    cal AS (
+        SELECT DISTINCT CAST(date_trunc('month', admit_date) AS DATE) AS cal_date
+        FROM stays
+    )
+    SELECT cal_date, COUNT(*) AS n_in_hospital
+    FROM cal JOIN stays
+      ON stays.admit_date <= cal.cal_date AND stays.discharge_date >= cal.cal_date
+    GROUP BY cal_date
+    ORDER BY cal_date
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/P5/F2: point-in-interval join — "num_patients_in_hospital_on_
+    this_date" (4CE §DailyCounts ~L520-600 reconstructed).  Stays are
+    synthesized (admit=orderdate, discharge=admit + orderkey%20 days); the
+    calendar side is tiny and broadcast, so the plan is a broadcast
+    nested-loop over ~tens of build rows, not an O(n·m) shuffle."""
+    orders = read_table(spark, sf_dir, "orders")
+    stays = orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("admit_date"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 20).cast("int")
+        ).alias("discharge_date"),
+    )
+    cal = stays.select(
+        F.trunc("admit_date", "month").alias("cal_date")
+    ).dropDuplicates()
+    joined = range_join(cal, stays, "cal_date", "admit_date", "discharge_date")
+    return (
+        joined.groupBy("cal_date")
+        .agg(F.count("*").alias("n_in_hospital"))
+        .orderBy("cal_date")
+    )
+
+
+@query(
+    "q_asof_first",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS first_orderkey,
+           CAST(o_orderdate AS DATE) AS first_order_date
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY custkey
+    """,
+)
+def q_asof_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/W2/A3: earliest-event-per-entity (reference: first admission per
+    patient after the positive test, MIN(start_date) ~L350 reconstructed).
+    One window shuffle on the entity key; o_orderkey tiebreak for
+    determinism."""
+    orders = read_table(spark, sf_dir, "orders")
+    first = first_per_entity(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return first.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.to_date("o_orderdate").alias("first_order_date"),
+    ).orderBy("custkey")
+
+
+@query(
+    "q_literal_map_join",
+    oracle="""
+    SELECT m.segment_class, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN (VALUES ('AUTOMOBILE', 'consumer'), ('HOUSEHOLD', 'consumer'),
+                 ('FURNITURE', 'consumer'), ('BUILDING', 'industrial'),
+                 ('MACHINERY', 'industrial')) AS m(seg, segment_class)
+      ON c_mktsegment = m.seg
+    GROUP BY m.segment_class
+    ORDER BY m.segment_class
+    """,
+)
+def q_literal_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/J2: inline literal code map (reference: INSERT INTO #med_map
+    VALUES ..., ~L90-260 reconstructed) built with createDataFrame and
+    broadcast into the join — never a shuffle for a 5-row map."""
+    seg_map = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "consumer"),
+            ("HOUSEHOLD", "consumer"),
+            ("FURNITURE", "consumer"),
+            ("BUILDING", "industrial"),
+            ("MACHINERY", "industrial"),
+        ],
+        T.StructType(
+            [
+                T.StructField("c_mktsegment", T.StringType()),
+                T.StructField("segment_class", T.StringType()),
+            ]
+        ),
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        broadcast_map_join(cust, seg_map, "c_mktsegment")
+        .groupBy("segment_class")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+        .orderBy("segment_class")
+    )

@@ -1,0 +1,89 @@
+"""t2 queries: window functions (SURVEY.md §2.5 W3/W4; W1/W2 are covered
+by q_cumulative / q_asof_first in core.py / joins.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from covid19i2b2_spark.operators.windows import with_row_number
+from covid19i2b2_spark.registry import query
+from covid19i2b2_spark.sources.tables import read_table
+
+
+@query(
+    "q_row_number",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    ORDER BY nationkey, rn
+    """,
+)
+def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: partitioned row numbering — top-3 customers per nation by
+    balance (reference uses ROW_NUMBER for CSV sort columns and Phase-2
+    patient pseudonyms).  Partitioned window: scales with the partition
+    key, no global sort."""
+    cust = read_table(spark, sf_dir, "customer")
+    ranked = with_row_number(
+        cust,
+        [F.col("c_acctbal").desc(), "c_custkey"],
+        "rn",
+        partition_by=["c_nationkey"],
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_acctbal", "rn"
+        )
+        .orderBy("nationkey", "rn")
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT order_date, n_orders,
+           CAST(SUM(n_orders) OVER (
+               ORDER BY order_date
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_4d,
+           CAST(SUM(n_orders) OVER (
+               ORDER BY order_date
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS BIGINT) AS leading_3d,
+           CAST(MAX(n_orders) OVER (
+               ORDER BY order_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak_to_date
+    FROM daily
+    ORDER BY order_date
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: rows-frame variants (preceding/following/unbounded) over per-day
+    pre-aggregates — the general frame surface beyond the reference's
+    single unbounded-preceding cumulative (input pre-aggregated per day, so
+    the single-partition window is safe; SURVEY.md §4.2)."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.count("*").alias("n_orders")
+    )
+    w = W.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        "n_orders",
+        F.sum("n_orders").over(w.rowsBetween(-3, 0)).alias("moving_4d"),
+        F.sum("n_orders").over(w.rowsBetween(0, 2)).alias("leading_3d"),
+        F.max("n_orders").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "peak_to_date"
+        ),
+    ).orderBy("order_date")
