@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.11 X4;
+north-star extension, not in the reference).
+
+All pure ``pyspark.sql.functions`` compositions — JVM-side, whole-stage
+codegen, no Python in the hot path.  Designed for a 100 TB documents table:
+everything is per-row or a single groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic and quality scoring.  Deliberately small: the operator contract
+# is deterministic scoring, not linguistic accuracy.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "es", "en", "que", "los", "del", "un"],
+    "de": ["der", "die", "das", "und", "ist", "zu", "den", "von", "ein", "mit"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+# (a lightweight cousin of the GPT-2 pre-tokenize regex).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array (trim first so
+    neither engine produces leading/trailing empty tokens)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — stable across
+    engines and runs, the exact-dedup key for crawled corpora."""
+    return F.md5(F.encode(normalize_text(col), "UTF-8"))
+
+
+def punct_count(col: str | Column) -> Column:
+    return F.length(F.regexp_replace(_c(col), r"[^.!?,;:]", ""))
+
+
+def stopword_hits(col: str | Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (array lambda —
+    codegen'd, no UDF)."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t)))
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(stopword_hits(col, lang).cast("double") / n, 6)
+    )
+
+
+def lang_guess(col: str | Column) -> Column:
+    """Language-ID heuristic: argmax of per-language stopword hits, 'und'
+    (undetermined) when no list scores > 0.  Ties break by language order."""
+    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang, s in scores.items():
+        expr = expr.when(s == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(col: str | Column, lang: str = "en") -> Column:
+    """Composite quality score in [0,1]: token-length band + low punct
+    density + stopword presence (the usual crawl-quality heuristics,
+    deterministic and cross-engine reproducible)."""
+    n = token_count(col)
+    nc = F.length(_c(col))
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_density = F.when(nc == 0, F.lit(1.0)).otherwise(
+        punct_count(col).cast("double") / nc
+    )
+    punct_ok = F.when(punct_density < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col, lang) > 0.01, F.lit(0.3)).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(len_ok + punct_ok + stop_ok, 6)
+
+
+def word_ngrams(col: str | Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (for Jaccard near-dup)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def char_shingles(col: str | Column, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text (MinHash input)."""
+    norm = normalize_text(col)
+    return F.when(
+        F.length(norm) < k, F.array(norm).cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - k + 1),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        )
+    )
+
+
+def rolling_hashes(col: str | Column, k: int = 5) -> Column:
+    """Per-shingle 64-bit hashes (xxhash64) — the rolling-fingerprint
+    stream used for content-defined chunking / winnowing."""
+    return F.transform(char_shingles(col, k), lambda s: F.xxhash64(s))

@@ -5,6 +5,7 @@ from covid19i2b2_spark.queries import (  # noqa: F401
     core,
     filters,
     joins,
+    llm,
     obfuscation,
     scalar,
     setops,

@@ -1,0 +1,380 @@
+"""t2 queries: training-data-pipeline extensions (SURVEY.md §2.11) —
+dedup, similarity search, text analysis, multimodal plumbing, JSON."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark.operators import similarity as sim
+from covid19i2b2_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash,
+)
+from covid19i2b2_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    frame_sample,
+)
+from covid19i2b2_spark.operators.text import (
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    lang_guess,
+    punct_count,
+    quality_score,
+    stopword_hits,
+    stopword_ratio,
+    token_count,
+)
+from covid19i2b2_spark.registry import query
+from covid19i2b2_spark.sources.tables import read_table
+
+_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_DUCK_TOKENS}) END"
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH doubled AS (
+        SELECT doc_id, lang, text, 1 AS copy FROM documents
+        UNION ALL
+        SELECT doc_id, lang, text, 2 AS copy FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, lang, copy
+        FROM (SELECT doc_id, lang, copy,
+                     ROW_NUMBER() OVER (PARTITION BY text
+                                        ORDER BY copy, doc_id) AS rn
+              FROM doubled)
+        WHERE rn = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(copy) AS BIGINT) AS sum_copy
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup with a deterministic survivor.  The corpus is
+    doubled (simulating a re-crawl) then deduped on text keeping the
+    first copy; sum_copy == n_docs proves survivor selection, not just
+    distinct-count."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    doubled = docs.withColumn("copy", F.lit(1)).unionByName(
+        docs.withColumn("copy", F.lit(2))
+    )
+    kept = exact_dedup(doubled, ["text"], ["copy", "doc_id"])
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("copy").alias("sum_copy"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_unique,
+           MIN(fingerprint) AS min_fingerprint
+    FROM fp GROUP BY source ORDER BY source
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: content fingerprinting — md5 over whitespace-normalized
+    lowercase text; the exact-dedup key for crawled corpora.  min_
+    fingerprint pins actual hash values, not just counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select("source", fingerprint("text").alias("fingerprint"))
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fingerprint").alias("n_unique"),
+            F.min("fingerprint").alias("min_fingerprint"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_token_counts",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS total_tokens,
+           CAST(MAX({_DUCK_NTOK}) AS BIGINT) AS max_tokens,
+           ROUND(CAST(SUM({_DUCK_NTOK}) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token counting — whitespace tokens + a BPE-ish pre-tokenizer
+    regex (letter runs / digit runs / single symbols)."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "lang",
+        token_count("text").alias("__nt"),
+        bpe_token_count("text").alias("__nb"),
+    )
+    return (
+        with_counts.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.max("__nt").cast("long").alias("max_tokens"),
+            F.round(F.sum("__nt").cast("double") / F.count("*"), 6).alias(
+                "avg_tokens"
+            ),
+            F.sum("__nb").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_DUCK_NTOK} AS n_tokens,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+               length(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter({_DUCK_TOKENS},
+                             t -> list_contains([{_STOP_EN}], t))) END AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_punct, stop_hits,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) END AS stop_ratio,
+           ROUND(
+             (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN (CASE WHEN n_chars = 0 THEN 1.0
+                           ELSE CAST(n_punct AS DOUBLE) / n_chars END) < 0.1
+                     THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                           ELSE ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) END)
+                          > 0.01
+                     THEN 0.3 ELSE 0.0 END), 6) AS quality
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: quality scoring — token-length band, punctuation density,
+    stopword ratio; the crawl-filtering heuristics as one deterministic
+    score."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_hits("text", "en").alias("stop_hits"),
+        stopword_ratio("text", "en").alias("stop_ratio"),
+        quality_score("text", "en").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_LANG_SCORE = {
+    lang: f"""CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter({_DUCK_TOKENS},
+                   t -> list_contains([{", ".join(f"'{w}'" for w in ws)}], t))) END"""
+    for lang, ws in STOPWORDS.items()
+}
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_LANG_SCORE['en']} AS s_en,
+               {_LANG_SCORE['es']} AS s_es,
+               {_LANG_SCORE['de']} AS s_de
+        FROM documents
+    ),
+    guessed AS (
+        SELECT lang,
+               CASE WHEN GREATEST(s_en, s_es, s_de) = 0 THEN 'und'
+                    WHEN s_en = GREATEST(s_en, s_es, s_de) THEN 'en'
+                    WHEN s_es = GREATEST(s_en, s_es, s_de) THEN 'es'
+                    ELSE 'de' END AS lang_guess
+        FROM scored
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: language-ID heuristic (stopword-hit argmax, 'und' when no
+    signal) — output is the (labeled lang × guessed lang) confusion
+    matrix.  Tie-break order en > es > de is pinned in both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: JSON property extraction from the events.props string column
+    (get_json_object -> int), aggregated per event_type."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    prods AS (
+        SELECT e.vec_id,
+               unnest(e.embedding) AS a,
+               unnest(q.qv) AS b
+        FROM embeddings e, q
+        WHERE e.vec_id != 0
+    ),
+    sums AS (
+        SELECT vec_id,
+               SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(b AS DOUBLE), 12)
+                        AS DECIMAL(28,12))) AS dot,
+               SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(a AS DOUBLE), 12)
+                        AS DECIMAL(28,12))) AS na2,
+               SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(b AS DOUBLE), 12)
+                        AS DECIMAL(28,12))) AS nb2
+        FROM prods GROUP BY vec_id
+    )
+    SELECT vec_id,
+           ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na2 AS DOUBLE))
+                                        * SQRT(CAST(nb2 AS DOUBLE))), 6)
+               AS cosine_sim
+    FROM sums
+    ORDER BY CAST(dot AS DOUBLE) / (SQRT(CAST(na2 AS DOUBLE))
+                                    * SQRT(CAST(nb2 AS DOUBLE))) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: brute-force cosine top-10 against the vec_id=0 query
+    vector.  The exact-decimal dot path makes the score independent of
+    summation order, so Spark and DuckDB rank identically (DuckDB's own
+    list_cosine_similarity computes in float32 — not comparable)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    query_vec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    candidates = emb.filter(F.col("vec_id") != 0)
+    return sim.cosine_topk(
+        candidates, "vec_id", "embedding", query_vec, k=10, exact_decimal=True
+    )
+
+
+@query("q_ann_ivf", oracle=None)  # approximate by design -> rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: IVF approximate top-k (deterministic centroids,
+    n_probe=4 of 16 clusters).  Approximate by construction — the driver
+    records a rows-only check; recall-vs-brute-force is asserted in
+    tests/test_llm_ops.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    query_vec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    candidates = emb.filter(F.col("vec_id") != 0)
+    return sim.ivf_topk(
+        candidates, "vec_id", "embedding", query_vec, n_centroids=16, n_probe=4, k=10
+    )
+
+
+@query("q_minhash_pairs", oracle=None)  # xxhash64 sketch not reproducible in DuckDB
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup pairs (32 hashes, 8 bands, 5-char
+    shingles) verified with exact Jaccard >= 0.5.  Sketches use xxhash64
+    so the oracle can't mirror them; Jaccard-vs-brute-force precision is
+    asserted in tests/test_llm_ops.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n_hashes=32, n_bands=8, shingle_k=5, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("q_simhash", oracle=None)  # xxhash64-based signature -> rows-only
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 64-bit SimHash signatures per document (token-hash bit votes)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query("q_embedding_near_dup", oracle=None)  # LSH bucketing -> rows-only
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: embedding-cosine near-dup pairs via hyperplane-LSH buckets
+    (8 seeded planes) + exact cosine verify.  Threshold 0.3 keeps the
+    check non-trivial on this near-orthogonal synthetic corpus (real
+    near-dup corpora use ~0.9)."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64)).tolist()
+    return sim.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", planes, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query("q_multimodal_meta", oracle=None)  # mapInPandas plumbing -> rows-only
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 multimodal plumbing: documents -> binary payload column ->
+    Arrow-batched mapInPandas fake decode (real codecs stubbed, see
+    operators/multimodal.py) -> per-type size stats + frame sampling."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    decoded = decode_media(media)
+    frames = frame_sample(media)
+    return (
+        decoded.join(frames, "media_id")
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_sampled").alias("total_sampled"),
+        )
+        .orderBy("media_type")
+    )
