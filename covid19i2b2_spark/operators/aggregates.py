@@ -23,6 +23,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 DEC = "decimal(12,2)"
 DEC_LOG = "decimal(18,6)"
 
+# SQL mirror of round6() below — splice into oracle strings.
+ROUND6_SQL = "FLOOR(({x}) * 1000000 + 0.5) / 1000000"
+
+
+def round6(col: Column) -> Column:
+    """Engine-independent 6dp rounding: floor(x*1e6 + 0.5)/1e6.
+
+    F.round/ROUND are NOT cross-engine safe: Spark rounds the double's
+    shortest decimal representation (BigDecimal.valueOf) while DuckDB
+    rounds the exact binary value — a mean of two 6dp decimals lands
+    exactly on the 7th-digit-5 grid and the two disagree.  floor(+0.5)
+    uses only IEEE ops, so identical inputs give identical outputs in any
+    engine (ties round toward +inf)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+
 
 def dsum(col: str | Column, alias: str) -> Column:
     """Order-independent exact sum of a 2-dp measure, returned as double."""
@@ -34,9 +51,7 @@ def dmean(col: str | Column, alias: str) -> Column:
     """Exact-sum mean: round(cast(sum_dec as double)/n, 6) — the same IEEE
     ops DuckDB runs, so results hash-match."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(c), 6
-    ).alias(alias)
+    return round6(F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
 
 
 def dstd(col: str | Column, alias: str) -> Column:
@@ -49,7 +64,7 @@ def dstd(col: str | Column, alias: str) -> Column:
     s2 = F.sum(d * d).cast("double")
     var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
     return F.when(F.count(c) < 2, F.lit(0.0)).otherwise(
-        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+        round6(F.sqrt(F.greatest(var, F.lit(0.0))))
     ).alias(alias)
 
 
@@ -59,13 +74,13 @@ def log_value(col: str | Column, scale: float = 1.0, offset: float = 0.5) -> Col
     Rounded to 6dp and cast to decimal so downstream sums are exact and
     engine-independent (ln() itself may differ by 1 ulp across libms)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.log(c * F.lit(scale) + F.lit(offset)), 6).cast(DEC_LOG)
+    return round6(F.log(c * F.lit(scale) + F.lit(offset))).cast(DEC_LOG)
 
 
 def dmean_pre(col: str | Column, alias: str) -> Column:
     """Mean of an already-decimal column (e.g. log_value output)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c).cast("double") / F.count(c), 6).alias(alias)
+    return round6(F.sum(c).cast("double") / F.count(c)).alias(alias)
 
 
 def dstd_pre(col: str | Column, alias: str) -> Column:
@@ -75,7 +90,7 @@ def dstd_pre(col: str | Column, alias: str) -> Column:
     s2 = F.sum(c * c).cast("double")
     var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
     return F.when(F.count(c) < 2, F.lit(0.0)).otherwise(
-        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+        round6(F.sqrt(F.greatest(var, F.lit(0.0))))
     ).alias(alias)
 
 
@@ -104,8 +119,8 @@ def two_level_agg(
     second-level sums stay order-independent.
     """
     per_entity = df.groupBy(*entity_cols, *group_cols).agg(
-        F.round(
-            F.sum(F.col(value_col).cast(DEC)).cast("double") / F.count(value_col), 6
+        round6(
+            F.sum(F.col(value_col).cast(DEC)).cast("double") / F.count(value_col)
         )
         .cast(DEC_LOG)
         .alias(per_entity_alias)

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from covid19i2b2_spark.operators.aggregates import round6
 from covid19i2b2_spark.operators.text import char_shingles, tokens
 
 
@@ -135,7 +136,7 @@ def jaccard_verify(
         .select(
             "id_a",
             "id_b",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            round6(inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

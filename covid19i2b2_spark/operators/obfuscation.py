@@ -91,6 +91,9 @@ def round_counts(df: DataFrame, count_cols: Sequence[str], nearest: int = 5) -> 
     out = df
     for c in count_cols:
         out = out.withColumn(
-            c, (F.round(F.col(c) / F.lit(float(nearest))) * nearest).cast("long")
+            c,
+            (F.floor(F.col(c) / F.lit(float(nearest)) + F.lit(0.5)) * nearest).cast(
+                "long"
+            ),
         )
     return out

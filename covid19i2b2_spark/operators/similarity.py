@@ -19,8 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_DEC = "decimal(28,12)"
-
+from covid19i2b2_spark.operators.aggregates import round6
 
 def _dot_double(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -31,17 +30,24 @@ def _dot_double(a: Column, b: Column) -> Column:
 
 
 def _dot_decimal(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: F.round(x.cast("double") * y.cast("double"), 12).cast(_DEC),
-        ),
-        F.lit(0).cast(_DEC),
-        # cast back each step: decimal + decimal widens precision and the
-        # fold accumulator type must stay fixed (values are ~1e0, no overflow)
-        lambda acc, x: (acc + x).cast(_DEC),
-    ).cast("double")
+    """Order/engine-independent dot product: each elementwise product is
+    fixed-pointed to picounits via floor(x*y*1e12 + 0.5) (repr-independent,
+    unlike ROUND — see aggregates.round6) and summed as exact longs; sums
+    stay < 2^63 for any realistic embedding dim."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e12) + F.lit(0.5)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1e12)
+    )
 
 
 def dot(a: str | Column, b: str | Column, exact_decimal: bool = False) -> Column:
@@ -77,7 +83,7 @@ def cosine_topk(
     joined = df.crossJoin(F.broadcast(query))
     scored = joined.select(
         id_col,
-        F.round(cosine(vec_col, "qv", exact_decimal), 6).alias("cosine_sim"),
+        round6(cosine(vec_col, "qv", exact_decimal)).alias("cosine_sim"),
         cosine(vec_col, "qv", exact_decimal).alias("__exact"),
     )
     return (
@@ -194,7 +200,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine("__va", "__vb"), 6).alias("cosine_sim"),
+            round6(cosine("__va", "__vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

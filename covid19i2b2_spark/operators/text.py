@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from covid19i2b2_spark.operators.aggregates import round6
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic and quality scoring.  Deliberately small: the operator contract
 # is deterministic scoring, not linguistic accuracy.
@@ -71,7 +73,7 @@ def stopword_hits(col: str | Column, lang: str) -> Column:
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     n = token_count(col)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.round(stopword_hits(col, lang).cast("double") / n, 6)
+        round6(stopword_hits(col, lang).cast("double") / n)
     )
 
 
@@ -100,7 +102,7 @@ def quality_score(col: str | Column, lang: str = "en") -> Column:
     stop_ok = F.when(stopword_ratio(col, lang) > 0.01, F.lit(0.3)).otherwise(
         F.lit(0.0)
     )
-    return F.round(len_ok + punct_ok + stop_ok, 6)
+    return round6(len_ok + punct_ok + stop_ok)
 
 
 def word_ngrams(col: str | Column, n: int) -> Column:

@@ -3,6 +3,7 @@
 from covid19i2b2_spark.queries import (  # noqa: F401
     aggregates,
     core,
+    covid,
     filters,
     joins,
     llm,

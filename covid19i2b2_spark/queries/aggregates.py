@@ -30,12 +30,12 @@ from covid19i2b2_spark.sources.tables import read_table
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (1 - CAST(l_discount AS DECIMAL(12,2)))
                     * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                 / COUNT(l_quantity), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / COUNT(l_extendedprice), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
-                 / COUNT(l_discount), 6) AS avg_disc
+           FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+           FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
+           FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -160,14 +160,14 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_customer AS (
         SELECT o_custkey,
-               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                          / COUNT(o_totalprice), 6) AS DECIMAL(18,6)) AS entity_value
+               CAST(FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(o_totalprice)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS entity_value
         FROM orders
         GROUP BY o_custkey
     )
     SELECT c_nationkey AS nationkey,
            COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(entity_value) AS DOUBLE) / COUNT(entity_value), 6)
+           FLOOR((CAST(SUM(entity_value) AS DOUBLE) / COUNT(entity_value)) * 1000000 + 0.5) / 1000000
                AS mean_customer_avg,
            CAST(MIN(entity_value) AS DOUBLE) AS min_customer_avg,
            CAST(MAX(entity_value) AS DOUBLE) AS max_customer_avg
@@ -255,31 +255,31 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag AS code,
            COUNT(l_extendedprice) AS num_values,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / COUNT(l_extendedprice), 6) AS mean_value,
+           FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS mean_value,
            CASE WHEN COUNT(l_extendedprice) < 2 THEN 0.0 ELSE
-             ROUND(SQRT(GREATEST(
+             FLOOR((SQRT(GREATEST(
                (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                   / COUNT(l_extendedprice))
-               / (COUNT(l_extendedprice) - 1.0), 0.0)), 6) END AS stdev_value,
-           ROUND(CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+               / (COUNT(l_extendedprice) - 1.0), 0.0))) * 1000000 + 0.5) / 1000000 END AS stdev_value,
+           FLOOR((CAST(SUM(CAST(FLOOR((LN(l_extendedprice * 0.001 + 0.5)) * 1000000 + 0.5) / 1000000
                                AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(l_extendedprice), 6) AS mean_log_value,
+                 / COUNT(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS mean_log_value,
            CASE WHEN COUNT(l_extendedprice) < 2 THEN 0.0 ELSE
-             ROUND(SQRT(GREATEST(
-               (CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+             FLOOR((SQRT(GREATEST(
+               (CAST(SUM(CAST(FLOOR((LN(l_extendedprice * 0.001 + 0.5)) * 1000000 + 0.5) / 1000000
                               AS DECIMAL(18,6))
-                         * CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                         * CAST(FLOOR((LN(l_extendedprice * 0.001 + 0.5)) * 1000000 + 0.5) / 1000000
                                 AS DECIMAL(18,6))) AS DOUBLE)
-                - CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                - CAST(SUM(CAST(FLOOR((LN(l_extendedprice * 0.001 + 0.5)) * 1000000 + 0.5) / 1000000
                                AS DECIMAL(18,6))) AS DOUBLE)
-                  * CAST(SUM(CAST(ROUND(LN(l_extendedprice * 0.001 + 0.5), 6)
+                  * CAST(SUM(CAST(FLOOR((LN(l_extendedprice * 0.001 + 0.5)) * 1000000 + 0.5) / 1000000
                                  AS DECIMAL(18,6))) AS DOUBLE)
                   / COUNT(l_extendedprice))
-               / (COUNT(l_extendedprice) - 1.0), 0.0)), 6) END AS stdev_log_value
+               / (COUNT(l_extendedprice) - 1.0), 0.0))) * 1000000 + 0.5) / 1000000 END AS stdev_log_value
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL
     GROUP BY l_returnflag

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from covid19i2b2_spark.operators import similarity as sim
+from covid19i2b2_spark.operators.aggregates import round6
 from covid19i2b2_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
@@ -110,7 +111,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS total_tokens,
            CAST(MAX({_DUCK_NTOK}) AS BIGINT) AS max_tokens,
-           ROUND(CAST(SUM({_DUCK_NTOK}) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           FLOOR((CAST(SUM({_DUCK_NTOK}) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS avg_tokens,
            CAST(SUM(len(regexp_extract_all(text,
                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
     FROM documents
@@ -132,7 +133,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("__nt").alias("total_tokens"),
             F.max("__nt").cast("long").alias("max_tokens"),
-            F.round(F.sum("__nt").cast("double") / F.count("*"), 6).alias(
+            round6(F.sum("__nt").cast("double") / F.count("*")).alias(
                 "avg_tokens"
             ),
             F.sum("__nb").alias("total_bpe_tokens"),
@@ -159,16 +160,16 @@ _STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     )
     SELECT doc_id, n_tokens, n_punct, stop_hits,
            CASE WHEN n_tokens = 0 THEN 0.0
-                ELSE ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) END AS stop_ratio,
-           ROUND(
+                ELSE FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 END AS stop_ratio,
+           FLOOR((
              (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
              + (CASE WHEN (CASE WHEN n_chars = 0 THEN 1.0
                            ELSE CAST(n_punct AS DOUBLE) / n_chars END) < 0.1
                      THEN 0.3 ELSE 0.0 END)
              + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
-                           ELSE ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) END)
+                           ELSE FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 END)
                           > 0.01
-                     THEN 0.3 ELSE 0.0 END), 6) AS quality
+                     THEN 0.3 ELSE 0.0 END)) * 1000000 + 0.5) / 1000000 AS quality
     FROM scored ORDER BY doc_id
     """,
 )
@@ -271,22 +272,26 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE e.vec_id != 0
     ),
     sums AS (
+        -- fixed-point picounit longs: floor(x*y*1e12 + 0.5) summed exactly,
+        -- back to double at the end — order/engine independent (mirrors
+        -- operators/similarity._dot_decimal)
         SELECT vec_id,
-               SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(b AS DOUBLE), 12)
-                        AS DECIMAL(28,12))) AS dot,
-               SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(a AS DOUBLE), 12)
-                        AS DECIMAL(28,12))) AS na2,
-               SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(b AS DOUBLE), 12)
-                        AS DECIMAL(28,12))) AS nb2
+               CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS dot,
+               CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS na2,
+               CAST(SUM(CAST(FLOOR(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS nb2
         FROM prods GROUP BY vec_id
     )
     SELECT vec_id,
-           ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na2 AS DOUBLE))
-                                        * SQRT(CAST(nb2 AS DOUBLE))), 6)
+           FLOOR((dot / (SQRT(na2) * SQRT(nb2))) * 1000000 + 0.5) / 1000000
                AS cosine_sim
     FROM sums
-    ORDER BY CAST(dot AS DOUBLE) / (SQRT(CAST(na2 AS DOUBLE))
-                                    * SQRT(CAST(nb2 AS DOUBLE))) DESC, vec_id
+    ORDER BY dot / (SQRT(na2) * SQRT(nb2)) DESC, vec_id
     LIMIT 10
     """,
 )

@@ -25,7 +25,7 @@ from covid19i2b2_spark.sources.tables import read_table
     SELECT nationkey, segment,
            CASE WHEN n_customers < 10 THEN -99 ELSE n_customers END AS obf_count,
            CASE WHEN n_customers < 10 THEN -99
-                ELSE CAST(ROUND(n_customers / 5.0) * 5 AS BIGINT) END AS rounded_count
+                ELSE CAST(FLOOR(n_customers / 5.0 + 0.5) * 5 AS BIGINT) END AS rounded_count
     FROM counts
     ORDER BY nationkey, segment
     """,
