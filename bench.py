@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect).  Timings are per-query wall clock after a warm-up query
+that pays session/JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from covid19i2b2_spark.registry import REGISTRY, all_queries  # noqa: E402
+from covid19i2b2_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the covid artifacts (the product), the heavy relational
+# operators, and the LLM-data extensions.  Everything else in the registry
+# is covered by the driver's t2 correctness run.
+HEADLINE = [
+    "q_agg_basic",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_count_distinct",
+    "q_cumulative",
+    "q_range_join",
+    "q_grouping_sets",
+    "q_two_level_agg",
+    "q_labs_stats",
+    "q_asof_first",
+    "q_covid_cohort",
+    "q_covid_daily_counts",
+    "q_covid_demographics",
+    "q_covid_labs",
+    "q_covid_diagnoses",
+    "q_events_daily",
+    "q_dedup_exact",
+    "q_fingerprint",
+    "q_token_counts",
+    "q_text_quality",
+    "q_minhash_pairs",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_embedding_near_dup",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    all_queries()
+    spark = get_spark(app_name="covid19i2b2-bench")
+    # warm-up: pay JVM/codegen/parquet-footer startup outside the timings
+    REGISTRY["q_having"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

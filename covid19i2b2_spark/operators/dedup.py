@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from covid19i2b2_spark.operators.aggregates import round6
-from covid19i2b2_spark.operators.text import char_shingles, tokens
+from covid19i2b2_spark.operators.text import char_shingles, normalize_text, tokens
 
 
 def exact_dedup(
@@ -40,6 +40,20 @@ def exact_dedup(
     )
 
 
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+
+
+def _hash_family(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) multiply-add coefficients over GF(2^31-1)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -47,26 +61,56 @@ def minhash_signatures(
     n_hashes: int = 32,
     shingle_k: int = 5,
     seed: int = 42,
+    with_sets: bool = False,
 ) -> DataFrame:
-    """MinHash signatures: explode char shingles, take n_hashes column-wise
-    MINs of xxhash64(shingle, seed+i) in ONE groupBy pass (n_hashes min
-    aggregates — no per-hash explode, no UDF).
+    """MinHash signatures: explode char shingles, take n_hashes
+    column-wise MINs in ONE groupBy pass (no per-hash explode, no UDF).
 
-    Returns (id_col, signature array<long>, n_shingles).
+    Perf shape (all measured on sf0.1, each ~4-10x):
+    - normalize_text is projected to a real column BEFORE the shingle
+      lambda (expressions inside array lambdas re-evaluate per element);
+    - each shingle is xxhash64'd ONCE, the n_hashes values derive via
+      (a_i*h + b_i) mod 2^31-1 — long arithmetic below 2^62, so ANSI mode
+      (Spark 4 default) never sees an overflow;
+    - no array_distinct pre-pass: MIN is duplicate-insensitive, and
+      n_shingles comes from count_distinct in the same groupBy.
+
+    with_sets=True also returns the 64-bit shingle-hash set per doc
+    (collect_set) so a downstream exact-Jaccard verify shares this single
+    shingle pass.  Returns (id_col, signature array<long>, n_shingles
+    [, shingle_set array<long>]).
     """
-    exploded = df.select(
-        id_col, F.explode(char_shingles(text_col, shingle_k)).alias("__shingle")
+    normed = df.select(F.col(id_col), normalize_text(text_col).alias("__norm"))
+    exploded = normed.select(
+        id_col,
+        F.explode(char_shingles("__norm", shingle_k, pre_normalized=True)).alias(
+            "__shingle"
+        ),
+    ).withColumn("__h64", F.xxhash64("__shingle")).withColumn(
+        "__h31", F.pmod("__h64", F.lit(_MERSENNE31))
     )
     aggs = [
-        F.min(F.xxhash64("__shingle", F.lit(seed + i))).alias(f"__h{i}")
-        for i in range(n_hashes)
-    ] + [F.count_distinct("__shingle").alias("n_shingles")]
+        F.min(
+            F.pmod(F.col("__h31") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+        ).alias(f"__h{i}")
+        for i, (a, b) in enumerate(_hash_family(n_hashes, seed))
+    ]
+    if with_sets:
+        # n_shingles derives from the set — a count_distinct here would
+        # force an Expand (2x the exploded rows) alongside 32 min buffers
+        aggs.append(F.collect_set("__h64").alias("shingle_set"))
+    else:
+        aggs.append(F.count_distinct("__shingle").alias("n_shingles"))
     per_doc = exploded.groupBy(id_col).agg(*aggs)
-    return per_doc.select(
-        id_col,
+    cols = [
+        F.col(id_col),
         F.array(*[f"__h{i}" for i in range(n_hashes)]).alias("signature"),
-        "n_shingles",
-    )
+    ]
+    if with_sets:
+        cols += [F.size("shingle_set").alias("n_shingles"), F.col("shingle_set")]
+    else:
+        cols.append(F.col("n_shingles"))
+    return per_doc.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -121,11 +165,27 @@ def jaccard_verify(
     """Exact n-gram/shingle Jaccard on candidate pairs (the verify step
     after LSH; also the standalone n-gram-Jaccard dedup when pairs come
     from elsewhere).  Set sizes are per-document, so the array ops stay
-    bounded regardless of corpus size."""
+    bounded regardless of corpus size.
+
+    Shingles are compared as xxhash64 longs, not strings — array_intersect
+    over fixed-width longs is several times cheaper than over short
+    strings, and a 64-bit collision inside one document pair is
+    negligible."""
     sets_df = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__norm")
+    ).select(
         F.col(id_col),
-        F.array_distinct(char_shingles(text_col, shingle_k)).alias("__set"),
+        F.array_distinct(
+            F.transform(
+                char_shingles("__norm", shingle_k, pre_normalized=True),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("__set"),
     )
+    # referenced twice (both join sides) — Spark recomputes self-join
+    # branches, so persist the per-doc sets (~a few longs per shingle;
+    # spills to disk at scale)
+    sets_df = sets_df.persist()
     a = sets_df.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a"))
     b = sets_df.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b"))
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
@@ -153,10 +213,28 @@ def minhash_dedup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """X2 end-to-end: MinHash -> LSH bands -> exact-Jaccard verify.
-    Returns (id_a, id_b, jaccard) near-duplicate pairs."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
+    Returns (id_a, id_b, jaccard) near-duplicate pairs.
+
+    One shingle pass feeds BOTH the signatures and the verify sets
+    (with_sets=True), persisted because the band self-join and the
+    two-sided verify join each read it again — recomputing would re-run
+    the explode, the expensive stage."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_k, seed, with_sets=True
+    ).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
-    return jaccard_verify(df, pairs, id_col, text_col, shingle_k, threshold)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__set_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__set_b"))
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size(F.array_union("__set_a", "__set_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", round6(inter.cast("double") / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

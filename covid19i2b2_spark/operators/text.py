@@ -105,9 +105,11 @@ def quality_score(col: str | Column, lang: str = "en") -> Column:
     return round6(len_ok + punct_ok + stop_ok)
 
 
-def word_ngrams(col: str | Column, n: int) -> Column:
-    """Word n-grams as space-joined strings (for Jaccard near-dup)."""
-    toks = tokens(col)
+def word_ngrams(col: str | Column, n: int, pre_tokenized: bool = False) -> Column:
+    """Word n-grams as space-joined strings (for Jaccard near-dup).
+    Same lambda-inlining caveat as char_shingles: hot paths project the
+    token array first and pass pre_tokenized=True."""
+    toks = _c(col) if pre_tokenized else tokens(col)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - n + 1),
@@ -116,9 +118,17 @@ def word_ngrams(col: str | Column, n: int) -> Column:
     )
 
 
-def char_shingles(col: str | Column, k: int = 5) -> Column:
-    """Character k-shingles of the normalized text (MinHash input)."""
-    norm = normalize_text(col)
+def char_shingles(
+    col: str | Column, k: int = 5, pre_normalized: bool = False
+) -> Column:
+    """Character k-shingles of the normalized text (MinHash input).
+
+    PERF: expressions referenced inside an array lambda are re-evaluated
+    PER ELEMENT — an inlined normalize_text() would run its regexp once
+    per shingle (measured 6x slowdown).  Hot paths must project the
+    normalized text to a real column first and pass pre_normalized=True;
+    the default remains convenient for small/one-off use."""
+    norm = _c(col) if pre_normalized else normalize_text(col)
     return F.when(
         F.length(norm) < k, F.array(norm).cast("array<string>")
     ).otherwise(

@@ -37,7 +37,7 @@ from covid19i2b2_spark.sources.tables import read_table
            FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
                  / COUNT(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc
     FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    WHERE l_shipdate < TIMESTAMP '1998-09-03'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -45,9 +45,13 @@ from covid19i2b2_spark.sources.tables import read_table
 def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A4/A11: the TPC-H Q1 shape — grouped counts, sums, means.
     Measures sum in exact decimal (order-independent, oracle-identical),
-    output as double; means divide the exact sum in double."""
+    output as double; means divide the exact sum in double.
+
+    The date bound is a raw timestamp comparison (not CAST(ts AS DATE) <=
+    d, which is equivalent but wraps the column in a cast and would not
+    push down to the parquet scan)."""
     li = read_table(spark, sf_dir, "lineitem").filter(
-        F.to_date("l_shipdate") <= F.lit("1998-09-02")
+        F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp_ntz")
     )
     dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))

@@ -1,0 +1,8 @@
+from covid19i2b2_spark.streaming.daily_counts import (  # noqa: F401
+    daily_event_counts,
+    dedup_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    stream_events,
+)

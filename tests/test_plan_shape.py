@@ -1,0 +1,91 @@
+"""Plan-shape assertions (SURVEY §5.2 item 4): pin the physical properties
+the 100 TB design depends on."""
+
+from __future__ import annotations
+
+from covid19i2b2_spark.plans import (
+    assert_broadcast_hash_join,
+    assert_no_nested_loop,
+    assert_take_ordered,
+    physical_plan,
+    pushed_filters,
+)
+from covid19i2b2_spark.registry import REGISTRY, all_queries
+from tests.conftest import SF_DIR
+
+all_queries()
+
+
+def test_equality_filters_push_down_to_parquet(spark):
+    df = REGISTRY["q_filter_eq"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "l_returnflag" in pf and "l_linestatus" in pf, pf
+
+
+def test_date_bound_pushes_down(spark):
+    df = REGISTRY["q_agg_basic"].fn(spark, SF_DIR)
+    assert "l_shipdate" in pushed_filters(df), pushed_filters(df)
+
+
+def test_prefix_like_pushes_down(spark):
+    df = REGISTRY["q_like_prefix"].fn(spark, SF_DIR)
+    assert "StringStartsWith" in pushed_filters(df), pushed_filters(df)
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = REGISTRY["q_count_distinct"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "o_totalprice" not in scan[0], (
+        "unused column not pruned from scan: " + scan[0]
+    )
+
+
+def test_code_map_join_is_broadcast(spark):
+    assert_broadcast_hash_join(REGISTRY["q_join_broadcast"].fn(spark, SF_DIR))
+    assert_broadcast_hash_join(REGISTRY["q_literal_map_join"].fn(spark, SF_DIR))
+
+
+def test_workhorse_join_has_no_nested_loop(spark):
+    assert_no_nested_loop(REGISTRY["q_join_inner"].fn(spark, SF_DIR))
+    assert_no_nested_loop(REGISTRY["q_join_left"].fn(spark, SF_DIR))
+    assert_no_nested_loop(REGISTRY["q_semi_join"].fn(spark, SF_DIR))
+
+
+def test_topk_plans_take_ordered(spark):
+    assert_take_ordered(REGISTRY["q_topk"].fn(spark, SF_DIR))
+
+
+def test_minhash_lsh_is_equi_join_not_cartesian(spark):
+    """The LSH candidate join must be an equi-join on (band, bucket) —
+    never a cross join over documents."""
+    assert_no_nested_loop(REGISTRY["q_minhash_pairs"].fn(spark, SF_DIR))
+
+
+def test_range_join_small_side_is_broadcast(spark):
+    """q_range_join's calendar side is tiny and must be the BNLJ build
+    side (broadcast) — acceptable shape; two large sides would use
+    range_join_binned (equi-join) instead."""
+    plan = physical_plan(REGISTRY["q_range_join"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_binned_range_join_is_equi(spark):
+    """range_join_binned turns interval containment into an equi-join."""
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.operators.joins import range_join_binned
+    from covid19i2b2_spark.sources.tables import read_table
+
+    orders = read_table(spark, SF_DIR, "orders")
+    stays = orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("admit"),
+        F.date_add(F.to_date("o_orderdate"), 20).alias("discharge"),
+    )
+    points = orders.select(F.to_date("o_orderdate").alias("d")).dropDuplicates()
+    joined = range_join_binned(points, stays, "d", "admit", "discharge")
+    plan = physical_plan(joined)
+    assert "CartesianProduct" not in plan
+    # must run and produce plausible counts (every point is in its own stay)
+    assert joined.count() >= points.count()

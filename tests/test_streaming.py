@@ -1,0 +1,70 @@
+"""Streaming parity (SURVEY §5.2 item 5): the availableNow streaming run
+over the bounded events data must equal the batch aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.sources.tables import read_table
+from covid19i2b2_spark.streaming import (
+    daily_event_counts,
+    dedup_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    stream_events,
+)
+from tests.conftest import SF_DIR
+
+
+def test_daily_counts_stream_matches_batch(spark):
+    stream = stream_events(spark, SF_DIR)
+    assert stream.isStreaming
+    got = run_available_now(daily_event_counts(stream), "t_daily").collect()
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(0)
+            ).alias("n_purchases"),
+        )
+        .collect()
+    )
+    got_m = {r.event_date: (r.n_events, r.n_purchases) for r in got}
+    batch_m = {r.event_date: (r.n_events, r.n_purchases) for r in batch}
+    assert got_m == batch_m
+    # approx_users within 5% of exact
+    exact = {
+        r.event_date: r.n
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert abs(r.approx_users - exact[r.event_date]) <= max(
+            2, 0.05 * exact[r.event_date]
+        )
+
+
+def test_sliding_and_session_windows_run(spark):
+    stream = stream_events(spark, SF_DIR)
+    slid = run_available_now(sliding_counts(stream), "t_slide").collect()
+    assert len(slid) > 0
+    # every event lands in length/slide windows: total count = 7 * n_events
+    n_events = read_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in slid) == 7 * n_events
+    sess = run_available_now(session_counts(stream_events(spark, SF_DIR)), "t_sess")
+    rows = sess.collect()
+    assert sum(r.n_events for r in rows) == n_events  # partition of events
+
+
+def test_stream_dedup(spark):
+    stream = dedup_stream(stream_events(spark, SF_DIR))
+    out = run_available_now(
+        stream.select("event_id"), "t_dedup"
+    ).collect()
+    n = read_table(spark, SF_DIR, "events").count()
+    assert len(out) == n  # event_id already unique; dedup must not drop
