@@ -60,6 +60,38 @@ def first_per_entity(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: lag(ts) per entity, new-session flag when the
+    gap exceeds the threshold, running sum -> session_id (the standard
+    lag+cumsum idiom; streaming equivalent is F.session_window).
+
+    Two window passes over the same entity-partitioned ordering — one
+    shuffle total, scales with the entity key.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    flagged = df.withColumn("__prev_ts", F.lag(ts_col).over(w)).withColumn(
+        "__new_session",
+        (
+            F.col("__prev_ts").isNull()
+            | ((F.col(ts_col) - F.col("__prev_ts")) > gap)
+        ).cast("long"),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__prev_ts", "__new_session")
+
+
 def with_row_number(
     df: DataFrame,
     order_by: Sequence[str | Column],

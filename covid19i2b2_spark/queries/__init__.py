@@ -8,6 +8,8 @@ from covid19i2b2_spark.queries import (  # noqa: F401
     joins,
     llm,
     obfuscation,
+    phase2,
+    reshape,
     scalar,
     setops,
     windows,

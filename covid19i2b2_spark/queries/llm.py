@@ -178,11 +178,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio; the crawl-filtering heuristics as one deterministic
     score."""
     docs = read_table(spark, sf_dir, "documents")
+    # length/size return int in Spark but BIGINT in DuckDB — cast so the
+    # driver's schema compare sees identical widths
     return docs.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        punct_count("text").alias("n_punct"),
-        stopword_hits("text", "en").alias("stop_hits"),
+        token_count("text").cast("long").alias("n_tokens"),
+        punct_count("text").cast("long").alias("n_punct"),
+        stopword_hits("text", "en").cast("long").alias("stop_hits"),
         stopword_ratio("text", "en").alias("stop_ratio"),
         quality_score("text", "en").alias("quality"),
     ).orderBy("doc_id")

@@ -1,0 +1,149 @@
+"""t2 queries: sessionization, pivot/unpivot, percentiles — the common
+OLAP reshaping surface beyond the reference's own operators (engine
+completeness; SURVEY §2.6/§2.11 adjacents)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark.operators.windows import sessionize
+from covid19i2b2_spark.registry import query
+from covid19i2b2_spark.sources.tables import read_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + gap-flag + cumsum): events per (user,
+    session) with a 30-minute inactivity gap."""
+    events = read_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY event_date
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long EAV -> wide per-day counts per event type.  Explicit
+    value list (no second distinct-scan pass; required shape at 100 TB)."""
+    events = read_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    return out.orderBy("event_date")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, measure, value
+    FROM (
+        SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    ORDER BY o_orderkey, measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide columns -> long (measure, value) rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    out = orders.selectExpr(
+        "o_orderkey",
+        "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))"
+        " AS (measure, value)",
+    )
+    return out.orderBy("o_orderkey", "measure")
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           FLOOR((quantile_cont(o_totalprice, 0.5)) * 1000000 + 0.5) / 1000000
+               AS p50,
+           FLOOR((quantile_cont(o_totalprice, 0.9)) * 1000000 + 0.5) / 1000000
+               AS p90,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS p100
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) — the QC/distribution
+    surface; approximate path is percentile_approx (q_percentiles_approx)."""
+    from covid19i2b2_spark.operators.aggregates import round6
+
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            round6(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+            round6(F.percentile("o_totalprice", F.lit(0.9))).alias("p90"),
+            F.max("o_totalprice").alias("p100"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q_percentiles_approx", oracle=None)  # sketch differs from DuckDB's
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (GK sketch) — the 100 TB interactive path."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )

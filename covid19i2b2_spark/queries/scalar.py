@@ -35,7 +35,7 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.min(d).alias("first_date"),
             F.max(d).alias("last_date"),
-            F.datediff(F.max(d), F.min(d)).alias("span_days"),
+            F.datediff(F.max(d), F.min(d)).cast("long").alias("span_days"),
             F.date_add(F.min(d), 30).alias("first_plus_30"),
         )
         .orderBy("order_month")
@@ -60,7 +60,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.upper("c_mktsegment").alias("seg_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),

@@ -40,7 +40,10 @@ def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.filter(F.col("rn") <= 3)
         .select(
-            F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_acctbal", "rn"
+            F.col("c_nationkey").alias("nationkey"),
+            "c_custkey",
+            "c_acctbal",
+            F.col("rn").cast("long").alias("rn"),
         )
         .orderBy("nationkey", "rn")
     )

@@ -1,0 +1,80 @@
+"""Sources/sinks/layout tests: CSV line-mode export (S5), CSV/JSON
+readers, JDBC reader config (S6), and the bucketed shuffle-free join
+(SURVEY §4.2 — the 100 TB layout claim, pinned by a plan assertion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from covid19i2b2_spark.sources.files import read_csv, read_json
+from covid19i2b2_spark.sources.jdbc import read_jdbc
+from covid19i2b2_spark.sources.layout import write_bucketed
+from covid19i2b2_spark.sources.sinks import write_csv
+from covid19i2b2_spark.sources.tables import read_table
+from tests.conftest import SF_DIR
+
+
+def test_csv_line_mode_export(spark, tmp_path):
+    """S5: the reference's output_as_csv mode — one varchar column of
+    pre-joined lines with a header row first."""
+    df = read_table(spark, SF_DIR, "region")
+    out = str(tmp_path / "lines")
+    write_csv(df, out, order_by=["r_regionkey"], single_file=True, as_lines=True)
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert lines[0] == "r_regionkey,r_name"
+    assert len(lines) == 1 + df.count()
+    assert all("," in ln for ln in lines)
+
+
+def test_csv_and_json_round_trip(spark, tmp_path):
+    df = read_table(spark, SF_DIR, "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    write_csv(df, csv_dir, order_by=["n_nationkey"])
+    df.write.mode("overwrite").json(json_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back_csv = read_csv(spark, csv_dir, schema)
+    back_json = read_json(spark, json_dir, schema)
+    assert back_csv.count() == df.count() == back_json.count()
+    assert back_csv.schema == schema == back_json.schema
+
+
+def test_jdbc_reader_is_partition_configured(spark):
+    reader = read_jdbc(
+        spark, "jdbc:postgresql://db/i2b2", "observation_fact", num_partitions=32
+    )
+    # the reader is configured for a partitioned scan; no DB in the
+    # harness so .load() is out of scope
+    opts = reader._jreader.toString()  # smoke: object exists and is jdbc
+    assert reader is not None and "DataFrameReader" in type(reader).__name__
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Write orders+customer bucketed by the join key -> the join plan has
+    no Exchange on either side (co-located buckets)."""
+    # (warehouse dir is static conf; managed tables land in
+    # ./spark-warehouse and are dropped below)
+    orders = read_table(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = read_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    write_bucketed(orders, "orders_b", ["custkey"], n_buckets=8)
+    write_bucketed(cust, "cust_b", ["custkey"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(spark.table("cust_b"), "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
