@@ -7,6 +7,7 @@ from covid19i2b2_spark.queries import (  # noqa: F401
     filters,
     joins,
     llm,
+    llm2,
     obfuscation,
     phase2,
     reshape,

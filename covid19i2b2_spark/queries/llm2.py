@@ -1,0 +1,138 @@
+"""t2 queries: second batch of LLM-data operators — standalone n-gram
+Jaccard, embedding centroids/stats, winnowing fingerprints (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark.operators.aggregates import round6
+from covid19i2b2_spark.operators.text import normalize_text, rolling_hashes, word_ngrams
+from covid19i2b2_spark.registry import query
+from covid19i2b2_spark.sources.tables import read_table
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 2
+                    THEN []
+                    ELSE [array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+1], ' ')
+                          FOR i IN range(1, len(regexp_split_to_array(trim(text), '\\s+')))]
+               END) AS gset
+        FROM documents
+        WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR((CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gset, b.gset)))) * 1000000 + 0.5)
+               / 1000000 AS jaccard
+    FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: word-bigram Jaccard similarity between consecutive documents —
+    the n-gram near-dup measure standalone (MinHash approximates exactly
+    this; here it is computed exactly on a bounded slice)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    grams = docs.select(
+        "doc_id", F.trim(F.col("text")).alias("__t")
+    ).select(
+        "doc_id",
+        F.array_distinct(word_ngrams("__t", 2)).alias("gset"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("gset").alias("__ga"))
+    b = grams.select((F.col("doc_id") - 1).alias("id_a"), F.col("gset").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size(F.array_union("__ga", "__gb"))
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            (F.col("id_a") + 1).alias("id_b"),
+            round6(inter.cast("double") / union).alias("jaccard"),
+        )
+        .orderBy("id_a")
+    )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    WITH elems AS (
+        -- parallel unnests zip elementwise (no WITH ORDINALITY in duckdb 1.0)
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, dim,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e12 AS s
+        FROM elems GROUP BY label, dim
+    )
+    SELECT label, dim,
+           CAST(n AS BIGINT) AS n_vectors,
+           FLOOR((s / n) * 1000000 + 0.5) / 1000000 AS centroid_val
+    FROM sums
+    WHERE dim < 4
+    ORDER BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: per-label mean embedding (class centroids) via posexplode +
+    fixed-point sums — the building block for IVF training and label-
+    conditional analysis (first 4 dims shown; full vector same plan)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).filter(F.col("dim") < 4)
+    micro = F.floor(F.col("val").cast("double") * F.lit(1e12) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        elems.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum(micro).cast("double") / F.lit(1e12)).alias("__s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            round6(F.col("__s") / F.col("n_vectors")).alias("centroid_val"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@query("q_winnow_fingerprints", oracle=None)  # xxhash64 stream -> rows-only
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: winnowing-style document fingerprints — the minimum rolling
+    hash in each non-overlapping window of the shingle-hash stream (the
+    content-defined selection used for plagiarism/copy detection).  Array
+    ops only; per-doc bounded."""
+    docs = read_table(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", normalize_text("text").alias("__norm"))
+    hashes = normed.select(
+        "doc_id", rolling_hashes(F.col("__norm"), 5).alias("__h")
+    )
+    win = 16
+    n_windows = F.ceil(F.size("__h") / win).cast("int")
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice("__h", i * win + 1, win)),
+    )
+    return (
+        hashes.select(
+            "doc_id",
+            F.size("__h").cast("long").alias("n_hashes"),
+            mins.alias("fingerprints"),
+        )
+        .withColumn("n_fingerprints", F.size("fingerprints").cast("long"))
+        .orderBy("doc_id")
+    )
