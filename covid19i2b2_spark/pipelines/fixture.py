@@ -53,19 +53,32 @@ def make_fixture(
         visits.append((p * 10 + 1, p, _day(pos_day + 1), _day(pos_day + 1 + los), "I"))
         # a noise outpatient visit outside the window
         visits.append((p * 10 + 2, p, _day(pos_day + 40), _day(pos_day + 41), "O"))
-        # lab value on admission day + 1
+        # lab values spread across the stay (richer Labs day axis)
         obs.append(
             (
                 p,
                 p * 10 + 1,
                 "LOINC:1742-6",
-                _day(pos_day + 2),
+                _day(pos_day + 2 + p % 5),
                 float(np.round(rng.lognormal(3.0, 0.5), 2)),
                 "E",
                 None,
                 "U/L",
             )
         )
+        if p % 3 == 0:  # second analyte for a third of patients
+            obs.append(
+                (
+                    p,
+                    p * 10 + 5,
+                    "LOINC:2160-0",
+                    _day(pos_day + 3),
+                    float(np.round(rng.lognormal(0.0, 0.3), 2)),
+                    "E",
+                    None,
+                    "mg/dL",
+                )
+            )
         # diagnosis history before admission
         obs.append((p, p * 10 + 2, "ICD10CM:E11.9", _day(pos_day - 100), None, "T", None, None))
         if p % 5 == 0:  # severe indicator 2 days after admission

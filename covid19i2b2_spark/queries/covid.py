@@ -14,13 +14,22 @@ from covid19i2b2_spark.registry import query
 _SQL = adapter.ADAPTER_SQL
 
 
+_PIPELINES: dict[tuple[int, str], CovidPipeline] = {}
+
+
 def _pipeline(spark: SparkSession, sf_dir: str) -> CovidPipeline:
-    return CovidPipeline(
-        CovidConfig(),
-        adapter.observation_fact(spark, sf_dir),
-        adapter.patient_dimension(spark, sf_dir),
-        adapter.visit_dimension(spark, sf_dir),
-    )
+    """Memoized per (session, sf_dir): the seven covid queries then share
+    one cached cohort instead of each recomputing it — mirrors the
+    reference materializing #covid_cohort once for all artifacts."""
+    key = (id(spark), sf_dir)
+    if key not in _PIPELINES:
+        _PIPELINES[key] = CovidPipeline(
+            CovidConfig(),
+            adapter.observation_fact(spark, sf_dir),
+            adapter.patient_dimension(spark, sf_dir),
+            adapter.visit_dimension(spark, sf_dir),
+        )
+    return _PIPELINES[key]
 
 
 @query(

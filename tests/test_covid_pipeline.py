@@ -101,8 +101,9 @@ def test_demographics_margins_consistent(pipe):
 def test_labs_shape(pipe):
     labs = pipe.labs().collect()
     assert len(labs) > 0
+    assert {r.loinc for r in labs} == {"1742-6", "2160-0"}
+    assert len({r.days_since_admission for r in labs}) >= 4
     for r in labs:
-        assert r.loinc == "1742-6"
         assert r.num_patients_ever_severe <= r.num_patients_all
         assert r.stdev_value_all >= 0.0
 
