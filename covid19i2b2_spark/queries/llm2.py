@@ -110,6 +110,20 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_minhash_ml", oracle=None)  # MLlib LSH sketch -> rows-only
+def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 alternate path: MLlib RegexTokenizer -> NGram(2) -> HashingTF ->
+    MinHashLSH approxSimilarityJoin (bigram Jaccard; persistable model).
+    The primary hand-built pipeline is q_minhash_pairs; consistency
+    between the two is asserted in tests/test_llm_ops.py."""
+    from covid19i2b2_spark.operators.dedup_ml import ml_minhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ml_minhash_pairs(
+        docs, "doc_id", "text", max_distance=0.5, seed=42
+    ).orderBy("id_a", "id_b")
+
+
 @query("q_winnow_fingerprints", oracle=None)  # xxhash64 stream -> rows-only
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: winnowing-style document fingerprints — the minimum rolling

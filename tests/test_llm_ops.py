@@ -121,6 +121,28 @@ def test_multimodal_decode_plumbing(spark, docs):
     assert all(r.n_sampled == (r.n_frames + 1) // 2 for r in frames)
 
 
+def test_ml_minhash_consistent_with_custom(spark, docs):
+    """The MLlib LSH path must recover the pairs the hand-built pipeline
+    confirms (token-level candidates ⊇ char-shingle-confirmed dups)."""
+    from covid19i2b2_spark.operators.dedup import minhash_dedup_pairs
+    from covid19i2b2_spark.operators.dedup_ml import ml_minhash_pairs
+
+    own = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    ml = {
+        (r.id_a, r.id_b)
+        for r in ml_minhash_pairs(
+            docs, "doc_id", "text", max_distance=0.5
+        ).collect()
+    }
+    assert own, "custom pipeline found no pairs — corpus assumption broke"
+    assert own <= ml, f"ml path missed {own - ml}"
+
+
 def test_hyperplane_lsh_buckets_are_deterministic(spark, emb):
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((8, 64)).tolist()
