@@ -136,6 +136,44 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT event_date, n_events,
+           CAST(SUM(n_events) OVER (
+               ORDER BY event_date
+               RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_7d
+    FROM daily
+    ORDER BY event_date
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 RANGE frame: trailing-7-day event counts — a true value-range
+    frame (gaps in the date axis count correctly, unlike a 6-rows frame).
+    Spark's rangeBetween needs a numeric ordering key: days-since-epoch
+    (datediff) with a [-6, 0] frame is exactly DuckDB's RANGE INTERVAL
+    6 DAYS PRECEDING.  Input pre-aggregated per day -> single-partition
+    window safe (SURVEY §4.2)."""
+    from pyspark.sql import Window as W
+
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events")
+    )
+    epoch_days = F.datediff("event_date", F.lit("1970-01-01"))
+    w = W.orderBy(epoch_days).rangeBetween(-6, 0)
+    return daily.select(
+        "event_date",
+        "n_events",
+        F.sum("n_events").over(w).alias("trailing_7d"),
+    ).orderBy("event_date")
+
+
 @query("q_percentiles_approx", oracle=None)  # sketch differs from DuckDB's
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (GK sketch) — the 100 TB interactive path."""

@@ -1,0 +1,43 @@
+"""merge_upsert / scd2_upsert semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.merge import merge_upsert, scd2_upsert
+
+
+def test_merge_upsert_replaces_and_appends(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    out = {r.k: r.v for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # idempotent: merging the same updates again changes nothing
+    again = merge_upsert(merge_upsert(target, updates, ["k"]), updates, ["k"])
+    assert {r.k: r.v for r in again.collect()} == out
+
+
+def test_scd2_upsert_closes_and_versions(spark):
+    d = dt.date
+    target = spark.createDataFrame(
+        [(1, "a", d(2024, 1, 1), None), (2, "b", d(2024, 1, 1), None)],
+        "k long, v string, effective_date date, end_date date",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A", d(2024, 2, 1))], "k long, v string, effective_date date"
+    )
+    out = scd2_upsert(target, updates, ["k"]).collect()
+    rows = {(r.k, r.v): (r.effective_date, r.end_date) for r in out}
+    assert rows[(1, "a")] == (d(2024, 1, 1), d(2024, 2, 1))  # closed
+    assert rows[(1, "A")] == (d(2024, 2, 1), None)  # new open version
+    assert rows[(2, "b")] == (d(2024, 1, 1), None)  # untouched stays open
+    # exactly one open row per key
+    open_per_key = {}
+    for r in out:
+        if r.end_date is None:
+            open_per_key[r.k] = open_per_key.get(r.k, 0) + 1
+    assert all(v == 1 for v in open_per_key.values())

@@ -28,6 +28,27 @@ def test_patient_mapping_is_deterministic_permutation(spark):
     assert by_patient != sorted(by_patient)
 
 
+def test_adapter_cohort_invariants(spark):
+    """SURVEY §5.2: admission within [-7,+14] days of the positive test;
+    severe_date >= admission — on the adapter-driven cohort."""
+    from pyspark.sql import functions as F
+
+    pipe = _pipeline(spark, SF_DIR)
+    pos = pipe.covid_pos_patients()
+    cohort = pipe.cohort().join(pos, "patient_num")
+    n = cohort.count()
+    assert n > 0
+    bad_window = cohort.filter(
+        (F.col("admission_date") < F.date_sub("covid_pos_date", 7))
+        | (F.col("admission_date") > F.date_add("covid_pos_date", 14))
+    ).count()
+    assert bad_window == 0
+    bad_severe = cohort.filter(
+        (F.col("severe") == 1) & (F.col("severe_date") < F.col("admission_date"))
+    ).count()
+    assert bad_severe == 0
+
+
 def test_patient_course_consistent_with_summary(spark):
     pipe = _pipeline(spark, SF_DIR)
     summary = {r.patient_num: r for r in phase2.patient_summary(pipe).collect()}
