@@ -96,21 +96,29 @@ def minhash_signatures(
         for i, (a, b) in enumerate(_hash_family(n_hashes, seed))
     ]
     if with_sets:
-        # n_shingles derives from the set — a count_distinct here would
-        # force an Expand (2x the exploded rows) alongside 32 min buffers
-        aggs.append(F.collect_set("__h64").alias("shingle_set"))
-    else:
-        aggs.append(F.count_distinct("__shingle").alias("n_shingles"))
-    per_doc = exploded.groupBy(id_col).agg(*aggs)
-    cols = [
+        # TWO separate aggregations, joined: mixing collect_set (an
+        # ObjectHashAggregate) with the 32 declarative mins forces ALL
+        # buffers through the slow object path — split, each agg runs in
+        # its fast exec (measured 2.4x on sf0.1); n_shingles = set size
+        # (count_distinct would add an Expand of the exploded rows).
+        sigs = exploded.groupBy(id_col).agg(*aggs)
+        sets = exploded.groupBy(id_col).agg(
+            F.collect_set("__h64").alias("shingle_set")
+        )
+        return sigs.join(sets, id_col).select(
+            F.col(id_col),
+            F.array(*[f"__h{i}" for i in range(n_hashes)]).alias("signature"),
+            F.size("shingle_set").alias("n_shingles"),
+            F.col("shingle_set"),
+        )
+    per_doc = exploded.groupBy(id_col).agg(
+        *aggs, F.count_distinct("__shingle").alias("n_shingles")
+    )
+    return per_doc.select(
         F.col(id_col),
         F.array(*[f"__h{i}" for i in range(n_hashes)]).alias("signature"),
-    ]
-    if with_sets:
-        cols += [F.size("shingle_set").alias("n_shingles"), F.col("shingle_set")]
-    else:
-        cols.append(F.col("n_shingles"))
-    return per_doc.select(*cols)
+        F.col("n_shingles"),
+    )
 
 
 def lsh_candidate_pairs(

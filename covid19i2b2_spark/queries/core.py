@@ -49,6 +49,34 @@ def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sql_api",
+    oracle="""
+    SELECT n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.2 entry point 2: the Spark SQL surface — registered temp
+    views + spark.sql() land in the same Catalyst plan space as the
+    DataFrame API (this query is written entirely in SQL)."""
+    from covid19i2b2_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name AS nation, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY nation
+        """
+    )
+
+
+@query(
     "q_events_daily",
     oracle="""
     WITH daily AS (
