@@ -103,12 +103,18 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
     )
 
 
-def run_available_now(df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Drive a bounded stream to completion synchronously (ST5 sink:
     memory table for tests; swap for foreachBatch->parquet in production).
-    Returns the materialized result as a batch DataFrame."""
+    Returns the materialized result as a batch DataFrame.  Output mode
+    defaults to complete for aggregations / append otherwise; stateful
+    applyInPandasWithState(Update) requires output_mode='update'."""
     q = (
-        df.writeStream.outputMode("complete" if _has_agg(df) else "append")
+        df.writeStream.outputMode(
+            output_mode or ("complete" if _has_agg(df) else "append")
+        )
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -1,0 +1,113 @@
+"""Incremental artifact maintenance (SURVEY §2.10 ST5 + north star).
+
+The reference's operating model is "re-run the whole script weekly"; the
+incremental mode keeps a running artifact table current as observations
+stream in:
+
+- ``incremental_positive_counts``: watermarked daily counts of positive
+  tests, merged into a running per-day table by ``foreachBatch`` +
+  merge_upsert — the continuous version of DailyCounts' new-admissions
+  feed.  Parity contract: after draining a bounded stream, the running
+  table equals the batch groupBy (tests/test_streaming.py).
+- ``stateful_user_totals``: custom stateful operator via
+  applyInPandasWithState (X6) — per-user running totals with explicit
+  state, the escape hatch when built-in windowed aggs can't express the
+  semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from covid19i2b2_spark.operators.merge import merge_upsert
+
+
+class RunningTable:
+    """Tiny in-memory merge target for tests; production swaps this for a
+    Delta/parquet table with the same merge_upsert call."""
+
+    def __init__(self, spark, keys: list[str]):
+        self.spark = spark
+        self.keys = keys
+        self.df: DataFrame | None = None
+
+    def merge(self, updates: DataFrame) -> None:
+        updates = updates.localCheckpoint()  # pin each micro-batch
+        self.df = (
+            updates
+            if self.df is None
+            else merge_upsert(self.df, updates, self.keys).localCheckpoint()
+        )
+
+
+def incremental_positive_counts(
+    stream: DataFrame,
+    target: RunningTable,
+    positive_event: str = "signup",
+    watermark: str = "2 days",
+):
+    """Maintain per-day positive-test counts incrementally.  Update-mode
+    aggregation emits changed days per micro-batch; foreachBatch merges
+    them into the running table keyed by day (idempotent upsert — a
+    replayed batch converges to the same table)."""
+    agg = (
+        stream.filter(F.col("event_type") == positive_event)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_positive"))
+        .select(F.to_date(F.col("w.start")).alias("event_date"), "n_positive")
+    )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target.merge(batch_df)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_STATE_SCHEMA = "n_events long, total_value double"
+_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """X6: arbitrary stateful processing — per-user running (count, sum)
+    with explicit GroupState, Arrow-batched.  Built-in aggs cover this
+    case; the operator exists as the template for genuinely custom state
+    (e.g. per-patient clinical state machines)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -61,6 +61,51 @@ def test_sliding_and_session_windows_run(spark):
     assert sum(r.n_events for r in rows) == n_events  # partition of events
 
 
+def test_incremental_positive_counts_matches_batch(spark):
+    """ST5/foreachBatch: after draining the bounded stream, the running
+    merge target equals the batch per-day positive counts."""
+    from covid19i2b2_spark.streaming.incremental import (
+        RunningTable,
+        incremental_positive_counts,
+    )
+
+    target = RunningTable(spark, ["event_date"])
+    q = incremental_positive_counts(stream_events(spark, SF_DIR), target)
+    q.awaitTermination()
+    got = {r.event_date: r.n_positive for r in target.df.collect()}
+    batch = {
+        r.event_date: r.n
+        for r in read_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_stateful_user_totals(spark):
+    """X6 applyInPandasWithState: per-user running totals over the
+    bounded stream equal the batch aggregation."""
+    from covid19i2b2_spark.streaming.incremental import stateful_user_totals
+
+    out = run_available_now(
+        stateful_user_totals(stream_events(spark, SF_DIR)),
+        "t_state",
+        output_mode="update",
+    ).collect()
+    # update mode may emit a row per micro-batch per user; keep the last
+    got = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in out}
+    batch = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == batch
+
+
 def test_stream_dedup(spark):
     stream = dedup_stream(stream_events(spark, SF_DIR))
     out = run_available_now(
