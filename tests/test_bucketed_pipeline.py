@@ -1,0 +1,51 @@
+"""End-to-end layout proof (SURVEY §4.2): the covid cohort build over
+patient_num-bucketed source tables shuffles strictly less than over plain
+parquet — the claim that bucketing makes the per-patient pipeline
+(mostly) shuffle-free at 100 TB, pinned as a test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.pipelines import adapter
+from covid19i2b2_spark.pipelines.covid import CovidConfig, CovidPipeline
+from covid19i2b2_spark.sources.layout import write_bucketed
+from tests.conftest import SF_DIR
+
+
+def _n_exchanges(df) -> int:
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def test_bucketed_cohort_shuffles_less(spark):
+    obs = adapter.observation_fact(spark, SF_DIR)
+    pats = adapter.patient_dimension(spark, SF_DIR)
+    vis = adapter.visit_dimension(spark, SF_DIR)
+    write_bucketed(obs, "obs_b", ["patient_num"], n_buckets=8)
+    write_bucketed(pats, "pats_b", ["patient_num"], n_buckets=8)
+    write_bucketed(vis, "vis_b", ["patient_num"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = CovidPipeline(
+            CovidConfig(), obs, pats, vis
+        ).cohort()
+        bucketed = CovidPipeline(
+            CovidConfig(),
+            spark.table("obs_b"),
+            spark.table("pats_b"),
+            spark.table("vis_b"),
+        ).cohort()
+        # same result …
+        a = sorted(map(str, plain.collect()))
+        b = sorted(map(str, bucketed.collect()))
+        assert a == b
+        # … with strictly fewer shuffles
+        n_plain, n_bucketed = _n_exchanges(plain), _n_exchanges(bucketed)
+        assert n_bucketed < n_plain, (
+            f"bucketed cohort should shuffle less: {n_bucketed} vs {n_plain}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("obs_b", "pats_b", "vis_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
