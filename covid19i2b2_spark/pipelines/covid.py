@@ -327,11 +327,14 @@ class CovidPipeline:
             age_group("age_in_years_num").alias("age_group"),
             F.col("race_cd").alias("race"),
         )
+        # cohort is one row per patient, so COUNT(DISTINCT patient_num)
+        # == COUNT(*) within every cube cell — the count/sum form avoids
+        # the distinct-aggregate Expand (3x the input) at cohort scale
         cubed = cohort.cube("sex", "age_group", "race").agg(
-            F.count_distinct("patient_num").alias("num_patients_all"),
-            F.count_distinct(
-                F.when(F.col("severe") == 1, F.col("patient_num"))
-            ).alias("num_patients_ever_severe"),
+            F.count("*").alias("num_patients_all"),
+            F.sum((F.col("severe") == 1).cast("long")).alias(
+                "num_patients_ever_severe"
+            ),
         )
         out = cubed
         for c in ("sex", "age_group", "race"):
@@ -376,15 +379,17 @@ class CovidPipeline:
             "lval", round6(F.log(F.col("pval") + F.lit(0.5))).cast(DEC_LOG)
         )
         sev = F.col("severe") == 1
+        # per_pat_day is unique on (loinc, day, patient): distinct patient
+        # counts reduce to plain counts — no Expand over the lab frame
         return (
             per_pat_day.groupBy("loinc", "days_since_admission")
             .agg(
-                F.count_distinct("patient_num").alias("num_patients_all"),
+                F.count("patient_num").alias("num_patients_all"),
                 _dmean_cond(F.col("pval"), F.lit(True), "mean_value_all"),
                 _dstd_cond(F.col("pval"), F.lit(True), "stdev_value_all"),
                 _dmean_cond(F.col("lval"), F.lit(True), "mean_log_value_all"),
                 _dstd_cond(F.col("lval"), F.lit(True), "stdev_log_value_all"),
-                F.count_distinct(F.when(sev, F.col("patient_num"))).alias(
+                F.count(F.when(sev, F.col("patient_num"))).alias(
                     "num_patients_ever_severe"
                 ),
                 _dmean_cond(F.col("pval"), sev, "mean_value_ever_severe"),
