@@ -239,8 +239,15 @@ def minhash_dedup_pairs(
         df, id_col, text_col, n_hashes, shingle_k, seed, with_sets=True
     ).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
-    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a"))
-    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b"))
+    # per-doc signatures/sets are small relative to the pair table but can
+    # exceed autoBroadcastJoinThreshold — broadcast explicitly so the
+    # candidate pairs never shuffle for the estimate/verify joins
+    sig_a = F.broadcast(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a"))
+    )
+    sig_b = F.broadcast(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b"))
+    )
     est = (
         F.size(
             F.filter(
@@ -257,8 +264,12 @@ def minhash_dedup_pairs(
         .filter(est >= est_floor)
         .select("id_a", "id_b")
     )
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__set_a"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__set_b"))
+    a = F.broadcast(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__set_a"))
+    )
+    b = F.broadcast(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__set_b"))
+    )
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
     union = F.size(F.array_union("__set_a", "__set_b"))
     return (
