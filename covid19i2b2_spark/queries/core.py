@@ -49,6 +49,41 @@ def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY window_day
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 batch form: F.window() tumbling 1-day buckets — the exact
+    grouping the streaming daily_event_counts uses, proven equal to
+    date_trunc bucketing (so stream and SQL agree on window boundaries)."""
+    from covid19i2b2_spark.sources.tables import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("window_day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_day")
+    )
+
+
+@query(
     "q_sql_api",
     oracle="""
     SELECT n_name AS nation, COUNT(*) AS n_customers,
