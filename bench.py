@@ -44,7 +44,11 @@ HEADLINE = [
     "q_covid_demographics",
     "q_covid_labs",
     "q_covid_diagnoses",
+    "q_covid_daily_counts_obfuscated",
+    "q_covid_patient_course",
     "q_events_daily",
+    "q_sessionize",
+    "q_sliding_window",
     "q_dedup_exact",
     "q_fingerprint",
     "q_token_counts",

@@ -355,3 +355,46 @@ def q_covid_medications(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#Medications (~L860-920 reconstructed): per med class (broadcast
     literal code map, J2/S2), before vs since admission."""
     return _pipeline(spark, sf_dir).medications()
+
+
+from covid19i2b2_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_MASK_COLS = [
+    "cumulative_patients_all",
+    "cumulative_patients_severe",
+    "cumulative_patients_dead",
+    "num_patients_in_hospital_on_this_date",
+    "num_patients_in_hospital_and_severe_on_this_date",
+]
+_MASK_SQL = ",\n       ".join(
+    f"CASE WHEN {c} < 10 THEN -99 ELSE {c} END AS {c}" for c in _MASK_COLS
+)
+
+
+@query(
+    "q_covid_daily_counts_obfuscated",
+    oracle=f"""
+    WITH plain AS ({_REG["q_covid_daily_counts"].oracle})
+    SELECT siteid, calendar_date,
+       {_MASK_SQL}
+    FROM plain
+    ORDER BY calendar_date
+    """,
+)
+def q_covid_daily_counts_obfuscated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 3 (~L920-980 reconstructed) through t2: the small-count
+    mask (-99, the published 4CE sentinel) applied to DailyCounts with
+    blur=0 so the oracle checks exact values (the seeded-blur path is
+    q_obfuscate_blur + hypothesis invariants)."""
+    from covid19i2b2_spark.operators.obfuscation import (
+        ObfuscationConfig,
+        obfuscate_counts,
+    )
+
+    pipe = _pipeline(spark, sf_dir)
+    return obfuscate_counts(
+        pipe.daily_counts(),
+        CovidPipeline.COUNT_COLS["DailyCounts"],
+        CovidPipeline.KEY_COLS["DailyCounts"],
+        ObfuscationConfig(blur=0, small_count_mask=10),
+    ).orderBy("calendar_date")
