@@ -315,3 +315,66 @@ def hamming_distance(a: str | Column, b: str | Column) -> Column:
     bc = F.col(b) if isinstance(b, str) else b
     x = ac.bitwiseXOR(bc)
     return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash dedup end-to-end: signatures -> chunk-bucket join ->
+    hamming verify.
+
+    Pigeonhole recall guarantee: two signatures within hamming distance
+    max_hamming differ in at most max_hamming of the n_chunks 16-bit
+    chunks, so with n_chunks > max_hamming they MUST agree on at least
+    one chunk — the (chunk_idx, chunk_value) equi-join finds every such
+    pair without an O(n²) cross join (same candidate-join shape as the
+    MinHash bands; AQE splits skewed chunk buckets)."""
+    assert n_chunks > max_hamming, "pigeonhole needs n_chunks > max_hamming"
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash(df, id_col, text_col).persist()
+    # chunk array built with literal shifts (shiftrightunsigned requires a
+    # literal bit count, so no transform() lambda here)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftrightunsigned("simhash", i * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    chunks = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(chunk_structs).alias("c"),
+    ).select("__id", "simhash", "c.chunk_idx", "c.chunk_val")
+    left = chunks.select(
+        F.col("__id").alias("id_a"),
+        F.col("simhash").alias("__h_a"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    right = chunks.select(
+        F.col("__id").alias("id_b"),
+        F.col("simhash").alias("__h_b"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance("__h_a", "__h_b").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

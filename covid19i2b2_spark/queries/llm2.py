@@ -110,6 +110,19 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_simhash_pairs", oracle=None)  # xxhash64-based signatures
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SimHash near-dup pairs end-to-end — 16-bit chunk buckets
+    (pigeonhole: hamming<=3 pairs must share a chunk) + hamming verify.
+    Recall proof on planted edits in tests/test_llm_ops.py."""
+    from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query("q_minhash_ml", oracle=None)  # MLlib LSH sketch -> rows-only
 def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 alternate path: MLlib RegexTokenizer -> NGram(2) -> HashingTF ->

@@ -103,6 +103,26 @@ def test_simhash_near_dup_hamming(spark, docs):
     assert all(r.d <= 16 for r in dists), f"edited-copy hamming too high: {dists}"
 
 
+def test_simhash_pairs_find_planted_edits(spark, docs):
+    """simhash_near_dup_pairs must surface lightly-edited copies (one
+    appended token keeps hamming small) via the chunk-bucket join."""
+    from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = docs.limit(15).select("doc_id", "text")
+    edited = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    pairs = simhash_near_dup_pairs(
+        base.unionByName(edited), "doc_id", "text", max_hamming=7, n_chunks=8
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(r.doc_id, r.doc_id + 10_000) for r in base.collect()}
+    hit = len(found & planted) / len(planted)
+    assert hit >= 0.8, f"simhash pairs found {len(found & planted)}/{len(planted)}"
+    assert all(r.hamming <= 7 for r in pairs)
+
+
 def test_multimodal_decode_plumbing(spark, docs):
     """mapInPandas fake decode: schema, determinism, frame sampling."""
     media = attach_fake_media(docs.limit(50), "doc_id", "text")
