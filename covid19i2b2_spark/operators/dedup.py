@@ -239,14 +239,15 @@ def minhash_dedup_pairs(
         df, id_col, text_col, n_hashes, shingle_k, seed, with_sets=True
     ).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
-    # per-doc signatures/sets are small relative to the pair table but can
-    # exceed autoBroadcastJoinThreshold — broadcast explicitly so the
-    # candidate pairs never shuffle for the estimate/verify joins
-    sig_a = F.broadcast(
-        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a"))
+    # the estimate/verify joins key on doc id — plain equi-joins.  No
+    # broadcast hints: the per-doc signature/shingle-set tables grow with
+    # the corpus (TB-scale at 100 TB input), so forcing a broadcast OOMs;
+    # AQE picks broadcast at runtime whenever the side is actually small.
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a")
     )
-    sig_b = F.broadcast(
-        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b"))
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b")
     )
     est = (
         F.size(
@@ -264,11 +265,11 @@ def minhash_dedup_pairs(
         .filter(est >= est_floor)
         .select("id_a", "id_b")
     )
-    a = F.broadcast(
-        sigs.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__set_a"))
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__set_a")
     )
-    b = F.broadcast(
-        sigs.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__set_b"))
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__set_b")
     )
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
     union = F.size(F.array_union("__set_a", "__set_b"))

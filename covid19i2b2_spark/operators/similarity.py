@@ -81,15 +81,16 @@ def cosine_topk(
     column ``qv``.  Broadcast the query, scan once; orderBy+limit plans
     TakeOrderedAndProject (per-partition top-k, no full sort)."""
     joined = df.crossJoin(F.broadcast(query))
+    # single cosine evaluation per row; the rounded display column is
+    # derived AFTER the top-k limit, so only k rows pay the round
     scored = joined.select(
         id_col,
-        round6(cosine(vec_col, "qv", exact_decimal)).alias("cosine_sim"),
         cosine(vec_col, "qv", exact_decimal).alias("__exact"),
     )
     return (
         scored.orderBy(F.col("__exact").desc(), id_col)
         .limit(k)
-        .select(id_col, "cosine_sim")
+        .select(id_col, round6(F.col("__exact")).alias("cosine_sim"))
     )
 
 

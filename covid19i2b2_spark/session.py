@@ -50,7 +50,7 @@ def get_spark(
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions
-        or (os.cpu_count() or 8 if cpus == "*" else int(cpus))
+        or ((os.cpu_count() or 8) if cpus == "*" else int(cpus))
     )
     if driver_memory:
         conf["spark.driver.memory"] = driver_memory

@@ -17,6 +17,7 @@ engine offers via q_approx_distinct.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -34,8 +35,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single file, so expose it through a temp dir of symlinks (a real
     # deployment streams a landing directory / kafka topic anyway)
     src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    # stable digest (not Python's salted hash()) so the dir is reused
+    # across processes instead of littering a fresh one per run
+    digest = hashlib.md5(src.encode()).hexdigest()[:16]
     stream_dir = os.path.join(
-        tempfile.gettempdir(), f"covid19i2b2_stream_{abs(hash(src))}"
+        tempfile.gettempdir(), f"covid19i2b2_stream_{digest}"
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")

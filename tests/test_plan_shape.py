@@ -70,6 +70,15 @@ def test_range_join_small_side_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin BuildLeft" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_cosine_topk_single_evaluation(spark):
+    """cosine_topk must evaluate the cosine ONCE per row: exactly three
+    zip_with expressions in the plan (dot(v,q) + the two norms).  The
+    round-1 version projected round6(cosine) and cosine separately,
+    doubling the aggregate work per row (VERDICT r1 #4)."""
+    plan = physical_plan(REGISTRY["q_cosine_topk"].fn(spark, SF_DIR))
+    assert plan.count("zip_with") <= 3, plan.count("zip_with")
+
+
 def test_binned_range_join_is_equi(spark):
     """range_join_binned turns interval containment into an equi-join."""
     from pyspark.sql import functions as F
