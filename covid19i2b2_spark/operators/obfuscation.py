@@ -12,8 +12,15 @@ convention):
 Scale-critical change vs the reference idiom (ABS(CHECKSUM(NEWID()))):
 noise must be DETERMINISTIC under task retry — a Spark task that retries
 must produce the same noise or downstream exact-once guarantees break and
-reruns diverge.  We derive noise from xxhash64(key columns, seed), never
-F.rand().
+reruns diverge.  We derive noise from a hash of (key columns, seed),
+never F.rand().
+
+The hash is md5-based (first 8 hex chars parsed as an integer) rather
+than xxhash64: md5 is available in every engine, so the DuckDB oracle
+can reproduce the exact noise and the blur pass is hash-verified, not
+just property-tested.  Obfuscation runs on aggregated artifacts (rows =
+output cells, not input rows), so the md5-vs-xxhash64 cost difference is
+irrelevant at any scale.
 """
 
 from __future__ import annotations
@@ -38,17 +45,27 @@ class ObfuscationConfig:
     mask_sentinel: int = MASKED
 
 
-def seeded_noise(key_cols: Sequence[str | Column], blur: int, seed: int) -> Column:
-    """Uniform integer in [-blur, +blur], a pure function of (keys, seed).
+def portable_hash(key_cols: Sequence[str | Column], seed: int) -> Column:
+    """Deterministic non-negative integer from (keys, seed): the first 8
+    hex chars of md5(concat_ws('|', keys..., seed)) parsed base-16.  A
+    JVM-side codegen'd expression (md5/conv/substring); identical on task
+    retry, across cluster sizes, and in DuckDB:
 
-    pmod(xxhash64(...), 2b+1) - b: xxhash64 is a JVM-side codegen'd
-    expression; identical on retry, identical across cluster sizes.
+        CAST(('0x' || substr(md5(k1 || '|' || ... || '|' || seed), 1, 8))
+             AS BIGINT)
     """
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    key = F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def seeded_noise(key_cols: Sequence[str | Column], blur: int, seed: int) -> Column:
+    """Uniform integer in [-blur, +blur], a pure function of (keys, seed):
+    pmod(portable_hash(...), 2b+1) - b."""
     if blur <= 0:
         return F.lit(0)
-    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     return (
-        F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(2 * blur + 1)) - F.lit(blur)
+        F.pmod(portable_hash(key_cols, seed), F.lit(2 * blur + 1)) - F.lit(blur)
     ).cast("int")
 
 

@@ -9,14 +9,16 @@ Unlike Phase 1.1 (aggregate counts), these are row-per-patient(-day)
 extracts; the privacy layer is pseudonymization (study_num) instead of
 count obfuscation.  The reference assigns pseudonyms with
 ROW_NUMBER() OVER (ORDER BY NEWID()) — nondeterministic; here study_num
-orders by xxhash64(patient_num, seed): stable under retry, unlinkable
-without the seed, reproducible for tests (W3, SURVEY §2.5).
+orders by portable_hash(patient_num, seed): stable under retry,
+unlinkable without the seed, reproducible for tests (W3, SURVEY §2.5),
+and md5-based so the DuckDB oracle reproduces the exact permutation.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from covid19i2b2_spark.operators.obfuscation import portable_hash
 from covid19i2b2_spark.pipelines.covid import CovidPipeline
 
 
@@ -26,7 +28,7 @@ def patient_mapping(pipe: CovidPipeline, seed: int = 42) -> DataFrame:
     Single-partition window over the cohort (bounded by patient count —
     same invariant as the DailyCounts cumulative; for a >10^8-patient
     cohort switch to zipWithIndex over sorted hash ranges)."""
-    w = Window.orderBy(F.xxhash64("patient_num", F.lit(seed)), "patient_num")
+    w = Window.orderBy(portable_hash(["patient_num"], seed), "patient_num")
     return (
         pipe.cohort()
         .select("patient_num")

@@ -2,6 +2,7 @@
 
 from covid19i2b2_spark.queries import (  # noqa: F401
     aggregates,
+    concepts,
     core,
     covid,
     filters,

@@ -23,6 +23,8 @@ from covid19i2b2_spark.sources.tables import read_table
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS count_order,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -43,7 +45,8 @@ from covid19i2b2_spark.sources.tables import read_table
     """,
 )
 def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/A4/A11: the TPC-H Q1 shape — grouped counts, sums, means.
+    """A1/A2/A4/A11: the TPC-H Q1 shape — grouped counts, exact COUNT
+    DISTINCTs (every 4CE output counts patients, not rows), sums, means.
     Measures sum in exact decimal (order-independent, oracle-identical),
     output as double; means divide the exact sum in double.
 
@@ -60,6 +63,8 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("count_order"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.count_distinct(F.to_date("l_shipdate")).alias("n_ship_days"),
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
@@ -72,40 +77,13 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_count_distinct",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: COUNT(DISTINCT patient_num) — every 4CE output counts patients,
-    not rows.  Exact distinct (Spark expands to a two-shuffle plan; keys
-    bounded by entity count so it holds at 100 TB).  approx_count_distinct
-    is the opt-in interactive path (q_approx_distinct)."""
-    orders = read_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.count_distinct("o_custkey").alias("n_customers"),
-            F.count_distinct(F.to_date("o_orderdate")).alias("n_days"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-@query("q_approx_distinct", oracle=None)  # estimator differs from DuckDB's -> rows-only
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 scale path: HyperLogLog++ approximate distinct for interactive
-    100 TB queries (rsd 1%).  Not oracle-checked — DuckDB's approx sketch
-    is a different estimator."""
+    100 TB queries (rsd 1%).  Not registered as a t2 query (DuckDB's
+    approx sketch is a different estimator and the registry is capped at
+    the driver's 50-query window) — error bounds vs exact distinct are
+    asserted in tests/test_oracle_parity.py; exact COUNT DISTINCT is
+    hash-verified via q_agg_basic's n_orders/n_ship_days columns."""
     orders = read_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -128,13 +106,15 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_acctbal_rich
     FROM customer
     GROUP BY c_nationkey
+    HAVING COUNT(DISTINCT c_custkey) > 5
     ORDER BY nationkey
     """,
 )
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: filtered aggregation — the reference's ever-severe columns
+    """A8/A10: filtered aggregation — the reference's ever-severe columns
     beside all-patient columns (COUNT(DISTINCT CASE WHEN severe=1 THEN
-    patient_num END)) in every artifact."""
+    patient_num END)) in every artifact — plus the HAVING post-aggregate
+    threshold (small-nation rows dropped)."""
     cust = read_table(spark, sf_dir, "customer")
     return (
         cust.groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -155,6 +135,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_acctbal_rich"),
         )
+        .filter(F.col("n_customers") > 5)
         .orderBy("nationkey")
     )
 
@@ -231,27 +212,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "sum_acctbal",
     ).orderBy("segment", "nationkey")
-
-
-@query(
-    "q_having",
-    oracle="""
-    SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
-    FROM customer
-    GROUP BY c_nationkey
-    HAVING COUNT(*) > 5
-    ORDER BY nationkey
-    """,
-)
-def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: post-aggregate threshold filter."""
-    cust = read_table(spark, sf_dir, "customer")
-    return (
-        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.count("*").alias("n_customers"))
-        .filter(F.col("n_customers") > 5)
-        .orderBy("nationkey")
-    )
 
 
 @query(

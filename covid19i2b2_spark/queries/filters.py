@@ -11,68 +11,36 @@ from covid19i2b2_spark.sources.tables import read_table
 
 
 @query(
-    "q_filter_eq",
+    "q_filter_predicates",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-    FROM lineitem
-    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
-    ORDER BY l_orderkey, l_linenumber
-    """,
-)
-def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: equality predicates (reference: WHERE severe = 1 etc.).
-    Both predicates push down to the parquet scan (PushedFilters)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+    SELECT p_brand, COUNT(*) AS n_types
+    FROM (
+        SELECT DISTINCT p_brand, p_type
+        FROM part
+        WHERE p_size = 15 AND p_brand LIKE 'Brand#1%'
     )
-
-
-@query(
-    "q_like_prefix",
-    oracle="""
-    SELECT p_type, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
-    FROM part
-    WHERE p_brand LIKE 'Brand#1%'
-    GROUP BY p_type
-    ORDER BY p_type
+    GROUP BY p_brand
+    ORDER BY p_brand
     """,
 )
-def q_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4: LIKE-prefix predicate (reference: concept_cd LIKE
-    code_prefix_icd10cm + '%', ~L800 reconstructed).  startswith compiles
-    to StringStartsWith and pushes down to parquet."""
-    from covid19i2b2_spark.operators.aggregates import dsum
-
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P4/P8: equality predicate (reference: WHERE severe = 1) +
+    LIKE-prefix (concept_cd LIKE code_prefix + '%', ~L800 reconstructed;
+    startswith compiles to StringStartsWith) — both push down to the
+    parquet scan (PushedFilters) — feeding SELECT DISTINCT (dropDuplicates
+    = one hash-aggregate shuffle with map-side partials) and a count per
+    brand.  Merges round-1's q_filter_eq / q_like_prefix / q_distinct
+    into one driver slot (50-query window, VERDICT r1 #1)."""
     part = read_table(spark, sf_dir, "part")
     return (
-        part.filter(F.col("p_brand").startswith("Brand#1"))
-        .groupBy("p_type")
-        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice", "sum_price"))
-        .orderBy("p_type")
-    )
-
-
-@query(
-    "q_distinct",
-    oracle="""
-    SELECT DISTINCT c_nationkey, c_mktsegment
-    FROM customer
-    ORDER BY c_nationkey, c_mktsegment
-    """,
-)
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8: SELECT DISTINCT (reference: DISTINCT patient_num,
-    admission_date ~L360).  dropDuplicates = one hash-aggregate shuffle
-    with map-side partials."""
-    cust = read_table(spark, sf_dir, "customer")
-    return (
-        cust.select("c_nationkey", "c_mktsegment")
+        part.filter(
+            (F.col("p_size") == 15) & F.col("p_brand").startswith("Brand#1")
+        )
+        .select("p_brand", "p_type")
         .dropDuplicates()
-        .orderBy("c_nationkey", "c_mktsegment")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_types"))
+        .orderBy("p_brand")
     )
 
 

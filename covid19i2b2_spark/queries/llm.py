@@ -104,61 +104,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_token_counts",
-    oracle=f"""
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS total_tokens,
-           CAST(MAX({_DUCK_NTOK}) AS BIGINT) AS max_tokens,
-           FLOOR((CAST(SUM({_DUCK_NTOK}) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS avg_tokens,
-           CAST(SUM(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
-    FROM documents
-    GROUP BY lang ORDER BY lang
-    """,
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: token counting — whitespace tokens + a BPE-ish pre-tokenizer
-    regex (letter runs / digit runs / single symbols)."""
-    docs = read_table(spark, sf_dir, "documents")
-    with_counts = docs.select(
-        "lang",
-        token_count("text").alias("__nt"),
-        bpe_token_count("text").alias("__nb"),
-    )
-    return (
-        with_counts.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("__nt").alias("total_tokens"),
-            F.max("__nt").cast("long").alias("max_tokens"),
-            round6(F.sum("__nt").cast("double") / F.count("*")).alias(
-                "avg_tokens"
-            ),
-            F.sum("__nb").alias("total_bpe_tokens"),
-        )
-        .orderBy("lang")
-    )
-
-
 _STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
+_LANG_SCORE = {
+    lang: f"""CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter({_DUCK_TOKENS},
+                   t -> list_contains([{", ".join(f"'{w}'" for w in ws)}], t))) END"""
+    for lang, ws in STOPWORDS.items()
+}
+
 
 @query(
-    "q_text_quality",
+    "q_text_analysis",
     oracle=f"""
     WITH scored AS (
-        SELECT doc_id,
+        SELECT doc_id, lang,
                {_DUCK_NTOK} AS n_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
                length(text) AS n_chars,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(list_filter({_DUCK_TOKENS},
-                             t -> list_contains([{_STOP_EN}], t))) END AS stop_hits
+                             t -> list_contains([{_STOP_EN}], t))) END AS stop_hits,
+               {_LANG_SCORE['en']} AS s_en,
+               {_LANG_SCORE['es']} AS s_es,
+               {_LANG_SCORE['de']} AS s_de
         FROM documents
     )
-    SELECT doc_id, n_tokens, n_punct, stop_hits,
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_en, s_es, s_de) = 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_es, s_de) THEN 'en'
+                WHEN s_es = GREATEST(s_en, s_es, s_de) THEN 'es'
+                ELSE 'de' END AS lang_guess,
+           n_tokens, n_bpe_tokens, n_punct, stop_hits,
            CASE WHEN n_tokens = 0 THEN 0.0
                 ELSE FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 END AS stop_ratio,
            FLOOR((
@@ -173,64 +152,31 @@ _STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     FROM scored ORDER BY doc_id
     """,
 )
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: quality scoring — token-length band, punctuation density,
-    stopword ratio; the crawl-filtering heuristics as one deterministic
-    score."""
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the per-document text-analysis surface in one slot — language
+    ID (stopword-hit argmax, 'und' when no signal; tie-break en > es > de
+    pinned in both engines), token counting (whitespace tokens + a
+    BPE-ish pre-tokenizer regex: letter runs / digit runs / single
+    symbols), and quality scoring (token-length band, punctuation
+    density, stopword ratio — the crawl-filtering heuristics as one
+    deterministic score).  Merges round-1's q_token_counts /
+    q_text_quality / q_lang_id into one driver slot (50-query window,
+    VERDICT r1 #1); the per-lang aggregate rollups they reported are
+    derivable from these per-doc columns."""
     docs = read_table(spark, sf_dir, "documents")
     # length/size return int in Spark but BIGINT in DuckDB — cast so the
     # driver's schema compare sees identical widths
     return docs.select(
         "doc_id",
+        "lang",
+        lang_guess("text").alias("lang_guess"),
         token_count("text").cast("long").alias("n_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
         punct_count("text").cast("long").alias("n_punct"),
         stopword_hits("text", "en").cast("long").alias("stop_hits"),
         stopword_ratio("text", "en").alias("stop_ratio"),
         quality_score("text", "en").alias("quality"),
     ).orderBy("doc_id")
-
-
-_LANG_SCORE = {
-    lang: f"""CASE WHEN trim(text) = '' THEN 0
-              ELSE len(list_filter({_DUCK_TOKENS},
-                   t -> list_contains([{", ".join(f"'{w}'" for w in ws)}], t))) END"""
-    for lang, ws in STOPWORDS.items()
-}
-
-
-@query(
-    "q_lang_id",
-    oracle=f"""
-    WITH scored AS (
-        SELECT lang,
-               {_LANG_SCORE['en']} AS s_en,
-               {_LANG_SCORE['es']} AS s_es,
-               {_LANG_SCORE['de']} AS s_de
-        FROM documents
-    ),
-    guessed AS (
-        SELECT lang,
-               CASE WHEN GREATEST(s_en, s_es, s_de) = 0 THEN 'und'
-                    WHEN s_en = GREATEST(s_en, s_es, s_de) THEN 'en'
-                    WHEN s_es = GREATEST(s_en, s_es, s_de) THEN 'es'
-                    ELSE 'de' END AS lang_guess
-        FROM scored
-    )
-    SELECT lang, lang_guess, COUNT(*) AS n_docs
-    FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
-    """,
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: language-ID heuristic (stopword-hit argmax, 'und' when no
-    signal) — output is the (labeled lang × guessed lang) confusion
-    matrix.  Tie-break order en > es > de is pinned in both engines."""
-    docs = read_table(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", lang_guess("text").alias("lang_guess"))
-        .groupBy("lang", "lang_guess")
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("lang", "lang_guess")
-    )
 
 
 @query(
@@ -340,9 +286,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("q_simhash", oracle=None)  # xxhash64-based signature -> rows-only
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: 64-bit SimHash signatures per document (token-hash bit votes)."""
+    """X2: 64-bit SimHash signatures per document (token-hash bit votes).
+
+    Not registered as a t2 query (driver 50-query window): the signature
+    path is exercised end-to-end by q_simhash_pairs, and planted-edit
+    recall is asserted in tests/test_llm_ops.py."""
     docs = read_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text").orderBy("doc_id")
 

@@ -21,11 +21,24 @@ _AGE_SQL = """CASE WHEN age_in_years_num IS NULL THEN 'other'
      ELSE '80plus' END"""
 
 
-@query("q_covid_patient_mapping", oracle=None)  # xxhash64 pseudonym order
+@query(
+    "q_covid_patient_mapping",
+    oracle=ADAPTER_SQL
+    + """
+    SELECT 'SITE01' AS siteid, patient_num,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(patient_num AS VARCHAR)
+                                              || '|42'), 1, 8)) AS BIGINT),
+                        patient_num) AS BIGINT) AS study_num
+    FROM cohort
+    ORDER BY study_num
+    """,
+)
 def q_covid_patient_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase 2 LocalPatientMapping: seeded-hash pseudonyms (study_num).
-    The hash permutation isn't reproducible in DuckDB -> rows-only;
-    permutation properties asserted in tests/test_phase2.py."""
+    The permutation orders by portable_hash (md5-derived), so the DuckDB
+    oracle reproduces it exactly; permutation properties additionally
+    asserted in tests/test_phase2.py."""
     return phase2.patient_mapping(_pipeline(spark, sf_dir)).orderBy("study_num")
 
 

@@ -56,53 +56,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_pivot",
+    "q_pivot_unpivot",
     oracle="""
-    SELECT CAST(ts AS DATE) AS event_date,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-    FROM events
-    GROUP BY 1
-    ORDER BY event_date
+    WITH wide AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY 1
+    )
+    SELECT event_date, measure, n_events FROM (
+        SELECT event_date, 'click' AS measure, click AS n_events FROM wide
+        UNION ALL SELECT event_date, 'error', error FROM wide
+        UNION ALL SELECT event_date, 'purchase', purchase FROM wide
+        UNION ALL SELECT event_date, 'signup', signup FROM wide
+        UNION ALL SELECT event_date, 'view', view FROM wide
+    )
+    ORDER BY event_date, measure
     """,
 )
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: long EAV -> wide per-day counts per event type.  Explicit
-    value list (no second distinct-scan pass; required shape at 100 TB)."""
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot + unpivot round trip: long EAV -> wide per-day counts per
+    event type (explicit value list — no second distinct-scan pass;
+    required shape at 100 TB) -> stack() back to long (measure, value)
+    rows, zero-filled combos included (which is what distinguishes the
+    round trip from a plain groupBy).  Merges round-1's q_pivot /
+    q_unpivot into one driver slot (50-query window, VERDICT r1 #1)."""
     events = read_table(spark, sf_dir, "events")
-    out = (
+    wide = (
         events.groupBy(F.to_date("ts").alias("event_date"))
         .pivot("event_type", EVENT_TYPES)
         .count()
         .na.fill(0, EVENT_TYPES)
     )
-    return out.orderBy("event_date")
-
-
-@query(
-    "q_unpivot",
-    oracle="""
-    SELECT o_orderkey, measure, value
-    FROM (
-        SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
-        UNION ALL
-        SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) FROM orders
-    )
-    ORDER BY o_orderkey, measure
-    """,
-)
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (stack): wide columns -> long (measure, value) rows."""
-    orders = read_table(spark, sf_dir, "orders")
-    out = orders.selectExpr(
-        "o_orderkey",
-        "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))"
-        " AS (measure, value)",
-    )
-    return out.orderBy("o_orderkey", "measure")
+    stack_args = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return wide.selectExpr(
+        "event_date",
+        f"stack({len(EVENT_TYPES)}, {stack_args}) AS (measure, n_events)",
+    ).orderBy("event_date", "measure")
 
 
 @query(
@@ -136,29 +130,18 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sliding_window",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events
-        FROM events GROUP BY 1
-    )
-    SELECT event_date, n_events,
-           CAST(SUM(n_events) OVER (
-               ORDER BY event_date
-               RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS trailing_7d
-    FROM daily
-    ORDER BY event_date
-    """,
-)
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 RANGE frame: trailing-7-day event counts — a true value-range
     frame (gaps in the date axis count correctly, unlike a 6-rows frame).
     Spark's rangeBetween needs a numeric ordering key: days-since-epoch
     (datediff) with a [-6, 0] frame is exactly DuckDB's RANGE INTERVAL
     6 DAYS PRECEDING.  Input pre-aggregated per day -> single-partition
-    window safe (SURVEY §4.2)."""
+    window safe (SURVEY §4.2).
+
+    Not registered as a t2 query (driver 50-query window): the identical
+    RANGE-frame shape is hash-verified through q_cumulative's trailing_7d
+    column; DF≡oracle parity for this query is asserted in
+    tests/test_oracle_parity.py."""
     from pyspark.sql import Window as W
 
     events = read_table(spark, sf_dir, "events")
@@ -212,9 +195,12 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_percentiles_approx", oracle=None)  # sketch differs from DuckDB's
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (GK sketch) — the 100 TB interactive path."""
+    """Approximate percentiles (GK sketch) — the 100 TB interactive path.
+
+    Not registered as a t2 query (driver 50-query window; DuckDB's sketch
+    differs, so only a rows-only check was possible anyway) — the
+    approx-vs-exact error bound is asserted in tests/test_oracle_parity.py."""
     orders = read_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")

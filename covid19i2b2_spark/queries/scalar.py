@@ -10,7 +10,7 @@ from covid19i2b2_spark.sources.tables import read_table
 
 
 @query(
-    "q_date_arith",
+    "q_scalar_funcs",
     oracle="""
     SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
            COUNT(*) AS n_orders,
@@ -18,17 +18,31 @@ from covid19i2b2_spark.sources.tables import read_table
            MAX(CAST(o_orderdate AS DATE)) AS last_date,
            date_diff('day', MIN(CAST(o_orderdate AS DATE)),
                      MAX(CAST(o_orderdate AS DATE))) AS span_days,
-           MIN(CAST(o_orderdate AS DATE)) + 30 AS first_plus_30
+           MIN(CAST(o_orderdate AS DATE)) + 30 AS first_plus_30,
+           MIN(LENGTH(o_orderpriority)) AS min_prio_len,
+           MAX(UPPER(o_orderstatus)) AS max_status_upper,
+           MIN(SUBSTRING(o_orderpriority, 1, 1) || ':' || o_orderstatus)
+               AS min_prio_tag,
+           CAST(SUM(CASE WHEN NULLIF(o_orderkey % 3, 0) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mod3_zero,
+           CAST(SUM(COALESCE(NULLIF(o_orderkey % 3, 0), -1)) AS BIGINT)
+               AS sum_effective_mod3
     FROM orders
     GROUP BY 1
     ORDER BY order_month
     """,
 )
-def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2/F3: DATEDIFF / DATEADD / CAST-to-date — the reference's
-    days_since_admission axis machinery (§ClinicalCourse, §Labs)."""
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F5/F7/F9/F10: the scalar-function surface in one slot —
+    DATEDIFF / DATEADD / CAST-to-date (the reference's
+    days_since_admission axis machinery, §ClinicalCourse/§Labs), string
+    LEN / UPPER / SUBSTRING / concat (CSV-line building, §output), and
+    NULLIF + COALESCE (default-stdev-0 and divide-by-zero guards).
+    Merges round-1's q_date_arith / q_string_funcs / q_null_funcs into
+    one driver slot (50-query window, VERDICT r1 #1)."""
     orders = read_table(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
+    eff_prio = F.nullif(F.col("o_orderkey") % 3, F.lit(0))
     return (
         orders.groupBy(F.trunc(d, "month").alias("order_month"))
         .agg(
@@ -37,34 +51,22 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(d).alias("last_date"),
             F.datediff(F.max(d), F.min(d)).cast("long").alias("span_days"),
             F.date_add(F.min(d), 30).alias("first_plus_30"),
+            F.min(F.length("o_orderpriority")).cast("long").alias("min_prio_len"),
+            F.max(F.upper("o_orderstatus")).alias("max_status_upper"),
+            F.min(
+                F.concat_ws(
+                    ":",
+                    F.substring("o_orderpriority", 1, 1),
+                    F.col("o_orderstatus"),
+                )
+            ).alias("min_prio_tag"),
+            F.sum(F.when(eff_prio.isNull(), 1).otherwise(0)).alias(
+                "n_mod3_zero"
+            ),
+            F.sum(F.coalesce(eff_prio, F.lit(-1))).alias("sum_effective_mod3"),
         )
         .orderBy("order_month")
     )
-
-
-@query(
-    "q_string_funcs",
-    oracle="""
-    SELECT c_custkey,
-           LENGTH(c_name) AS name_len,
-           UPPER(c_mktsegment) AS seg_upper,
-           SUBSTRING(c_name, 1, 8) AS name_prefix,
-           c_name || ':' || c_mktsegment AS name_seg
-    FROM customer
-    ORDER BY c_custkey
-    """,
-)
-def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5/F7: string concat / LEN / SUBSTRING (reference: CSV-line
-    building and prefix arithmetic, §output)."""
-    cust = read_table(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey",
-        F.length("c_name").cast("long").alias("name_len"),
-        F.upper("c_mktsegment").alias("seg_upper"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
-    ).orderBy("c_custkey")
 
 
 @query(
@@ -104,35 +106,3 @@ def q_icd_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_null_funcs",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_zero_discount,
-           CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.05) AS DECIMAL(12,2)))
-                AS DOUBLE) AS sum_effective_discount
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
-def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9/F10: ISNULL/COALESCE + NULLIF (reference: default stdev 0,
-    divide-by-zero guards)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    eff = F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(0.05))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.when(F.nullif(F.col("l_discount"), F.lit(0.0)).isNull(), 1).otherwise(0)
-            ).alias("n_zero_discount"),
-            F.sum(eff.cast("decimal(12,2)"))
-            .cast("double")
-            .alias("sum_effective_discount"),
-        )
-        .orderBy("l_returnflag")
-    )

@@ -49,33 +49,17 @@ def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_window_frame",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
-        FROM orders GROUP BY 1
-    )
-    SELECT order_date, n_orders,
-           CAST(SUM(n_orders) OVER (
-               ORDER BY order_date
-               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_4d,
-           CAST(SUM(n_orders) OVER (
-               ORDER BY order_date
-               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS BIGINT) AS leading_3d,
-           CAST(MAX(n_orders) OVER (
-               ORDER BY order_date
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS peak_to_date
-    FROM daily
-    ORDER BY order_date
-    """,
-)
 def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: rows-frame variants (preceding/following/unbounded) over per-day
     pre-aggregates — the general frame surface beyond the reference's
     single unbounded-preceding cumulative (input pre-aggregated per day, so
-    the single-partition window is safe; SURVEY.md §4.2)."""
+    the single-partition window is safe; SURVEY.md §4.2).
+
+    Not registered as a t2 query (driver 50-query window): the same frame
+    surface — rows preceding/following, unbounded max, plus a value-RANGE
+    frame — is hash-verified through q_cumulative's moving_4d /
+    leading_3d / peak_to_date / trailing_7d columns; DF≡oracle parity for
+    this query is asserted in tests/test_oracle_parity.py."""
     orders = read_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
         F.count("*").alias("n_orders")

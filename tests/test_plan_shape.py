@@ -16,10 +16,11 @@ from tests.conftest import SF_DIR
 all_queries()
 
 
-def test_equality_filters_push_down_to_parquet(spark):
-    df = REGISTRY["q_filter_eq"].fn(spark, SF_DIR)
+def test_equality_and_prefix_filters_push_down_to_parquet(spark):
+    df = REGISTRY["q_filter_predicates"].fn(spark, SF_DIR)
     pf = pushed_filters(df)
-    assert "l_returnflag" in pf and "l_linestatus" in pf, pf
+    assert "p_size" in pf, pf
+    assert "StringStartsWith" in pf, pf
 
 
 def test_date_bound_pushes_down(spark):
@@ -27,13 +28,8 @@ def test_date_bound_pushes_down(spark):
     assert "l_shipdate" in pushed_filters(df), pushed_filters(df)
 
 
-def test_prefix_like_pushes_down(spark):
-    df = REGISTRY["q_like_prefix"].fn(spark, SF_DIR)
-    assert "StringStartsWith" in pushed_filters(df), pushed_filters(df)
-
-
 def test_column_pruning_reaches_scan(spark):
-    df = REGISTRY["q_count_distinct"].fn(spark, SF_DIR)
+    df = REGISTRY["q_scalar_funcs"].fn(spark, SF_DIR)
     plan = physical_plan(df)
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "o_totalprice" not in scan[0], (
@@ -42,14 +38,17 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_code_map_join_is_broadcast(spark):
-    assert_broadcast_hash_join(REGISTRY["q_join_broadcast"].fn(spark, SF_DIR))
-    assert_broadcast_hash_join(REGISTRY["q_literal_map_join"].fn(spark, SF_DIR))
+    from covid19i2b2_spark.queries.joins import q_literal_map_join
+
+    # q_join_inner's nation side is the explicit F.broadcast map join
+    assert_broadcast_hash_join(REGISTRY["q_join_inner"].fn(spark, SF_DIR))
+    assert_broadcast_hash_join(q_literal_map_join(spark, SF_DIR))
 
 
 def test_workhorse_join_has_no_nested_loop(spark):
     assert_no_nested_loop(REGISTRY["q_join_inner"].fn(spark, SF_DIR))
     assert_no_nested_loop(REGISTRY["q_join_left"].fn(spark, SF_DIR))
-    assert_no_nested_loop(REGISTRY["q_semi_join"].fn(spark, SF_DIR))
+    assert_no_nested_loop(REGISTRY["q_semi_anti_join"].fn(spark, SF_DIR))
 
 
 def test_topk_plans_take_ordered(spark):
