@@ -175,6 +175,14 @@ class CovidPipeline:
             F.min("start_date").alias("admission_date"),
             F.max("end_date").alias("discharge_date"),
         )
+        self._cohort = self.enrich_admissions(adm).cache()
+        return self._cohort
+
+    def enrich_admissions(self, adm: DataFrame) -> DataFrame:
+        """Severity + demographics enrichment over an admissions frame
+        (patient_num, admission_date, discharge_date).  Factored out so an
+        incrementally-maintained admissions table (streaming/cohort.py)
+        flows through the identical cohort logic as the batch path."""
         severe = (
             self.obs.filter(F.col("concept_cd").isin(list(self.cfg.severe_concepts)))
             .join(adm.select("patient_num", "admission_date"), "patient_num")
@@ -182,7 +190,7 @@ class CovidPipeline:
             .groupBy("patient_num")
             .agg(F.min("start_date").alias("severe_date"))
         )
-        cohort = (
+        return (
             adm.join(self.patients, "patient_num")
             .join(severe, "patient_num", "left")  # D1: UPDATE -> left join
             .select(
@@ -197,8 +205,6 @@ class CovidPipeline:
                 "age_in_years_num",
             )
         )
-        self._cohort = cohort.cache()
-        return self._cohort
 
     # -- pipeline 2: the six artifacts (~L520-920) ---------------------------
 

@@ -1,3 +1,8 @@
+from covid19i2b2_spark.streaming.cohort import (  # noqa: F401
+    cohort_from_pairs,
+    cohort_pair_stream,
+    run_streaming_cohort,
+)
 from covid19i2b2_spark.streaming.daily_counts import (  # noqa: F401
     daily_event_counts,
     dedup_stream,
