@@ -1,0 +1,102 @@
+"""Near-dup pair graph -> dedup decision (SURVEY §2.11 X2 completion).
+
+The pair finders (MinHash/SimHash/embedding-LSH) emit edges; a corpus
+dedup needs the CLOSURE of those edges — A~B and B~C must collapse to one
+survivor even when A~C was never emitted.  This module turns the edge
+list into connected components and a deterministic keep/drop decision:
+
+- ``connected_components``: iterative min-label propagation over the
+  undirected edge list.  Each round joins every node's current label with
+  its neighbors' and takes the min — pure DataFrame ops (explode both
+  edge directions, groupBy min), converging in O(diameter) rounds.
+  Near-dup graphs are overwhelmingly tiny cliques/chains (diameter ≤ ~3),
+  so the loop exits after 2-4 bounded shuffles; ``max_iter`` caps
+  pathological chains and the loop stops early on a converged count.
+  Every iteration localCheckpoints the label frame: the lineage would
+  otherwise double per round (the classic iterative-Spark trap).
+- ``dedup_decision``: component id + keep flag (survivor = min id in the
+  component — same deterministic-survivor rule as exact_dedup).
+
+At 100 TB the edge list is vastly smaller than the corpus (only near-dup
+candidates appear); the per-round shuffle is edge-bounded, and the final
+decision joins back to the corpus on the id — a broadcast when the dup
+set is small, an equi-join otherwise (left to AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(node, component) for every node appearing in the edge list;
+    component = min node id reachable through the edges."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_decision(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Corpus + near-dup edges -> (id, component, keep).  Nodes outside
+    any edge keep themselves (their own component); inside a component the
+    min id survives — deterministic under retries and across runs."""
+    comp = connected_components(pairs, id_a, id_b, max_iter).withColumnRenamed(
+        "node", id_col
+    )
+    return df.join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("component"),
+        (
+            F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+        ).alias("keep"),
+    )

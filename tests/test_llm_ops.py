@@ -294,3 +294,63 @@ def test_hyperplane_lsh_buckets_are_deterministic(spark, emb):
     ).collect()
     assert {r.vec_id: r.b for r in b1} == {r.vec_id: r.b for r in b2}
     assert all(0 <= r.b < 256 for r in b1)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A~B~C chain (A~C never emitted) collapses to one component; an
+    isolated pair stays its own component."""
+    from covid19i2b2_spark.operators.dedup_clusters import (
+        connected_components,
+        dedup_decision,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 24, 99]],
+        "doc_id long",
+    )
+    dec = dedup_decision(corpus, pairs, "doc_id")
+    kept = sorted(r["doc_id"] for r in dec.filter("keep").collect())
+    assert kept == [1, 10, 20, 99]  # survivors + untouched doc
+
+
+def test_dedup_decision_end_to_end_minhash(spark, docs):
+    """Full corpus dedup: planted near-dups are dropped, originals kept."""
+    from covid19i2b2_spark.operators.dedup_clusters import dedup_decision
+
+    base = docs.limit(20).select("doc_id", "text")
+    dups = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended-token")).alias("text"),
+    )
+    corpus = base.unionByName(dups)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", n_hashes=32, n_bands=8, shingle_k=5,
+        threshold=0.5,
+    )
+    rows = dedup_decision(corpus, pairs, "doc_id").collect()
+    kept = {r["doc_id"] for r in rows if r["keep"]}
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    dropped = {r["doc_id"] for r in rows if not r["keep"]}
+    # recall: most of the 20 planted dups are dropped (the corpus also
+    # contains organic near-dups among the base docs — those may drop too)
+    planted_dropped = {d for d in dropped if d >= 10_000}
+    assert len(planted_dropped) >= 15, planted_dropped
+    # decision invariants: every dropped doc's survivor is kept and has a
+    # smaller id; every kept doc is its own component
+    for d in dropped:
+        assert comp[d] in kept and comp[d] < d, (d, comp[d])
+    for k in kept:
+        assert comp[k] == k, (k, comp[k])
