@@ -87,6 +87,81 @@ def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     return df.mapInPandas(_decode_batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, use_real_codecs: bool = False
+) -> DataFrame:
+    """Resize stub via mapInPandas: emits a payload deterministically
+    truncated/cycled to width*height bytes (a codec would decode, resample
+    and re-encode here — plug Pillow in when available).  The plumbing a
+    real resize needs — binary in/out through Arrow batches, new dims in
+    the schema — is exercised for real."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image codecs are not installed in this environment; "
+            "plug Pillow into _resize_batches here"
+        )
+    target = width * height
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fit(b: bytes) -> bytes:
+                if not b:
+                    return bytes(target)
+                reps = -(-target // len(b))  # ceil
+                return (b * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": pdf["payload"].map(fit),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_resize_batches, RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature extraction: payload -> L1-normalized byte-histogram
+    embedding (array<float> of ``dim`` buckets).  Unlike decode/resize
+    this is NOT a stub — a byte histogram is a real (if crude) content
+    feature — and its output feeds the similarity operators directly
+    (cosine_topk / IVF / near-dup run unchanged on it)."""
+
+    def _feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": feats}
+            )
+
+    return df.mapInPandas(
+        _feat_batches, "media_id long, embedding array<float>"
+    )
+
+
 def frame_sample(df: DataFrame, chunk_bytes: int = 256, every_n: int = 4) -> DataFrame:
     """Frame sampling stub: slice each payload into fixed-size "frames"
     and keep every n-th — the video-pipeline shape (payload -> frames ->

@@ -354,3 +354,34 @@ def test_dedup_decision_end_to_end_minhash(spark, docs):
         assert comp[d] in kept and comp[d] < d, (d, comp[d])
     for k in kept:
         assert comp[k] == k, (k, comp[k])
+
+
+def test_multimodal_resize_and_features(spark, docs):
+    """Resize stub reshapes payloads through Arrow batches; the
+    byte-histogram features are unit-L1, deterministic, and feed the
+    similarity operators unchanged (multimodal -> ANN integration)."""
+    from covid19i2b2_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    media = attach_fake_media(docs.limit(30), "doc_id", "text")
+    resized = resize_media(media, width=8, height=8).collect()
+    assert all(len(r["payload"]) == 64 for r in resized)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in resized)
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 8, 8, use_real_codecs=True)
+
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    assert all(abs(sum(r["embedding"]) - 1.0) < 1e-6 for r in rows)
+    # determinism across runs
+    again = {r["media_id"]: r["embedding"] for r in extract_features(media, 16).collect()}
+    assert all(again[r["media_id"]] == r["embedding"] for r in rows)
+    # features flow straight into cosine top-k
+    query = feats.filter(F.col("media_id") == rows[0]["media_id"]).select(
+        F.col("embedding").alias("qv")
+    )
+    top = sim.cosine_topk(feats, "media_id", "embedding", query, k=3).collect()
+    assert top[0]["media_id"] == rows[0]["media_id"]  # self is most similar
