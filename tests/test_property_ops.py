@@ -1,0 +1,90 @@
+"""Property-based hardening (TODO.md round-2): sessionize gap boundaries
+and range_join_binned bin-edge intervals, checked against brute-force
+Python references over hypothesis-generated inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.joins import range_join, range_join_binned
+from covid19i2b2_spark.operators.windows import sessionize
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ref_sessions(offsets_min: list[int], gap: int) -> list[int]:
+    """Brute-force session ids for sorted minute offsets (1-based)."""
+    out, sid = [], 0
+    prev = None
+    for o in sorted(offsets_min):
+        if prev is None or o - prev > gap:
+            sid += 1
+        out.append(sid)
+        prev = o
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=25,
+        unique=True,
+    ),
+    gap=st.integers(min_value=1, max_value=120),
+)
+def test_sessionize_matches_reference(spark, offsets, gap):
+    """Gap-boundary semantics: a delta of EXACTLY gap minutes stays in the
+    same session (> gap starts a new one) — pinned against a Python
+    reference for arbitrary offset sets, including exact-boundary deltas
+    hypothesis will generate."""
+    rows = [
+        (1, BASE + dt.timedelta(minutes=o), i) for i, o in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = [
+        r["session_id"]
+        for r in sessionize(df, "user_id", "ts", gap_minutes=gap, tiebreak="event_id")
+        .orderBy("ts")
+        .collect()
+    ]
+    assert got == _ref_sessions(offsets, gap)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.data(),
+    n_intervals=st.integers(min_value=1, max_value=12),
+)
+def test_range_join_binned_matches_plain(spark, data, n_intervals):
+    """Bin-edge correctness: intervals that start/end exactly on month
+    boundaries, span several bins, or collapse to a single day must join
+    identically through the binned equi-join and the plain range join."""
+    intervals = []
+    for i in range(n_intervals):
+        start_off = data.draw(st.integers(min_value=0, max_value=120), label="start")
+        length = data.draw(
+            st.sampled_from([0, 1, 27, 28, 30, 31, 62, 90]), label="len"
+        )
+        s = dt.date(2024, 1, 1) + dt.timedelta(days=start_off)
+        intervals.append((i, s, s + dt.timedelta(days=length)))
+    points = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=d),)
+        # month boundaries + mid-month points across the covered span
+        for d in [0, 30, 31, 59, 60, 90, 91, 120, 150, 181, 14, 45, 75, 105]
+    ]
+    idf = spark.createDataFrame(intervals, "iid long, s date, e date")
+    pdf = spark.createDataFrame(points, "p date")
+    plain = sorted(
+        (r["p"], r["iid"])
+        for r in range_join(pdf, idf, "p", "s", "e").select("p", "iid").collect()
+    )
+    binned = sorted(
+        (r["p"], r["iid"])
+        for r in range_join_binned(pdf, idf, "p", "s", "e")
+        .select("p", "iid")
+        .collect()
+    )
+    assert binned == plain
