@@ -424,7 +424,15 @@ class CovidPipeline:
     def _before_since(self, coded: DataFrame, axis_cols: list[str]) -> DataFrame:
         """Shared Diagnoses/Medications shape: distinct patients per code
         in the before-admission vs since-admission windows, all vs
-        ever-severe (A8 conditional distinct counts in one pass)."""
+        ever-severe (A8 conditional distinct counts).
+
+        Planned as a TWO-LEVEL aggregate, not four COUNT DISTINCTs in one
+        agg: four distinct expressions make Spark Expand every fact row
+        4x before the shuffle.  Level 1 collapses to one row per
+        (axis, patient) with boolean window flags (map-side partials on
+        the fact side — the 100 TB shuffle is the deduped patient frame);
+        level 2 sums the flags over the tiny axis key.  Identical values,
+        COUNT(DISTINCT CASE WHEN ...) in the oracle unchanged."""
         b_lo, b_hi = self.cfg.before_window
         s_lo, s_hi = self.cfg.since_window
         cohort = self.cohort().select("patient_num", "admission_date", "severe")
@@ -434,24 +442,21 @@ class CovidPipeline:
         before = F.col("delta").between(b_lo, b_hi)
         since = F.col("delta").between(s_lo, s_hi)
         sev = F.col("severe") == 1
-        pat = F.col("patient_num")
-        return (
+        per_patient = (
             joined.filter(before | since)
-            .groupBy(*axis_cols)
+            .groupBy(*axis_cols, "patient_num")
             .agg(
-                F.count_distinct(F.when(before, pat)).alias(
-                    "num_patients_all_before_admission"
-                ),
-                F.count_distinct(F.when(since, pat)).alias(
-                    "num_patients_all_since_admission"
-                ),
-                F.count_distinct(F.when(before & sev, pat)).alias(
-                    "num_patients_ever_severe_before_admission"
-                ),
-                F.count_distinct(F.when(since & sev, pat)).alias(
-                    "num_patients_ever_severe_since_admission"
-                ),
+                F.max(before.cast("int")).alias("__b"),
+                F.max(since.cast("int")).alias("__s"),
+                F.max((before & sev).cast("int")).alias("__bs"),
+                F.max((since & sev).cast("int")).alias("__ss"),
             )
+        )
+        return per_patient.groupBy(*axis_cols).agg(
+            F.sum("__b").alias("num_patients_all_before_admission"),
+            F.sum("__s").alias("num_patients_all_since_admission"),
+            F.sum("__bs").alias("num_patients_ever_severe_before_admission"),
+            F.sum("__ss").alias("num_patients_ever_severe_since_admission"),
         )
 
     def diagnoses(self) -> DataFrame:
