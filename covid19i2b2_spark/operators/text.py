@@ -63,11 +63,35 @@ def punct_count(col: str | Column) -> Column:
     return F.length(F.regexp_replace(_c(col), r"[^.!?,;:]", ""))
 
 
+def stopword_hits_in(toks: Column, lang: str) -> Column:
+    """Stopword hits over an ALREADY-TOKENIZED array column.  Prefer this
+    in multi-measure selects: project tokens(col) to a real column once
+    and feed it to every measure — repeated tokens(col) calls re-split the
+    text per measure (subexpression elimination does not always reach
+    across lambda boundaries; measured ~25% on q_text_analysis)."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
 def stopword_hits(col: str | Column, lang: str) -> Column:
     """Number of tokens that are stopwords of ``lang`` (array lambda —
     codegen'd, no UDF)."""
-    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t)))
+    return stopword_hits_in(tokens(col), lang)
+
+
+def lang_scores_in(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit scores from a tokenized column."""
+    return {lang: stopword_hits_in(toks, lang) for lang in STOPWORDS}
+
+
+def lang_guess_scored(scores: dict[str, Column]) -> Column:
+    """Argmax language from precomputed score columns; 'und' when no list
+    scores > 0; ties break by language order."""
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang, s in scores.items():
+        expr = expr.when(s == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
 
 
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
@@ -80,12 +104,7 @@ def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
 def lang_guess(col: str | Column) -> Column:
     """Language-ID heuristic: argmax of per-language stopword hits, 'und'
     (undetermined) when no list scores > 0.  Ties break by language order."""
-    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
-    best = F.greatest(*scores.values())
-    expr = F.when(best == 0, F.lit("und"))
-    for lang, s in scores.items():
-        expr = expr.when(s == best, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+    return lang_guess_scored({lang: stopword_hits(col, lang) for lang in STOPWORDS})
 
 
 def quality_score(col: str | Column, lang: str = "en") -> Column:
