@@ -379,3 +379,50 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_frac: float = 0.1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb pre-step):
+    drop every line that appears in more than ``max_doc_frac`` of the
+    corpus (and at least ``min_docs`` docs) — headers, nav chrome, cookie
+    banners — and reassemble each document from its surviving lines in
+    order.
+
+    Plan: posexplode lines -> per-line doc frequency on the md5 line key
+    (one map-side-combined aggregate; key space = distinct lines) ->
+    frequent set joined back (left anti on the line key; AQE broadcasts
+    it when small) -> groupBy doc reassembly via sort_array(collect_list
+    (struct(pos, line))).  Two shuffles total, both on bounded keys; no
+    Python.  Returns (id_col, text_col) with cleaned text; documents
+    whose every line was boilerplate come back empty-string.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    n_docs = df.count()  # scalar for the threshold; one cheap count job
+    cutoff = max(min_docs, int(max_doc_frac * n_docs) + 1)
+    frequent = (
+        lines.groupBy(F.md5("__line").alias("__lk"))
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= cutoff)
+        .select("__lk")
+    )
+    kept = lines.join(
+        frequent, F.md5(lines["__line"]) == frequent["__lk"], "left_anti"
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )

@@ -385,3 +385,25 @@ def test_multimodal_resize_and_features(spark, docs):
     )
     top = sim.cosine_topk(feats, "media_id", "embedding", query, k=3).collect()
     assert top[0]["media_id"] == rows[0]["media_id"]  # self is most similar
+
+
+def test_line_dedup_removes_boilerplate(spark, docs):
+    """Line-level dedup: a banner line planted in most docs is removed
+    everywhere; unique lines survive byte-identical and in order."""
+    from covid19i2b2_spark.operators.dedup import line_dedup
+
+    base = docs.limit(20).select("doc_id", "text")
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    with_banner = base.select(
+        "doc_id",
+        F.concat(F.lit(banner + "\n"), "text", F.lit("\n" + banner)).alias(
+            "text"
+        ),
+    )
+    cleaned = line_dedup(with_banner, "doc_id", "text", max_doc_frac=0.5)
+    out = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    orig = {r["doc_id"]: r["text"] for r in base.collect()}
+    assert set(out) == set(orig)
+    for did, txt in out.items():
+        assert banner not in txt, did
+        assert txt == orig[did], did  # unique lines intact, order kept
