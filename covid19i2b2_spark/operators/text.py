@@ -162,3 +162,25 @@ def rolling_hashes(col: str | Column, k: int = 5) -> Column:
     """Per-shingle 64-bit hashes (xxhash64) — the rolling-fingerprint
     stream used for content-defined chunking / winnowing."""
     return F.transform(char_shingles(col, k), lambda s: F.xxhash64(s))
+
+
+# PII scrubbing (training-data hygiene): conservative patterns for emails,
+# phone-ish number runs, and IPv4s.  Pure regexp_replace — JVM-side,
+# codegen'd, no UDF; at 100 TB this is a map-only pass.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # phone: 9+ digits with optional separators — dates (8 digits) and
+    # short ids stay untouched
+    (r"\+?\d(?:[\s().-]*\d){8,}", "<PHONE>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace email/IP/phone-shaped spans with typed placeholders.
+    Order matters: emails first (their digits would otherwise be eaten by
+    the phone pattern), IPs before phones for the same reason."""
+    out = _c(col)
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -407,3 +407,20 @@ def test_line_dedup_removes_boilerplate(spark, docs):
     for did, txt in out.items():
         assert banner not in txt, did
         assert txt == orig[did], did  # unique lines intact, order kept
+
+
+def test_redact_pii(spark):
+    from covid19i2b2_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567."),
+        (2, "server at 10.0.12.34 went down"),
+        (3, "no pii here, just 42 and a date 2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["redacted"] for r in df.select(
+        "id", redact_pii("text").alias("redacted")).collect()}
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1]
+    assert "example" not in out[1] and "555" not in out[1]
+    assert out[2] == "server at <IP> went down"
+    assert "42" in out[3] and "<" not in out[3].replace("2024-01-01", "")
