@@ -184,3 +184,30 @@ def redact_pii(col: str | Column) -> Column:
     for pat, repl in _PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def repetition_ratios(col: str | Column) -> Column:
+    """Gopher-style intra-document repetition signals as a struct:
+    dup_line_frac (fraction of lines that are repeats of an earlier line)
+    and dup_2gram_frac (same for word 2-grams).  High values flag
+    boilerplate/spam for corpus filtering.  Per-doc bounded array ops,
+    JVM-side."""
+    c = _c(col)
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    dup_line = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        round6(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines
+        )
+    )
+    toks = tokens(c)
+    grams = word_ngrams(toks, 2, pre_tokenized=True)
+    n_grams = F.size(grams)
+    dup_gram = F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+        round6(
+            (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams
+        )
+    )
+    return F.struct(
+        dup_line.alias("dup_line_frac"), dup_gram.alias("dup_2gram_frac")
+    )

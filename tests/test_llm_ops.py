@@ -424,3 +424,21 @@ def test_redact_pii(spark):
     assert "example" not in out[1] and "555" not in out[1]
     assert out[2] == "server at <IP> went down"
     assert "42" in out[3] and "<" not in out[3].replace("2024-01-01", "")
+
+
+def test_repetition_ratios(spark):
+    from covid19i2b2_spark.operators.text import repetition_ratios
+
+    rows = [
+        (1, "a b\na b\na b\nc d"),          # 4 lines, 2 dups -> 0.5
+        (2, "unique one\nanother line"),    # no repeats
+        (3, "x y x y x y"),                 # 2-grams: 5 total, "x y"*3,"y x"*2 -> 3 dups
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["r"]["dup_line_frac"], r["r"]["dup_2gram_frac"])
+        for r in df.select("id", repetition_ratios("text").alias("r")).collect()
+    }
+    assert out[1][0] == 0.5
+    assert out[2] == (0.0, 0.0)
+    assert out[3][1] == 0.6  # 5 bigrams, 2 distinct -> 3/5 duplicates
