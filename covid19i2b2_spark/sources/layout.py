@@ -36,3 +36,39 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    partition_col: str = "event_date",
+    mode: str = "overwrite",
+) -> None:
+    """Time-series layout: plain parquet partitioned by calendar date —
+    the standard 100 TB events layout.  Date-bounded queries then touch
+    only the matching directories (partition pruning; with a join against
+    a date dimension, dynamic partition pruning).  Unlike bucketing this
+    needs no catalog: any reader prunes on the directory structure."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(partition_col, F.to_date(date_col))
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_date_range(
+    spark: SparkSession, path: str, lo: str, hi: str,
+    partition_col: str = "event_date",
+) -> DataFrame:
+    """Partition-pruned date-range read over a write_date_partitioned
+    layout (the filter is on the partition column, so only lo..hi
+    directories are listed/scanned)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).filter(
+        F.col(partition_col).between(F.lit(lo), F.lit(hi))
+    )

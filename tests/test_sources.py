@@ -78,3 +78,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_date_partitioned_layout_prunes(spark, tmp_path):
+    """write_date_partitioned + read_date_range: the range filter lands in
+    the scan's PartitionFilters and row counts match an unpruned filter."""
+    from covid19i2b2_spark.plans import physical_plan
+    from covid19i2b2_spark.sources import layout
+    from covid19i2b2_spark.sources.tables import read_table as read_td
+
+    events = read_td(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_day")
+    layout.write_date_partitioned(events, path, "ts")
+
+    lo, hi = "2024-01-05", "2024-01-08"
+    pruned = layout.read_date_range(spark, path, lo, hi)
+    plan = physical_plan(pruned)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "event_date" in part_lines[0], plan
+
+    import pyspark.sql.functions as F
+
+    expect = events.filter(F.to_date("ts").between(lo, hi)).count()
+    assert pruned.count() == expect > 0
