@@ -101,3 +101,31 @@ def test_date_partitioned_layout_prunes(spark, tmp_path):
 
     expect = events.filter(F.to_date("ts").between(lo, hi)).count()
     assert pruned.count() == expect > 0
+
+
+def test_dynamic_partition_pruning_over_date_layout(spark, tmp_path):
+    """Joining the date-partitioned layout against a small filtered date
+    dimension triggers dynamic partition pruning: the partitioned scan
+    carries a dynamicpruning subquery filter instead of reading every
+    partition."""
+    import pyspark.sql.functions as F
+
+    from covid19i2b2_spark.plans import physical_plan
+    from covid19i2b2_spark.sources import layout
+    from covid19i2b2_spark.sources.tables import read_table as read_td
+
+    events = read_td(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_dpp")
+    layout.write_date_partitioned(events, path, "ts")
+
+    fact = spark.read.parquet(path)
+    dates = (
+        events.select(F.to_date("ts").alias("event_date"))
+        .dropDuplicates()
+        .filter(F.dayofmonth("event_date") <= 3)  # non-partition-col filter
+    )
+    joined = fact.join(dates, "event_date").groupBy("event_date").count()
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r["event_date"] for r in joined.collect()}
+    assert got and all(d.day <= 3 for d in got)
