@@ -9,6 +9,7 @@ from covid19i2b2_spark.queries import (  # noqa: F401
     joins,
     llm,
     llm2,
+    llm3,
     obfuscation,
     phase2,
     reshape,

@@ -81,18 +81,15 @@ def q_age_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_topk",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
-    """,
-)
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: top-k — Spark plans TakeOrderedAndProject (no total sort, each
-    partition keeps k).  o_orderkey tiebreak keeps the cutoff deterministic."""
+    partition keeps k).  o_orderkey tiebreak keeps the cutoff deterministic.
+
+    Deregistered from the driver's 50-query window in favor of
+    q_bm25_rank (queries/llm3.py): O2's TakeOrderedAndProject shape stays
+    driver-green via q_cosine_topk and q_bm25_rank, the plan shape stays
+    pinned in tests/test_plan_shape.py, and DF≡oracle parity moves to
+    tests/test_oracle_parity.py (UNREGISTERED_ORACLES)."""
     orders = read_table(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_custkey", "o_totalprice")

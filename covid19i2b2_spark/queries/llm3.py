@@ -1,0 +1,149 @@
+"""t2 queries: third batch of LLM-data operators — benchmark
+contamination detection and BM25 relevance ranking (SURVEY §2.11).
+
+Both are fully SQL-expressible, so they carry DuckDB oracles and get the
+driver's hash-match check (unlike the LSH/ANN family).  Slots freed by
+deregistering q_topk (O2 stays green via q_cosine_topk + plan test) and
+q_icd_truncate (F6/F8 stays green via q_covid_diagnoses); both keep
+pytest oracle parity in tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark.registry import query
+from covid19i2b2_spark.sources.tables import read_table
+
+# The eval/benchmark split used by q_contamination: every 20th document
+# plays the benchmark set (small by construction — the real-world
+# invariant that makes the eval-side broadcast safe), the rest are the
+# corpus under test.
+_EVAL_MOD = 20
+
+# Trigram overlap: the synthetic docs draw from a ~40-word vocabulary,
+# so n=3 yields a non-degenerate ratio distribution (n=5 would match
+# nothing, n=2 would flag everything).
+_NGRAM_N = 3
+_THRESHOLD = 0.2
+
+_TOKED_SQL = """
+    toked AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(toks) < 3 THEN []
+                        ELSE [array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, len(toks) - 1)] END) AS gset
+        FROM toked
+    )
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH {_TOKED_SQL},
+    eval_set AS (
+        SELECT list(DISTINCT gram) AS egrams
+        FROM (SELECT unnest(gset) AS gram FROM grams
+              WHERE doc_id % {_EVAL_MOD} = 0)
+    )
+    SELECT doc_id,
+           CAST(len(gset) AS BIGINT) AS n_grams,
+           CAST(len(list_intersect(gset, egrams)) AS BIGINT) AS n_matched,
+           CASE WHEN len(gset) = 0 THEN 0.0
+                ELSE FLOOR((CAST(len(list_intersect(gset, egrams)) AS DOUBLE)
+                            / len(gset)) * 1000000 + 0.5) / 1000000
+           END AS contamination_ratio,
+           CASE WHEN len(gset) = 0 THEN FALSE
+                ELSE CAST(len(list_intersect(gset, egrams)) AS DOUBLE)
+                     / len(gset) >= {_THRESHOLD}
+           END AS contaminated
+    FROM grams, eval_set
+    WHERE doc_id % {_EVAL_MOD} <> 0
+    ORDER BY doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X2-adjacent: benchmark-contamination report — per corpus doc,
+    the fraction of its distinct word trigrams that appear anywhere in
+    the eval split (GPT-3 appendix-C style decontamination test).
+    Corpus side: one explode + broadcast join + one groupBy — the eval
+    n-gram set is the only broadcast (small by invariant)."""
+    from covid19i2b2_spark.operators.contamination import contamination_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_df = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    return contamination_report(
+        corpus, eval_df, "doc_id", "text", n=_NGRAM_N, threshold=_THRESHOLD
+    ).orderBy("doc_id")
+
+
+_BM25_TERMS = ["spark", "filter", "vector"]
+_K1, _B, _TOPK = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    # Mirror the Spark expression tree exactly: ((idf * tf) * (k1+1)) /
+    # (tf + (k1 * ((1-b) + ((b * dl) / avgdl)))) summed left-to-right.
+    parts = " + ".join(
+        f"(ln(1.0 + (n - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * CAST(tf_{t} AS DOUBLE) * {_K1 + 1.0!r}"
+        f" / (CAST(tf_{t} AS DOUBLE)"
+        f"    + {_K1!r} * ({1.0 - _B!r} + {_B!r} * dl / avgdl)))"
+        for t in _BM25_TERMS
+    )
+    tf_list = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH toked AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents
+    ),
+    pertf AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM toked
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+               {df_cols}
+        FROM pertf
+    )
+    SELECT doc_id, dl, {tf_list},
+           FLOOR(({parts}) * 1000000 + 0.5) / 1000000 AS bm25
+    FROM pertf, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_TOPK}
+    """
+
+
+@query("q_bm25_rank", oracle=_bm25_oracle())
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: BM25 top-k keyword search over the documents table — fixed
+    query terms become per-row array expressions (no explode, no
+    (doc,term) shuffle): one scan -> 1-row stats agg -> broadcast ->
+    score -> TakeOrderedAndProject."""
+    from covid19i2b2_spark.operators.ranking import bm25_rank
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_rank(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_K1, b=_B, k=_TOPK
+    )

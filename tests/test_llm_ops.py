@@ -442,3 +442,66 @@ def test_repetition_ratios(spark):
     assert out[1][0] == 0.5
     assert out[2] == (0.0, 0.0)
     assert out[3][1] == 0.6  # 5 bigrams, 2 distinct -> 3/5 duplicates
+
+
+def test_contamination_planted_copy(spark):
+    """A corpus doc that is a verbatim copy of an eval doc must score 1.0;
+    one sharing a half-window of text scores in (0,1); disjoint text 0.0;
+    a doc shorter than n words yields n_grams=0 and is never flagged."""
+    from covid19i2b2_spark.operators.contamination import contamination_report
+
+    eval_rows = [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact copy
+        (2, "alpha beta gamma delta nope xx yy zz ww vv uu tt"),  # partial
+        (3, "one two three four five six"),  # disjoint
+        (4, "too short"),  # < n words
+    ]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in contamination_report(
+            corpus, eval_df, "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    assert out[1]["contamination_ratio"] == 1.0 and out[1]["contaminated"]
+    assert 0.0 < out[2]["contamination_ratio"] < 1.0
+    assert out[2]["n_matched"] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert out[3]["contamination_ratio"] == 0.0 and not out[3]["contaminated"]
+    assert out[4]["n_grams"] == 0 and not out[4]["contaminated"]
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    """BM25 must rank the doc saturated with the query term above one
+    mentioning it once, score docs without the term 0, and normalize
+    away pure length padding."""
+    from covid19i2b2_spark.operators.ranking import bm25_rank
+
+    rows = [
+        (1, "spark spark spark spark engine"),
+        (2, "spark is mentioned once here in a longer document overall"),
+        (3, "no relevant terms at all in this one"),
+        (4, "spark " + "padding " * 50),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(docs, "doc_id", "text", ["spark"], k=4).collect()
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[1] > scores[2] > scores[4] > scores[3] == 0.0
+    assert out[0]["doc_id"] == 1  # ordered output
+
+
+def test_tfidf_top_terms_surfaces_rare_terms(spark):
+    """TF-IDF must rank a doc-unique term above corpus-wide ones."""
+    from covid19i2b2_spark.operators.ranking import tfidf_top_terms
+
+    rows = [
+        (1, "common common unicorn"),
+        (2, "common common common"),
+        (3, "common other other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(docs, "doc_id", "text", top_per_doc=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "unicorn"
+    assert top[3] == "other"

@@ -100,12 +100,66 @@ UNREGISTERED_ORACLES = {
     FROM daily
     ORDER BY event_date
     """,
+    "q_topk": """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    "q_icd_truncate": """
+    WITH codes AS (
+        SELECT 'EVT:' || replace(event_type, '.', '') AS concept_cd, user_id
+        FROM events
+    )
+    SELECT left(replace(substring(concept_cd, 5, 999), '.', ''), 3) AS code_3chars,
+           COUNT(*) AS n_obs,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM codes
+    GROUP BY 1
+    ORDER BY code_3chars
+    """,
+    # tfidf_top_terms: distributed TF-IDF (vocabulary unknown at plan
+    # time) — never registered; parity here only.
+    "q_tfidf_top_terms": """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+               FLOOR((tf.tf * ln((n_docs + 1.0) / (df.df + 1.0)))
+                     * 1000000 + 0.5) / 1000000 AS tfidf
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
 }
 
 
 @pytest.mark.parametrize("name", sorted(UNREGISTERED_ORACLES))
 def test_unregistered_query_matches_oracle(name, spark, duck):
-    from covid19i2b2_spark.queries import core, joins, reshape, windows
+    from covid19i2b2_spark.queries import core, filters, joins, reshape, scalar, windows
+
+    def _tfidf(spark, sf_dir):
+        from covid19i2b2_spark.operators.ranking import tfidf_top_terms
+        from covid19i2b2_spark.sources.tables import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        return tfidf_top_terms(docs, "doc_id", "text", top_per_doc=3)
 
     fn = {
         "q_literal_map_join": joins.q_literal_map_join,
@@ -113,6 +167,9 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_window_frame": windows.q_window_frame,
         "q_sliding_window": reshape.q_sliding_window,
         "q_events_daily": core.q_events_daily,
+        "q_topk": filters.q_topk,
+        "q_icd_truncate": scalar.q_icd_truncate,
+        "q_tfidf_top_terms": _tfidf,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()

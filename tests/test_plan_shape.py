@@ -52,7 +52,11 @@ def test_workhorse_join_has_no_nested_loop(spark):
 
 
 def test_topk_plans_take_ordered(spark):
-    assert_take_ordered(REGISTRY["q_topk"].fn(spark, SF_DIR))
+    from covid19i2b2_spark.queries.filters import q_topk
+    from covid19i2b2_spark.queries.llm3 import q_bm25_rank
+
+    assert_take_ordered(q_topk(spark, SF_DIR))
+    assert_take_ordered(q_bm25_rank(spark, SF_DIR))
 
 
 def test_minhash_lsh_is_equi_join_not_cartesian(spark):
