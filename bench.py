@@ -62,6 +62,8 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_cosine_topk",
     "q_embedding_near_dup",
+    "q_contamination",
+    "q_bm25_rank",
 ]
 
 

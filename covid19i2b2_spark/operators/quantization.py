@@ -245,3 +245,134 @@ def adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+# --- IVF-PQ (IVFADC): coarse centroids route the query to n_probe
+# --- clusters; within each cluster only RESIDUAL codes are scanned.
+# --- The composition that makes ANN work at 100 TB: partition pruning
+# --- cuts the scan to n_probe/n_centroids of the corpus, PQ cuts the
+# --- bytes-per-row by ~16x, and the original vectors are never read at
+# --- query time.
+
+
+def ivfpq_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+    seed: int = 42,
+):
+    """Train coarse centroids (spherical k-means, cosine geometry) and PQ
+    codebooks over the RESIDUALS (unit(x) - centroid), then encode.
+
+    Returns (centroids, codebooks, codes) where codes is
+    (id, centroid_id, codes array<int>).  On the unit sphere
+    ||a-b||^2 = 2 - 2*cos(a,b), so ADC's squared-L2 ranking over
+    residual-corrected distances reproduces cosine ranking.
+    """
+    from covid19i2b2_spark.operators import similarity as sim
+
+    cents = sim.train_centroids(
+        df, id_col, vec_col, n_centroids, n_iter=n_iter, seed=seed
+    )
+    unit = df.select(
+        id_col, sim.unit_normalize(vec_col).alias(vec_col)
+    )
+    assigned = sim.ivf_assign(unit, id_col, vec_col, cents)
+    resid = assigned.join(F.broadcast(cents), "centroid_id").select(
+        id_col,
+        "centroid_id",
+        F.zip_with(
+            vec_col, "cvec", lambda x, c: x.cast("double") - c
+        ).alias("__resid"),
+    )
+    books = train_pq_codebooks(
+        resid, id_col, "__resid", dim, m=m, k=k, n_iter=n_iter, seed=seed
+    )
+    codes = pq_encode(resid, id_col, "__resid", books, dim, m).join(
+        resid.select(id_col, "centroid_id"), id_col
+    )
+    return cents, books, codes
+
+
+def write_ivfpq_index(codes: DataFrame, path: str) -> None:
+    """Persist (id, codes, centroid_id) partitioned by centroid_id —
+    probe reads scan only the probed cluster directories (same pruned
+    layout as similarity.write_ivf_index, but rows are code-sized)."""
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ code table.  ``centroids`` is the
+    collected (centroid_id, cvec) list (config-sized, like the covid
+    code maps); the per-probe m x k distance tables use the PER-CENTROID
+    residual query (unit(q) - centroid), selected per row by centroid_id
+    via a literal lookup — one pruned scan, no per-probe jobs.
+
+    Filter codes_df to the probed partitions first (read_ivf_probes /
+    isin on centroid_id) so the scan is partition-pruned; this function
+    also applies the isin filter itself for safety."""
+    from covid19i2b2_spark.operators.aggregates import round6
+
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    q = [x / qn for x in query_vec]
+    by_sim = sorted(
+        centroids,
+        key=lambda cv: -(sum(a * b for a, b in zip(q, cv[1]))),
+    )
+    probes = by_sim[:n_probe]
+    m = len(books)
+    d = len(q) // m
+    # tables[p][j][c]: distance of (q - centroid_p) slice j to codeword c
+    tables = []
+    for _, cvec in probes:
+        rq = [q[t] - cvec[t] for t in range(len(q))]
+        tables.append(
+            [
+                [
+                    sum((rq[j * d + t] - cw[t]) ** 2 for t in range(d))
+                    for cw in books[j]
+                ]
+                for j in range(m)
+            ]
+        )
+    lit_tables = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in tab])
+            for tab in tables
+        ]
+    )
+    probe_ids = [int(cid) for cid, _ in probes]
+    # centroid_id -> probe index (1-based for element_at)
+    probe_idx = F.lit(None).cast("int")
+    for i, cid in enumerate(probe_ids):
+        probe_idx = F.when(
+            F.col("centroid_id") == cid, F.lit(i + 1)
+        ).otherwise(probe_idx)
+    tab = F.element_at(lit_tables, probe_idx)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(tab, j + 1), F.element_at(F.col("codes"), j + 1) + 1
+        ),
+    )
+    return (
+        codes_df.filter(F.col("centroid_id").isin(probe_ids))
+        .select(F.col(id_col), round6(dist).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

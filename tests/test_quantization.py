@@ -117,3 +117,52 @@ def test_adc_plans_take_ordered(spark, clustered):
     codes = pq.pq_encode(clustered, "vec_id", "embedding", books_df, DIM, M)
     qvec = [0.0] * DIM
     assert_take_ordered(pq.adc_topk(codes, "vec_id", qvec, books, k=5))
+
+
+def test_ivfpq_recall_and_pruned_layout(spark, clustered, tmp_path):
+    """IVF-PQ end to end: build (residual codebooks), persist partitioned
+    by centroid_id, probe-read only n_probe cluster dirs, ADC over codes.
+    Exact cosine top-10 must mostly appear in the IVF-PQ top-50."""
+    from covid19i2b2_spark.operators import similarity as sim
+    from covid19i2b2_spark.plans import physical_plan
+
+    cents, books_df, codes = pq.ivfpq_build(
+        clustered, "vec_id", "embedding", DIM, n_centroids=8, m=M, k=K, n_iter=3
+    )
+    path = str(tmp_path / "ivfpq_index")
+    pq.write_ivfpq_index(codes, path)
+    books = pq.collect_codebooks(books_df)
+    centroids = [(r["centroid_id"], list(r["cvec"])) for r in cents.collect()]
+
+    recalls = []
+    for qid in [0, 1, 2]:
+        qvec = [
+            float(x)
+            for x in clustered.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        query = spark.createDataFrame(
+            [([float(x) for x in qvec],)], "qv array<float>"
+        )
+        exact = {
+            r["vec_id"]
+            for r in sim.cosine_topk(
+                clustered.filter(F.col("vec_id") != qid),
+                "vec_id",
+                "embedding",
+                query,
+                10,
+            ).collect()
+        }
+        stored = spark.read.parquet(path).filter(F.col("vec_id") != qid)
+        approx_df = pq.ivfpq_topk(
+            stored, "vec_id", qvec, centroids, books, n_probe=3, k=50
+        )
+        approx = {r["vec_id"] for r in approx_df.collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    # the probe scan is partition-pruned: isin on the partition column
+    # lands in PartitionFilters, not a post-scan Filter
+    plan = physical_plan(approx_df)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "centroid_id" in part_lines[0], plan
