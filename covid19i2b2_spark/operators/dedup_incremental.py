@@ -1,0 +1,254 @@
+"""Cross-snapshot (incremental) deduplication: filter a NEW crawl batch
+against a persisted index of everything already in the corpus, then fold
+the batch's survivors into the index (SURVEY §2.11 X1/X2 — the shape a
+production training-data pipeline actually runs: the corpus is built in
+snapshots, and each snapshot dedups against all prior ones without
+re-scanning them).
+
+The index is two parquet tables under one root:
+
+- ``fingerprints/``: (fingerprint, doc_id) — md5 of normalized text, the
+  exact-dup key.  Incremental exact dedup is a LEFT ANTI join of the new
+  batch's fingerprints against it: one equi-join, no full-corpus rescan.
+- ``bands/``: (band, bucket, doc_id, signature) — the MinHash LSH band
+  index.  Near-dup filtering equi-joins the new batch's bands against it
+  (same candidate shape as dedup.lsh_candidate_pairs, never all-pairs)
+  and verifies candidates by MinHash agreement on the stored signatures
+  — the raw text of indexed documents is never read again.
+
+Scale: both joins key on high-cardinality columns (fingerprint /
+(band, bucket)); the index side streams through the shuffle (or stays
+in place if written bucketed via sources/layout.py), skewed boilerplate
+buckets are AQE-split, and updates are parquet APPENDS of batch-sized
+deltas.  Nothing is broadcast (either side can be huge) and nothing is
+collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from covid19i2b2_spark.operators.text import fingerprint
+
+
+def _fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        fingerprint(text_col).alias("fingerprint"), F.col(id_col).alias("doc_id")
+    )
+
+
+def _bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    shingle_k: int,
+    n_bands: int,
+    seed: int,
+) -> DataFrame:
+    """(band, bucket, doc_id, signature) — banded MinHash signatures.
+    Mirrors lsh_candidate_pairs' banding so index and query agree."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k, seed=seed
+    )
+    rows_per_band = n_hashes // n_bands
+    return sigs.select(
+        F.col(id_col).alias("doc_id"),
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("bb.band", "bb.bucket", "doc_id", "signature")
+
+
+class DedupIndex:
+    """Paths + parameters of a persisted dedup index.  Parameters are
+    part of the index identity: querying with different shingle/hash
+    settings than it was built with would silently miss everything."""
+
+    def __init__(
+        self,
+        path: str,
+        n_hashes: int = 32,
+        shingle_k: int = 5,
+        n_bands: int = 8,
+        seed: int = 42,
+    ):
+        if n_hashes % n_bands != 0:
+            raise ValueError("n_bands must divide n_hashes")
+        self.path = path.rstrip("/")
+        self.n_hashes = n_hashes
+        self.shingle_k = shingle_k
+        self.n_bands = n_bands
+        self.seed = seed
+
+    @property
+    def fp_path(self) -> str:
+        return f"{self.path}/fingerprints"
+
+    @property
+    def bands_path(self) -> str:
+        return f"{self.path}/bands"
+
+    def _write(self, df: DataFrame, id_col: str, text_col: str, mode: str) -> None:
+        _fingerprints(df, id_col, text_col).write.mode(mode).parquet(self.fp_path)
+        _bands(
+            df,
+            id_col,
+            text_col,
+            self.n_hashes,
+            self.shingle_k,
+            self.n_bands,
+            self.seed,
+        ).write.mode(mode).parquet(self.bands_path)
+
+    def build(self, corpus: DataFrame, id_col: str, text_col: str) -> None:
+        """Create the index from the initial corpus snapshot."""
+        self._write(corpus, id_col, text_col, "overwrite")
+
+    def append(self, survivors: DataFrame, id_col: str, text_col: str) -> None:
+        """Fold a batch's surviving documents into the index — a
+        batch-sized parquet append, no index rewrite.
+
+        The input is materialized (localCheckpoint) BEFORE writing:
+        ``filter_batch`` survivors lazily anti-join against the
+        fingerprint index, so appending fingerprints first and then
+        re-evaluating that plan for the bands write would see the
+        batch's OWN fingerprints and append an empty bands delta.
+        Batch-sized, so the checkpoint copy is cheap; at scale use a
+        reliable checkpoint dir or stage the batch to parquet first."""
+        self._write(
+            survivors.localCheckpoint(eager=True), id_col, text_col, "append"
+        )
+
+    def filter_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        id_col: str,
+        text_col: str,
+        sim_threshold: float = 0.7,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Dedup a new batch within itself AND against the index.
+
+        Returns (survivors, dropped) where dropped is
+        (doc_id, reason: 'exact_dup'|'near_dup') — every input row lands
+        in exactly one of the two.
+
+        Order of passes (each one equi-join):
+        1. within-batch exact dedup (deterministic lowest-id survivor);
+        2. anti-join fingerprints against the index;
+        3. within-batch + vs-index LSH near-dup: candidates from band
+           agreement, verified by MinHash signature agreement >=
+           sim_threshold (estimates Jaccard without re-reading text).
+        """
+        batch = batch.persist()
+        within = exact_dedup(batch, [fingerprint(text_col)], [F.col(id_col)])
+        fresh = within.join(
+            spark.read.parquet(self.fp_path).select("fingerprint"),
+            fingerprint(text_col) == F.col("fingerprint"),
+            "left_anti",
+        ).persist()
+
+        new_bands = _bands(
+            fresh,
+            id_col,
+            text_col,
+            self.n_hashes,
+            self.shingle_k,
+            self.n_bands,
+            self.seed,
+        ).persist()
+        idx_bands = spark.read.parquet(self.bands_path)
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    "signature", "__idx_sig", lambda a, b: (a == b).cast("int")
+                ),
+                lambda x: x == 1,
+            )
+        ) / F.size("signature")
+        vs_index = (
+            new_bands.join(
+                idx_bands.select(
+                    "band",
+                    "bucket",
+                    F.col("signature").alias("__idx_sig"),
+                ),
+                ["band", "bucket"],
+            )
+            .filter(agree >= F.lit(sim_threshold))
+            .select("doc_id")
+            .distinct()
+        )
+        # within-batch near-dups: standard LSH pairs on the fresh docs,
+        # keep the lower id of each verified pair
+        sigs = new_bands.select("doc_id", "signature").dropDuplicates(["doc_id"])
+        pairs = lsh_candidate_pairs(
+            sigs, "doc_id", n_bands=self.n_bands
+        )
+        pair_agree = (
+            pairs.join(
+                sigs.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("signature").alias("__sa"),
+                ),
+                "id_a",
+            )
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("signature").alias("__sb"),
+                ),
+                "id_b",
+            )
+            .filter(
+                F.size(
+                    F.filter(
+                        F.zip_with("__sa", "__sb", lambda a, b: (a == b).cast("int")),
+                        lambda x: x == 1,
+                    )
+                )
+                / F.size("__sa")
+                >= F.lit(sim_threshold)
+            )
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        near_ids = vs_index.unionByName(pair_agree).distinct()
+        survivors = fresh.join(
+            near_ids, fresh[id_col] == near_ids["doc_id"], "left_anti"
+        )
+        dropped = (
+            batch.select(F.col(id_col))
+            .join(
+                survivors.select(F.col(id_col).alias("__kept")),
+                batch[id_col] == F.col("__kept"),
+                "left_anti",
+            )
+            .join(
+                fresh.select(F.col(id_col).alias("__fresh")),
+                batch[id_col] == F.col("__fresh"),
+                "left",
+            )
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.when(F.col("__fresh").isNull(), F.lit("exact_dup"))
+                .otherwise(F.lit("near_dup"))
+                .alias("reason"),
+            )
+        )
+        return survivors, dropped
