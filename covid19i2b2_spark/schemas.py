@@ -81,10 +81,12 @@ TESTDATA_LINEITEM = _s(
     ("l_shipdate", T.TimestampNTZType()),
 )
 
-# events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's parquet
-# reader cannot represent natively; with spark.sql.legacy.parquet.nanosAsLong
-# it arrives as a long of epoch-nanos (RAW schema) and the source layer
-# converts to timestamp_ntz (LOGICAL schema).
+# Legacy testdata generations stored events.ts as INT64 TIMESTAMP(NANOS),
+# which Spark's parquet reader cannot represent natively; with
+# spark.sql.legacy.parquet.nanosAsLong it arrives as a long of epoch-nanos
+# (RAW schema) and the source layer converts to timestamp_ntz (LOGICAL
+# schema).  Current testdata is TIMESTAMP(MICROS) and reads natively; the
+# source layer sniffs the footer and picks the right path (tables.py).
 TESTDATA_EVENTS_RAW = _s(
     ("event_id", T.LongType()),
     ("ts", T.LongType()),

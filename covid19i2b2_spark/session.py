@@ -6,10 +6,11 @@ Design notes (SURVEY.md §4):
   cluster this would be ~2-3x total executor cores and AQE coalesces down.
 - Session timezone pinned to UTC: DuckDB (the correctness oracle) uses
   UTC-naive timestamps.
-- ``spark.sql.legacy.parquet.nanosAsLong``: the driver testdata's
-  ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's vectorized parquet
-  reader otherwise rejects; we read nanos as long and convert in the source
-  layer (sources/tables.py).
+- ``spark.sql.legacy.parquet.nanosAsLong``: legacy ``events.parquet``
+  generations store TIMESTAMP(NANOS) which Spark's vectorized parquet reader
+  otherwise rejects; the source layer sniffs the footer and, for nanos files
+  only, reads nanos as long and converts (sources/tables.py).  Harmless for
+  the current MICROS testdata.
 """
 
 from __future__ import annotations

@@ -10,6 +10,8 @@ same call reads a partitioned/bucketed dataset.  Nothing here collects.
 
 from __future__ import annotations
 
+import functools
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -24,24 +26,49 @@ def _path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@functools.lru_cache(maxsize=64)
+def events_ts_unit(path: str) -> str:
+    """Sniff the parquet footer for the ``ts`` column's timestamp unit
+    ('ns' | 'us' | 'ms' | 's').
+
+    Different generations of the driver testdata encoded ``ts``
+    differently (round 1: TIMESTAMP(NANOS); round 2: TIMESTAMP(MICROS)),
+    and reading NANOS needs a different plan than MICROS — a wrong guess
+    silently shifts every timestamp by 1000x.  One footer read on the
+    driver (directories: first part file) decides; cached per path.
+    """
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if parts:
+            target = parts[0]
+    try:
+        return pq.read_schema(target).field("ts").type.unit
+    except Exception:
+        return "us"  # modern default; NANOS files are the legacy special case
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its canonical schema.
 
-    ``events`` needs special handling: its ``ts`` column is parquet
-    TIMESTAMP(NANOS), unreadable by Spark's parquet reader unless
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (runtime-settable); we
-    read epoch-nanos as long and convert to timestamp_ntz JVM-side
-    (integer div + timestamp_micros — stays in whole-stage codegen).
+    ``events`` needs unit-aware handling (see :func:`events_ts_unit`):
+    TIMESTAMP(NANOS) files are unreadable by Spark's parquet reader unless
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` — we then read epoch-nanos
+    as long and convert JVM-side (integer div + timestamp_micros, stays in
+    whole-stage codegen).  MICROS files read natively as timestamp_ntz.
     """
     if name == "events":
-        ensure_runtime_conf(spark)  # driver may hand us a vanilla session
-        raw = (
-            spark.read.schema(schemas.TESTDATA_EVENTS_RAW)
-            .parquet(_path(sf_dir, name))
-        )
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        path = _path(sf_dir, name)
+        if events_ts_unit(path) == "ns":
+            ensure_runtime_conf(spark)  # nanosAsLong must be set
+            raw = spark.read.schema(schemas.TESTDATA_EVENTS_RAW).parquet(path)
+            return raw.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return spark.read.schema(schemas.TESTDATA["events"]).parquet(path)
     if name not in schemas.TESTDATA:
         raise KeyError(f"unknown table {name!r}; known: {schemas.TABLE_NAMES}")
     return (

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from covid19i2b2_spark import schemas
 from covid19i2b2_spark.session import ensure_runtime_conf
+from covid19i2b2_spark.sources import tables
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,10 +46,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(schemas.TESTDATA_EVENTS_RAW).parquet(stream_dir)
     # TIMESTAMP (LTZ), not NTZ: watermarks/event-time require it.  Session
     # TZ is pinned UTC so wall-clock values match the batch reader's NTZ.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if tables.events_ts_unit(src) == "ns":
+        raw = spark.readStream.schema(schemas.TESTDATA_EVENTS_RAW).parquet(
+            stream_dir
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schemas.TESTDATA["events"]).parquet(stream_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def daily_event_counts(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
