@@ -16,12 +16,16 @@ cross join.  Embedding near-dup lives in similarity.py.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
+from itertools import combinations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from covid19i2b2_spark.operators.aggregates import round6
 from covid19i2b2_spark.operators.text import char_shingles, normalize_text, tokens
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_dedup(
@@ -311,11 +315,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def hamming_distance(a: str | Column, b: str | Column) -> Column:
-    """Popcount of XOR via bin() — no UDF."""
+    """Popcount of XOR via the JVM ``bit_count`` intrinsic (Spark 3.5+) —
+    no UDF, no per-pair 64-char binary-string allocation (the old
+    ``length(regexp_replace(bin(x), "0", ""))`` shape)."""
     ac = F.col(a) if isinstance(a, str) else a
     bc = F.col(b) if isinstance(b, str) else b
-    x = ac.bitwiseXOR(bc)
-    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+    return F.bit_count(ac.bitwiseXOR(bc))
 
 
 def simhash_near_dup_pairs(
@@ -323,53 +328,90 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    n_chunks: int = 4,
+    n_chunks: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """SimHash dedup end-to-end: signatures -> chunk-bucket join ->
+    """SimHash dedup end-to-end: signatures -> 2-chunk multi-index join ->
     hamming verify.
 
-    Pigeonhole recall guarantee: two signatures within hamming distance
-    max_hamming differ in at most max_hamming of the n_chunks 16-bit
-    chunks, so with n_chunks > max_hamming they MUST agree on at least
-    one chunk — the (chunk_idx, chunk_value) equi-join finds every such
-    pair without an O(n²) cross join (same candidate-join shape as the
-    MinHash bands; AQE splits skewed chunk buckets)."""
-    assert n_chunks > max_hamming, "pigeonhole needs n_chunks > max_hamming"
-    chunk_bits = 64 // n_chunks
-    mask = (1 << chunk_bits) - 1
+    Multi-index recall guarantee (pigeonhole): split the 64-bit signature
+    into ``c = n_chunks`` near-equal chunks.  Two signatures within
+    hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    chunks, so they AGREE on at least ``c - max_hamming`` chunks; with
+    ``c >= max_hamming + 2`` they agree on >= 2 chunks, hence share at
+    least one of the C(c,2) 2-chunk combination keys.  The equi-join on
+    (key_idx, v1, v2) therefore finds every qualifying pair with NO
+    O(n²) cross join.
+
+    Why 2-chunk keys and not single chunks: a single 16-bit chunk key
+    puts ~N/65536 docs in a bucket and the self-join emits O(bucket²)
+    pairs — quadratic blowup at billion-doc scale.  A 2-chunk key is
+    ~2·64/c bits wide (c=5 -> ~25 bits -> ~N/33M docs per bucket), which
+    keeps bucket pair-counts bounded at 100x the corpus for the cost of
+    C(c,2) index rows per doc instead of c.
+
+    ``bucket_cap``: degenerate corpora (e.g. near-constant boilerplate
+    signatures) can still concentrate docs in one bucket.  When set, any
+    (key_idx, v1, v2) bucket holding more than ``bucket_cap`` index rows
+    is EXCLUDED from the join, and the number of skipped buckets is
+    logged (one small aggregate job over bucket counts) — capped loudly,
+    never silently joined NOR silently truncated.  Pairs in a skipped
+    bucket can still surface via their other C(c,2)-1 keys.
+    """
+    c = n_chunks if n_chunks is not None else max_hamming + 2
+    if c < max_hamming + 2:
+        raise ValueError(
+            f"2-chunk multi-index needs n_chunks >= max_hamming + 2 "
+            f"(got n_chunks={c}, max_hamming={max_hamming})"
+        )
+    base_w, extra = divmod(64, c)
+    widths = [base_w + (1 if i < extra else 0) for i in range(c)]
+    offsets = [sum(widths[:i]) for i in range(c)]
+
+    def _chunk(i: int) -> Column:
+        # literal shifts: shiftrightunsigned needs a literal bit count
+        return F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
     sigs = simhash(df, id_col, text_col).persist()
-    # chunk array built with literal shifts (shiftrightunsigned requires a
-    # literal bit count, so no transform() lambda here)
-    chunk_structs = F.array(
+    key_structs = F.array(
         *[
             F.struct(
-                F.lit(i).alias("chunk_idx"),
-                F.shiftrightunsigned("simhash", i * chunk_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("chunk_val"),
+                F.lit(k).alias("key_idx"),
+                _chunk(i).alias("v1"),
+                _chunk(j).alias("v2"),
             )
-            for i in range(n_chunks)
+            for k, (i, j) in enumerate(combinations(range(c), 2))
         ]
     )
-    chunks = sigs.select(
+    keyed = sigs.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
-        F.explode(chunk_structs).alias("c"),
-    ).select("__id", "simhash", "c.chunk_idx", "c.chunk_val")
-    left = chunks.select(
-        F.col("__id").alias("id_a"),
-        F.col("simhash").alias("__h_a"),
-        "chunk_idx",
-        "chunk_val",
+        F.explode(key_structs).alias("k"),
+    ).select("__id", "simhash", "k.key_idx", "k.v1", "k.v2")
+    join_key = ["key_idx", "v1", "v2"]
+    if bucket_cap is not None:
+        sizes = keyed.groupBy(*join_key).agg(F.count("*").alias("__bsz"))
+        oversized = sizes.filter(F.col("__bsz") > bucket_cap).persist()
+        n_over = oversized.count()
+        if n_over:
+            _LOG.warning(
+                "simhash_near_dup_pairs: skipping %d index buckets larger "
+                "than bucket_cap=%d; affected pairs may still match via "
+                "their other combination keys",
+                n_over,
+                bucket_cap,
+            )
+        keyed = keyed.join(oversized.select(*join_key), join_key, "left_anti")
+    left = keyed.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("__h_a"), *join_key
     )
-    right = chunks.select(
-        F.col("__id").alias("id_b"),
-        F.col("simhash").alias("__h_b"),
-        "chunk_idx",
-        "chunk_val",
+    right = keyed.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("__h_b"), *join_key
     )
     return (
-        left.join(right, ["chunk_idx", "chunk_val"])
+        left.join(right, join_key)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -402,21 +444,21 @@ def line_dedup(
     Python.  Returns (id_col, text_col) with cleaned text; documents
     whose every line was boilerplate come back empty-string.
     """
+    # __lk projected ONCE here: both the doc-frequency aggregate and the
+    # anti-join read the same column, so each line is md5'd a single time
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
-    )
+    ).withColumn("__lk", F.md5("__line"))
     n_docs = df.count()  # scalar for the threshold; one cheap count job
     cutoff = max(min_docs, int(max_doc_frac * n_docs) + 1)
     frequent = (
-        lines.groupBy(F.md5("__line").alias("__lk"))
+        lines.groupBy("__lk")
         .agg(F.count_distinct(id_col).alias("__df"))
         .filter(F.col("__df") >= cutoff)
         .select("__lk")
     )
-    kept = lines.join(
-        frequent, F.md5(lines["__line"]) == frequent["__lk"], "left_anti"
-    )
+    kept = lines.join(frequent, "__lk", "left_anti")
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

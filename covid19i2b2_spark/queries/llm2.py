@@ -112,9 +112,11 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_simhash_pairs", oracle=None)  # xxhash64-based signatures
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: SimHash near-dup pairs end-to-end — 16-bit chunk buckets
-    (pigeonhole: hamming<=3 pairs must share a chunk) + hamming verify.
-    Recall proof on planted edits in tests/test_llm_ops.py."""
+    """X2: SimHash near-dup pairs end-to-end — 2-chunk multi-index buckets
+    (pigeonhole: hamming<=3 pairs agree on >=2 of 5 chunks, so share a
+    ~25-bit combination key) + bit_count hamming verify.
+    Recall proof on planted edits in tests/test_llm_ops.py; bucket-cap
+    bound + bit_count plan pin in tests/test_plan_shape.py."""
     from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")

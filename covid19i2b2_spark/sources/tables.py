@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 import glob
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -27,27 +28,48 @@ def _path(sf_dir: str, name: str) -> str:
 
 
 @functools.lru_cache(maxsize=64)
+def _events_ts_unit_cached(path: str, mtime_ns: int, size: int) -> str:
+    """Footer sniff, cached on (path, mtime, size) so a regenerated file at
+    the same path (e.g. test fixtures rewriting testdata with a different
+    timestamp unit) never serves a stale unit — a wrong cached unit would
+    silently shift every timestamp by 1000x."""
+    try:
+        import pyarrow.parquet as pq  # pyspark does not hard-require pyarrow
+
+        target = path
+        if os.path.isdir(path):
+            # recursive: hive-partitioned datasets keep part files under
+            # partition subdirectories, invisible to a top-level glob
+            parts = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            if parts:
+                target = parts[0]
+        return pq.read_schema(target).field("ts").type.unit
+    except Exception:
+        warnings.warn(
+            f"could not sniff timestamp unit of {path!r}; assuming 'us' "
+            "(legacy NANOS files would be misread — check the footer)",
+            stacklevel=2,
+        )
+        return "us"  # modern default; NANOS files are the legacy special case
+
+
 def events_ts_unit(path: str) -> str:
     """Sniff the parquet footer for the ``ts`` column's timestamp unit
     ('ns' | 'us' | 'ms' | 's').
 
     Different generations of the driver testdata encoded ``ts``
     differently (round 1: TIMESTAMP(NANOS); round 2: TIMESTAMP(MICROS)),
-    and reading NANOS needs a different plan than MICROS — a wrong guess
-    silently shifts every timestamp by 1000x.  One footer read on the
-    driver (directories: first part file) decides; cached per path.
+    and reading NANOS needs a different plan than MICROS.  One footer read
+    on the driver (directories: first part file) decides.
     """
-    import pyarrow.parquet as pq
-
-    target = path
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if parts:
-            target = parts[0]
     try:
-        return pq.read_schema(target).field("ts").type.unit
-    except Exception:
-        return "us"  # modern default; NANOS files are the legacy special case
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (0, 0)
+    return _events_ts_unit_cached(path, *key)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,8 +83,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         path = _path(sf_dir, name)
+        # unconditional: pins spark.sql.session.timeZone=UTC on externally
+        # created sessions so timestamp_ntz casts / time functions match the
+        # UTC-naive DuckDB oracle on non-UTC hosts (cheap + idempotent)
+        ensure_runtime_conf(spark)
         if events_ts_unit(path) == "ns":
-            ensure_runtime_conf(spark)  # nanosAsLong must be set
             raw = spark.read.schema(schemas.TESTDATA_EVENTS_RAW).parquet(path)
             return raw.withColumn(
                 "ts",

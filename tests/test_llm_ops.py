@@ -225,7 +225,7 @@ def test_simhash_near_dup_hamming(spark, docs):
 
 def test_simhash_pairs_find_planted_edits(spark, docs):
     """simhash_near_dup_pairs must surface lightly-edited copies (one
-    appended token keeps hamming small) via the chunk-bucket join."""
+    appended token keeps hamming small) via the 2-chunk multi-index join."""
     from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
 
     base = docs.limit(15).select("doc_id", "text")
@@ -234,13 +234,35 @@ def test_simhash_pairs_find_planted_edits(spark, docs):
         F.concat("text", F.lit(" tail")).alias("text"),
     )
     pairs = simhash_near_dup_pairs(
-        base.unionByName(edited), "doc_id", "text", max_hamming=7, n_chunks=8
+        base.unionByName(edited), "doc_id", "text", max_hamming=7
     ).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     planted = {(r.doc_id, r.doc_id + 10_000) for r in base.collect()}
     hit = len(found & planted) / len(planted)
     assert hit >= 0.8, f"simhash pairs found {len(found & planted)}/{len(planted)}"
     assert all(r.hamming <= 7 for r in pairs)
+
+
+def test_simhash_bucket_cap_bounds_skewed_corpus(spark):
+    """A degenerate corpus (identical text -> identical signatures) puts
+    every doc in the same multi-index buckets; bucket_cap must exclude
+    those buckets (bounding the join's pair output) instead of silently
+    emitting O(n²) pairs — and the chunk-count precondition for the
+    2-chunk pigeonhole must be enforced."""
+    from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
+
+    skewed = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    capped = simhash_near_dup_pairs(
+        skewed, "doc_id", "text", max_hamming=3, bucket_cap=50
+    )
+    assert capped.count() == 0  # every bucket oversized -> skipped, loudly
+    uncapped = simhash_near_dup_pairs(skewed, "doc_id", "text", max_hamming=3)
+    assert uncapped.count() == 200 * 199 // 2  # sanity: cap was the bound
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(skewed, "doc_id", "text", max_hamming=3, n_chunks=4)
 
 
 def test_multimodal_decode_plumbing(spark, docs):

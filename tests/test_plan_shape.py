@@ -82,6 +82,17 @@ def test_cosine_topk_single_evaluation(spark):
     assert plan.count("zip_with") <= 3, plan.count("zip_with")
 
 
+def test_simhash_verify_uses_bit_count_intrinsic(spark):
+    """The hamming verify must popcount via the JVM bit_count intrinsic,
+    not the old bin()/regexp_replace string shape (64-char allocation per
+    candidate pair); and the candidate join stays an equi-join."""
+    df = REGISTRY["q_simhash_pairs"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "bit_count" in plan, plan
+    assert "regexp_replace" not in plan, "string popcount crept back in"
+    assert_no_nested_loop(df)
+
+
 def test_binned_range_join_is_equi(spark):
     """range_join_binned turns interval containment into an equi-join."""
     from pyspark.sql import functions as F
