@@ -125,6 +125,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_semantic_dedup", oracle=None)  # k-means + graph closure: not SQL
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 semantic tier (SemDeDup, arXiv:2303.09540): k-means-cluster the
+    embeddings, drop all but the min-id survivor of any within-cluster
+    group with cosine >= eps.  Catches paraphrase/translation dups that
+    share no n-grams.  Survivor count + planted-dup recall proven in
+    tests/test_llm_ops.py; registered rows-only (iterative k-means +
+    connected components aren't single-statement SQL)."""
+    from covid19i2b2_spark.operators.semdedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", n_centroids=8, eps=0.99, n_iter=2
+    ).select("vec_id", "label").orderBy("vec_id")
+
+
 def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 alternate path: MLlib RegexTokenizer -> NGram(2) -> HashingTF ->
     MinHashLSH approxSimilarityJoin (bigram Jaccard; persistable model).

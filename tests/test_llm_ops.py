@@ -527,3 +527,53 @@ def test_tfidf_top_terms_surfaces_rare_terms(spark):
     top = {r["doc_id"]: r["term"] for r in out}
     assert top[1] == "unicorn"
     assert top[3] == "other"
+
+
+def test_semantic_dedup_drops_planted_near_copies(spark, emb):
+    """SemDeDup: plant near-identical copies (tiny perturbation keeps
+    cosine ~1) of 10 vectors; exactly one of each {original, copy} pair
+    must survive, and untouched vectors must all pass through."""
+    from covid19i2b2_spark.operators.semdedup import semantic_dedup
+
+    base = emb.limit(50).select("vec_id", "embedding")
+    copies = base.limit(10).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.000001)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(copies)
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            corpus, "vec_id", "embedding", n_centroids=4, eps=0.999, n_iter=2
+        ).collect()
+    }
+    planted_ids = {r.vec_id for r in base.limit(10).collect()}
+    for vid in planted_ids:
+        assert (vid in kept) != (vid + 100_000 in kept), (
+            f"pair ({vid}, {vid + 100_000}): expected exactly one survivor"
+        )
+    # min-id survivor rule: the original (smaller id) is the one kept
+    assert all(vid in kept for vid in planted_ids)
+    untouched = {r.vec_id for r in base.collect()} - planted_ids
+    assert untouched <= kept, "non-duplicate vectors must pass through"
+
+
+def test_semantic_dedup_cluster_cap_skips_degenerate_cluster(spark, emb):
+    """cluster_cap excludes oversized clusters from pairing (logged, not
+    silently joined): with every vector identical, all clusters collapse
+    into one point and a small cap must keep the corpus intact."""
+    from covid19i2b2_spark.operators.semdedup import semantic_dedup
+
+    one = emb.limit(1).select("embedding")
+    degenerate = (
+        spark.range(100)
+        .select(F.col("id").alias("vec_id"))
+        .crossJoin(F.broadcast(one))
+    )
+    kept = semantic_dedup(
+        degenerate, "vec_id", "embedding",
+        n_centroids=2, eps=0.99, n_iter=1, cluster_cap=10,
+    )
+    assert kept.count() == 100  # every cluster oversized -> no pairs -> all kept

@@ -118,6 +118,30 @@ UNREGISTERED_ORACLES = {
     GROUP BY 1
     ORDER BY code_3chars
     """,
+    # q_profile: deregistered round 3 (slot given to q_semantic_dedup).
+    "q_profile": """
+    WITH p AS (
+        SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               COUNT(DISTINCT o_custkey) AS n_distinct,
+               MIN(CAST(o_custkey AS VARCHAR)) AS min_value,
+               MAX(CAST(o_custkey AS VARCHAR)) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(CAST(o_orderstatus AS VARCHAR)),
+               MAX(CAST(o_orderstatus AS VARCHAR))
+        FROM orders
+    )
+    SELECT column_name, n_rows, n_null, n_distinct, min_value, max_value,
+           FLOOR((CAST(n_null AS DOUBLE) / n_rows) * 1000000 + 0.5) / 1000000
+               AS null_rate
+    FROM p
+    ORDER BY column_name
+    """,
     # tfidf_top_terms: distributed TF-IDF (vocabulary unknown at plan
     # time) — never registered; parity here only.
     "q_tfidf_top_terms": """
@@ -169,6 +193,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_events_daily": core.q_events_daily,
         "q_topk": filters.q_topk,
         "q_icd_truncate": scalar.q_icd_truncate,
+        "q_profile": reshape.q_profile,
         "q_tfidf_top_terms": _tfidf,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
