@@ -1,0 +1,132 @@
+"""End-to-end training-data curation pipeline (SURVEY §2.11 north star).
+
+The composition users actually run — one lazy DataFrame chain over the
+raw corpus, proving the LLM-pipeline operators compose rather than run in
+isolation:
+
+    line_dedup         strip corpus-frequent boilerplate lines
+      -> exact_dedup   collapse byte-identical documents (content hash)
+      -> MinHash+LSH   near-dup pair graph
+      -> components    transitive closure, min-id survivor per group
+      -> contamination drop docs overlapping the eval/benchmark set
+      -> hash_sample   deterministic corpus fraction (nested subsets)
+      -> pack_sequences shard + chunk assignment for the trainer
+
+Scale shape: every stage is the already-audited operator — the chain adds
+NO new shuffles beyond each stage's own (line_dedup 2, exact_dedup 1,
+minhash bucketed joins, contamination 1 broadcast join + 1 groupBy,
+sample 0 (map-only), packing 1 bounded window).  Stage boundaries are
+plain DataFrames, so Catalyst fuses adjacent narrow stages (filters and
+projections between shuffles collapse into one codegen span) and AQE
+re-plans each exchange at runtime.  Nothing here collects the corpus;
+the only driver-side scalars are line_dedup's documented threshold count
+and the component-loop convergence checks (edge-bounded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from covid19i2b2_spark.operators.dedup import (
+    exact_dedup,
+    line_dedup,
+    minhash_dedup_pairs,
+)
+from covid19i2b2_spark.operators.dedup_clusters import dedup_decision
+from covid19i2b2_spark.operators.contamination import contamination_report
+from covid19i2b2_spark.operators.sampling import hash_sample, pack_sequences
+from covid19i2b2_spark.operators.text import fingerprint, token_count
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    boilerplate_max_doc_frac: float = 0.1
+    # floor for "appears in >= this many docs" — keeps a line shared by a
+    # handful of exact-dup docs from reading as corpus boilerplate on
+    # small corpora (exact_dedup downstream owns whole-doc dups)
+    boilerplate_min_docs: int = 2
+    minhash_threshold: float = 0.7
+    minhash_hashes: int = 32
+    minhash_bands: int = 8
+    shingle_k: int = 5
+    contamination_n: int = 3
+    contamination_threshold: float = 0.2
+    sample_fraction: float = 1.0
+    target_tokens: int = 2048
+    n_shards: int = 64
+    seed: int = 42
+
+
+def curate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CurationConfig = CurationConfig(),
+) -> DataFrame:
+    """Raw (id, text) corpus + eval/benchmark texts -> packed training
+    set: (id, text, n_tokens, shard, chunk_id).
+
+    Deterministic end to end (xxhash-derived survivors, samples, and
+    shards — no RNG), so retries and re-runs produce byte-identical
+    output, and the sample at a smaller fraction is a subset of the
+    sample at a larger one."""
+    # 1. boilerplate lines out; docs reduced to nothing drop here
+    cleaned = line_dedup(
+        corpus.select(id_col, text_col),
+        id_col,
+        text_col,
+        max_doc_frac=config.boilerplate_max_doc_frac,
+        min_docs=config.boilerplate_min_docs,
+    ).filter(F.trim(F.col(text_col)) != "")
+    # 2. byte-identical dedup on the content fingerprint, min-id survivor
+    uniq = exact_dedup(
+        cleaned.withColumn("__fp", fingerprint(text_col)),
+        keys=["__fp"],
+        tiebreak=[id_col],
+    ).drop("__fp")
+    # 3-4. near-dup pair graph -> transitive closure -> min-id survivor
+    pairs = minhash_dedup_pairs(
+        uniq,
+        id_col,
+        text_col,
+        n_hashes=config.minhash_hashes,
+        n_bands=config.minhash_bands,
+        shingle_k=config.shingle_k,
+        threshold=config.minhash_threshold,
+        seed=config.seed,
+    )
+    decision = dedup_decision(uniq.select(id_col), pairs, id_col)
+    survivors = uniq.join(
+        decision.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    # 5. decontamination against the (small-by-invariant) eval set
+    report = contamination_report(
+        survivors,
+        eval_df,
+        id_col,
+        text_col,
+        n=config.contamination_n,
+        threshold=config.contamination_threshold,
+    )
+    clean = survivors.join(
+        report.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
+    )
+    # 6. deterministic sample (nested across fractions)
+    sampled = (
+        hash_sample(clean, id_col, config.sample_fraction, seed=config.seed)
+        if config.sample_fraction < 1.0
+        else clean
+    )
+    # 7. shard + chunk assignment for the trainer
+    counted = sampled.withColumn("n_tokens", token_count(text_col))
+    return pack_sequences(
+        counted,
+        id_col,
+        "n_tokens",
+        target_tokens=config.target_tokens,
+        n_shards=config.n_shards,
+        seed=config.seed,
+    ).select(id_col, text_col, "n_tokens", "shard", "chunk_id")

@@ -1,0 +1,100 @@
+"""End-to-end curation pipeline (pipelines/curation.py): golden-output
+test over a corpus with planted boilerplate, exact dups, near dups, and
+a contaminated document — proving the operators COMPOSE, not just run in
+isolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.pipelines.curation import CurationConfig, curate
+
+BANNER = "COOKIE NOTICE accept all cookies to continue"
+
+BODIES = {
+    1: "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+    2: "splendid isolation of the mountain cabin makes winter evenings feel long and calm",
+    3: "market prices for heirloom tomatoes rose sharply after the unexpected june frost",
+    4: "the committee approved the new library budget despite three dissenting votes cast",
+    5: "astronomers observed a faint comet passing between the orbits of mars and jupiter",
+}
+
+EVAL_SENTENCE = (
+    "what is the capital of france the capital of france is paris of course"
+)
+
+
+def _corpus(spark):
+    rows = [(i, f"{BANNER}\n{b}") for i, b in BODIES.items()]
+    # 101: exact copy of doc 1 (identical after banner removal)
+    rows.append((101, f"{BANNER}\n{BODIES[1]}"))
+    # 102: near dup of doc 2 (one appended word -> high shingle jaccard)
+    rows.append((102, f"{BANNER}\n{BODIES[2]} indeed"))
+    # 103: contaminated — body IS the eval sentence plus a few words
+    rows.append((103, f"{BANNER}\n{EVAL_SENTENCE} and some padding words"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _eval_df(spark):
+    return spark.createDataFrame([(EVAL_SENTENCE,)], "text string")
+
+
+def test_curation_golden_survivors(spark):
+    out = curate(
+        _corpus(spark),
+        _eval_df(spark),
+        config=CurationConfig(
+            boilerplate_max_doc_frac=0.1,
+            # 8-doc corpus: the banner is in all 8; the exact-dup pair
+            # shares its body line in only 2 — min_docs=3 separates them
+            boilerplate_min_docs=3,
+            minhash_threshold=0.6,
+            contamination_threshold=0.2,
+        ),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # exact dup 101 collapsed into 1; near dup 102 collapsed into 2;
+    # contaminated 103 dropped; originals survive
+    assert set(rows) == {1, 2, 3, 4, 5}, sorted(rows)
+    # boilerplate line stripped from every surviving text
+    assert all(BANNER not in r.text for r in rows.values())
+    # bodies intact after line reassembly
+    for i, body in BODIES.items():
+        assert rows[i].text == body
+    # packing columns present and well-formed
+    assert all(r.n_tokens > 0 and r.chunk_id is not None for r in rows.values())
+
+
+def test_curation_is_deterministic(spark):
+    """Retry-safety contract: two runs produce byte-identical output,
+    including shard/chunk assignment (hash-derived, no RNG)."""
+    cfg = CurationConfig(minhash_threshold=0.6)
+    a = sorted(
+        curate(_corpus(spark), _eval_df(spark), config=cfg).collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        curate(_corpus(spark), _eval_df(spark), config=cfg).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert a == b
+
+
+def test_curation_sample_is_nested(spark):
+    """hash_sample inside the pipeline keeps the nested-subset property:
+    the 0.4-fraction output ids are a subset of the 0.8-fraction ids."""
+    corpus = _corpus(spark)
+    ev = _eval_df(spark)
+    small = {
+        r.doc_id
+        for r in curate(
+            corpus, ev, config=CurationConfig(minhash_threshold=0.6, sample_fraction=0.4)
+        ).collect()
+    }
+    big = {
+        r.doc_id
+        for r in curate(
+            corpus, ev, config=CurationConfig(minhash_threshold=0.6, sample_fraction=0.8)
+        ).collect()
+    }
+    assert small <= big

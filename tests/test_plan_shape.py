@@ -93,6 +93,20 @@ def test_simhash_verify_uses_bit_count_intrinsic(spark):
     assert_no_nested_loop(df)
 
 
+def test_curation_pipeline_has_no_cartesian(spark):
+    """Composing line_dedup -> exact_dedup -> minhash -> components ->
+    decontamination -> packing must not introduce a nested-loop/cartesian
+    join anywhere: every candidate join is an equi-join, the eval-gram
+    join is broadcast."""
+    from covid19i2b2_spark.pipelines.curation import CurationConfig, curate
+    from covid19i2b2_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ev = docs.orderBy("doc_id").limit(5).select("text")
+    out = curate(docs, ev, config=CurationConfig(minhash_threshold=0.7))
+    assert_no_nested_loop(out)
+
+
 def test_binned_range_join_is_equi(spark):
     """range_join_binned turns interval containment into an equi-join."""
     from pyspark.sql import functions as F
