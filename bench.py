@@ -23,15 +23,47 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from covid19i2b2_spark.registry import REGISTRY, all_queries  # noqa: E402
 from covid19i2b2_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# Scaled section (VERDICT r2 #8): per-query fixed overhead (~0.3-0.5 s)
+# dominates at sf0.1, so round-over-round deltas there measure scheduling,
+# not plans.  The scaled run replicates the sf tables SCALE_X times (key
+# columns offset per replica so join/group semantics are preserved) and
+# times the heaviest SCAN/JOIN/AGG queries once each at ~10x the rows.
+# Near-dup pair queries are deliberately EXCLUDED: row replication plants
+# exact-dup families, which changes their workload (pair output grows
+# quadratically in family size) rather than scaling it — the incremental
+# dedup entry below covers the dedup path instead.  Set
+# SPARK_GRAFT_BENCH_SCALE=0 to skip.
+SCALE_X = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "10"))
+SCALED_QUERIES = [
+    "q_agg_basic",
+    "q_join_inner",
+    "q_text_analysis",
+    "q_cosine_topk",
+    "q_sessionize",
+]
+_KEY_OFFSET = 10_000_000_000
+# table -> key columns offset per replica (other columns replicate as-is;
+# tables not listed are copied unscaled — small dims / unused by the set)
+_SCALE_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
 
 # Headline set: the covid artifacts (the product), the heavy relational
 # operators, and the LLM-data extensions.  Everything else in the registry
@@ -84,6 +116,64 @@ def _fn(name: str):
     return {"q_events_daily": q_events_daily}[name]
 
 
+def _scaled_dir(spark) -> str:
+    """Build (once, cached in /tmp) the SCALE_X-replicated copy of SF_DIR.
+    Key columns shift by replica*_KEY_OFFSET so within-replica join and
+    group relationships are preserved; everything else replicates as-is."""
+    from covid19i2b2_spark.sources.tables import read_table
+    from covid19i2b2_spark.schemas import TABLE_NAMES
+
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scaled_{os.path.basename(SF_DIR.rstrip('/'))}_x{SCALE_X}",
+    )
+    marker = os.path.join(dst, "_SCALED_READY")
+    if os.path.exists(marker):
+        return dst
+    for name in TABLE_NAMES:
+        df = read_table(spark, SF_DIR, name)
+        keys = _SCALE_KEYS.get(name)
+        if keys:
+            df = df.withColumn(
+                "__r", F.explode(F.sequence(F.lit(0), F.lit(SCALE_X - 1)))
+            )
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.col("__r") * F.lit(_KEY_OFFSET))
+            df = df.drop("__r")
+        df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def _bench_incremental_dedup(spark) -> dict[str, float]:
+    """VERDICT r2 #6: the incremental cross-snapshot dedup at bench scale —
+    build the fingerprint+band index from the even-doc_id half of the
+    corpus, then time filtering the odd half against it and folding the
+    survivors in (the steady-state production step)."""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+    from covid19i2b2_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    first = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    second = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    with tempfile.TemporaryDirectory(prefix="spark_graft_dedup_idx_") as root:
+        idx = DedupIndex(os.path.join(root, "idx"))
+        t0 = time.perf_counter()
+        idx.build(first, "doc_id", "text")
+        build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        survivors, dropped = idx.filter_batch(spark, second, "doc_id", "text")
+        survivors.write.format("noop").mode("overwrite").save()
+        dropped.write.format("noop").mode("overwrite").save()
+        idx.append(survivors, "doc_id", "text")
+        step_sec = time.perf_counter() - t0
+    return {
+        "build_index_sec": round(build_sec, 3),
+        "filter_append_sec": round(step_sec, 3),
+    }
+
+
 def main() -> None:
     all_queries()
     spark = get_spark(app_name="covid19i2b2-bench")
@@ -103,17 +193,30 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+    result["incremental_dedup"] = _bench_incremental_dedup(spark)
+
+    if SCALE_X > 1:
+        sdir = _scaled_dir(spark)
+        scaled: dict[str, float] = {}
+        for name in SCALED_QUERIES:
+            t0 = time.perf_counter()
+            _fn(name)(spark, sdir).write.format("noop").mode("overwrite").save()
+            scaled[name] = round(time.perf_counter() - t0, 3)
+        result["scaled"] = {
+            "factor": SCALE_X,
+            "value": round(sum(scaled.values()), 3),
+            "queries": scaled,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
