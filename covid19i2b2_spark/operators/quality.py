@@ -1,0 +1,173 @@
+"""Document-quality rule filtering and vocabulary building (SURVEY §2.11
+north-star extension — the pre-tokenization passes of a training-data
+pipeline).
+
+``gopher_signals`` implements the published Gopher corpus-filtering rules
+(Rae et al. 2021, "Scaling Language Models: ... Gopher", appendix A1.1):
+word-count band, mean-word-length band, symbol-to-word ratio, bullet- and
+ellipsis-line fractions, alphabetic-word fraction, and a must-have
+stopword count.  ``build_vocab`` is the distributed top-N token
+vocabulary (the input to tokenizer training).
+
+Scale shape: the signals are pure JVM column expressions over one
+projected token/line array each — a map-only pass, no shuffle, no UDF.
+The vocab builder is one explode + one map-side-combined groupBy over the
+token key space + a top-N — the minimal plan for an exact global count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from covid19i2b2_spark.operators.aggregates import round6
+from covid19i2b2_spark.operators.text import _c, tokens
+
+# Gopher A1.1 must-have stopwords: a doc passing quality has at least
+# MIN_STOP_HITS distinct of these (weeds out non-prose token streams).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+MIN_STOP_HITS = 2
+
+_BULLETS = ("- ", "* ", "• ")
+
+
+def gopher_signals(col: str | Column) -> Column:
+    """Struct of the Gopher rule signals for one document:
+
+    (n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+     bullet_line_frac, ellipsis_line_frac, stop_hits)
+
+    All ratios round6'd so both engines agree bit-for-bit."""
+    c = _c(col)
+    toks = tokens(c)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        round6(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / nd
+        )
+    )
+    # '#' occurrences + '...' occurrences, per word
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        round6((n_hash + n_ellipsis).cast("double") / nd)
+    )
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        round6(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+            / nd
+        )
+    )
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    bullet = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        round6(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: F.lit(False)
+                    | F.trim(ln).startswith(_BULLETS[0])
+                    | F.trim(ln).startswith(_BULLETS[1])
+                    | F.trim(ln).startswith(_BULLETS[2]),
+                )
+            ).cast("double")
+            / n_lines.cast("double")
+        )
+    )
+    ellipsis_line = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        round6(
+            F.size(
+                F.filter(lines, lambda ln: F.trim(ln).endswith("..."))
+            ).cast("double")
+            / n_lines.cast("double")
+        )
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        bullet.alias("bullet_line_frac"),
+        ellipsis_line.alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> DataFrame:
+    """Per-document Gopher rule report: the signals flattened to atomic
+    columns plus ``passes`` (all rules hold).  Callers filter on
+    ``passes``; keeping the full report makes rejection auditable (which
+    rule fired), the operational requirement for corpus curation."""
+    sig = gopher_signals(text_col)
+    out = df.select(F.col(id_col), sig.alias("__s")).select(
+        id_col,
+        "__s.n_words",
+        "__s.mean_word_len",
+        "__s.symbol_ratio",
+        "__s.alpha_word_frac",
+        "__s.bullet_line_frac",
+        "__s.ellipsis_line_frac",
+        "__s.stop_hits",
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("alpha_word_frac") > min_alpha_word_frac)
+        & (F.col("bullet_line_frac") < max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") < max_ellipsis_line_frac)
+        & (F.col("stop_hits") >= MIN_STOP_HITS)
+    )
+    return out.withColumn("passes", passes)
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, top_n: int = 1000, lowercase: bool = True
+) -> DataFrame:
+    """Exact top-N token vocabulary with global counts and a deterministic
+    rank (count desc, token asc) — the tokenizer-training input.
+
+    Plan: one explode, one groupBy(token) with map-side partial counts
+    (key space = vocabulary, not corpus), then a top-N via
+    TakeOrderedAndProject — no global sort of the full vocabulary.  At
+    100 TB the only shuffle is token-keyed counts; AQE splits skewed
+    head words."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(top_n)
+    # rank over the already-limited top-N: single tiny partition by design
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return top.select(
+        "token", "n", F.row_number().over(w).cast("long").alias("rank")
+    )

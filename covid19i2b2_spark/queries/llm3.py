@@ -147,3 +147,28 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(
         docs, "doc_id", "text", _BM25_TERMS, k1=_K1, b=_B, k=_TOPK
     )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality tier: per-document Gopher rule report (Rae et al. 2021
+    A1.1) — signals + passes flag for every doc, fully auditable.
+
+    Not registered as a t2 query (driver 50-query window): the signal
+    shapes (size/filter/aggregate over one projected token array) are
+    hash-verified through q_text_analysis; this query's own DuckDB parity
+    is asserted in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.quality import gopher_filter
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_filter(docs, "doc_id", "text", min_words=10).orderBy("doc_id")
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 vocabulary builder: exact top-100 token vocab with global counts
+    and deterministic rank (count desc, token asc) — tokenizer-training
+    input.  Unregistered (50-slot window); DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.quality import build_vocab
+
+    docs = read_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", top_n=100).orderBy("rank")

@@ -577,3 +577,48 @@ def test_semantic_dedup_cluster_cap_skips_degenerate_cluster(spark, emb):
         n_centroids=2, eps=0.99, n_iter=1, cluster_cap=10,
     )
     assert kept.count() == 100  # every cluster oversized -> no pairs -> all kept
+
+
+def test_gopher_filter_planted_rule_violations(spark):
+    """Each Gopher rule fires on a doc crafted to violate exactly it."""
+    from covid19i2b2_spark.operators.quality import gopher_filter
+
+    good_body = (
+        "the weather service announced that heavy rain will move over "
+        "the coastal region and residents should prepare to secure loose "
+        "objects before the storm arrives with strong winds tonight"
+    )
+    rows = [
+        (1, good_body),                               # passes
+        (2, "too short to have enough words"),        # n_words < 10... actually 6 < 10
+        (3, "## " * 40 + good_body),                  # symbol ratio (hashes)
+        (4, "\n".join("- bullet item here" for _ in range(20))),  # bullets
+        (5, "\n".join(f"line {i} trails off..." for i in range(20))),  # ellipsis
+        (6, " ".join("12345" for _ in range(60))),    # no alphabetic words
+    ]
+    rep = {
+        r.doc_id: r
+        for r in gopher_filter(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            min_words=10,
+        ).collect()
+    }
+    assert rep[1].passes
+    assert not rep[2].passes and rep[2].n_words < 10
+    assert not rep[3].passes and rep[3].symbol_ratio >= 0.1
+    assert not rep[4].passes and rep[4].bullet_line_frac >= 0.9
+    assert not rep[5].passes and rep[5].ellipsis_line_frac >= 0.3
+    assert not rep[6].passes and rep[6].alpha_word_frac <= 0.8
+
+
+def test_build_vocab_counts_and_rank(spark):
+    """Exact global counts, deterministic count-desc/token-asc rank."""
+    from covid19i2b2_spark.operators.quality import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a C c")], "doc_id long, text string"
+    )
+    got = [(r.token, r.n, r.rank) for r in build_vocab(df, "text", top_n=3).orderBy("rank").collect()]
+    assert got == [("a", 3, 1), ("b", 2, 2), ("c", 2, 3)]

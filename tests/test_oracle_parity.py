@@ -118,6 +118,77 @@ UNREGISTERED_ORACLES = {
     GROUP BY 1
     ORDER BY code_3chars
     """,
+    # gopher_filter / build_vocab: never registered (50-slot window);
+    # full-signal parity here.  round6 = FLOOR(x*1e6 + 0.5)/1e6 on both
+    # engines; token split mirrors tokens() (trim first, [] for blank).
+    "q_gopher_quality": """
+    WITH toked AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+               list_filter(string_split(text, chr(10)),
+                           ln -> trim(ln) <> '') AS lines
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE FLOOR((CAST(list_sum(list_transform(toks,
+                             t -> length(t))) AS DOUBLE) / len(toks))
+                         * 1000000 + 0.5) / 1000000 END AS mean_word_len,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE FLOOR(((length(text) - length(replace(text, '#', ''))
+                          + CAST(length(text) - length(replace(text, '...', ''))
+                                 AS DOUBLE) / 3)
+                         / len(toks)) * 1000000 + 0.5) / 1000000
+               END AS symbol_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE FLOOR((CAST(list_sum(list_transform(toks,
+                             t -> CASE WHEN regexp_matches(t, '[A-Za-z]')
+                                       THEN 1 ELSE 0 END)) AS DOUBLE)
+                         / len(toks)) * 1000000 + 0.5) / 1000000
+               END AS alpha_word_frac,
+               CASE WHEN len(lines) = 0 THEN 0.0
+                    ELSE FLOOR((CAST(len(list_filter(lines,
+                             ln -> starts_with(trim(ln), '- ')
+                                OR starts_with(trim(ln), '* ')
+                                OR starts_with(trim(ln), '• '))) AS DOUBLE)
+                         / len(lines)) * 1000000 + 0.5) / 1000000
+               END AS bullet_line_frac,
+               CASE WHEN len(lines) = 0 THEN 0.0
+                    ELSE FLOOR((CAST(len(list_filter(lines,
+                             ln -> ends_with(trim(ln), '...'))) AS DOUBLE)
+                         / len(lines)) * 1000000 + 0.5) / 1000000
+               END AS ellipsis_line_frac,
+               CAST(len(list_intersect(list_transform(toks, t -> lower(t)),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT) AS stop_hits
+        FROM toked
+    )
+    SELECT *,
+           (n_words BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio < 0.1
+            AND alpha_word_frac > 0.8
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND stop_hits >= 2) AS passes
+    FROM sig
+    ORDER BY doc_id
+    """,
+    "q_vocab": """
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 100)
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+    FROM top
+    ORDER BY rank
+    """,
     # q_profile: deregistered round 3 (slot given to q_semantic_dedup).
     "q_profile": """
     WITH p AS (
@@ -176,7 +247,15 @@ UNREGISTERED_ORACLES = {
 
 @pytest.mark.parametrize("name", sorted(UNREGISTERED_ORACLES))
 def test_unregistered_query_matches_oracle(name, spark, duck):
-    from covid19i2b2_spark.queries import core, filters, joins, reshape, scalar, windows
+    from covid19i2b2_spark.queries import (
+        core,
+        filters,
+        joins,
+        llm3,
+        reshape,
+        scalar,
+        windows,
+    )
 
     def _tfidf(spark, sf_dir):
         from covid19i2b2_spark.operators.ranking import tfidf_top_terms
@@ -195,6 +274,8 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_icd_truncate": scalar.q_icd_truncate,
         "q_profile": reshape.q_profile,
         "q_tfidf_top_terms": _tfidf,
+        "q_gopher_quality": llm3.q_gopher_quality,
+        "q_vocab": llm3.q_vocab,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
