@@ -144,6 +144,34 @@ def gopher_filter(
     return out.withColumn("passes", passes)
 
 
+def domain_of(col: str | Column) -> Column:
+    """Registered-host extraction from a URL-or-hostname column: strips
+    scheme, path/query, port, and a leading ``www.`` — the grouping key
+    for per-domain corpus stats and blocklist joins.  Pure regexp,
+    map-only."""
+    c = _c(col)
+    host = F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/:?#]+)", 1)
+    return F.lower(F.regexp_replace(host, r"^www\.", ""))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    value_col: str | Column,
+    blocked: DataFrame,
+    blocked_col: str = "value",
+) -> DataFrame:
+    """Drop rows whose ``value_col`` (e.g. the extracted domain) appears
+    in the blocklist.  LEFT ANTI equi-join; blocklists are small by
+    invariant (curated lists, not corpora) so the explicit broadcast is
+    size-safe — the corpus side never shuffles."""
+    v = _c(value_col)
+    return df.join(
+        F.broadcast(blocked.select(F.col(blocked_col).alias("__blocked"))),
+        v == F.col("__blocked"),
+        "left_anti",
+    )
+
+
 def build_vocab(
     df: DataFrame, text_col: str, top_n: int = 1000, lowercase: bool = True
 ) -> DataFrame:

@@ -28,6 +28,38 @@ def hash_sample(
     return df.filter(bucket < int(fraction * _BUCKETS))
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: adds a ``split``
+    column assigning each row to exactly one named fraction by key hash
+    (fractions must sum to <= 1.0; any remainder is labeled NULL so
+    over-allocation is impossible silently).  Membership depends only on
+    (key, seed): re-runs, retries, and incremental appends route the
+    same key to the same split — no leakage between train and eval
+    across corpus versions.  Map-only, no shuffle."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1.0")
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+    expr: Column = F.lit(None).cast("string")
+    lo = 0
+    # reversed build: CASE chain evaluates in insertion order below
+    cuts = []
+    for name, frac in sorted(fractions.items()):
+        hi = lo + int(frac * _BUCKETS)
+        cuts.append((name, lo, hi))
+        lo = hi
+    for name, lo_b, hi_b in reversed(cuts):
+        expr = F.when((bucket >= lo_b) & (bucket < hi_b), F.lit(name)).otherwise(
+            expr
+        )
+    return df.withColumn("split", expr)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -622,3 +622,47 @@ def test_build_vocab_counts_and_rank(spark):
     )
     got = [(r.token, r.n, r.rank) for r in build_vocab(df, "text", top_n=3).orderBy("rank").collect()]
     assert got == [("a", 3, 1), ("b", 2, 2), ("c", 2, 3)]
+
+
+def test_hash_split_disjoint_deterministic(spark, docs):
+    """hash_split: every row lands in exactly one split, proportions are
+    approximately honored, assignment survives re-runs, and over-
+    allocation raises."""
+    from covid19i2b2_spark.operators.sampling import hash_split
+
+    base = docs.select("doc_id")
+    out = hash_split(base, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = base.count()
+    assert set(counts) == {"train", "val", "test"}  # no NULL remainder at sum=1.0
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    again = hash_split(base, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    with pytest.raises(ValueError):
+        hash_split(base, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_domain_blocklist_filter(spark):
+    """domain_of normalizes URLs/hosts; blocklist anti-join drops exactly
+    the blocked domains without touching others."""
+    from covid19i2b2_spark.operators.quality import blocklist_filter, domain_of
+
+    rows = [
+        (1, "https://www.spam.example/path?q=1"),
+        (2, "spam.example"),
+        (3, "http://good.example:8080/x"),
+        (4, "https://sub.spam.example/"),  # subdomain: NOT exact-blocked
+    ]
+    df = spark.createDataFrame(rows, "id long, url string").withColumn(
+        "domain", domain_of("url")
+    )
+    got = {r.id: r.domain for r in df.collect()}
+    assert got == {
+        1: "spam.example",
+        2: "spam.example",
+        3: "good.example",
+        4: "sub.spam.example",
+    }
+    blocked = spark.createDataFrame([("spam.example",)], "value string")
+    kept = {r.id for r in blocklist_filter(df, "domain", blocked).collect()}
+    assert kept == {3, 4}
