@@ -1,0 +1,107 @@
+"""Streaming corpus ingestion + curation (SURVEY §2.10/§2.11 north star).
+
+The batch curation pipeline (pipelines/curation.py) assumes the corpus is
+at rest; a crawl is not — documents land continuously.  This module runs
+the per-document (stateless or stream-static) curation stages directly on
+the stream, so quality filtering, blocklisting, PII redaction, exact-dup
+rejection against the persisted index, and train/val/test routing all
+happen AT INGEST, and only surviving documents ever hit the lake:
+
+- quality rules / redaction / split tagging are map-only column
+  expressions — trivially streaming-safe, no state, append mode;
+- exact dedup against everything already ingested is a STREAM-STATIC
+  left-anti join with the DedupIndex fingerprint table: the static side
+  is re-read per micro-batch (picking up index appends between batches),
+  the stream side never buffers state;
+- near-dup (MinHash) needs cross-document state and stays in the
+  micro-batch/batch layer (dedup_incremental.filter_batch via
+  foreachBatch) — the split mirrors production systems: cheap hygiene
+  inline, quadratic-candidate work batched.
+
+Parity: stream output ≡ the same operators applied in batch, pinned in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark import schemas
+from covid19i2b2_spark.operators.quality import blocklist_filter, gopher_signals
+from covid19i2b2_spark.operators.sampling import hash_split
+from covid19i2b2_spark.operators.text import fingerprint, redact_pii
+from covid19i2b2_spark.session import ensure_runtime_conf
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents parquet (stand-in for the crawl
+    landing topic); same symlink-dir shape as daily_counts.stream_events."""
+    ensure_runtime_conf(spark)
+    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    digest = hashlib.md5(src.encode()).hexdigest()[:16]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"covid19i2b2_docs_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(schemas.TESTDATA["documents"]).parquet(
+        stream_dir
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    known_fingerprints: DataFrame | None = None,
+    blocked_sources: DataFrame | None = None,
+    source_col: str = "source",
+    min_words: int = 10,
+    min_stop_hits: int = 2,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Ingest-time curation over a document stream (works identically on
+    a batch DataFrame — one code path, two execution modes):
+
+    1. blocklist the source/domain (broadcast anti-join);
+    2. reject exact dups vs ``known_fingerprints`` (stream-static
+       left-anti on the md5 content fingerprint);
+    3. Gopher quality rules — only ``passes`` docs continue;
+    4. PII redaction on the surviving text;
+    5. deterministic split tag (hash_split) for downstream routing.
+
+    Returns (id, text[redacted], n_words, split) in append mode — no
+    watermark needed, nothing stateful on the stream side."""
+    out = docs
+    if blocked_sources is not None:
+        out = blocklist_filter(out, F.col(source_col), blocked_sources)
+    out = out.withColumn("__fp", fingerprint(text_col))
+    if known_fingerprints is not None:
+        out = out.join(
+            known_fingerprints.select(F.col("fingerprint").alias("__known")),
+            out["__fp"] == F.col("__known"),
+            "left_anti",
+        )
+    sig = gopher_signals(text_col)
+    out = (
+        out.withColumn("__sig", sig)
+        .filter(
+            (F.col("__sig.n_words") >= min_words)
+            & (F.col("__sig.stop_hits") >= min_stop_hits)
+            & (F.col("__sig.alpha_word_frac") > min_alpha_word_frac)
+            & (F.col("__sig.symbol_ratio") < max_symbol_ratio)
+        )
+        .select(
+            id_col,
+            redact_pii(text_col).alias(text_col),
+            F.col("__sig.n_words").alias("n_words"),
+        )
+    )
+    return hash_split(out, id_col, splits or {"train": 0.9, "val": 0.1}, seed)

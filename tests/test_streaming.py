@@ -142,3 +142,45 @@ def test_streaming_cohort_matches_batch(spark):
     batch_cohort = sorted(map(tuple, pipe.cohort().collect()))
     assert stream_cohort == batch_cohort
     assert len(batch_cohort) > 0
+
+
+def test_streaming_curation_matches_batch(spark):
+    """curate_stream over the file stream ≡ the same operator chain on
+    the batch read — one code path, two execution modes.  Exercises the
+    stream-static anti-join (fingerprint index), the broadcast blocklist,
+    the map-only quality/redaction stages, and split routing."""
+    from covid19i2b2_spark.operators.text import fingerprint
+    from covid19i2b2_spark.streaming.curation import (
+        curate_stream,
+        stream_documents,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    # "already ingested": every even doc's content fingerprint
+    known = (
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        .select(fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    # synthetic corpus draws from a ~40-word vocab containing only one
+    # Gopher must-have stopword -> relax the prose thresholds
+    blocked = spark.createDataFrame([("src0",), ("src7",)], "value string")
+    kwargs = dict(
+        known_fingerprints=known,
+        blocked_sources=blocked,
+        min_stop_hits=1,
+    )
+
+    got = run_available_now(
+        curate_stream(stream_documents(spark, SF_DIR), **kwargs), "t_curate"
+    ).collect()
+    want = curate_stream(docs, **kwargs).collect()
+    assert len(want) > 0
+    assert sorted((r.doc_id, r.text, r.n_words, r.split) for r in got) == sorted(
+        (r.doc_id, r.text, r.n_words, r.split) for r in want
+    )
+    # blocked sources and known fingerprints really were rejected
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    got_ids = {r.doc_id for r in got}
+    assert all(src[i] not in ("src0", "src7") for i in got_ids)
+    assert all(i % 2 == 1 for i in got_ids)
