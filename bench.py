@@ -125,7 +125,7 @@ def _scaled_dir(spark) -> str:
 
     dst = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_scaled_{os.path.basename(SF_DIR.rstrip('/'))}_x{SCALE_X}",
+        f"spark_graft_scaled_{os.path.basename(SF_DIR.rstrip('/'))}_x{SCALE_X}v2",
     )
     marker = os.path.join(dst, "_SCALED_READY")
     if os.path.exists(marker):
@@ -139,7 +139,13 @@ def _scaled_dir(spark) -> str:
             )
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.col("__r") * F.lit(_KEY_OFFSET))
-            df = df.drop("__r")
+            # repartition the replicated table: (a) the source files are
+            # below maxPartitionBytes, so without this the scaled dir is
+            # ONE file and every scaled query runs single-partition;
+            # (b) it scatters the replicas, so identical adjacent text
+            # rows don't snappy-compress into an unrealistically tiny
+            # (and page-local) layout
+            df = df.drop("__r").repartition(32)
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
     with open(marker, "w") as f:
         f.write("ok")

@@ -49,8 +49,12 @@ def token_count(col: str | Column) -> Column:
 
 
 def bpe_token_count(col: str | Column) -> Column:
-    """Sub-word-ish token count via the BPE-style pre-tokenizer regex."""
-    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0))
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex.
+    regexp_count, NOT size(regexp_extract_all(...)): counting directly
+    skips materializing the match array per document (measured 1.8x on
+    the 10x-scaled bench corpus; identical values — both count
+    non-overlapping matches)."""
+    return F.regexp_count(_c(col), F.lit(BPE_PATTERN))
 
 
 def fingerprint(col: str | Column) -> Column:
