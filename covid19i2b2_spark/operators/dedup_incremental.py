@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from covid19i2b2_spark.operators.dedup import (
     exact_dedup,
-    lsh_candidate_pairs,
     minhash_signatures,
 )
 from covid19i2b2_spark.operators.text import fingerprint
@@ -194,27 +193,26 @@ class DedupIndex:
             .select("doc_id")
             .distinct()
         )
-        # within-batch near-dups: standard LSH pairs on the fresh docs,
-        # keep the lower id of each verified pair
-        sigs = new_bands.select("doc_id", "signature").dropDuplicates(["doc_id"])
-        pairs = lsh_candidate_pairs(
-            sigs, "doc_id", n_bands=self.n_bands
+        # within-batch near-dups: self-join the ALREADY-BANDED batch on
+        # (band, bucket), signatures carried through the join — no second
+        # banding pass over the batch and no id->signature re-fetch joins
+        # (lsh_candidate_pairs would re-explode the bands new_bands
+        # already holds); keep the lower id of each agreeing pair
+        a_side = new_bands.select(
+            "band",
+            "bucket",
+            F.col("doc_id").alias("id_a"),
+            F.col("signature").alias("__sa"),
+        )
+        b_side = new_bands.select(
+            "band",
+            "bucket",
+            F.col("doc_id").alias("id_b"),
+            F.col("signature").alias("__sb"),
         )
         pair_agree = (
-            pairs.join(
-                sigs.select(
-                    F.col("doc_id").alias("id_a"),
-                    F.col("signature").alias("__sa"),
-                ),
-                "id_a",
-            )
-            .join(
-                sigs.select(
-                    F.col("doc_id").alias("id_b"),
-                    F.col("signature").alias("__sb"),
-                ),
-                "id_b",
-            )
+            a_side.join(b_side, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
             .filter(
                 F.size(
                     F.filter(
