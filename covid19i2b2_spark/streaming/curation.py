@@ -105,3 +105,47 @@ def curate_stream(
         )
     )
     return hash_split(out, id_col, splits or {"train": 0.9, "val": 0.1}, seed)
+
+
+def run_streaming_ingest(
+    docs_stream: DataFrame,
+    index,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sim_threshold: float = 0.7,
+):
+    """The production crawl-ingest loop end-to-end: each micro-batch is
+    deduped within itself AND against everything previously ingested via
+    the persisted DedupIndex (exact fingerprints + MinHash bands), the
+    survivors are appended to the corpus parquet, and the index is
+    updated — so the NEXT micro-batch dedups against this one too.
+
+    foreachBatch is the right hook because near-dup needs cross-document
+    candidate joins per batch (arbitrary batch ops, exactly-once via the
+    checkpointed epoch), which the stateless stream operators in
+    :func:`curate_stream` cannot express.  Per batch: every join is
+    bucketed/equi (see dedup_incremental), writes are batch-sized parquet
+    appends, nothing is collected or broadcast-hinted.
+
+    Caller drives the returned query (availableNow in tests, continuous
+    in production).  ``index`` is a :class:`DedupIndex` whose ``build``
+    has run (possibly on an empty corpus).
+    """
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        survivors, _dropped = index.filter_batch(
+            spark, batch_df, id_col, text_col, sim_threshold
+        )
+        survivors = survivors.localCheckpoint(eager=True)  # pin before 2 writes
+        survivors.write.mode("append").parquet(out_path)
+        index.append(survivors, id_col, text_col)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )

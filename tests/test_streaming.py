@@ -184,3 +184,40 @@ def test_streaming_curation_matches_batch(spark):
     got_ids = {r.doc_id for r in got}
     assert all(src[i] not in ("src0", "src7") for i in got_ids)
     assert all(i % 2 == 1 for i in got_ids)
+
+
+def test_streaming_ingest_updates_index_and_corpus(spark, tmp_path):
+    """run_streaming_ingest: micro-batches dedup against the persisted
+    index (exact + near), survivors land in the corpus parquet, and the
+    index is updated — equals the batch filter_batch over the same input."""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+    from covid19i2b2_spark.streaming.curation import (
+        run_streaming_ingest,
+        stream_documents,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 250)
+
+    idx_stream = DedupIndex(str(tmp_path / "idx_stream"))
+    idx_stream.build(first, "doc_id", "text")
+    out_path = str(tmp_path / "corpus")
+    q = run_streaming_ingest(
+        stream_documents(spark, SF_DIR).select("doc_id", "text"),
+        idx_stream,
+        out_path,
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+
+    idx_batch = DedupIndex(str(tmp_path / "idx_batch"))
+    idx_batch.build(first, "doc_id", "text")
+    survivors, _ = idx_batch.filter_batch(spark, docs, "doc_id", "text")
+    want = {r.doc_id for r in survivors.collect()}
+
+    assert got == want and len(got) > 0
+    # already-ingested docs were rejected as exact dups
+    assert all(i >= 250 for i in got)
+    # the index grew: a replay of the same batch now drops everything
+    survivors2, _ = idx_stream.filter_batch(spark, docs, "doc_id", "text")
+    assert survivors2.count() == 0
