@@ -180,6 +180,22 @@ def _bench_incremental_dedup(spark) -> dict[str, float]:
     }
 
 
+def _bench_curation(spark) -> float:
+    """The north-star composition end-to-end at SF_DIR: line_dedup ->
+    exact -> MinHash pair graph -> components -> decontamination ->
+    packing over documents (eval set = a 5-doc sample)."""
+    from covid19i2b2_spark.pipelines.curation import CurationConfig, curate
+    from covid19i2b2_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ev = docs.orderBy("doc_id").limit(5).select("text")
+    t0 = time.perf_counter()
+    curate(docs, ev, config=CurationConfig(minhash_threshold=0.7)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     all_queries()
     spark = get_spark(app_name="covid19i2b2-bench")
@@ -208,6 +224,7 @@ def main() -> None:
     }
 
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
+    result["curation_pipeline_sec"] = _bench_curation(spark)
 
     if SCALE_X > 1:
         sdir = _scaled_dir(spark)

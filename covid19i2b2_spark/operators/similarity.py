@@ -228,6 +228,24 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """Incrementally fold new vectors into a persisted IVF index: assign
+    against the SAME frozen centroids the index was built with (different
+    centroids would silently mis-route probes) and append into the
+    partitioned layout — batch-sized parquet appends landing in the right
+    centroid_id directories, no index rewrite, no re-read of existing
+    clusters.  The embedding-side counterpart of DedupIndex.append;
+    retrain centroids only on drift, then rebuild with write_ivf_index."""
+    assigned = ivf_assign(new_vectors, id_col, vec_col, centroids)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def probe_centroids(cents: DataFrame, query: DataFrame, n_probe: int) -> DataFrame:
     """The n_probe centroid ids closest (cosine) to the 1-row query."""
     return (

@@ -666,3 +666,42 @@ def test_domain_blocklist_filter(spark):
     blocked = spark.createDataFrame([("spam.example",)], "value string")
     kept = {r.id for r in blocklist_filter(df, "domain", blocked).collect()}
     assert kept == {3, 4}
+
+
+def test_ivf_index_incremental_append(spark, emb, tmp_path):
+    """append_to_ivf_index: new vectors land in the right centroid_id
+    partition directories; probe reads see old + new rows, still pruned."""
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    cents = sim.train_centroids(old, "vec_id", "embedding", 8, n_iter=2)
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(sim.ivf_assign(old, "vec_id", "embedding", cents), path)
+    sim.append_to_ivf_index(new, "vec_id", "embedding", cents, path)
+
+    full = spark.read.parquet(path)
+    assert full.count() == old.count() + new.count()
+    # appended rows routed to the same centroid the frozen model assigns
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in sim.ivf_assign(new, "vec_id", "embedding", cents).collect()
+    }
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in full.filter(F.col("vec_id") >= 300).collect()
+    }
+    assert got == want
+    # probe read keeps its PartitionFilters pruning and sees the appended
+    # vectors: matches a full-scan filter exactly (same check shape as
+    # test_ivf_partitioned_layout_prunes_probes)
+    from covid19i2b2_spark.plans import physical_plan
+
+    some_cid = next(iter(want))[1]
+    probed = sim.read_ivf_probes(spark, path, [some_cid])
+    plan = physical_plan(probed)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "centroid_id" in part_lines[0], plan
+    full_filter = full.filter(F.col("centroid_id") == some_cid)
+    assert probed.count() == full_filter.count() > 0
+    assert probed.filter(F.col("vec_id") >= 300).count() == full_filter.filter(
+        F.col("vec_id") >= 300
+    ).count()
