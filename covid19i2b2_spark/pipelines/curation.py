@@ -81,12 +81,16 @@ def curate(
         max_doc_frac=config.boilerplate_max_doc_frac,
         min_docs=config.boilerplate_min_docs,
     ).filter(F.trim(F.col(text_col)) != "")
-    # 2. byte-identical dedup on the content fingerprint, min-id survivor
+    # 2. byte-identical dedup on the content fingerprint, min-id survivor.
+    # Persisted: uniq is read by BOTH the minhash pair search and the
+    # survivor semi-join — without the persist, Spark recomputes the
+    # line_dedup + exact_dedup prefix (two shuffles + the posexplode)
+    # once per branch (measured ~35% of the chain at sf0.1)
     uniq = exact_dedup(
         cleaned.withColumn("__fp", fingerprint(text_col)),
         keys=["__fp"],
         tiebreak=[id_col],
-    ).drop("__fp")
+    ).drop("__fp").persist()
     # 3-4. near-dup pair graph -> transitive closure -> min-id survivor
     pairs = minhash_dedup_pairs(
         uniq,
@@ -99,9 +103,10 @@ def curate(
         seed=config.seed,
     )
     decision = dedup_decision(uniq.select(id_col), pairs, id_col)
+    # survivors feed the contamination report AND the post-filter join
     survivors = uniq.join(
         decision.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
+    ).persist()
     # 5. decontamination against the (small-by-invariant) eval set
     report = contamination_report(
         survivors,
