@@ -88,3 +88,63 @@ def test_range_join_binned_matches_plain(spark, data, n_intervals):
         .collect()
     )
     assert binned == plain
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40,
+        unique=True,
+    ),
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=0.5), min_size=1, max_size=4
+    ),
+)
+def test_hash_split_partition_property(spark, keys, fracs):
+    """hash_split is a PARTITION of the keyspace: every row gets exactly
+    one label (or NULL for the remainder), labels never overlap, and the
+    assignment is a pure function of (key, seed) — independent of row
+    order and of which other rows are present."""
+    from covid19i2b2_spark.operators.sampling import hash_split
+
+    fractions = {f"s{i}": f for i, f in enumerate(fracs)}
+    if sum(fractions.values()) > 1.0:
+        return  # generator may overshoot; the ValueError path has its own test
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = {r.k: r.split for r in hash_split(df, "k", fractions).collect()}
+    assert set(rows) == set(keys)  # exactly one row per key, one label each
+    # subset-independence: the same keys in a different, smaller frame get
+    # the same labels
+    half = keys[: max(1, len(keys) // 2)]
+    again = {
+        r.k: r.split
+        for r in hash_split(
+            spark.createDataFrame([(k,) for k in half], "k long"), "k", fractions
+        ).collect()
+    }
+    assert all(again[k] == rows[k] for k in half)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "Zs", "Cc")
+        ),
+        max_size=400,
+    )
+)
+def test_gopher_signals_bounds(spark, text):
+    """Signal invariants over arbitrary text: counts non-negative, every
+    ratio/fraction in [0, 1] (symbol_ratio can exceed 1 only when a word
+    carries multiple symbols — allow [0, inf) but never negative/null)."""
+    from covid19i2b2_spark.operators.quality import gopher_signals
+
+    df = spark.createDataFrame([(text,)], "text string")
+    r = df.select(gopher_signals("text").alias("s")).select("s.*").collect()[0]
+    assert r.n_words >= 0 and r.stop_hits >= 0
+    assert r.mean_word_len >= 0.0
+    assert r.symbol_ratio >= 0.0
+    assert 0.0 <= r.alpha_word_frac <= 1.0
+    assert 0.0 <= r.bullet_line_frac <= 1.0
+    assert 0.0 <= r.ellipsis_line_frac <= 1.0
