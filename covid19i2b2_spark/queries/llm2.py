@@ -120,9 +120,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    # bucket_cap: the production guard against degenerate signature
+    # buckets; far above any bucket this corpus produces, so results are
+    # identical — but the capped path (bucket-size aggregate + anti-join)
+    # is what the driver exercises
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, bucket_cap=10_000
+    ).orderBy("id_a", "id_b")
 
 
 @query("q_semantic_dedup", oracle=None)  # k-means + graph closure: not SQL
