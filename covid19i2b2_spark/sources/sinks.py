@@ -57,3 +57,31 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    split_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export (north-star sink): JSONL shards — the
+    interchange format every trainer/tokenizer toolchain reads.
+
+    The output of pack_sequences/hash_split writes as
+    ``path/[split=…/]shard=…/part-*.json`` with one JSON object per line.
+    Partitioning by (split, shard) means a trainer reading shard k of
+    split 'train' lists exactly one directory, and shards can be
+    consumed/resumed independently — the layout contract, not a detail.
+    Rows within a shard are repartitioned to one file per shard so a
+    shard IS a file (readers assume this); shard counts are chosen by
+    pack_sequences' n_shards, so files stay executor-memory-sized at any
+    corpus scale."""
+    parts = [c for c in ([split_col] if split_col else []) + [shard_col]]
+    (
+        df.repartition(*[F.col(c) for c in parts])
+        .write.mode(mode)
+        .partitionBy(*parts)
+        .json(path)
+    )

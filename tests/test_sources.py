@@ -129,3 +129,32 @@ def test_dynamic_partition_pruning_over_date_layout(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     got = {r["event_date"] for r in joined.collect()}
     assert got and all(d.day <= 3 for d in got)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """JSONL shard export: one directory per (split, shard), one JSON
+    object per line, round-trips through a plain JSON read."""
+    import glob as _glob
+    import json as _json
+
+    from covid19i2b2_spark.sources.sinks import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", i % 3, "train" if i % 5 else "val") for i in range(30)],
+        "doc_id long, text string, shard long, split string",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, split_col="split")
+    back = spark.read.json(path)
+    assert back.count() == 30
+    assert {r.doc_id for r in back.collect()} == set(range(30))
+    # layout contract: split=/shard= directories, one part file per shard
+    for split, n_shards in (("train", 3), ("val", 3)):
+        dirs = sorted(_glob.glob(f"{path}/split={split}/shard=*"))
+        assert len(dirs) <= n_shards and dirs
+        for d in dirs:
+            parts = [p for p in _glob.glob(f"{d}/part-*") if not p.endswith(".crc")]
+            assert len(parts) == 1  # a shard IS a file
+            with open(parts[0]) as f:
+                for line in f:
+                    _json.loads(line)  # valid JSONL
