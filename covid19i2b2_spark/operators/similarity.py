@@ -294,18 +294,22 @@ def ivf_topk(
 
 
 def hyperplane_lsh_bucket(
-    vec_col: str | Column, planes: list[list[float]]
+    vec_col: str | Column,
+    planes: list[list[float]],
+    exact_decimal: bool = False,
 ) -> Column:
     """Sign-bit sketch: bucket id from the signs of <v, plane_i>.  Planes
     are driver-side constants (seeded numpy), so the sketch is
-    deterministic everywhere."""
+    deterministic everywhere.  ``exact_decimal=True`` takes the sign of
+    the fixed-point dot product (order/engine-independent — lets a SQL
+    oracle reproduce the bucketing bit-for-bit)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot_double(v, plane) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            dot(v, plane, exact_decimal) > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
     return bucket
 
@@ -316,20 +320,34 @@ def embedding_near_dup_pairs(
     vec_col: str,
     planes: list[list[float]],
     threshold: float = 0.9,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket vectors (hyperplane signs),
     pair within buckets, verify with exact cosine >= threshold.  The
     bucket equi-join replaces the O(n²) cross join; more planes -> smaller
     buckets -> higher precision / lower recall per bucket (union several
-    plane sets for recall)."""
+    plane sets for recall).  ``exact_decimal=True`` makes bucket AND
+    verify order/engine-independent (DuckDB-oracle-reproducible)."""
+    # per-vector norm computed ONCE here (it's a per-doc quantity) and
+    # carried through the join — the verify then pays one dot per pair
+    # instead of three (dot + both norms re-derived pairwise)
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_lsh_bucket(vec_col, planes).alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_lsh_bucket(vec_col, planes, exact_decimal).alias("__bucket"),
+        norm(vec_col, exact_decimal).alias("__norm"),
     )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+        "__bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        "__bucket",
     )
     return (
         a.join(b, "__bucket")
@@ -337,7 +355,10 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            round6(cosine("__va", "__vb")).alias("cosine_sim"),
+            round6(
+                dot("__va", "__vb", exact_decimal)
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

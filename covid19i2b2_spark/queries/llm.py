@@ -334,19 +334,69 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text").orderBy("doc_id")
 
 
-@query("q_embedding_near_dup", oracle=None)  # LSH bucketing -> rows-only
+def _near_dup_planes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((8, 64)).tolist()
+
+
+def _near_dup_oracle(threshold: float) -> str:
+    """DuckDB mirror of embedding_near_dup_pairs(exact_decimal=True):
+    buckets from the SIGNS of fixed-point plane dots, verify cosine from
+    fixed-point dots — every sum is over floor(x*y*1e12+0.5) BIGINTs, so
+    both engines agree bit-for-bit regardless of summation order.  The
+    plane constants are embedded as literals (same Python floats the
+    Spark side turns into F.lit)."""
+
+    def fixdot(a: str, b: str) -> str:
+        return (
+            f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
+            f" * 1000000000000 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000)"
+        )
+
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        for p in _near_dup_planes()
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {fixdot('embedding', pl)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(plane_lits)
+    )
+    cos = f"{fixdot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+    WITH bkt AS (
+        SELECT vec_id, embedding, {bucket} AS bucket,
+               sqrt({fixdot('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS cosine_sim
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs
+    WHERE cosine_sim >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q_embedding_near_dup", oracle=_near_dup_oracle(0.3))
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3: embedding-cosine near-dup pairs via hyperplane-LSH buckets
     (8 seeded planes) + exact cosine verify.  Threshold 0.3 keeps the
     check non-trivial on this near-orthogonal synthetic corpus (real
-    near-dup corpora use ~0.9)."""
-    import numpy as np
+    near-dup corpora use ~0.9).
 
+    Hash-verified since round 3: exact_decimal=True fixed-points every
+    dot product (bucketing signs AND verify cosine), making the full
+    LSH+verify pipeline reproducible in the DuckDB oracle — this was
+    rows-only in rounds 1-2."""
     emb = read_table(spark, sf_dir, "embeddings")
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((8, 64)).tolist()
     return sim.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", planes, threshold=0.3
+        emb, "vec_id", "embedding", _near_dup_planes(), threshold=0.3,
+        exact_decimal=True,
     ).orderBy("id_a", "id_b")
 
 
