@@ -93,6 +93,13 @@ def test_simhash_verify_uses_bit_count_intrinsic(spark):
     assert_no_nested_loop(df)
 
 
+def test_embedding_near_dup_is_equi_join(spark):
+    """Hyperplane-LSH candidate generation must stay a bucket equi-join —
+    never a cross join over vectors (the plane dots bucket per-row; only
+    same-bucket pairs meet)."""
+    assert_no_nested_loop(REGISTRY["q_embedding_near_dup"].fn(spark, SF_DIR))
+
+
 def test_curation_pipeline_has_no_cartesian(spark):
     """Composing line_dedup -> exact_dedup -> minhash -> components ->
     decontamination -> packing must not introduce a nested-loop/cartesian
