@@ -35,6 +35,17 @@ def delta_available(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when Iceberg runtime classes are loadable — MERGE INTO works
+    against Iceberg tables with the same SQL (the statement below is
+    standard; only the table format/catalog differs)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
 def merge_into(
     spark: SparkSession,
     target_table: str,
@@ -46,11 +57,11 @@ def merge_into(
     update every column, unmatched insert — the SQL mirror of
     :func:`merge_upsert`, but file-granular and ACID on a real lakehouse.
 
-    Raises ``RuntimeError`` when no Delta runtime is present (callers
-    fall back to :func:`merge_upsert`)."""
-    if not delta_available(spark):
+    Raises ``RuntimeError`` when neither a Delta nor an Iceberg runtime
+    is present (callers fall back to :func:`merge_upsert`)."""
+    if not (delta_available(spark) or iceberg_available(spark)):
         raise RuntimeError(
-            "MERGE INTO needs Delta Lake jars on the classpath; "
+            "MERGE INTO needs Delta Lake or Iceberg jars on the classpath; "
             "use merge_upsert (join emulation) instead"
         )
     updates.createOrReplaceTempView("__merge_updates")

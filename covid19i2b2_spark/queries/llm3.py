@@ -172,3 +172,32 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return build_vocab(docs, "text", top_n=100).orderBy("rank")
+
+
+def q_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 hygiene surface: PII redaction + Gopher repetition ratios in one
+    per-doc report.  PII spans are INJECTED deterministically (an email
+    built from doc_id, an IP, a phone) so the redaction regexes are
+    exercised on every row — the raw corpus contains none.
+
+    Unregistered (50-slot window); DuckDB parity (same injection + RE2-
+    compatible patterns) in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.text import redact_pii, repetition_ratios
+
+    docs = read_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0.1 or +1 (555) 123-4567 now"),
+        ).alias("dirty"),
+    )
+    rep = repetition_ratios("dirty")
+    return dirty.select(
+        "doc_id",
+        redact_pii("dirty").alias("clean_text"),
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        rep["dup_2gram_frac"].alias("dup_2gram_frac"),
+    ).orderBy("doc_id")

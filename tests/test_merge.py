@@ -49,10 +49,14 @@ def test_delta_probe_and_sql_path(spark):
     """Capability gate: in a jar-less env the probe is False and
     merge_into raises the clear fallback error (never a raw JVM
     ClassNotFoundException mid-query)."""
-    from covid19i2b2_spark.operators.merge import delta_available, merge_into
+    from covid19i2b2_spark.operators.merge import (
+        delta_available,
+        iceberg_available,
+        merge_into,
+    )
 
-    if delta_available(spark):
-        pytest.skip("Delta present — covered by test_merge_into_delta")
+    if delta_available(spark) or iceberg_available(spark):
+        pytest.skip("lakehouse runtime present — covered by test_merge_into_delta")
     upd = spark.createDataFrame([(1, "a")], "k long, v string")
     with pytest.raises(RuntimeError, match="merge_upsert"):
         merge_into(spark, "delta.`/tmp/nope`", upd, ["k"])

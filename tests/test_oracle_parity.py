@@ -189,6 +189,46 @@ UNREGISTERED_ORACLES = {
     FROM top
     ORDER BY rank
     """,
+    # PII redaction + repetition ratios; PII injected per doc so every
+    # row exercises the regexes (order matters: email, IP, then phone).
+    "q_text_hygiene": """
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.0.1 or +1 (555) 123-4567 now'
+                   AS dirty
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(dirty,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                   '\\+?\\d(?:[\\s().-]*\\d){8,}', '<PHONE>', 'g')
+                   AS clean_text,
+               list_filter(string_split(dirty, chr(10)),
+                           ln -> trim(ln) <> '') AS lines,
+               CASE WHEN trim(dirty) = '' THEN []
+                    ELSE regexp_split_to_array(trim(dirty), '\\s+') END AS toks
+        FROM dirty
+    )
+    SELECT doc_id, clean_text,
+           CASE WHEN len(lines) = 0 THEN 0.0
+                ELSE FLOOR((CAST(len(lines) - len(list_distinct(lines))
+                                 AS DOUBLE) / len(lines)) * 1000000 + 0.5)
+                     / 1000000 END AS dup_line_frac,
+           CASE WHEN len(toks) < 2 THEN 0.0
+                ELSE FLOOR((CAST((len(toks) - 1)
+                         - len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                              FOR i IN range(1, len(toks))]))
+                                 AS DOUBLE) / (len(toks) - 1)) * 1000000 + 0.5)
+                     / 1000000 END AS dup_2gram_frac
+    FROM sig
+    ORDER BY doc_id
+    """,
     # q_profile: deregistered round 3 (slot given to q_semantic_dedup).
     "q_profile": """
     WITH p AS (
@@ -276,6 +316,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_tfidf_top_terms": _tfidf,
         "q_gopher_quality": llm3.q_gopher_quality,
         "q_vocab": llm3.q_vocab,
+        "q_text_hygiene": llm3.q_text_hygiene,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
