@@ -364,6 +364,10 @@ def simhash_near_dup_pairs(
             f"2-chunk multi-index needs n_chunks >= max_hamming + 2 "
             f"(got n_chunks={c}, max_hamming={max_hamming})"
         )
+    if c > 64:
+        # zero-width chunks would make every chunk value 0 and the
+        # "equi-join" a disguised cross join
+        raise ValueError(f"n_chunks must be <= 64 (got {c})")
     base_w, extra = divmod(64, c)
     widths = [base_w + (1 if i < extra else 0) for i in range(c)]
     offsets = [sum(widths[:i]) for i in range(c)]
