@@ -116,6 +116,7 @@ def gopher_filter(
     min_alpha_word_frac: float = 0.8,
     max_bullet_line_frac: float = 0.9,
     max_ellipsis_line_frac: float = 0.3,
+    min_stop_hits: int = MIN_STOP_HITS,
 ) -> DataFrame:
     """Per-document Gopher rule report: the signals flattened to atomic
     columns plus ``passes`` (all rules hold).  Callers filter on
@@ -139,7 +140,7 @@ def gopher_filter(
         & (F.col("alpha_word_frac") > min_alpha_word_frac)
         & (F.col("bullet_line_frac") < max_bullet_line_frac)
         & (F.col("ellipsis_line_frac") < max_ellipsis_line_frac)
-        & (F.col("stop_hits") >= MIN_STOP_HITS)
+        & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("passes", passes)
 

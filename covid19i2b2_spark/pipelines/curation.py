@@ -47,6 +47,13 @@ class CurationConfig:
     # handful of exact-dup docs from reading as corpus boilerplate on
     # small corpora (exact_dedup downstream owns whole-doc dups)
     boilerplate_min_docs: int = 2
+    # Gopher quality gate (0 disables): docs failing the rule report's
+    # `passes` flag drop before the dedup stages — cheapest filter first.
+    # quality_rules: keyword overrides for gopher_filter's thresholds
+    # (e.g. {"min_mean_word_len": 2.0}) for corpora whose prose profile
+    # differs from web text
+    quality_min_words: int = 0
+    quality_rules: tuple[tuple[str, float], ...] = ()
     minhash_threshold: float = 0.7
     minhash_hashes: int = 32
     minhash_bands: int = 8
@@ -65,6 +72,8 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     config: CurationConfig = CurationConfig(),
+    blocked_sources: DataFrame | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
     """Raw (id, text) corpus + eval/benchmark texts -> packed training
     set: (id, text, n_tokens, shard, chunk_id).
@@ -73,6 +82,24 @@ def curate(
     shards — no RNG), so retries and re-runs produce byte-identical
     output, and the sample at a smaller fraction is a subset of the
     sample at a larger one."""
+    # 0. cheapest filters first: source blocklist (broadcast anti-join),
+    # then the map-only Gopher quality gate — both shrink what the
+    # shuffling stages below ever see
+    if blocked_sources is not None:
+        from covid19i2b2_spark.operators.quality import blocklist_filter
+
+        corpus = blocklist_filter(corpus, F.col(source_col), blocked_sources)
+    if config.quality_min_words > 0:
+        from covid19i2b2_spark.operators.quality import gopher_filter
+
+        passing = gopher_filter(
+            corpus,
+            id_col,
+            text_col,
+            min_words=config.quality_min_words,
+            **dict(config.quality_rules),
+        ).filter(F.col("passes"))
+        corpus = corpus.join(passing.select(id_col), id_col, "left_semi")
     # 1. boilerplate lines out; docs reduced to nothing drop here
     cleaned = line_dedup(
         corpus.select(id_col, text_col),

@@ -98,3 +98,27 @@ def test_curation_sample_is_nested(spark):
         ).collect()
     }
     assert small <= big
+
+
+def test_curation_quality_gate_and_blocklist(spark):
+    """Optional pre-filters: blocked sources and quality-failing docs drop
+    before dedup; defaults leave behavior unchanged (golden test above)."""
+    corpus = _corpus(spark).withColumn(
+        "source", F.when(F.col("doc_id") == 3, "bad.example").otherwise("ok")
+    )
+    blocked = spark.createDataFrame([("bad.example",)], "value string")
+    out = curate(
+        corpus,
+        _eval_df(spark),
+        config=CurationConfig(
+            boilerplate_min_docs=3,
+            minhash_threshold=0.6,
+            quality_min_words=5,
+            # test bodies carry one distinct must-have stopword ('the')
+            quality_rules=(("min_stop_hits", 1),),
+        ),
+        blocked_sources=blocked,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 3 not in ids  # blocklisted
+    assert ids == {1, 2, 4, 5}  # everything else survives the gate + dedup
