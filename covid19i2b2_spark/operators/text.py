@@ -190,6 +190,35 @@ def redact_pii(col: str | Column) -> Column:
     return out
 
 
+def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — required before
+    fingerprinting/dedup of multilingual text: 'é' composed (U+00E9) and
+    decomposed (e + U+0301) are different byte strings that md5/xxhash
+    treat as different documents.
+
+    Spark has no built-in normalizer, so this is the one sanctioned UDF
+    shape: an Arrow-vectorized pandas_udf (batch in, batch out — never
+    row-at-a-time Python).  Map-only; at 100 TB it rides the same scan
+    as the rest of the per-doc hygiene columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm_series(s):  # pd.Series -> pd.Series, one Arrow batch at a time
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # lambda-style registration: `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf's hint inference can't
+    # resolve against a function-local pandas import
+    _norm = pandas_udf(_norm_series, "string")
+    return _norm(_c(col))
+
+
 def repetition_ratios(col: str | Column) -> Column:
     """Gopher-style intra-document repetition signals as a struct:
     dup_line_frac (fraction of lines that are repeats of an earlier line)

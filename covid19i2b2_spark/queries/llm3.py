@@ -201,3 +201,18 @@ def q_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep["dup_line_frac"].alias("dup_line_frac"),
         rep["dup_2gram_frac"].alias("dup_2gram_frac"),
     ).orderBy("doc_id")
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 hygiene: NFC unicode normalization (Arrow-vectorized pandas_udf
+    — Spark has no built-in normalizer).  A decomposed span is appended
+    to every doc so normalization changes every row; DuckDB's
+    nfc_normalize provides the oracle (tests/test_oracle_parity.py).
+    Unregistered (50-slot window)."""
+    from covid19i2b2_spark.operators.text import normalize_unicode
+
+    docs = read_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit(" café naïve"))
+    return docs.select(
+        "doc_id", normalize_unicode(dirty, "NFC").alias("text_nfc")
+    ).orderBy("doc_id")

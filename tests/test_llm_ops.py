@@ -705,3 +705,24 @@ def test_ivf_index_incremental_append(spark, emb, tmp_path):
     assert probed.filter(F.col("vec_id") >= 300).count() == full_filter.filter(
         F.col("vec_id") >= 300
     ).count()
+
+
+def test_normalize_unicode_collapses_equivalent_forms(spark):
+    """Composed vs decomposed forms become byte-identical after NFC, so
+    fingerprint-based dedup sees them as the same document."""
+    from covid19i2b2_spark.operators.text import fingerprint, normalize_unicode
+
+    composed = "café résumé"          # é as U+00E9
+    decomposed = "café résumé"     # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    raw_fps = {r.fp for r in df.select(fingerprint("text").alias("fp")).collect()}
+    assert len(raw_fps) == 2  # different bytes -> different fingerprints
+    normed = df.select(
+        "doc_id", normalize_unicode("text", "NFC").alias("text")
+    )
+    fps = {r.fp for r in normed.select(fingerprint("text").alias("fp")).collect()}
+    assert len(fps) == 1  # NFC collapses them
+    with pytest.raises(ValueError):
+        normalize_unicode("text", "NFX")

@@ -229,6 +229,13 @@ UNREGISTERED_ORACLES = {
     FROM sig
     ORDER BY doc_id
     """,
+    # NFC normalization: Spark pandas_udf vs DuckDB's built-in.
+    "q_unicode_normalize": """
+    SELECT doc_id,
+           nfc_normalize(text || ' cafe\u0301 nai\u0308ve') AS text_nfc
+    FROM documents
+    ORDER BY doc_id
+    """,
     # q_profile: deregistered round 3 (slot given to q_semantic_dedup).
     "q_profile": """
     WITH p AS (
@@ -317,6 +324,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_gopher_quality": llm3.q_gopher_quality,
         "q_vocab": llm3.q_vocab,
         "q_text_hygiene": llm3.q_text_hygiene,
+        "q_unicode_normalize": llm3.q_unicode_normalize,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
