@@ -325,9 +325,10 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: LSH-bucket vectors (hyperplane signs),
     pair within buckets, verify with exact cosine >= threshold.  The
     bucket equi-join replaces the O(n²) cross join; more planes -> smaller
-    buckets -> higher precision / lower recall per bucket (union several
-    plane sets for recall).  ``exact_decimal=True`` makes bucket AND
-    verify order/engine-independent (DuckDB-oracle-reproducible)."""
+    buckets -> higher precision / lower recall per bucket (use
+    :func:`embedding_near_dup_pairs_multitable` to buy recall back).
+    ``exact_decimal=True`` makes bucket AND verify order/engine-
+    independent (DuckDB-oracle-reproducible)."""
     # per-vector norm computed ONCE here (it's a per-doc quantity) and
     # carried through the join — the verify then pays one dot per pair
     # instead of three (dot + both norms re-derived pairwise)
@@ -363,3 +364,69 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def embedding_near_dup_pairs_multitable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    plane_tables: list[list[list[float]]],
+    threshold: float = 0.9,
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """Multi-table LSH (the classic recall lever): each of T independent
+    plane sets buckets every vector once; candidates meet if they share a
+    bucket in ANY table.  Recall for a pair with collision probability p
+    per table rises to 1-(1-p)^T while per-table bucket sizes (the
+    quadratic term) stay those of the single-table scheme.
+
+    Plan shape: one explode to (table_idx, bucket) rows — T rows per
+    vector — then the SAME equi-join as the single-table path with
+    table_idx in the key, so tables never cross-pollinate; duplicate
+    candidates surfacing from multiple tables are dropped BEFORE the
+    cosine, so extra tables cost index rows, not verify work."""
+    keyed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(vec_col, exact_decimal).alias("__norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_idx"),
+                        hyperplane_lsh_bucket(
+                            vec_col, planes, exact_decimal
+                        ).alias("bucket"),
+                    )
+                    for t, planes in enumerate(plane_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "__norm", "tb.table_idx", "tb.bucket")
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+        "table_idx",
+        "bucket",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        "table_idx",
+        "bucket",
+    )
+    candidates = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
+        .dropDuplicates(["id_a", "id_b"])  # before the verify dot
+    )
+    return candidates.select(
+        "id_a",
+        "id_b",
+        round6(
+            dot("__va", "__vb", exact_decimal) / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)

@@ -726,3 +726,33 @@ def test_normalize_unicode_collapses_equivalent_forms(spark):
     assert len(fps) == 1  # NFC collapses them
     with pytest.raises(ValueError):
         normalize_unicode("text", "NFX")
+
+
+def test_multitable_lsh_recall_dominates_single_table(spark, emb):
+    """T independent plane tables find a superset of any single table's
+    verified pairs, and every pair passes the same cosine threshold."""
+    import numpy as np
+
+    from covid19i2b2_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_multitable,
+    )
+
+    rng = np.random.default_rng(7)
+    tables = [rng.standard_normal((8, 64)).tolist() for _ in range(4)]
+    base = emb.limit(150).select("vec_id", "embedding")
+    single = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            base, "vec_id", "embedding", tables[0], threshold=0.3
+        ).collect()
+    }
+    multi_rows = embedding_near_dup_pairs_multitable(
+        base, "vec_id", "embedding", tables, threshold=0.3
+    ).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    assert single <= multi
+    assert len(multi) >= len(single)
+    assert all(r.cosine_sim >= 0.3 for r in multi_rows)
+    # no duplicate pairs despite multiple tables emitting the same candidate
+    assert len(multi) == len(multi_rows)
