@@ -72,3 +72,73 @@ def read_date_range(
     return spark.read.parquet(path).filter(
         F.col(partition_col).between(F.lit(lo), F.lit(hi))
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton) clustering: sort the table by the bit-interleave
+    of the clustering columns' quantile ranks, so files AND parquet
+    row-groups hold tight min/max ranges on EVERY clustering column at
+    once — selective predicates on any of them skip most of the data
+    (the open-format equivalent of Delta's OPTIMIZE ZORDER BY).
+
+    Mechanics:
+    - each column maps to a 2^bits equi-width rank via width_bucket over
+      its global [min, max] (one tiny agg collect per column; heavy skew
+      degrades clustering QUALITY, never correctness — swap in quantile
+      boundaries if a skewed production column needs it);
+    - ranks interleave bit-by-bit into one morton key (pure shifts/ors,
+      whole-stage codegen);
+    - repartitionByRange(n_files, morton) + sortWithinPartitions gives
+      contiguous morton runs per file; parquet min/max stats on the
+      ORIGINAL columns then prune at file and row-group granularity.
+
+    Skipping is a statistics effect, no catalog needed; the clustering-
+    tightness invariant is pinned by tests/test_sources.py reading the
+    written footers."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        if hi <= lo:
+            hi = lo + 1.0  # constant column: everything lands in bucket 1
+        rc = f"__rank_{c}"
+        # width_bucket returns 1..n+1; clamp into 0..n-1 for clean shifts
+        ranked = ranked.withColumn(
+            rc,
+            F.least(
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+                )
+                - 1,
+                F.lit(n_buckets - 1),
+            ).cast("long"),
+        )
+        rank_cols.append(rc)
+    morton = F.lit(0).cast("long")
+    k = len(rank_cols)
+    for j in range(bits):
+        for i, rc in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rc), j).bitwiseAND(F.lit(1))
+            morton = morton.bitwiseOR(F.shiftleft(bit, j * k + i))
+    (
+        ranked.withColumn("__z", morton)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *rank_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

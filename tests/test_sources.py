@@ -158,3 +158,58 @@ def test_write_training_shards_layout(spark, tmp_path):
             with open(parts[0]) as f:
                 for line in f:
                     _json.loads(line)  # valid JSONL
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """write_zordered: per-file min/max ranges of BOTH clustering columns
+    are a small fraction of the global range — the statistics property
+    parquet row-group/file skipping feeds on.  A lexicographic sort
+    clusters only its leading column; z-order must cluster both."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from covid19i2b2_spark.sources.layout import write_zordered
+    from covid19i2b2_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zorders")
+    write_zordered(orders, path, ["o_custkey", "o_totalprice"], n_files=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()  # content preserved
+
+    spans = {"o_custkey": [], "o_totalprice": []}
+    glb = {}
+    for col in spans:
+        row = orders.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).collect()[0]
+        glb[col] = float(row.hi) - float(row.lo)
+    files = [
+        f
+        for f in _glob.glob(f"{path}/part-*")
+        if f.endswith(".parquet") or ".snappy" in f
+    ]
+    assert len(files) > 3
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for col in spans:
+            idx = schema_names.index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans[col].append((float(hi) - float(lo)) / glb[col])
+    # average per-file span must be well below the global range on BOTH
+    # dimensions (a plain sort achieves this on one dimension only)
+    for col, fr in spans.items():
+        assert sum(fr) / len(fr) < 0.7, (col, fr)
