@@ -189,3 +189,19 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity daily resample + forward fill (operators/timeseries.py):
+    dense grid from each user's first to last active day, gaps carrying
+    the most recent MAX(value) (max: order-independent, so both engines
+    agree bit-for-bit).  Unregistered (50-slot window); DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.aggregates import round6
+    from covid19i2b2_spark.operators.timeseries import resample_fill_daily
+
+    events = read_table(spark, sf_dir, "events")
+    dense = resample_fill_daily(events, "user_id", "ts", ["value"], agg="max")
+    return dense.select(
+        "user_id", "day", round6(F.col("value")).alias("value_ff")
+    ).orderBy("user_id", "day")

@@ -229,6 +229,34 @@ UNREGISTERED_ORACLES = {
     FROM sig
     ORDER BY doc_id
     """,
+    # Per-entity daily resample + forward fill (timeseries.py).
+    "q_resample_fill": """
+    WITH per_day AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM per_day GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, p.value
+        FROM spine s LEFT JOIN per_day p USING (user_id, day)
+    )
+    SELECT user_id, day,
+           FLOOR((last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               * 1000000 + 0.5) / 1000000 AS value_ff
+    FROM joined
+    ORDER BY user_id, day
+    """,
     # NFC normalization: Spark pandas_udf vs DuckDB's built-in.
     "q_unicode_normalize": """
     SELECT doc_id,
@@ -325,6 +353,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_vocab": llm3.q_vocab,
         "q_text_hygiene": llm3.q_text_hygiene,
         "q_unicode_normalize": llm3.q_unicode_normalize,
+        "q_resample_fill": reshape.q_resample_fill,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
