@@ -130,6 +130,7 @@ def lsh_candidate_pairs(
     id_col: str,
     n_bands: int = 8,
     sig_col: str = "signature",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into n_bands bands, hash each
     band, bucket-join on (band_idx, band_hash).  Docs agreeing on any band
@@ -137,8 +138,17 @@ def lsh_candidate_pairs(
 
     The join key includes the band index so buckets from different bands
     never collide; at 100 TB the bucket join is an equi-join Catalyst can
-    hash-partition, and skewed mega-buckets (boilerplate) are handled by
-    AQE skew splitting.
+    hash-partition.
+
+    ``bucket_cap``: a boilerplate-heavy corpus can put N docs in ONE
+    (band, bucket) — the self-join then emits N² candidate pairs, the
+    classic LSH blowup AQE skew-splitting cannot fix (splitting a skewed
+    partition still materializes every pair).  When set, any band bucket
+    holding more than ``bucket_cap`` docs is EXCLUDED from the join and
+    the skip count is logged (one small aggregate over bucket sizes) —
+    capped loudly, never silently joined nor silently truncated.  Pairs
+    in a skipped bucket can still surface via the other n_bands-1 bands,
+    exactly like the SimHash multi-index cap (simhash_near_dup_pairs).
     """
     n_hashes_col = F.size(F.col(sig_col))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
@@ -156,6 +166,22 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("__bsz"))
+        oversized = sizes.filter(F.col("__bsz") > bucket_cap).persist()
+        n_over = oversized.count()
+        if n_over:
+            _LOG.warning(
+                "lsh_candidate_pairs: skipping %d band buckets larger than "
+                "bucket_cap=%d; affected pairs may still match via their "
+                "other %d bands",
+                n_over,
+                bucket_cap,
+                n_bands - 1,
+            )
+        banded = banded.join(
+            oversized.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
     left = banded.withColumnRenamed("__id", "id_a")
     right = banded.withColumnRenamed("__id", "id_b")
     return (
@@ -223,9 +249,13 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """X2 end-to-end: MinHash -> LSH bands -> signature-estimate filter ->
     exact-Jaccard verify.  Returns (id_a, id_b, jaccard) near-dup pairs.
+
+    ``bucket_cap`` guards the band self-join against hot-bucket N² blowup
+    (see lsh_candidate_pairs) — at 100 TB pass e.g. bucket_cap=10_000.
 
     One shingle pass feeds BOTH the signatures and the verify sets
     (with_sets=True), persisted because the band self-join and the
@@ -242,7 +272,7 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes, shingle_k, seed, with_sets=True
     ).persist()
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, bucket_cap=bucket_cap)
     # the estimate/verify joins key on doc id — plain equi-joins.  No
     # broadcast hints: the per-doc signature/shingle-set tables grow with
     # the corpus (TB-scale at 100 TB input), so forcing a broadcast OOMs;

@@ -265,6 +265,28 @@ def test_simhash_bucket_cap_bounds_skewed_corpus(spark):
         simhash_near_dup_pairs(skewed, "doc_id", "text", max_hamming=3, n_chunks=4)
 
 
+def test_minhash_bucket_cap_bounds_skewed_corpus(spark):
+    """Mirror of the SimHash cap test for the MinHash LSH band self-join:
+    identical text -> identical signatures -> every doc lands in the SAME
+    (band, bucket) for every band.  bucket_cap must exclude those buckets
+    (bounding the N² blowup) instead of silently emitting every pair."""
+    from covid19i2b2_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    skewed = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    capped = minhash_dedup_pairs(skewed, "doc_id", "text", bucket_cap=50)
+    assert capped.count() == 0  # every band bucket oversized -> skipped, loudly
+    # sanity: without the cap the band join really is the quadratic bound
+    sigs = minhash_signatures(skewed, "doc_id", "text")
+    uncapped = lsh_candidate_pairs(sigs, "doc_id")
+    assert uncapped.count() == 200 * 199 // 2
+
+
 def test_multimodal_decode_plumbing(spark, docs):
     """mapInPandas fake decode: schema, determinism, frame sampling."""
     media = attach_fake_media(docs.limit(50), "doc_id", "text")
