@@ -18,6 +18,7 @@ rewrites only touched files.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -64,17 +65,24 @@ def merge_into(
             "MERGE INTO needs Delta Lake or Iceberg jars on the classpath; "
             "use merge_upsert (join emulation) instead"
         )
-    updates.createOrReplaceTempView("__merge_updates")
-    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    spark.sql(
-        f"""
-        MERGE INTO {target_table} AS t
-        USING __merge_updates AS s
-        ON {cond}
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *
-        """
-    )
+    # per-call unique view name: two concurrent merges in one session must
+    # not clobber each other's updates view; key identifiers are backtick-
+    # quoted so names with special characters don't break the statement
+    view = f"__merge_updates_{uuid.uuid4().hex}"
+    updates.createOrReplaceTempView(view)
+    try:
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        spark.sql(
+            f"""
+            MERGE INTO {target_table} AS t
+            USING {view} AS s
+            ON {cond}
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def merge_upsert(

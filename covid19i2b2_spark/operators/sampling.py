@@ -40,11 +40,20 @@ def hash_split(
     over-allocation is impossible silently).  Membership depends only on
     (key, seed): re-runs, retries, and incremental appends route the
     same key to the same split — no leakage between train and eval
-    across corpus versions.  Map-only, no shuffle."""
+    across corpus versions.  Map-only, no shuffle.
+
+    The bucket hash is SALTED with a 'split' literal so it is independent
+    of hash_sample's bucket at the same (key, seed): composing them
+    (sample a fraction, then split the survivors) yields splits in the
+    requested proportions instead of everything landing in the lowest
+    split (sampling keeps exactly the low hash_sample buckets — an
+    unsalted split would re-derive those same buckets)."""
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1.0")
-    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+    bucket = F.pmod(
+        F.xxhash64(F.lit("split"), F.col(key_col), F.lit(seed)), F.lit(_BUCKETS)
+    )
     expr: Column = F.lit(None).cast("string")
     lo = 0
     # reversed build: CASE chain evaluates in insertion order below

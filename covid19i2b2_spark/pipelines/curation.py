@@ -74,6 +74,7 @@ def curate(
     config: CurationConfig = CurationConfig(),
     blocked_sources: DataFrame | None = None,
     source_col: str = "source",
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Raw (id, text) corpus + eval/benchmark texts -> packed training
     set: (id, text, n_tokens, shard, chunk_id).
@@ -81,7 +82,19 @@ def curate(
     Deterministic end to end (xxhash-derived survivors, samples, and
     shards — no RNG), so retries and re-runs produce byte-identical
     output, and the sample at a smaller fraction is a subset of the
-    sample at a larger one."""
+    sample at a larger one.
+
+    Caching contract: two intermediates (the exact-dedup output and the
+    near-dup survivors) are persisted because each is read by two
+    downstream branches; they stay cached after this returns so the lazy
+    result can be materialized.  In a long-lived session pass
+    ``cache_handles=[]`` — the persisted DataFrames are appended to it,
+    and the caller unpersists them once the result has been written:
+
+        handles: list[DataFrame] = []
+        curate(corpus, evals, cache_handles=handles).write.parquet(out)
+        for h in handles: h.unpersist()
+    """
     # 0. cheapest filters first: source blocklist (broadcast anti-join),
     # then the map-only Gopher quality gate — both shrink what the
     # shuffling stages below ever see
@@ -118,6 +131,8 @@ def curate(
         keys=["__fp"],
         tiebreak=[id_col],
     ).drop("__fp").persist()
+    if cache_handles is not None:
+        cache_handles.append(uniq)
     # 3-4. near-dup pair graph -> transitive closure -> min-id survivor
     pairs = minhash_dedup_pairs(
         uniq,
@@ -134,6 +149,8 @@ def curate(
     survivors = uniq.join(
         decision.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     ).persist()
+    if cache_handles is not None:
+        cache_handles.append(survivors)
     # 5. decontamination against the (small-by-invariant) eval set
     report = contamination_report(
         survivors,

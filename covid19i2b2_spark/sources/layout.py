@@ -11,7 +11,11 @@ Bucketing requires saveAsTable (bucket metadata lives in the catalog).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 
 def write_bucketed(
@@ -104,6 +108,20 @@ def write_zordered(
     written footers."""
     from pyspark.sql import functions as F
 
+    # the interleaved key must fit one 64-bit long: JVM shift counts wrap
+    # mod 64, so len(cols)*bits > 64 would silently scramble the
+    # interleave — auto-reduce per-column bits instead (clustering gets
+    # coarser, never wrong)
+    if len(cols) * bits > 64:
+        reduced = 64 // len(cols)
+        _LOG.warning(
+            "write_zordered: %d cols x %d bits exceeds the 64-bit morton "
+            "key; reducing to %d bits per column",
+            len(cols),
+            bits,
+            reduced,
+        )
+        bits = reduced
     n_buckets = 1 << bits
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],

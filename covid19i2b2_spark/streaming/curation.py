@@ -107,6 +107,14 @@ def curate_stream(
     return hash_split(out, id_col, splits or {"train": 0.9, "val": 0.1}, seed)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — works
+    on any filesystem the cluster can reach, unlike os.path."""
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath  # noqa: SLF001
+
+
 def run_streaming_ingest(
     docs_stream: DataFrame,
     index,
@@ -114,38 +122,52 @@ def run_streaming_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     sim_threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
 ):
     """The production crawl-ingest loop end-to-end: each micro-batch is
     deduped within itself AND against everything previously ingested via
     the persisted DedupIndex (exact fingerprints + MinHash bands), the
-    survivors are appended to the corpus parquet, and the index is
-    updated — so the NEXT micro-batch dedups against this one too.
+    survivors land in the corpus parquet, and the index is updated — so
+    the NEXT micro-batch dedups against this one too.
 
-    foreachBatch is the right hook because near-dup needs cross-document
-    candidate joins per batch (arbitrary batch ops, exactly-once via the
-    checkpointed epoch), which the stateless stream operators in
-    :func:`curate_stream` cannot express.  Per batch: every join is
-    bucketed/equi (see dedup_incremental), writes are batch-sized parquet
-    appends, nothing is collected or broadcast-hinted.
+    foreachBatch is only at-least-once: a micro-batch can be REPLAYED
+    after a retry or restart.  The writer makes the replay idempotent by
+    keying everything on ``epoch_id``:
 
-    Caller drives the returned query (availableNow in tests, continuous
-    in production).  ``index`` is a :class:`DedupIndex` whose ``build``
-    has run (possibly on an empty corpus).
+    - survivors write to ``out_path/epoch=<epoch_id>/`` with OVERWRITE —
+      a replayed epoch replaces its own output instead of appending a
+      duplicate copy (corpus contents are exactly-once);
+    - a per-epoch marker file under the index root is written only after
+      BOTH side effects; a replay of a marked epoch is skipped entirely;
+    - the one remaining window (crash between ``index.append`` and the
+      marker) can duplicate index ROWS, which is benign: the index is
+      only read through anti-joins / DISTINCT candidates, so duplicates
+      cost space, never correctness.
+
+    Pass ``checkpoint_dir`` in production so Structured Streaming tracks
+    epoch progress across restarts (tests run availableNow without one).
+    Caller drives the returned query.  ``index`` is a :class:`DedupIndex`
+    whose ``build`` has run (possibly on an empty corpus).
     """
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        fs, marker = _hadoop_fs(spark, f"{index.path}/_epochs/{epoch_id}")
+        if fs.exists(marker):
+            return  # epoch fully committed before — replayed batch
         survivors, _dropped = index.filter_batch(
             spark, batch_df, id_col, text_col, sim_threshold
         )
         survivors = survivors.localCheckpoint(eager=True)  # pin before 2 writes
-        survivors.write.mode("append").parquet(out_path)
+        survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
         index.append(survivors, id_col, text_col)
+        fs.create(marker, True).close()
 
-    return (
-        docs_stream.writeStream.foreachBatch(_ingest)
-        .trigger(availableNow=True)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -664,6 +664,23 @@ def test_hash_split_disjoint_deterministic(spark, docs):
         hash_split(base, "doc_id", {"a": 0.9, "b": 0.2})
 
 
+def test_hash_split_independent_of_hash_sample(spark, docs):
+    """Composing hash_sample then hash_split at the SAME (key, seed) must
+    still fill every split: the split bucket is salted, so the sample's
+    kept-low-buckets bias doesn't collapse val/test to empty."""
+    from covid19i2b2_spark.operators.sampling import hash_sample, hash_split
+
+    sampled = hash_sample(docs.select("doc_id"), "doc_id", 0.5, seed=42)
+    out = hash_split(sampled, "doc_id", {"train": 0.8, "val": 0.2}, seed=42)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(counts.values())
+    assert counts.get("val", 0) > 0, "val split empty — operators correlated"
+    assert abs(counts["val"] / n - 0.2) < 0.1
+
+
 def test_domain_blocklist_filter(spark):
     """domain_of normalizes URLs/hosts; blocklist anti-join drops exactly
     the blocked domains without touching others."""

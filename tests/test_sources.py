@@ -213,3 +213,24 @@ def test_zorder_layout_clusters_both_columns(spark, tmp_path):
     # dimensions (a plain sort achieves this on one dimension only)
     for col, fr in spans.items():
         assert sum(fr) / len(fr) < 0.7, (col, fr)
+
+
+def test_zorder_clamps_bits_to_64bit_key(spark, tmp_path):
+    """5 cols x default 16 bits would overflow the 64-bit morton key
+    (JVM shifts wrap mod 64, silently scrambling the interleave);
+    write_zordered must auto-reduce bits and still produce a correct,
+    readable table."""
+    from covid19i2b2_spark.sources.tables import read_table
+    from covid19i2b2_spark.sources.layout import write_zordered
+    from tests.conftest import SF_DIR
+
+    orders = (
+        read_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp").cast("long"))
+        .withColumn("o_mod", F.col("o_orderkey") % 7)
+    )
+    path = str(tmp_path / "z5")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_mod"]
+    write_zordered(orders, path, cols, bits=16, n_files=4)
+    assert spark.read.parquet(path).count() == orders.count()

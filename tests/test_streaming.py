@@ -221,3 +221,13 @@ def test_streaming_ingest_updates_index_and_corpus(spark, tmp_path):
     # the index grew: a replay of the same batch now drops everything
     survivors2, _ = idx_stream.filter_batch(spark, docs, "doc_id", "text")
     assert survivors2.count() == 0
+    # at-least-once replay safety: restarting the query without a
+    # checkpoint re-delivers the same files as epoch 0, whose commit
+    # marker exists — the batch is skipped, the corpus is unchanged
+    q2 = run_streaming_ingest(
+        stream_documents(spark, SF_DIR).select("doc_id", "text"),
+        idx_stream,
+        out_path,
+    )
+    q2.awaitTermination()
+    assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == got
