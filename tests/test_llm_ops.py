@@ -192,6 +192,69 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert all(0.0 <= r.jaccard <= 1.0 for r in pairs)
 
 
+def test_minhash_kernel_matches_expression_path(spark, docs):
+    """The Arrow kernel and the explode/aggregate expression path must
+    find the SAME near-dup pairs with the SAME exact-Jaccard values —
+    pair discovery is agnostic to the shingle-hash function (Jaccard
+    over 64-bit hashed shingle sets == Jaccard over the shingles)."""
+    base = docs.limit(30).select("doc_id", "text")
+    dups = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    corpus = base.unionByName(dups)
+    k = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(
+            corpus, "doc_id", "text", threshold=0.5, impl="kernel"
+        ).collect()
+    }
+    e = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(
+            corpus, "doc_id", "text", threshold=0.5, impl="expr"
+        ).collect()
+    }
+    assert set(k) == set(e) and len(k) > 0
+    assert all(abs(k[p] - e[p]) < 1e-9 for p in k)
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(corpus, "doc_id", "text", impl="nope")
+
+
+def test_minhash_kernel_edge_cases(spark):
+    """Kernel signature schema + short/empty/unicode text: shorter-than-k
+    text hashes as one whole-string shingle (mirroring char_shingles),
+    identical texts get identical signatures AND shingle sets, and the
+    pass is deterministic across partitionings."""
+    from covid19i2b2_spark.operators.minhash_kernel import (
+        minhash_signatures_kernel,
+    )
+
+    rows = [
+        (1, "ab"),            # shorter than k=5
+        (2, ""),              # empty
+        (3, "Héllo  Wörld"),  # unicode + whitespace collapse
+        (4, "héllo wörld"),   # same after normalization as 3
+        (5, "a much longer document with plenty of shingles in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in minhash_signatures_kernel(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(len(r.signature) == 32 for r in out.values())
+    assert out[1].n_shingles == 1 and out[2].n_shingles == 1
+    # 3 and 4 normalize to the same text -> identical signature and set
+    assert out[3].signature == out[4].signature
+    assert out[3].shingle_set == out[4].shingle_set
+    # deterministic under a different input partitioning
+    again = {
+        r.doc_id: r
+        for r in minhash_signatures_kernel(
+            df.repartition(7), "doc_id", "text"
+        ).collect()
+    }
+    assert all(again[i].signature == out[i].signature for i in out)
+
+
 def test_jaccard_verify_is_exact(spark, docs):
     """jaccard(x, x) == 1.0 via the verify operator."""
     base = docs.limit(5).select("doc_id", "text")
