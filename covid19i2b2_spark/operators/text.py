@@ -162,10 +162,41 @@ def char_shingles(
     )
 
 
-def rolling_hashes(col: str | Column, k: int = 5) -> Column:
-    """Per-shingle 64-bit hashes (xxhash64) — the rolling-fingerprint
-    stream used for content-defined chunking / winnowing."""
-    return F.transform(char_shingles(col, k), lambda s: F.xxhash64(s))
+_POLY_B = 1009  # base of the oracle-mirrorable polynomial shingle hash
+
+
+def poly_rolling_hashes(col: str | Column, k: int = 5) -> Column:
+    """Per-shingle rolling hashes as a base-1009 polynomial over the
+    text's codepoints: h_i = sum_j cp[i+j] * B^(k-1-j).
+
+    Exact in signed 64-bit arithmetic (max codepoint 0x10FFFF * B^4
+    ~ 1.2e18; the k=5 sum stays under 2^63, so ANSI mode never
+    overflows) and — unlike xxhash64 — reproducible bit-for-bit in ANSI
+    SQL engines (unicode()/ascii() + integer math), which is what lets
+    q_winnow_fingerprints carry a full DuckDB value-hash oracle.
+    Shorter-than-k text hashes as ONE whole-string polynomial
+    (mirroring char_shingles' whole-string shingle); empty text -> [0].
+    Input must be pre-normalized (pass normalize_text output)."""
+    if k != 5:
+        raise ValueError("poly_rolling_hashes supports k=5 (oracle parity)")
+    c = _c(col)
+    n = F.length(c)
+    cps = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long"),
+    )
+    powers = [_POLY_B ** (k - 1 - j) for j in range(k)]
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: sum(
+            (F.element_at(cps, i + j) * F.lit(powers[j]) for j in range(1, k)),
+            F.element_at(cps, i) * F.lit(powers[0]),
+        ),
+    )
+    whole = F.aggregate(
+        cps, F.lit(0).cast("long"), lambda acc, cp: acc * _POLY_B + cp
+    )
+    return F.when(n >= k, shingled).otherwise(F.array(whole))
 
 
 # PII scrubbing (training-data hygiene): conservative patterns for emails,

@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from covid19i2b2_spark.operators.aggregates import round6
-from covid19i2b2_spark.operators.text import normalize_text, rolling_hashes, word_ngrams
+from covid19i2b2_spark.operators.text import (
+    normalize_text,
+    poly_rolling_hashes,
+    word_ngrams,
+)
 from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
 
@@ -161,7 +165,42 @@ def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("q_winnow_fingerprints", oracle=None)  # xxhash64 stream -> rows-only
+@query(
+    "q_winnow_fingerprints",
+    # Full DuckDB oracle (upgraded from rows-only the same way
+    # q_embedding_near_dup was): the shingle hash is a base-1009
+    # polynomial over the normalized text's codepoints — exact in 64-bit
+    # integer arithmetic in BOTH engines (max term ~1.2e18, sum of five
+    # < 2^63), unlike the xxhash64 stream it replaces.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents WHERE doc_id < 200
+    ), h AS (
+        SELECT doc_id,
+          CASE WHEN length(n) >= 5 THEN
+            list_transform(range(1, length(n)-3), i ->
+              CAST(unicode(n[i]) AS BIGINT)*1036488922561
+              + CAST(unicode(n[i+1]) AS BIGINT)*1027243729
+              + CAST(unicode(n[i+2]) AS BIGINT)*1018081
+              + CAST(unicode(n[i+3]) AS BIGINT)*1009
+              + CAST(unicode(n[i+4]) AS BIGINT))
+          WHEN length(n) = 0 THEN [CAST(0 AS BIGINT)]
+          ELSE [list_reduce(
+                  list_transform(range(1, length(n)+1),
+                                 i -> CAST(unicode(n[i]) AS BIGINT)),
+                  (a, c) -> a*1009 + c)]
+          END AS hs
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS window_idx,
+           list_min(hs[(w*16+1):((w+1)*16)]) AS fingerprint,
+           CAST(len(hs) AS BIGINT) AS n_hashes
+    FROM h, UNNEST(range(0, CAST(ceil(len(hs)/16.0) AS INT))) AS t(w)
+    ORDER BY doc_id, window_idx
+    """,
+)
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: winnowing-style document fingerprints — the minimum rolling
     hash in each non-overlapping window of the shingle-hash stream (the
@@ -170,11 +209,15 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, window_idx, fingerprint): the driver canonicalizes rows-only
     outputs via pandas sort, which cannot hash array cells (round-1
     CORRECTNESS err) — every t2 output must be atomic-typed
-    (tests/test_registry.py pins this for all queries)."""
+    (tests/test_registry.py pins this for all queries).
+
+    The shingle hash is poly_rolling_hashes (base-1009 codepoint
+    polynomial), chosen over xxhash64 precisely because DuckDB computes
+    it bit-identically — this query carries a full value-hash oracle."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     normed = docs.select("doc_id", normalize_text("text").alias("__norm"))
     hashes = normed.select(
-        "doc_id", rolling_hashes(F.col("__norm"), 5).alias("__h")
+        "doc_id", poly_rolling_hashes(F.col("__norm"), 5).alias("__h")
     )
     win = 16
     n_windows = F.ceil(F.size("__h") / win).cast("int")
