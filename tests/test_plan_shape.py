@@ -133,3 +133,65 @@ def test_binned_range_join_is_equi(spark):
     assert "CartesianProduct" not in plan
     # must run and produce plausible counts (every point is in its own stay)
     assert joined.count() >= points.count()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100x scale story for J1 joins on skewed keys: with
+    spark.sql.adaptive.skewJoin enabled (the engine default,
+    session.ensure_runtime_conf), AQE must detect an oversized shuffle
+    partition at runtime and split it — the final adaptive plan carries
+    the skew=true marker on the join.  Thresholds are lowered here so
+    local-mode data trips the same code path production would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # pad must be INCOMPRESSIBLE: shuffle partition sizes are
+        # measured on the lz4-compressed blocks, and a constant pad
+        # compresses below the skew threshold
+        hot = spark.range(100_000).select(
+            F.lit(0).alias("k"),
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.md5(F.col("id").cast("string")),
+            ).alias("pad"),
+        )
+        cold = spark.range(1000).select(
+            (F.col("id") + 1).alias("k"),
+            F.col("id").cast("string").alias("pad"),
+        )
+        dim = spark.range(1001).select(F.col("id").alias("k"), F.col("id").alias("dv"))
+        # the probed action is the join itself (a collect has no
+        # downstream distribution requirement, so OptimizeSkewedJoin can
+        # split freely — same shape as a sink write in production)
+        # keep pad in the output — column pruning would otherwise drop it
+        # before the exchange, deflating the skewed partition
+        joined = hot.unionAll(cold).join(dim, "k").select("k", "dv", "pad")
+        assert len(joined.collect()) == 101_000
+        plan = physical_plan(joined)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, (
+            "AQE did not mark the join as skew-split:\n" + plan
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
