@@ -53,6 +53,16 @@ SCALED_QUERIES = [
     "q_cosine_topk",
     "q_sessionize",
 ]
+# Scaled x100 section (VERDICT r3 #5): the closest local[32] proxy for the
+# 100 TB design claim — the 3 heaviest scan/join/agg queries once each at
+# ~100x the sf rows over a partitioned layout, reported next to the x10
+# numbers as linear_ratio_vs_x10 = t_x100 / (10 * t_x10).  ~1.0 means the
+# plans scale linearly in data volume (shuffles, aggs and joins all grow
+# O(n)); the x10 run already pays the fixed per-query overhead, so ratios
+# well above 1 would flag a super-linear stage.  Set
+# SPARK_GRAFT_BENCH_SCALE100=0 to skip.
+SCALE100_X = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100", "100"))
+SCALE100_QUERIES = ["q_agg_basic", "q_join_inner", "q_text_analysis"]
 _KEY_OFFSET = 10_000_000_000
 # table -> key columns offset per replica (other columns replicate as-is;
 # tables not listed are copied unscaled — small dims / unused by the set)
@@ -116,8 +126,8 @@ def _fn(name: str):
     return {"q_events_daily": q_events_daily}[name]
 
 
-def _scaled_dir(spark) -> str:
-    """Build (once, cached in /tmp) the SCALE_X-replicated copy of SF_DIR.
+def _scaled_dir(spark, factor: int, n_files: int = 32) -> str:
+    """Build (once, cached in /tmp) a factor-replicated copy of SF_DIR.
     Key columns shift by replica*_KEY_OFFSET so within-replica join and
     group relationships are preserved; everything else replicates as-is."""
     from covid19i2b2_spark.sources.tables import read_table
@@ -125,7 +135,7 @@ def _scaled_dir(spark) -> str:
 
     dst = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_scaled_{os.path.basename(SF_DIR.rstrip('/'))}_x{SCALE_X}v2",
+        f"spark_graft_scaled_{os.path.basename(SF_DIR.rstrip('/'))}_x{factor}v2",
     )
     marker = os.path.join(dst, "_SCALED_READY")
     if os.path.exists(marker):
@@ -135,7 +145,7 @@ def _scaled_dir(spark) -> str:
         keys = _SCALE_KEYS.get(name)
         if keys:
             df = df.withColumn(
-                "__r", F.explode(F.sequence(F.lit(0), F.lit(SCALE_X - 1)))
+                "__r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
             )
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.col("__r") * F.lit(_KEY_OFFSET))
@@ -145,7 +155,7 @@ def _scaled_dir(spark) -> str:
             # (b) it scatters the replicas, so identical adjacent text
             # rows don't snappy-compress into an unrealistically tiny
             # (and page-local) layout
-            df = df.drop("__r").repartition(32)
+            df = df.drop("__r").repartition(n_files)
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
@@ -198,7 +208,14 @@ def _bench_curation(spark) -> float:
 
 def main() -> None:
     all_queries()
-    spark = get_spark(app_name="covid19i2b2-bench")
+    # the x100 section aggregates ~60M-row tables in one local JVM; the
+    # 1g driver-heap default GC-thrashes (observed GCLocker retry death).
+    # 16g is ~12% of the harness box and far below what any per-executor
+    # setting would be on a real cluster.
+    spark = get_spark(
+        app_name="covid19i2b2-bench",
+        driver_memory=os.environ.get("SPARK_GRAFT_BENCH_MEM", "16g"),
+    )
     # warm-up: pay JVM/codegen/parquet-footer startup outside the timings
     REGISTRY["q_conditional_agg"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
@@ -226,9 +243,9 @@ def main() -> None:
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
 
+    scaled: dict[str, float] = {}
     if SCALE_X > 1:
-        sdir = _scaled_dir(spark)
-        scaled: dict[str, float] = {}
+        sdir = _scaled_dir(spark, SCALE_X)
         for name in SCALED_QUERIES:
             t0 = time.perf_counter()
             _fn(name)(spark, sdir).write.format("noop").mode("overwrite").save()
@@ -237,6 +254,25 @@ def main() -> None:
             "factor": SCALE_X,
             "value": round(sum(scaled.values()), 3),
             "queries": scaled,
+        }
+
+    if SCALE100_X > 1:
+        sdir100 = _scaled_dir(spark, SCALE100_X, n_files=128)
+        scaled100: dict[str, float] = {}
+        for name in SCALE100_QUERIES:
+            t0 = time.perf_counter()
+            _fn(name)(spark, sdir100).write.format("noop").mode("overwrite").save()
+            scaled100[name] = round(time.perf_counter() - t0, 3)
+        ratios = {
+            n: round(scaled100[n] / (scaled[n] * (SCALE100_X / SCALE_X)), 3)
+            for n in SCALE100_QUERIES
+            if scaled.get(n)
+        }
+        result["scaled_x100"] = {
+            "factor": SCALE100_X,
+            "value": round(sum(scaled100.values()), 3),
+            "queries": scaled100,
+            "linear_ratio_vs_x10": ratios,
         }
 
     print(json.dumps(result))
