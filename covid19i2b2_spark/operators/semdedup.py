@@ -55,16 +55,23 @@ def semantic_dedup_pairs(
     centroids: DataFrame | None = None,
     n_iter: int = 3,
     cluster_cap: int | None = None,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) edges between same-cluster documents with
     exact cosine >= eps.  Pass a persisted ``centroids`` table to skip
-    training (the production path: train once on a hash-sample, reuse)."""
+    training (the production path: train once on a hash-sample, reuse).
+
+    With frozen ``centroids`` and ``exact_decimal=True`` this sub-stage
+    is fully deterministic ANSI arithmetic — assignment and pair cosines
+    reproduce bit-for-bit in DuckDB (tests/test_oracle_parity.py
+    q_semantic_pairs_frozen); only Lloyd iteration keeps the full
+    q_semantic_dedup query rows-only."""
     cents = (
         centroids
         if centroids is not None
         else train_centroids(df, id_col, vec_col, n_centroids, n_iter=n_iter)
     )
-    assigned = ivf_assign(df, id_col, vec_col, cents)
+    assigned = ivf_assign(df, id_col, vec_col, cents, exact_decimal)
     if cluster_cap is not None:
         sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("__csz"))
         oversized = sizes.filter(F.col("__csz") > cluster_cap).persist()
@@ -91,7 +98,7 @@ def semantic_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            round6(cosine("__va", "__vb")).alias("cosine_sim"),
+            round6(cosine("__va", "__vb", exact_decimal)).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= eps)
     )

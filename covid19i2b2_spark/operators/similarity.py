@@ -99,20 +99,27 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     centroids: DataFrame,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid.  ``centroids`` is a
-    small (centroid_id, cvec) DataFrame — broadcast; argmax via max_by.
-    At scale, write the output partitioned by centroid_id so probes read
-    only their clusters."""
+    small (centroid_id, cvec) DataFrame — broadcast; argmax via max_by
+    over (sim, centroid_id) so exact ties break to the HIGHEST centroid
+    id deterministically (a bare max_by tie is arbitrary across retries).
+    ``exact_decimal=True`` fixed-points the cosine so an external engine
+    reproduces the assignment bit-for-bit (oracle parity).  At scale,
+    write the output partitioned by centroid_id so probes read only
+    their clusters."""
     joined = df.join(F.broadcast(centroids))
     scored = joined.select(
         id_col,
         vec_col,
         "centroid_id",
-        cosine(vec_col, "cvec").alias("__sim"),
+        cosine(vec_col, "cvec", exact_decimal).alias("__sim"),
     )
     return scored.groupBy(id_col).agg(
-        F.max_by("centroid_id", "__sim").alias("centroid_id"),
+        F.max_by("centroid_id", F.struct("__sim", "centroid_id")).alias(
+            "centroid_id"
+        ),
         F.first(vec_col).alias(vec_col),
     )
 

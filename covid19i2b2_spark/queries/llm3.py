@@ -216,3 +216,34 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", normalize_unicode(dirty, "NFC").alias("text_nfc")
     ).orderBy("doc_id")
+
+
+def q_semantic_pairs_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 SemDeDup deterministic sub-stage: given FROZEN centroids (the
+    first 16 embedding vectors — SQL-expressible, unlike the Lloyd
+    iterations of train_centroids), assign every vector to its
+    max-cosine centroid and emit within-cluster pairs with exact cosine
+    >= 0.3.  exact_decimal fixed-points every dot product, so assignment
+    AND pair cosines reproduce bit-for-bit in the DuckDB oracle
+    (tests/test_oracle_parity.py) — covering everything in
+    q_semantic_dedup except the k-means loop.  Unregistered (50-slot
+    window)."""
+    from covid19i2b2_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    return (
+        semantic_dedup_pairs(
+            emb,
+            "vec_id",
+            "embedding",
+            eps=0.3,
+            centroids=cents,
+            exact_decimal=True,
+        )
+        .select("id_a", "id_b", "cosine_sim")
+        .orderBy("id_a", "id_b")
+    )

@@ -31,7 +31,63 @@ def test_query_matches_oracle(name, spark, duck):
 # --- VERDICT r1 #1) but still part of the engine surface: their oracle
 # --- parity lives here instead of in CORRECTNESS_r{N}.json.
 
+
+def _fixdot(a: str, b: str) -> str:
+    """DuckDB mirror of similarity._dot_decimal: fixed-point picounit
+    sums, order/engine-independent (same helper shape as the
+    q_embedding_near_dup oracle)."""
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
+        f" * 1000000000000 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000)"
+    )
+
+
+def _semantic_pairs_frozen_oracle() -> str:
+    """SemDeDup sub-stage given frozen centroids: max-cosine assignment
+    (ties -> highest centroid_id, mirroring ivf_assign's max_by over
+    (sim, centroid_id)) + within-cluster pairs with cosine >= 0.3."""
+    sim_ec = (
+        f"{_fixdot('e.embedding', 'c.cvec')}"
+        f" / (sqrt({_fixdot('e.embedding', 'e.embedding')})"
+        f" * sqrt({_fixdot('c.cvec', 'c.cvec')}))"
+    )
+    cos_ab = (
+        f"{_fixdot('a.embedding', 'b.embedding')}"
+        f" / (sqrt({_fixdot('a.embedding', 'a.embedding')})"
+        f" * sqrt({_fixdot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id, {sim_ec} AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               FLOOR(({cos_ab}) * 1000000 + 0.5) / 1000000 AS cosine_sim
+        FROM assigned a
+        JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs
+    WHERE cosine_sim >= 0.3
+    ORDER BY id_a, id_b
+    """
+
+
 UNREGISTERED_ORACLES = {
+    "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
@@ -354,6 +410,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_text_hygiene": llm3.q_text_hygiene,
         "q_unicode_normalize": llm3.q_unicode_normalize,
         "q_resample_fill": reshape.q_resample_fill,
+        "q_semantic_pairs_frozen": llm3.q_semantic_pairs_frozen,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
