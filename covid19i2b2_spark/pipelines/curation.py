@@ -36,6 +36,7 @@ from covid19i2b2_spark.operators.dedup import (
 )
 from covid19i2b2_spark.operators.dedup_clusters import dedup_decision
 from covid19i2b2_spark.operators.contamination import contamination_report
+from covid19i2b2_spark.operators.merge import scd2_upsert
 from covid19i2b2_spark.operators.sampling import hash_sample, pack_sequences
 from covid19i2b2_spark.operators.text import fingerprint, token_count
 
@@ -179,3 +180,42 @@ def curate(
         n_shards=config.n_shards,
         seed=config.seed,
     ).select(id_col, text_col, "n_tokens", "shard", "chunk_id")
+
+
+def corpus_scd2_update(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    effective_col: str = "crawl_date",
+    end_col: str = "end_date",
+) -> DataFrame:
+    """Versioned corpus refresh — the incremental companion to
+    :func:`curate` for RE-CRAWLED documents (SCD type-2 over the corpus,
+    composed from operators/merge.py since no lakehouse MERGE runtime is
+    present in this harness; on a Delta/Iceberg cluster merge_into
+    replaces the final union with a file-granular transactional MERGE).
+
+    Semantics per batch row:
+
+    - content CHANGED (fingerprint differs from the doc's current open
+      version): the open version closes (``end_col`` := the batch row's
+      ``effective_col``) and the new version appends open-ended;
+    - content UNCHANGED: the re-crawl is dropped — no spurious version;
+    - NEW doc id: appends as the first open version.
+
+    Scale shape: one fingerprint equi-join of the batch against the
+    CURRENT (end_col IS NULL) slice + scd2_upsert's anti-join/union —
+    all id-keyed, batch-sized right sides, no corpus rewrite beyond the
+    union read.  Deterministic: content comparison is md5-fingerprint
+    equality, never timestamps alone."""
+    current = corpus.filter(F.col(end_col).isNull()).select(
+        F.col(id_col), fingerprint(text_col).alias("__cur_fp")
+    )
+    changed_or_new = (
+        batch.withColumn("__fp", fingerprint(text_col))
+        .join(current, id_col, "left")
+        .filter(F.col("__cur_fp").isNull() | (F.col("__fp") != F.col("__cur_fp")))
+        .drop("__fp", "__cur_fp")
+    )
+    return scd2_upsert(corpus, changed_or_new, [id_col], effective_col, end_col)

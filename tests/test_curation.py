@@ -5,6 +5,8 @@ isolation."""
 
 from __future__ import annotations
 
+from datetime import date
+
 from pyspark.sql import functions as F
 
 from covid19i2b2_spark.pipelines.curation import CurationConfig, curate
@@ -122,3 +124,42 @@ def test_curation_quality_gate_and_blocklist(spark):
     ids = {r.doc_id for r in out.collect()}
     assert 3 not in ids  # blocklisted
     assert ids == {1, 2, 4, 5}  # everything else survives the gate + dedup
+
+
+def test_corpus_scd2_update_versions_changed_docs(spark):
+    """corpus_scd2_update: changed content closes the open version and
+    appends a new one; unchanged re-crawls add nothing; new ids append
+    as first versions (the no-lakehouse incremental refresh path)."""
+    from covid19i2b2_spark.pipelines.curation import corpus_scd2_update
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "original one", date(2026, 1, 1), None),
+            (2, "original two", date(2026, 1, 1), None),
+            (3, "retired", date(2026, 1, 1), date(2026, 2, 1)),
+            (3, "current three", date(2026, 2, 1), None),
+        ],
+        "doc_id long, text string, crawl_date date, end_date date",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "changed one", date(2026, 3, 1)),   # content changed
+            (2, "original two", date(2026, 3, 1)),  # unchanged re-crawl
+            (4, "brand new", date(2026, 3, 1)),     # new id
+        ],
+        "doc_id long, text string, crawl_date date",
+    )
+    out = corpus_scd2_update(corpus, batch).collect()
+    rows = {(r.doc_id, r.text): (r.crawl_date, r.end_date) for r in out}
+    # doc 1: old version closed at the new crawl date, new version open
+    assert rows[(1, "original one")] == (date(2026, 1, 1), date(2026, 3, 1))
+    assert rows[(1, "changed one")] == (date(2026, 3, 1), None)
+    # doc 2: unchanged — single open version, no spurious close
+    assert rows[(2, "original two")] == (date(2026, 1, 1), None)
+    assert len([k for k in rows if k[0] == 2]) == 1
+    # doc 3: untouched history + open version pass through
+    assert rows[(3, "retired")] == (date(2026, 1, 1), date(2026, 2, 1))
+    assert rows[(3, "current three")] == (date(2026, 2, 1), None)
+    # doc 4: new first version
+    assert rows[(4, "brand new")] == (date(2026, 3, 1), None)
+    assert len(out) == 6

@@ -63,12 +63,18 @@ def test_delta_probe_and_sql_path(spark):
 
 
 def test_merge_into_delta(spark, tmp_path):
-    """Real MERGE INTO — runs only when Delta jars are on the classpath
-    (skipped in this environment; the path lights up on a real cluster)."""
+    """Real MERGE INTO — runs only when Delta jars are on the classpath.
+
+    PERMANENTLY skipped in this harness (verified round 4: no delta or
+    iceberg jars anywhere on the box, no packages, no network to vendor
+    them); the path lights up unchanged on a real cluster.  The
+    no-lakehouse incremental story is covered instead by
+    pipelines/curation.corpus_scd2_update (versioned corpus refresh
+    composed from merge_upsert/scd2_upsert primitives)."""
     from covid19i2b2_spark.operators.merge import delta_available, merge_into
 
     if not delta_available(spark):
-        pytest.skip("no Delta Lake jars in this environment")
+        pytest.skip("no Delta Lake jars in this environment (permanent here)")
     path = str(tmp_path / "t")
     spark.createDataFrame(
         [(1, "old"), (2, "keep")], "k long, v string"
