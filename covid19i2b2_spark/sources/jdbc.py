@@ -6,8 +6,12 @@ SQL Server/Oracle).  The Spark engine ingests via partitioned JDBC reads
 range scans that run in parallel across executors, which is the only way
 a single-table JDBC read scales.
 
-No database (or JDBC driver) exists in this harness, so ``read_jdbc``
-builds the fully-configured reader; ``.load()`` is the caller's line.
+Exercised end-to-end in this harness against Apache Derby (the embedded
+RDBMS Spark ships for its Hive metastore): tests/test_jdbc.py runs the
+real ``.load()`` — driver resolution, the numPartitions parallel range
+scans on the partition column, filter pushdown into the database
+(PushedFilters on the JDBC scan), and an i2b2-shaped aggregate over the
+ingested rows.  Production swaps only the url/driver options.
 """
 
 from __future__ import annotations
