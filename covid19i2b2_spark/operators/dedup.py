@@ -45,6 +45,8 @@ def exact_dedup(
 
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+_POLY_BAND_B = 1009  # poly band-bucket base (oracle-parity banding)
+_POLY_BAND_P = 9_007_199_254_740_881  # largest prime < 2^53
 
 
 def _hash_family(n_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -66,6 +68,7 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
     with_sets: bool = False,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: explode char shingles, take n_hashes
     column-wise MINs in ONE groupBy pass (no per-hash explode, no UDF).
@@ -83,14 +86,39 @@ def minhash_signatures(
     (collect_set) so a downstream exact-Jaccard verify shares this single
     shingle pass.  Returns (id_col, signature array<long>, n_shingles
     [, shingle_set array<long>]).
+
+    ``shingle_hash``: 'xxhash64' (default) or 'poly' — the base-1009
+    codepoint polynomial (text.poly_hashes_from_codepoints), which an ANSI
+    engine reproduces bit-for-bit; the oracle-parity mode
+    (tests/test_oracle_parity.py q_minhash_poly).
     """
     normed = df.select(F.col(id_col), normalize_text(text_col).alias("__norm"))
-    exploded = normed.select(
-        id_col,
-        F.explode(char_shingles("__norm", shingle_k, pre_normalized=True)).alias(
-            "__shingle"
-        ),
-    ).withColumn("__h64", F.xxhash64("__shingle")).withColumn(
+    if shingle_hash == "poly":
+        from covid19i2b2_spark.operators.text import (
+            codepoints,
+            poly_hashes_from_codepoints,
+        )
+
+        # codepoints projected to a REAL column first — inlined, the
+        # hash lambda re-evaluates the O(n) array per element (O(n²))
+        exploded = normed.select(
+            id_col, codepoints("__norm").alias("__cps")
+        ).select(
+            id_col,
+            F.explode(poly_hashes_from_codepoints("__cps", shingle_k)).alias(
+                "__h64"
+            ),
+        )
+    elif shingle_hash == "xxhash64":
+        exploded = normed.select(
+            id_col,
+            F.explode(
+                char_shingles("__norm", shingle_k, pre_normalized=True)
+            ).alias("__shingle"),
+        ).withColumn("__h64", F.xxhash64("__shingle"))
+    else:
+        raise ValueError(f"shingle_hash must be 'xxhash64' or 'poly'")
+    exploded = exploded.withColumn(
         "__h31", F.pmod("__h64", F.lit(_MERSENNE31))
     )
     aggs = [
@@ -116,7 +144,7 @@ def minhash_signatures(
             F.col("shingle_set"),
         )
     per_doc = exploded.groupBy(id_col).agg(
-        *aggs, F.count_distinct("__shingle").alias("n_shingles")
+        *aggs, F.count_distinct("__h64").alias("n_shingles")
     )
     return per_doc.select(
         F.col(id_col),
@@ -131,6 +159,7 @@ def lsh_candidate_pairs(
     n_bands: int = 8,
     sig_col: str = "signature",
     bucket_cap: int | None = None,
+    band_hash: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split each signature into n_bands bands, hash each
     band, bucket-join on (band_idx, band_hash).  Docs agreeing on any band
@@ -152,16 +181,30 @@ def lsh_candidate_pairs(
     """
     n_hashes_col = F.size(F.col(sig_col))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
+    if band_hash == "poly":
+        # oracle-parity band bucket: polynomial fold of the band's
+        # signature values mod a sub-2^53 prime — acc*1009 + x stays
+        # under 2^63 (values < 2^31), exact in any ANSI engine
+        def _bucket(b: Column) -> Column:
+            return F.aggregate(
+                F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * _POLY_BAND_B + x) % _POLY_BAND_P,
+            )
+    elif band_hash == "xxhash64":
+        def _bucket(b: Column) -> Column:
+            return F.xxhash64(
+                F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+            )
+    else:
+        raise ValueError("band_hash must be 'xxhash64' or 'poly'")
     banded = signatures.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
+                    b.alias("band"), _bucket(b).alias("bucket")
                 ),
             )
         ).alias("bb"),
@@ -261,9 +304,12 @@ def minhash_dedup_pairs(
     ``impl``: 'kernel' (default) computes signatures + shingle sets in
     one narrow Arrow pass (operators/minhash_kernel.py — no explode, no
     shuffle; measured faster end-to-end at sf0.1); 'expr' keeps the
-    pure-expression explode+aggregate path.  Both are deterministic and
-    find the same pairs (pair discovery and Jaccard values are agnostic
-    to the shingle-hash function; equivalence pinned in tests).
+    pure-expression explode+aggregate path; 'poly' is 'expr' with the
+    polynomial shingle AND band hashes, making the ENTIRE pipeline
+    reproducible in an ANSI engine (the DuckDB oracle q_minhash_poly in
+    tests/test_oracle_parity.py).  All are deterministic and find the
+    same pairs (pair discovery and Jaccard values are agnostic to the
+    shingle-hash function; equivalence pinned in tests).
 
     One shingle pass feeds BOTH the signatures and the verify sets
     (with_sets=True), persisted because the band self-join and the
@@ -293,13 +339,28 @@ def minhash_dedup_pairs(
             .repartition(id_col)
             .persist()
         )
-    elif impl == "expr":
+    elif impl in ("expr", "poly"):
         sigs = minhash_signatures(
-            df, id_col, text_col, n_hashes, shingle_k, seed, with_sets=True
+            df,
+            id_col,
+            text_col,
+            n_hashes,
+            shingle_k,
+            seed,
+            with_sets=True,
+            shingle_hash="poly" if impl == "poly" else "xxhash64",
         ).persist()
     else:
-        raise ValueError(f"impl must be 'kernel' or 'expr' (got {impl!r})")
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, bucket_cap=bucket_cap)
+        raise ValueError(
+            f"impl must be 'kernel', 'expr' or 'poly' (got {impl!r})"
+        )
+    pairs = lsh_candidate_pairs(
+        sigs,
+        id_col,
+        n_bands,
+        bucket_cap=bucket_cap,
+        band_hash="poly" if impl == "poly" else "xxhash64",
+    )
     # ONE join per side fetching signature AND shingle set together (the
     # per-doc row already holds both) — the estimate filter still runs
     # BEFORE the expensive array_intersect inside the same plan, so the

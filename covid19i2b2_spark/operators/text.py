@@ -165,36 +165,46 @@ def char_shingles(
 _POLY_B = 1009  # base of the oracle-mirrorable polynomial shingle hash
 
 
-def poly_rolling_hashes(col: str | Column, k: int = 5) -> Column:
-    """Per-shingle rolling hashes as a base-1009 polynomial over the
-    text's codepoints: h_i = sum_j cp[i+j] * B^(k-1-j).
+def codepoints(col: str | Column) -> Column:
+    """array<long> of the string's codepoints.  PERF: project this to a
+    REAL column before feeding poly_hashes_from_codepoints — expressions
+    referenced inside array lambdas re-evaluate per element (the
+    char_shingles trap), so an inlined codepoint array turns the hash
+    pass O(n²)."""
+    c = _c(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long"),
+    )
+
+
+def poly_hashes_from_codepoints(cps: str | Column, k: int = 5) -> Column:
+    """Per-shingle rolling hashes as a base-1009 polynomial over a
+    PROJECTED codepoint-array column: h_i = sum_j cp[i+j] * B^(k-1-j).
 
     Exact in signed 64-bit arithmetic (max codepoint 0x10FFFF * B^4
     ~ 1.2e18; the k=5 sum stays under 2^63, so ANSI mode never
     overflows) and — unlike xxhash64 — reproducible bit-for-bit in ANSI
     SQL engines (unicode()/ascii() + integer math), which is what lets
-    q_winnow_fingerprints carry a full DuckDB value-hash oracle.
-    Shorter-than-k text hashes as ONE whole-string polynomial
-    (mirroring char_shingles' whole-string shingle); empty text -> [0].
-    Input must be pre-normalized (pass normalize_text output)."""
+    q_winnow_fingerprints and q_minhash_poly carry full DuckDB
+    value-hash oracles.  Shorter-than-k text hashes as ONE whole-string
+    polynomial (mirroring char_shingles' whole-string shingle); empty
+    text -> [0].  The source text must be pre-normalized
+    (normalize_text) before codepoints()."""
     if k != 5:
-        raise ValueError("poly_rolling_hashes supports k=5 (oracle parity)")
-    c = _c(col)
-    n = F.length(c)
-    cps = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long"),
-    )
+        raise ValueError("poly hashes support k=5 (oracle parity)")
+    cc = _c(cps)
+    n = F.size(cc)
     powers = [_POLY_B ** (k - 1 - j) for j in range(k)]
     shingled = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: sum(
-            (F.element_at(cps, i + j) * F.lit(powers[j]) for j in range(1, k)),
-            F.element_at(cps, i) * F.lit(powers[0]),
+            (F.element_at(cc, i + j) * F.lit(powers[j]) for j in range(1, k)),
+            F.element_at(cc, i) * F.lit(powers[0]),
         ),
     )
     whole = F.aggregate(
-        cps, F.lit(0).cast("long"), lambda acc, cp: acc * _POLY_B + cp
+        cc, F.lit(0).cast("long"), lambda acc, cp: acc * _POLY_B + cp
     )
     return F.when(n >= k, shingled).otherwise(F.array(whole))
 

@@ -7,8 +7,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from covid19i2b2_spark.operators.aggregates import round6
 from covid19i2b2_spark.operators.text import (
+    codepoints,
     normalize_text,
-    poly_rolling_hashes,
+    poly_hashes_from_codepoints,
     word_ngrams,
 )
 from covid19i2b2_spark.registry import query
@@ -211,14 +212,14 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORRECTNESS err) — every t2 output must be atomic-typed
     (tests/test_registry.py pins this for all queries).
 
-    The shingle hash is poly_rolling_hashes (base-1009 codepoint
+    The shingle hash is poly_hashes_from_codepoints (base-1009 codepoint
     polynomial), chosen over xxhash64 precisely because DuckDB computes
     it bit-identically — this query carries a full value-hash oracle."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     normed = docs.select("doc_id", normalize_text("text").alias("__norm"))
     hashes = normed.select(
-        "doc_id", poly_rolling_hashes(F.col("__norm"), 5).alias("__h")
-    )
+        "doc_id", codepoints("__norm").alias("__cps")
+    ).select("doc_id", poly_hashes_from_codepoints("__cps", 5).alias("__h"))
     win = 16
     n_windows = F.ceil(F.size("__h") / win).cast("int")
     mins = F.transform(

@@ -247,3 +247,21 @@ def q_semantic_pairs_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "cosine_sim")
         .orderBy("id_a", "id_b")
     )
+
+
+def q_minhash_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 oracle-parity mode: the COMPLETE MinHash+LSH pipeline —
+    signatures, band buckets, signature-estimate cascade, exact-Jaccard
+    verify — with the polynomial shingle AND band hashes, so every stage
+    reproduces bit-for-bit in the DuckDB oracle
+    (tests/test_oracle_parity.py).  The registered q_minhash_pairs runs
+    the same pipeline on the faster Arrow kernel hash; kernel≡expr pair
+    equivalence is pinned separately, so together the fast path is
+    verified transitively.  Unregistered (50-slot window)."""
+    from covid19i2b2_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n_hashes=32, n_bands=8, shingle_k=5,
+        threshold=0.5, impl="poly",
+    ).orderBy("id_a", "id_b")
