@@ -401,19 +401,67 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+# (a, b) affine coefficients deriving the two 31-bit halves of the poly
+# 62-bit token hash — shared with the DuckDB oracle builder
+_POLY64_COEFFS = _hash_family(2, 7)
+
+
+def _poly_token_hash() -> Column:
+    """62-bit engine-independent token hash over a PROJECTED codepoint
+    column ``__cps``: fold the codepoints mod a sub-2^53 prime, reduce to
+    31 bits, then two affine maps mod 2^31-1 fill bits 0..30 and 32..62
+    (bits 31 and 63 stay 0 — the signature builder's votes there are
+    always negative, so those signature bits are constantly 0 in BOTH
+    engines).  Every intermediate stays under 2^63: fold acc*1009 <
+    9.1e18, a*hp31 < 2^62."""
+    hp = F.aggregate(
+        F.col("__cps"),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _POLY_BAND_B + c) % _POLY_BAND_P,
+    )
+    hp31 = hp % _MERSENNE31
+    (a1, b1), (a2, b2) = _POLY64_COEFFS
+    h1 = (hp31 * a1 + b1) % _MERSENNE31
+    h2 = (hp31 * a2 + b2) % _MERSENNE31
+    return h1 * F.lit(4294967296) + h2
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """SimHash signature: per token a 64-bit hash votes +1/-1 on each bit;
     the signature sets bit i when the vote sum is positive.  One explode +
     one groupBy with ``bits`` sum aggregates — all codegen'd.
+
+    ``token_hash``: 'xxhash64' (default — JVM intrinsic, the 100 TB hot
+    path) or 'poly' (codepoint-polynomial 62-bit hash an ANSI engine
+    reproduces bit-for-bit; the q_simhash_pairs oracle mode).  The hash
+    is projected to a real column before the 64 vote aggregates so it is
+    computed once per token, not once per bit.
 
     Hamming-adjacent signatures indicate near-dups; bucket on rotated
     prefixes for search.  Returns (id_col, simhash long, n_tokens).
     """
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
-    h = F.xxhash64("__tok")
+    if token_hash == "poly":
+        from covid19i2b2_spark.operators.text import codepoints
+
+        tok = tok.withColumn("__cps", codepoints("__tok")).withColumn(
+            "__h", _poly_token_hash()
+        )
+    elif token_hash == "xxhash64":
+        tok = tok.withColumn("__h", F.xxhash64("__tok"))
+    else:
+        raise ValueError("token_hash must be 'xxhash64' or 'poly'")
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"__b{i}")
         for i in range(bits)
     ] + [F.count("*").alias("n_tokens")]
@@ -444,9 +492,11 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_chunks: int | None = None,
     bucket_cap: int | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash dedup end-to-end: signatures -> 2-chunk multi-index join ->
-    hamming verify.
+    hamming verify.  ``token_hash='poly'`` selects the oracle-mirrorable
+    token hash (see :func:`simhash`).
 
     Multi-index recall guarantee (pigeonhole): split the 64-bit signature
     into ``c = n_chunks`` near-equal chunks.  Two signatures within
@@ -492,7 +542,7 @@ def simhash_near_dup_pairs(
             F.lit((1 << widths[i]) - 1)
         )
 
-    sigs = simhash(df, id_col, text_col).persist()
+    sigs = simhash(df, id_col, text_col, token_hash=token_hash).persist()
     key_structs = F.array(
         *[
             F.struct(

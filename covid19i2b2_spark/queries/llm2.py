@@ -115,13 +115,90 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_simhash_pairs", oracle=None)  # xxhash64-based signatures
+def _simhash_oracle() -> str:
+    """DuckDB mirror of simhash_near_dup_pairs(token_hash='poly'): the
+    62-bit polynomial token hash, 64 bit-vote sums, signature assembly,
+    the C(5,2) 2-chunk multi-index equi-join, and bit_count hamming
+    verify — generated, since it spells out all 64 votes and 10 keys."""
+    from itertools import combinations
+
+    from covid19i2b2_spark.operators.dedup import (
+        _MERSENNE31,
+        _POLY64_COEFFS,
+        _POLY_BAND_B,
+        _POLY_BAND_P,
+    )
+
+    (a1, b1), (a2, b2) = _POLY64_COEFFS
+    hp = (
+        "list_reduce(list_transform(range(1, length(t)+1), "
+        "i -> CAST(unicode(t[i]) AS BIGINT)), "
+        f"(a, c) -> (a*{_POLY_BAND_B} + c) % {_POLY_BAND_P})"
+    )
+    h = (
+        f"(((({hp}) % {_MERSENNE31}) * {a1} + {b1}) % {_MERSENNE31}) * 4294967296"
+        f" + (((({hp}) % {_MERSENNE31}) * {a2} + {b2}) % {_MERSENNE31})"
+    )
+    votes = ",\n            ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    # bit 63's vote is always negative (hash bit 63 is 0), so its term is
+    # omitted — the 1<<63 literal would overflow signed 64-bit anyway
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    c = 5
+    base_w, extra = divmod(64, c)
+    widths = [base_w + (1 if i < extra else 0) for i in range(c)]
+    offsets = [sum(widths[:i]) for i in range(c)]
+    keyed = "\n        UNION ALL ".join(
+        f"SELECT doc_id, sig, {k} AS ki, "
+        f"(sig >> {offsets[i]}) & {(1 << widths[i]) - 1} AS v1, "
+        f"(sig >> {offsets[j]}) & {(1 << widths[j]) - 1} AS v2 FROM sigs"
+        for k, (i, j) in enumerate(combinations(range(c), 2))
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    th AS (SELECT doc_id, {h} AS h FROM tok),
+    votes AS (
+        SELECT doc_id,
+            {votes}
+        FROM th GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS sig FROM votes),
+    keyed AS (
+        {keyed}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM keyed a
+        JOIN keyed b ON a.ki = b.ki AND a.v1 = b.v1 AND a.v2 = b.v2
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+    WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q_simhash_pairs", oracle=_simhash_oracle())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: SimHash near-dup pairs end-to-end — 2-chunk multi-index buckets
     (pigeonhole: hamming<=3 pairs agree on >=2 of 5 chunks, so share a
     ~25-bit combination key) + bit_count hamming verify.
     Recall proof on planted edits in tests/test_llm_ops.py; bucket-cap
-    bound + bit_count plan pin in tests/test_plan_shape.py."""
+    bound + bit_count plan pin in tests/test_plan_shape.py.
+
+    Hash-verified since round 4: token_hash='poly' (codepoint-polynomial
+    62-bit hash) replaces xxhash64, making signatures, multi-index keys
+    and hamming values reproducible bit-for-bit in the DuckDB oracle —
+    this was rows-only in rounds 1-3."""
     from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
@@ -130,7 +207,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical — but the capped path (bucket-size aggregate + anti-join)
     # is what the driver exercises
     return simhash_near_dup_pairs(
-        docs, "doc_id", "text", max_hamming=3, bucket_cap=10_000
+        docs, "doc_id", "text", max_hamming=3, bucket_cap=10_000,
+        token_hash="poly",
     ).orderBy("id_a", "id_b")
 
 
