@@ -253,11 +253,16 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
-def probe_centroids(cents: DataFrame, query: DataFrame, n_probe: int) -> DataFrame:
+def probe_centroids(
+    cents: DataFrame,
+    query: DataFrame,
+    n_probe: int,
+    exact_decimal: bool = False,
+) -> DataFrame:
     """The n_probe centroid ids closest (cosine) to the 1-row query."""
     return (
         cents.join(F.broadcast(query))
-        .select("centroid_id", cosine("cvec", "qv").alias("__sim"))
+        .select("centroid_id", cosine("cvec", "qv", exact_decimal).alias("__sim"))
         .orderBy(F.col("__sim").desc(), "centroid_id")
         .limit(n_probe)
         .select("centroid_id")
@@ -283,21 +288,26 @@ def ivf_topk(
     k: int = 10,
     centroids: DataFrame | None = None,
     n_iter: int = 3,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the n_probe centroids closest to
     the query, brute-force within.  Recall/latency knob = n_probe.
     Centroids default to spherical-k-means-trained (deterministic seeds);
     pass a persisted ``centroids`` table to skip training (the production
-    path: train once, reuse per query)."""
+    path: train once, reuse per query).
+
+    With frozen ``centroids`` and ``exact_decimal=True`` the whole search
+    — assignment, probe selection, within-probe top-k — is reproducible
+    in an ANSI engine (the q_ann_ivf DuckDB oracle)."""
     cents = (
         centroids
         if centroids is not None
         else train_centroids(df, id_col, vec_col, n_centroids, n_iter=n_iter)
     )
-    assigned = ivf_assign(df, id_col, vec_col, cents)
-    probe_ids = probe_centroids(cents, query, n_probe)
+    assigned = ivf_assign(df, id_col, vec_col, cents, exact_decimal)
+    probe_ids = probe_centroids(cents, query, n_probe, exact_decimal)
     candidates = assigned.join(F.broadcast(probe_ids), "centroid_id")
-    return cosine_topk(candidates, id_col, vec_col, query, k)
+    return cosine_topk(candidates, id_col, vec_col, query, k, exact_decimal)
 
 
 def hyperplane_lsh_bucket(

@@ -296,19 +296,103 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf", oracle=None)  # approximate by design -> rows-only
+def _fixdot_sql(a: str, b: str) -> str:
+    """DuckDB fixed-point dot (mirror of similarity._dot_decimal)."""
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
+        f" * 1000000000000 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000)"
+    )
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB mirror of ivf_topk with frozen centroids + exact_decimal:
+    max-cosine assignment (ties -> highest centroid_id), top-n_probe
+    probe selection (ties -> lowest centroid_id, mirroring
+    probe_centroids' orderBy), then top-k by exact cosine within the
+    probed clusters (ties -> lowest vec_id, mirroring cosine_topk)."""
+    sim_ec = (
+        f"{_fixdot_sql('e.embedding', 'c.cvec')}"
+        f" / (sqrt({_fixdot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_fixdot_sql('c.cvec', 'c.cvec')}))"
+    )
+    sim_cq = (
+        f"{_fixdot_sql('c.cvec', 'q.qv')}"
+        f" / (sqrt({_fixdot_sql('c.cvec', 'c.cvec')})"
+        f" * sqrt({_fixdot_sql('q.qv', 'q.qv')}))"
+    )
+    sim_aq = (
+        f"{_fixdot_sql('a.embedding', 'q.qv')}"
+        f" / (sqrt({_fixdot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_fixdot_sql('q.qv', 'q.qv')}))"
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    ),
+    cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id, {sim_ec} AS sim
+        FROM cand e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT centroid_id FROM (
+            SELECT c.centroid_id, row_number() OVER (
+                ORDER BY {sim_cq} DESC, c.centroid_id
+            ) AS rn FROM cents c, q
+        ) WHERE rn <= 4
+    ),
+    topk AS (
+        SELECT a.vec_id, {sim_aq} AS ex
+        FROM assigned a JOIN probes USING (centroid_id), q
+        ORDER BY ex DESC, a.vec_id
+        LIMIT 10
+    )
+    SELECT vec_id, FLOOR(ex * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM topk ORDER BY ex DESC, vec_id
+    """
+
+
+@query("q_ann_ivf", oracle=_ann_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: IVF approximate top-k (deterministic centroids,
-    n_probe=4 of 16 clusters).  Approximate by construction — the driver
-    records a rows-only check; recall-vs-brute-force is asserted in
-    tests/test_llm_ops.py."""
+    """X3 scale path: IVF approximate top-k (frozen centroids, n_probe=4
+    of 16 clusters).
+
+    Hash-verified since round 4: centroids are FROZEN to the embeddings
+    of vec_id 1..16 (SQL-expressible, unlike Lloyd training) and every
+    cosine is exact_decimal fixed-point, so assignment, probe selection
+    and the within-probe top-k reproduce bit-for-bit in the DuckDB
+    oracle.  The trained-centroid mode (train_centroids + ivf_topk
+    default) keeps its recall-vs-brute-force and probe-routing coverage
+    in tests/test_llm_ops.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     query_vec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
     candidates = emb.filter(F.col("vec_id") != 0)
+    cents = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)
+    ).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
     return sim.ivf_topk(
-        candidates, "vec_id", "embedding", query_vec, n_centroids=16, n_probe=4, k=10
+        candidates,
+        "vec_id",
+        "embedding",
+        query_vec,
+        n_probe=4,
+        k=10,
+        centroids=cents,
+        exact_decimal=True,
     )
 
 
