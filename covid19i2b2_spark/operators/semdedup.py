@@ -113,12 +113,21 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     n_iter: int = 3,
     cluster_cap: int | None = None,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Corpus -> surviving rows.  Groups of semantically-equivalent docs
     (cosine >= eps within a cluster, closed transitively) keep only the
     min-id survivor; all other rows pass through unchanged."""
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, n_centroids, eps, centroids, n_iter, cluster_cap
+        df,
+        id_col,
+        vec_col,
+        n_centroids,
+        eps,
+        centroids,
+        n_iter,
+        cluster_cap,
+        exact_decimal,
     )
     decision = dedup_decision(df.select(id_col), pairs, id_col)
     return df.join(

@@ -484,11 +484,46 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("q_multimodal_meta", oracle=None)  # mapInPandas plumbing -> rows-only
+@query(
+    "q_multimodal_meta",
+    # The FAKE decode is deterministic byte arithmetic (dims from byte
+    # length + first byte, frames from ceil(bytes/256)), so DuckDB can
+    # mirror it byte-exactly via hex(encode(text)) — upgrading this from
+    # rows-only to a full value oracle.  What this verifies is the Arrow
+    # plumbing's determinism and the aggregate; the real-codec path stays
+    # stubbed (no codecs in this environment).
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               hex(encode(text)) AS hx
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, nb,
+            CASE WHEN nb = 0 THEN 0
+                 ELSE CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT)
+            END AS first_b,
+            CAST(ceil(nb / 256.0) AS BIGINT) AS nf
+        FROM b
+    )
+    SELECT 'image/fake' AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(MAX((first_b % 16 + 1) * 64) AS INTEGER) AS max_width,
+           CAST(MAX((nb % 16 + 1) * 64) AS INTEGER) AS max_height,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(CAST(ceil(nf / 4.0) AS BIGINT)) AS BIGINT) AS total_sampled
+    FROM m
+    """,
+)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 multimodal plumbing: documents -> binary payload column ->
     Arrow-batched mapInPandas fake decode (real codecs stubbed, see
-    operators/multimodal.py) -> per-type size stats + frame sampling."""
+    operators/multimodal.py) -> per-type size stats + frame sampling.
+
+    Hash-verified since round 4: the fake decode's byte arithmetic is
+    mirrored byte-exactly in the DuckDB oracle (hex-string byte
+    extraction), pinning the Arrow batch path's determinism end to end."""
     docs = read_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     decoded = decode_media(media)

@@ -212,19 +212,95 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("q_semantic_dedup", oracle=None)  # k-means + graph closure: not SQL
+def _semantic_dedup_oracle() -> str:
+    """DuckDB mirror of semantic_dedup with frozen centroids +
+    exact_decimal: fixed-point assignment + within-cluster pair edges
+    (cosine >= 0.35), then the transitive closure via WITH RECURSIVE —
+    min reachable id per component survives, exactly dedup_decision's
+    rule."""
+
+    def fixdot(a: str, b: str) -> str:
+        return (
+            f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
+            f" * 1000000000000 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000)"
+        )
+
+    sim_ec = (
+        f"{fixdot('e.embedding', 'c.cvec')}"
+        f" / (sqrt({fixdot('e.embedding', 'e.embedding')})"
+        f" * sqrt({fixdot('c.cvec', 'c.cvec')}))"
+    )
+    cos_ab = (
+        f"{fixdot('a.embedding', 'b.embedding')}"
+        f" / (sqrt({fixdot('a.embedding', 'a.embedding')})"
+        f" * sqrt({fixdot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+    WITH RECURSIVE cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id, {sim_ec} AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ),
+    prs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a
+        JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE FLOOR(({cos_ab}) * 1000000 + 0.5) / 1000000 >= 0.35
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(id, root) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS root FROM reach GROUP BY id)
+    SELECT emb.vec_id, emb.label
+    FROM embeddings emb JOIN comp ON emb.vec_id = comp.id
+    WHERE comp.id = comp.root
+    ORDER BY emb.vec_id
+    """
+
+
+@query("q_semantic_dedup", oracle=_semantic_dedup_oracle())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 semantic tier (SemDeDup, arXiv:2303.09540): k-means-cluster the
+    """X2 semantic tier (SemDeDup, arXiv:2303.09540): cluster the
     embeddings, drop all but the min-id survivor of any within-cluster
     group with cosine >= eps.  Catches paraphrase/translation dups that
-    share no n-grams.  Survivor count + planted-dup recall proven in
-    tests/test_llm_ops.py; registered rows-only (iterative k-means +
-    connected components aren't single-statement SQL)."""
+    share no n-grams.  Planted-dup recall proven in tests/test_llm_ops.py.
+
+    Hash-verified since round 4: centroids are FROZEN to the first 16
+    embedding vectors and every cosine is exact_decimal fixed-point, so
+    assignment, pair edges AND the connected-components survivor rule
+    reproduce in the DuckDB oracle (transitive closure via WITH
+    RECURSIVE).  The k-means-trained mode (train_centroids) keeps its
+    pytest coverage — only Lloyd iteration is not SQL-expressible.
+    eps=0.35 keeps the closure non-trivial on this near-orthogonal
+    synthetic corpus (~65 of 500 docs merge away; real paraphrase
+    corpora use ~0.95 — same q_embedding_near_dup threshold rationale)."""
     from covid19i2b2_spark.operators.semdedup import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
     return semantic_dedup(
-        emb, "vec_id", "embedding", n_centroids=8, eps=0.99, n_iter=2
+        emb, "vec_id", "embedding", eps=0.35, centroids=cents,
+        exact_decimal=True,
     ).select("vec_id", "label").orderBy("vec_id")
 
 
