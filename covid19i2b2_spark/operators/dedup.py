@@ -303,13 +303,15 @@ def minhash_dedup_pairs(
 
     ``impl``: 'kernel' (default) computes signatures + shingle sets in
     one narrow Arrow pass (operators/minhash_kernel.py — no explode, no
-    shuffle; measured faster end-to-end at sf0.1); 'expr' keeps the
-    pure-expression explode+aggregate path; 'poly' is 'expr' with the
-    polynomial shingle AND band hashes, making the ENTIRE pipeline
-    reproducible in an ANSI engine (the DuckDB oracle q_minhash_poly in
-    tests/test_oracle_parity.py).  All are deterministic and find the
-    same pairs (pair discovery and Jaccard values are agnostic to the
-    shingle-hash function; equivalence pinned in tests).
+    shuffle; measured faster end-to-end at sf0.1); 'kernel_poly' is the
+    same Arrow pass with the base-1009 codepoint-polynomial shingle hash
+    AND poly band buckets, making the ENTIRE pipeline reproducible in an
+    ANSI engine at kernel speed — the registered q_minhash_pairs mode
+    (full DuckDB value oracle); 'expr' keeps the pure-expression
+    explode+aggregate path; 'poly' is 'expr' with the polynomial hashes
+    (value-identical to 'kernel_poly'; equivalence pinned in tests).
+    All are deterministic and find the same pairs (pair discovery and
+    Jaccard values are agnostic to the shingle-hash function).
 
     One shingle pass feeds BOTH the signatures and the verify sets
     (with_sets=True), persisted because the band self-join and the
@@ -323,7 +325,7 @@ def minhash_dedup_pairs(
     the exact set-intersection verify — cutting the expensive stage's
     input by ~100x on the test corpus with no recall loss (the estimator
     concentrates within ~2/sqrt(n_hashes) of true Jaccard)."""
-    if impl == "kernel":
+    if impl in ("kernel", "kernel_poly"):
         from covid19i2b2_spark.operators.minhash_kernel import (
             minhash_signatures_kernel,
         )
@@ -335,7 +337,15 @@ def minhash_dedup_pairs(
         # (the expression path gets the same property for free from its
         # internal sig/set join)
         sigs = (
-            minhash_signatures_kernel(df, id_col, text_col, n_hashes, shingle_k, seed)
+            minhash_signatures_kernel(
+                df,
+                id_col,
+                text_col,
+                n_hashes,
+                shingle_k,
+                seed,
+                shingle_hash="poly" if impl == "kernel_poly" else "splitmix",
+            )
             .repartition(id_col)
             .persist()
         )
@@ -352,14 +362,15 @@ def minhash_dedup_pairs(
         ).persist()
     else:
         raise ValueError(
-            f"impl must be 'kernel', 'expr' or 'poly' (got {impl!r})"
+            f"impl must be 'kernel', 'kernel_poly', 'expr' or 'poly' "
+            f"(got {impl!r})"
         )
     pairs = lsh_candidate_pairs(
         sigs,
         id_col,
         n_bands,
         bucket_cap=bucket_cap,
-        band_hash="poly" if impl == "poly" else "xxhash64",
+        band_hash="poly" if impl in ("poly", "kernel_poly") else "xxhash64",
     )
     # ONE join per side fetching signature AND shingle set together (the
     # per-doc row already holds both) — the estimate filter still runs

@@ -396,15 +396,111 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_minhash_pairs", oracle=None)  # xxhash64 sketch not reproducible in DuckDB
+def poly_shingle_list_sql(norm: str = "n") -> str:
+    """DuckDB mirror of text.poly_hashes_from_codepoints (k=5): base-1009
+    codepoint polynomial per shingle; whole-string fold under k chars."""
+    return f"""CASE WHEN length({norm}) >= 5 THEN
+        list_transform(range(1, length({norm})-3), i ->
+          CAST(unicode({norm}[i]) AS BIGINT)*1036488922561
+          + CAST(unicode({norm}[i+1]) AS BIGINT)*1027243729
+          + CAST(unicode({norm}[i+2]) AS BIGINT)*1018081
+          + CAST(unicode({norm}[i+3]) AS BIGINT)*1009
+          + CAST(unicode({norm}[i+4]) AS BIGINT))
+      WHEN length({norm}) = 0 THEN [CAST(0 AS BIGINT)]
+      ELSE [list_reduce(
+              list_transform(range(1, length({norm})+1),
+                             i -> CAST(unicode({norm}[i]) AS BIGINT)),
+              (a, c) -> a*1009 + c)]
+      END"""
+
+
+def minhash_poly_oracle_sql() -> str:
+    """Full MinHash+LSH pipeline mirror of minhash_dedup_pairs(
+    impl='kernel_poly' / 'poly'): poly shingle hashes -> h31 -> 32
+    (a*h+b) mod 2^31-1 mins -> 8 poly band buckets -> candidate pairs ->
+    signature-estimate cascade (>= threshold-0.15) -> exact Jaccard on
+    the distinct shingle-hash sets.  MIN is duplicate-insensitive, so
+    signatures over the DISTINCT hash set equal Spark's over all shingle
+    instances."""
+    from covid19i2b2_spark.operators.dedup import _MERSENNE31, _hash_family
+
+    m = _MERSENNE31
+    sig_elems = ",\n           ".join(
+        f"list_min(list_transform(h31s, h -> (h*{a} + {b}) % {m}))"
+        for a, b in _hash_family(32, 42)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {poly_shingle_list_sql()} AS hlist FROM d),
+    s31 AS (
+        SELECT doc_id, list_distinct(hlist) AS hset,
+               list_transform(list_distinct(hlist), x -> x % {m}) AS h31s
+        FROM h
+    ),
+    sigs AS (
+        SELECT doc_id, hset,
+           [{sig_elems}] AS sig
+        FROM s31
+    ),
+    banded AS (
+        SELECT doc_id, t.b AS band,
+               list_reduce(sig[(t.b*4+1):(t.b*4+4)],
+                           (acc, x) -> (acc*1009 + x) % 9007199254740881
+               ) AS bucket
+        FROM sigs, UNNEST(range(0, 8)) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    ),
+    joined AS (
+        SELECT c.id_a, c.id_b, sa.sig AS sig_a, sb.sig AS sig_b,
+               sa.hset AS set_a, sb.hset AS set_b
+        FROM cand c
+        JOIN sigs sa ON c.id_a = sa.doc_id
+        JOIN sigs sb ON c.id_b = sb.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               FLOOR((CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
+                      / len(list_distinct(list_concat(set_a, set_b))))
+                     * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM joined
+        WHERE CAST(len(list_filter(list_zip(sig_a, sig_b),
+                                   x -> x[1] = x[2])) AS DOUBLE) / 32 >= 0.35
+    )
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q_minhash_pairs", oracle=minhash_poly_oracle_sql())
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash+LSH near-dup pairs (32 hashes, 8 bands, 5-char
-    shingles) verified with exact Jaccard >= 0.5.  Sketches use xxhash64
-    so the oracle can't mirror them; Jaccard-vs-brute-force precision is
-    asserted in tests/test_llm_ops.py."""
+    shingles) verified with exact Jaccard >= 0.5, on the Arrow kernel
+    fast path with the oracle-mirrorable polynomial shingle hash
+    (impl='kernel_poly') — every stage of the registered pipeline
+    reproduces bit-for-bit in the DuckDB oracle, AND the signature pass
+    is one narrow mapInPandas with no explode/shuffle.
+    Jaccard-vs-brute-force precision is asserted in
+    tests/test_llm_ops.py; kernel_poly ≡ expr-poly signature equality is
+    pinned there too."""
     docs = read_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        docs, "doc_id", "text", n_hashes=32, n_bands=8, shingle_k=5, threshold=0.5
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=32,
+        n_bands=8,
+        shingle_k=5,
+        threshold=0.5,
+        impl="kernel_poly",
     ).orderBy("id_a", "id_b")
 
 

@@ -250,14 +250,16 @@ def q_semantic_pairs_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 oracle-parity mode: the COMPLETE MinHash+LSH pipeline —
-    signatures, band buckets, signature-estimate cascade, exact-Jaccard
-    verify — with the polynomial shingle AND band hashes, so every stage
-    reproduces bit-for-bit in the DuckDB oracle
-    (tests/test_oracle_parity.py).  The registered q_minhash_pairs runs
-    the same pipeline on the faster Arrow kernel hash; kernel≡expr pair
-    equivalence is pinned separately, so together the fast path is
-    verified transitively.  Unregistered (50-slot window)."""
+    """X2 oracle-parity mode, EXPRESSION impl: the COMPLETE MinHash+LSH
+    pipeline — signatures, band buckets, signature-estimate cascade,
+    exact-Jaccard verify — with the polynomial shingle AND band hashes,
+    so every stage reproduces bit-for-bit in the DuckDB oracle
+    (tests/test_oracle_parity.py).  The registered q_minhash_pairs now
+    runs the SAME polynomial arithmetic on the Arrow kernel
+    (impl='kernel_poly') with the same oracle attached; this
+    unregistered expression variant pins that the explode+aggregate path
+    and the kernel agree against one oracle text.  Unregistered
+    (50-slot window)."""
     from covid19i2b2_spark.operators.dedup import minhash_dedup_pairs
 
     docs = read_table(spark, sf_dir, "documents")

@@ -11,6 +11,7 @@ from covid19i2b2_spark.operators import similarity as sim
 from covid19i2b2_spark.operators.dedup import (
     jaccard_verify,
     minhash_dedup_pairs,
+    minhash_signatures,
     simhash,
     hamming_distance,
 )
@@ -219,6 +220,44 @@ def test_minhash_kernel_matches_expression_path(spark, docs):
     assert all(abs(k[p] - e[p]) < 1e-9 for p in k)
     with pytest.raises(ValueError):
         minhash_dedup_pairs(corpus, "doc_id", "text", impl="nope")
+
+
+def test_minhash_kernel_poly_matches_expr_poly_exactly(spark, docs):
+    """The Arrow kernel with shingle_hash='poly' must be VALUE-IDENTICAL
+    to minhash_signatures(shingle_hash='poly') — same signatures, same
+    distinct shingle-hash sets, same counts — because the registered
+    q_minhash_pairs runs the kernel while its DuckDB oracle mirrors the
+    polynomial arithmetic.  Any divergence here breaks the registered
+    value oracle."""
+    from covid19i2b2_spark.operators.minhash_kernel import (
+        minhash_signatures_kernel,
+    )
+
+    base = docs.limit(40).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(90_001, "ab"), (90_002, ""), (90_003, "Héllo  Wörld")],
+        "doc_id long, text string",
+    )
+    corpus = base.unionByName(edge)
+    kern = {
+        r.doc_id: r
+        for r in minhash_signatures_kernel(
+            corpus, "doc_id", "text", shingle_hash="poly"
+        ).collect()
+    }
+    expr = {
+        r.doc_id: r
+        for r in minhash_signatures(
+            corpus, "doc_id", "text", with_sets=True, shingle_hash="poly"
+        ).collect()
+    }
+    assert set(kern) == set(expr)
+    for i in kern:
+        assert kern[i].signature == expr[i].signature, i
+        assert sorted(kern[i].shingle_set) == sorted(expr[i].shingle_set), i
+        assert kern[i].n_shingles == expr[i].n_shingles, i
+    with pytest.raises(ValueError):
+        minhash_signatures_kernel(corpus, "doc_id", "text", shingle_hash="x")
 
 
 def test_minhash_kernel_edge_cases(spark):
