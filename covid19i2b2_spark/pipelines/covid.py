@@ -31,7 +31,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window,
+    functions as F,
+    types as T,
+)
 
 from covid19i2b2_spark.functions.buckets import age_group
 from covid19i2b2_spark.functions.codes import icd_3chars
@@ -212,9 +219,25 @@ class CovidPipeline:
         """#DailyCounts: per calendar date, cumulative all/severe/dead +
         census (in hospital on date, severe in hospital on date).
 
-        Cumulatives: per-day new-event counts -> one unbounded-preceding
-        window (W1, replaces the reference's `<=` self-join J7).  Census:
-        point-in-interval join against the tiny calendar (J6, broadcast).
+        Everything — cumulatives AND census — is computed from per-day
+        EVENT DELTAS in one pass (W1, replaces the reference's `<=`
+        self-join J7 and its point-in-interval census scan): each cohort
+        row emits +1 deltas at its admission/severe/death dates and -1
+        census deltas at discharge+1, one groupBy(date) aggregates them,
+        and a single window turns all five running sums into the output
+        columns.  Census-on-date == interval membership because
+        in-hospital is the interval [admission, discharge] (+1 at start,
+        -1 the day after end) and severe-in-hospital is [severe_date,
+        discharge] (severe_date >= admission_date by construction; rows
+        with severe_date > discharge_date or a NULL discharge never
+        enter the interval, matching the membership predicate).
+
+        Scale: the previous shape joined a broadcast calendar against
+        the cohort on a range predicate — a nested-loop O(|cohort| x
+        |days|) comparison pass.  The delta shape is one narrow
+        projection of <= 4 events per cohort row, one bounded-key
+        aggregation (key space = calendar days), and one tiny window —
+        no interval join at any cardinality.
         """
         cohort = self.cohort()
         bounds = cohort.agg(
@@ -228,55 +251,75 @@ class CovidPipeline:
         calendar = bounds.select(
             F.explode(F.sequence("lo", "hi")).alias("calendar_date")
         )
+        has_stay = F.col("discharge_date").isNotNull() & F.col(
+            "admission_date"
+        ).isNotNull()
+        sev_stay = has_stay & (F.col("severe_date") <= F.col("discharge_date"))
+        zero = F.lit(0).cast("long")
+        one = F.lit(1).cast("long")
 
-        def per_day(date_col: str, alias: str) -> DataFrame:
-            return (
-                cohort.filter(F.col(date_col).isNotNull())
-                .groupBy(F.col(date_col).alias("calendar_date"))
-                .agg(F.count("*").alias(alias))
+        def ev(date: Column, admits=zero, severe=zero, dead=zero, hosp=zero, sev_hosp=zero):
+            return F.struct(
+                date.alias("calendar_date"),
+                admits.alias("d_admits"),
+                severe.alias("d_severe"),
+                dead.alias("d_dead"),
+                hosp.alias("d_hosp"),
+                sev_hosp.alias("d_sev_hosp"),
             )
 
-        daily = (
-            calendar.join(per_day("admission_date", "new_admits"), "calendar_date", "left")
-            .join(per_day("severe_date", "new_severe"), "calendar_date", "left")
-            .join(per_day("death_date", "new_dead"), "calendar_date", "left")
-            .na.fill(0, ["new_admits", "new_severe", "new_dead"])
+        deltas = (
+            cohort.select(
+                F.explode(
+                    F.array(
+                        ev(
+                            F.col("admission_date"),
+                            admits=one,
+                            hosp=F.when(has_stay, 1).otherwise(0).cast("long"),
+                        ),
+                        ev(
+                            F.col("severe_date"),
+                            severe=one,
+                            sev_hosp=F.when(sev_stay, 1).otherwise(0).cast("long"),
+                        ),
+                        ev(F.col("death_date"), dead=one),
+                        ev(
+                            F.date_add("discharge_date", 1),
+                            hosp=F.when(has_stay, -1).otherwise(0).cast("long"),
+                            sev_hosp=F.when(sev_stay, -1).otherwise(0).cast("long"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.*")
+            .filter(F.col("calendar_date").isNotNull())
+            .groupBy("calendar_date")
+            .agg(
+                F.sum("d_admits").alias("d_admits"),
+                F.sum("d_severe").alias("d_severe"),
+                F.sum("d_dead").alias("d_dead"),
+                F.sum("d_hosp").alias("d_hosp"),
+                F.sum("d_sev_hosp").alias("d_sev_hosp"),
+            )
+        )
+        daily = calendar.join(deltas, "calendar_date", "left").na.fill(
+            0, ["d_admits", "d_severe", "d_dead", "d_hosp", "d_sev_hosp"]
         )
         w = Window.orderBy("calendar_date").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        cum = daily.select(
-            "calendar_date",
-            F.sum("new_admits").over(w).alias("cumulative_patients_all"),
-            F.sum("new_severe").over(w).alias("cumulative_patients_severe"),
-            F.sum("new_dead").over(w).alias("cumulative_patients_dead"),
-        )
-        census = (
-            F.broadcast(calendar)
-            .join(
-                cohort,
-                (F.col("admission_date") <= F.col("calendar_date"))
-                & (F.col("discharge_date") >= F.col("calendar_date")),
-            )
-            .groupBy("calendar_date")
-            .agg(
-                F.count("*").alias("num_patients_in_hospital_on_this_date"),
-                F.sum(
-                    (
-                        (F.col("severe") == 1)
-                        & (F.col("severe_date") <= F.col("calendar_date"))
-                    ).cast("long")
-                ).alias("num_patients_in_hospital_and_severe_on_this_date"),
-            )
-        )
         return (
-            cum.join(census, "calendar_date", "left")
-            .na.fill(
-                0,
-                [
-                    "num_patients_in_hospital_on_this_date",
-                    "num_patients_in_hospital_and_severe_on_this_date",
-                ],
+            daily.select(
+                "calendar_date",
+                F.sum("d_admits").over(w).alias("cumulative_patients_all"),
+                F.sum("d_severe").over(w).alias("cumulative_patients_severe"),
+                F.sum("d_dead").over(w).alias("cumulative_patients_dead"),
+                F.sum("d_hosp").over(w).alias(
+                    "num_patients_in_hospital_on_this_date"
+                ),
+                F.sum("d_sev_hosp").over(w).alias(
+                    "num_patients_in_hospital_and_severe_on_this_date"
+                ),
             )
             .select(
                 F.lit(self.cfg.siteid).alias("siteid"),  # J8 constant-folded
