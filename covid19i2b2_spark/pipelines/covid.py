@@ -335,8 +335,16 @@ class CovidPipeline:
 
     def clinical_course(self) -> DataFrame:
         """#ClinicalCourse: per days_since_admission, patients still in
-        hospital (all / ever-severe).  Day axis derived from the max stay;
-        the per-day membership test is los >= day."""
+        hospital (all / ever-severe).
+
+        "Still in hospital at day d" means los >= d, so the per-day count
+        is the REVERSE running sum of the per-los group counts — one
+        bounded-key aggregation (key space = distinct lengths of stay)
+        plus one tiny window, replacing the previous broadcast-days
+        nested-loop membership join (O(|cohort| x max_los) comparisons).
+        Day axis [0, max_los] is dense: every day has >= 1 patient (the
+        max-los stay), matching the old inner join's row set exactly.
+        """
         cohort = self.cohort().withColumn(
             "los", F.datediff("discharge_date", "admission_date")
         )
@@ -345,13 +353,26 @@ class CovidPipeline:
                 "days_since_admission"
             )
         )
-        return (
-            F.broadcast(days)
-            .join(cohort, F.col("los") >= F.col("days_since_admission"))
-            .groupBy("days_since_admission")
+        per_los = (
+            cohort.filter(F.col("los").isNotNull())
+            .groupBy(F.col("los").alias("days_since_admission"))
             .agg(
-                F.count("*").alias("num_patients_all_still_in_hospital"),
-                F.sum((F.col("severe") == 1).cast("long")).alias(
+                F.count("*").alias("__n"),
+                F.sum((F.col("severe") == 1).cast("long")).alias("__n_sev"),
+            )
+        )
+        w_rev = Window.orderBy("days_since_admission").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        return (
+            days.join(per_los, "days_since_admission", "left")
+            .na.fill(0, ["__n", "__n_sev"])
+            .select(
+                "days_since_admission",
+                F.sum("__n").over(w_rev).alias(
+                    "num_patients_all_still_in_hospital"
+                ),
+                F.sum("__n_sev").over(w_rev).alias(
                     "num_patients_ever_severe_still_in_hospital"
                 ),
             )
