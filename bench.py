@@ -230,6 +230,12 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # evict this query's persisted intermediates (dedup sigs, verify
+        # sets, ...) before the next one: without this the suite
+        # accumulates dozens of cached DataFrames nothing will read
+        # again, and late queries run under storage/GC pressure the
+        # driver's per-round numbers then mis-attribute to their plans
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -504,10 +504,16 @@ def simhash_near_dup_pairs(
     n_chunks: int | None = None,
     bucket_cap: int | None = None,
     token_hash: str = "xxhash64",
+    impl: str = "expr",
 ) -> DataFrame:
     """SimHash dedup end-to-end: signatures -> 2-chunk multi-index join ->
     hamming verify.  ``token_hash='poly'`` selects the oracle-mirrorable
     token hash (see :func:`simhash`).
+
+    ``impl='kernel'`` (poly token hash only) computes signatures in one
+    narrow Arrow pass (operators/simhash_kernel.py) instead of the
+    token-explode + 64-vote aggregation — value-identical output, no
+    shuffle in the signature stage; the registered q_simhash_pairs mode.
 
     Multi-index recall guarantee (pigeonhole): split the 64-bit signature
     into ``c = n_chunks`` near-equal chunks.  Two signatures within
@@ -553,7 +559,21 @@ def simhash_near_dup_pairs(
             F.lit((1 << widths[i]) - 1)
         )
 
-    sigs = simhash(df, id_col, text_col, token_hash=token_hash).persist()
+    if impl == "kernel":
+        if token_hash != "poly":
+            raise ValueError(
+                "impl='kernel' mirrors the polynomial token hash only "
+                "(pass token_hash='poly')"
+            )
+        from covid19i2b2_spark.operators.simhash_kernel import (
+            simhash_signatures_kernel,
+        )
+
+        sigs = simhash_signatures_kernel(df, id_col, text_col).persist()
+    elif impl == "expr":
+        sigs = simhash(df, id_col, text_col, token_hash=token_hash).persist()
+    else:
+        raise ValueError(f"impl must be 'kernel' or 'expr' (got {impl!r})")
     key_structs = F.array(
         *[
             F.struct(

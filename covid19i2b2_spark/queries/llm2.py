@@ -198,7 +198,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-verified since round 4: token_hash='poly' (codepoint-polynomial
     62-bit hash) replaces xxhash64, making signatures, multi-index keys
     and hamming values reproducible bit-for-bit in the DuckDB oracle —
-    this was rows-only in rounds 1-3."""
+    this was rows-only in rounds 1-3.  impl='kernel' computes the same
+    polynomial signatures in one Arrow pass (no token explode / 64-agg
+    shuffle; kernel ≡ expr equality pinned in tests/test_llm_ops.py)."""
     from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
@@ -208,7 +210,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is what the driver exercises
     return simhash_near_dup_pairs(
         docs, "doc_id", "text", max_hamming=3, bucket_cap=10_000,
-        token_hash="poly",
+        token_hash="poly", impl="kernel",
     ).orderBy("id_a", "id_b")
 
 

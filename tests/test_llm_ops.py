@@ -260,6 +260,52 @@ def test_minhash_kernel_poly_matches_expr_poly_exactly(spark, docs):
         minhash_signatures_kernel(corpus, "doc_id", "text", shingle_hash="x")
 
 
+def test_simhash_kernel_matches_expr_poly_exactly(spark, docs):
+    """The Arrow SimHash kernel must be VALUE-IDENTICAL to
+    simhash(token_hash='poly') — same signatures and token counts, and
+    blank documents absent from both (the explode path drops them) —
+    because the registered q_simhash_pairs runs the kernel while its
+    DuckDB oracle mirrors the polynomial arithmetic."""
+    from covid19i2b2_spark.operators.simhash_kernel import (
+        simhash_signatures_kernel,
+    )
+
+    base = docs.limit(40).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (90_001, ""),               # blank -> absent
+            (90_002, "   "),            # spaces only -> absent
+            (90_003, "\tleading tab"),  # leading empty token kept by split
+            (90_004, "Héllo  Wörld\n"), # unicode + trailing newline
+            (90_005, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = base.unionByName(edge)
+    kern = {
+        r.doc_id: r
+        for r in simhash_signatures_kernel(corpus, "doc_id", "text").collect()
+    }
+    expr = {
+        r.doc_id: r
+        for r in simhash(corpus, "doc_id", "text", token_hash="poly").collect()
+    }
+    assert set(kern) == set(expr)
+    assert 90_001 not in kern and 90_002 not in kern
+    for i in kern:
+        assert kern[i].simhash == expr[i].simhash, i
+        assert kern[i].n_tokens == expr[i].n_tokens, i
+    from covid19i2b2_spark.operators.dedup import simhash_near_dup_pairs
+
+    # kernel impl mirrors the polynomial hash only
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(corpus, "doc_id", "text", impl="kernel")
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(
+            corpus, "doc_id", "text", token_hash="poly", impl="nope"
+        )
+
+
 def test_minhash_kernel_edge_cases(spark):
     """Kernel signature schema + short/empty/unicode text: shorter-than-k
     text hashes as one whole-string shingle (mirroring char_shingles),
