@@ -200,3 +200,84 @@ def build_vocab(
     return top.select(
         "token", "n", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+# -- model-based quality scoring (fasttext-style linear classifier) ------
+
+_CLF_POLY_B = 1009
+_CLF_POLY_P = 9_007_199_254_740_881  # largest prime < 2^53
+
+
+def _poly_token_bucket(tok: Column, n_buckets: int) -> Column:
+    """Hashing-trick bucket of one token: base-1009 codepoint polynomial
+    mod a sub-2^53 prime, reduced mod n_buckets.  Engine-independent
+    (unicode()/ascii() + integer math), so classifier scores reproduce
+    bit-for-bit in an ANSI-SQL oracle — unlike xxhash64.  acc*1009 + c
+    stays under 2^63 for acc < 2^53: ANSI-mode safe."""
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(F.substring(tok, i, F.lit(1))).cast("long"),
+    )
+    hp = F.aggregate(
+        cps,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _CLF_POLY_B + c) % _CLF_POLY_P,
+    )
+    return F.pmod(hp, F.lit(n_buckets))
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    text_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Model-based quality scoring (the CCNet / GPT-3 / DCLM filtering
+    stage): a linear classifier over hashed bag-of-tokens features —
+    P(keep) = sigmoid(bias + mean_t weights[bucket(t)]) — with the
+    weight vector broadcast as a literal array.
+
+    This is INFERENCE plumbing: ``weights`` comes from any upstream
+    trainer (a logistic regression over labeled docs; see the planted
+    test, which trains one in numpy).  The mean (not sum) keeps scores
+    length-invariant, like fasttext's averaged bag of words.
+
+    Scale shape: one map-only projection — token split, per-token
+    bucket, weight lookup and the sigmoid are all array expressions
+    inside whole-stage codegen; no explode, no shuffle, no UDF, and the
+    model rides along as a plan literal (no join against a weight
+    table).  Documents with zero tokens get NULL (no evidence).
+    """
+    n_buckets = len(weights)
+    if n_buckets == 0:
+        raise ValueError("weights must be non-empty")
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(F.col(text_col))
+    picked = F.transform(
+        toks,
+        lambda t: F.element_at(warr, (_poly_token_bucket(t, n_buckets) + 1).cast("int")),
+    )
+    n = F.size(toks)
+    mean_w = F.aggregate(
+        picked, F.lit(0.0), lambda acc, x: acc + x
+    ) / n.cast("double")
+    z = F.lit(float(bias)) + mean_w
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn(
+        out_col, F.when(n > 0, round6(prob)).otherwise(F.lit(None))
+    )
+
+
+def classifier_filter(
+    df: DataFrame,
+    text_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep documents the linear classifier scores >= threshold (NULL
+    scores — tokenless docs — are dropped, like every quality gate
+    here)."""
+    scored = linear_text_classifier(df, text_col, weights, bias, "__prob")
+    return scored.filter(F.col("__prob") >= threshold).drop("__prob")

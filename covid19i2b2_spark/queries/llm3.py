@@ -267,3 +267,46 @@ def q_minhash_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n_hashes=32, n_bands=8, shingle_k=5,
         threshold=0.5, impl="poly",
     ).orderBy("id_a", "id_b")
+
+
+def clf_weights(n_buckets: int = 32) -> list[float]:
+    """Deterministic stand-in classifier weights (seeded, rounded to 6
+    decimals so the SAME short literals parse to identical doubles in
+    Spark and the DuckDB oracle).  In production these come from an
+    upstream trainer — see tests/test_quality.py, which trains a numpy
+    logistic regression on planted labels and runs it through the same
+    operator."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [round(float(x), 6) for x in rng.standard_normal(n_buckets) * 0.5]
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (64-token chunks, 16-token
+    overlap) — the RAG / pre-training sequence-prep staple.  Map-only
+    array expressions; UNREGISTERED (50-slot window), full DuckDB parity
+    in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.chunking import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap_tokens=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: fasttext-style linear classifier
+    over hashed bag-of-tokens features (polynomial bucket hash, weights
+    as plan literals, sigmoid of the token-mean weight).  Map-only model
+    inference; UNREGISTERED, full DuckDB parity."""
+    from covid19i2b2_spark.operators.quality import linear_text_classifier
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        linear_text_classifier(
+            docs, "text", clf_weights(), bias=0.1, out_col="quality_prob"
+        )
+        .select("doc_id", "quality_prob")
+        .orderBy("doc_id")
+    )

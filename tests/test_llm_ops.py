@@ -943,3 +943,100 @@ def test_multitable_lsh_recall_dominates_single_table(spark, emb):
     assert all(r.cosine_sim >= 0.3 for r in multi_rows)
     # no duplicate pairs despite multiple tables emitting the same candidate
     assert len(multi) == len(multi_rows)
+
+
+def test_chunk_documents_window_invariants(spark):
+    """Fixed-stride chunking: full coverage (every token in >= 1 chunk),
+    exact overlap between consecutive chunks, shorter tail, 0-based
+    chunk ids, and absent rows for tokenless docs."""
+    from covid19i2b2_spark.operators.chunking import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 101))  # 100 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=50, overlap_tokens=10)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: starts 1, 41, 81 (stride 40, bound max(100-10,1)=90)
+    d1 = sorted(k for k in rows if k[0] == 1)
+    assert d1 == [(1, 0), (1, 1), (1, 2)]
+    assert [rows[k].start_token for k in d1] == [1, 41, 81]
+    assert [rows[k].n_chunk_tokens for k in d1] == [50, 50, 20]  # tail
+    # consecutive chunks share exactly `overlap` tokens
+    c0 = rows[(1, 0)].chunk_text.split(" ")
+    c1 = rows[(1, 1)].chunk_text.split(" ")
+    assert c0[-10:] == c1[:10]
+    # coverage: union of chunks == the token stream
+    seen = set()
+    for k in d1:
+        seen.update(rows[k].chunk_text.split(" "))
+    assert seen == set(words.split(" "))
+    # short doc -> one whole-doc chunk; tokenless docs absent
+    assert rows[(2, 0)].chunk_text == "a b c" and (2, 1) not in rows
+    assert not any(k[0] in (3, 4) for k in rows)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap_tokens=10)
+
+
+def test_linear_classifier_trained_weights_separate_planted_classes(spark):
+    """End-to-end model-based filtering: train a logistic regression in
+    numpy (hashed bag-of-tokens features built with the SAME polynomial
+    bucket as the operator), then run inference through the Spark
+    operator — planted spam must score below planted prose, and
+    classifier_filter must keep exactly the high scorers."""
+    from covid19i2b2_spark.operators.quality import (
+        classifier_filter,
+        linear_text_classifier,
+    )
+
+    P, B, D = 9_007_199_254_740_881, 1009, 32
+
+    def bucket(tok: str) -> int:
+        h = 0
+        for ch in tok:
+            h = (h * B + ord(ch)) % P
+        return h % D
+
+    spam_vocab = ["buy", "now", "click", "winner", "free$$"]
+    prose_vocab = ["the", "quiet", "library", "holds", "many", "books"]
+    rng = np.random.default_rng(0)
+    docs, labels = [], []
+    for i in range(60):
+        vocab = spam_vocab if i % 2 else prose_vocab
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 12)]
+        docs.append((i, " ".join(words)))
+        labels.append(1 - (i % 2))  # prose=1 (keep), spam=0
+    feats = np.zeros((len(docs), D))
+    for r, (_, text) in enumerate(docs):
+        toks = text.split(" ")
+        for t in toks:
+            feats[r, bucket(t)] += 1.0 / len(toks)  # mean, like the operator
+    y = np.array(labels, dtype=float)
+    w, b = np.zeros(D), 0.0
+    for _ in range(400):  # plain batch gradient descent
+        p = 1.0 / (1.0 + np.exp(-(feats @ w + b)))
+        g = p - y
+        w -= 0.5 * (feats.T @ g) / len(y)
+        b -= 0.5 * g.mean()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    scored = {
+        r.doc_id: r.quality_prob
+        for r in linear_text_classifier(
+            df, "text", list(w), bias=float(b)
+        ).collect()
+    }
+    prose = [scored[i] for i in range(60) if i % 2 == 0]
+    spam = [scored[i] for i in range(60) if i % 2 == 1]
+    assert min(prose) > 0.5 > max(spam)
+    kept = classifier_filter(df, "text", list(w), bias=float(b), threshold=0.5)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == set(range(0, 60, 2))
+    # tokenless doc: NULL score, dropped by the filter
+    empty = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    row = linear_text_classifier(empty, "text", list(w)).collect()[0]
+    assert row.quality_prob is None
+    assert classifier_filter(empty, "text", list(w)).count() == 0
+    with pytest.raises(ValueError):
+        linear_text_classifier(df, "text", [])

@@ -96,8 +96,74 @@ from covid19i2b2_spark.queries.llm import (  # noqa: E402
 )
 
 
+
+_DUCK_TOKED = """
+    toked AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents
+    )
+"""
+
+
+def _chunk_documents_oracle() -> str:
+    """Mirror of chunk_documents(chunk_tokens=64, overlap_tokens=16):
+    starts 1, 49, ... while start <= max(n-16, 1); 64-token slices;
+    chunk_id = (start-1)/48 (== posexplode position)."""
+    return f"""
+    WITH {_DUCK_TOKED},
+    d AS (SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST((u.s - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(u.s AS BIGINT) AS start_token,
+           CAST(len(toks[u.s:u.s+63]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[u.s:u.s+63], ' ') AS chunk_text
+    FROM d, UNNEST(range(1, greatest(n - 16, 1) + 1, 48)) AS u(s)
+    ORDER BY doc_id, chunk_id
+    """
+
+
+def _quality_classifier_oracle() -> str:
+    """Mirror of linear_text_classifier(clf_weights(), bias=0.1):
+    per-token polynomial bucket -> weight pick -> sequential left-fold
+    sum (list_reduce == Spark's F.aggregate: 0.0+x1 is exactly x1) ->
+    sigmoid of bias + mean; tokenless docs keep their row with NULL."""
+    from covid19i2b2_spark.queries.llm3 import clf_weights
+
+    # ::DOUBLE per element: bare decimal literals land in DECIMAL(p,s)
+    # and the fold sum overflows the inferred scale
+    warr = "[" + ", ".join(f"{x!r}::DOUBLE" for x in clf_weights()) + "]"
+    bucket = (
+        "((CASE WHEN length(tok) = 0 THEN 0 "
+        "ELSE list_reduce(list_transform(range(1, length(tok)+1), "
+        "i -> CAST(unicode(tok[i]) AS BIGINT)), "
+        "(a, c) -> (a*1009 + c) % 9007199254740881) END) % 32) + 1"
+    )
+    return f"""
+    WITH {_DUCK_TOKED},
+    s AS (
+        SELECT doc_id, len(toks) AS n,
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE list_reduce(
+                        list_transform(toks, tok -> ({warr})[{bucket}]),
+                        (a, b) -> a + b) END AS sw
+        FROM toked
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN NULL
+                ELSE FLOOR((1.0 / (1.0 + exp(-(0.1 + sw / n))))
+                           * 1000000 + 0.5) / 1000000
+           END AS quality_prob
+    FROM s
+    ORDER BY doc_id
+    """
+
+
 UNREGISTERED_ORACLES = {
     "q_minhash_poly": _minhash_poly_oracle(),
+    "q_chunk_documents": _chunk_documents_oracle(),
+    "q_quality_classifier": _quality_classifier_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
@@ -423,6 +489,8 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_resample_fill": reshape.q_resample_fill,
         "q_semantic_pairs_frozen": llm3.q_semantic_pairs_frozen,
         "q_minhash_poly": llm3.q_minhash_poly,
+        "q_chunk_documents": llm3.q_chunk_documents,
+        "q_quality_classifier": llm3.q_quality_classifier,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
