@@ -123,3 +123,125 @@ def pack_sequences(
         )
         .drop("__cum")
     )
+
+
+# -- oracle-mirrorable bucket + training-mixture sampling ----------------
+
+_POLY_P = 9_007_199_254_740_881  # largest prime < 2^53
+_M31 = 2_147_483_647
+
+
+def _poly_key_bucket(key: Column, seed: int) -> Column:
+    """Bucket in [0, 1e6) from the key's decimal-string polynomial hash —
+    the oracle-mirrorable alternative to xxhash64 (unicode()/ascii() +
+    integer math reproduce it bit-for-bit in any ANSI engine).  The
+    affine map mod 2^31-1 scatters consecutive keys (raw polynomial
+    values of consecutive ids are consecutive — useless for sampling)."""
+    from covid19i2b2_spark.operators.dedup import _hash_family
+
+    (a, b) = _hash_family(1, seed)[0]
+    s = key.cast("string")
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, F.lit(1))).cast("long"),
+    )
+    hp = F.aggregate(
+        cps, F.lit(0).cast("long"), lambda acc, c: (acc * 1009 + c) % _POLY_P
+    )
+    return F.pmod(F.pmod(hp, F.lit(_M31)) * a + b, F.lit(_M31)) % _BUCKETS
+
+
+def _bucket_of(key: Column, seed: int, hash_impl: str) -> Column:
+    if hash_impl == "xxhash64":
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+    if hash_impl == "poly":
+        return _poly_key_bucket(key, seed)
+    raise ValueError(f"hash_impl must be 'xxhash64' or 'poly' (got {hash_impl!r})")
+
+
+def mixture_fractions(
+    counts: dict[str, int], temperature: float, target_fraction: float
+) -> dict[str, float]:
+    """Temperature-reweighted domain mixture (the multilingual /
+    data-mixing recipe): sampling share q_d ∝ (n_d/N)^τ; per-domain keep
+    fraction = min(1, target_rows·q_d / n_d).  τ=1 preserves natural
+    proportions; τ<1 flattens the mixture (upsamples rare domains
+    relative to their natural share); τ=0 is uniform-over-domains.
+
+    Pure float arithmetic over the (tiny) per-domain count dict — shared
+    by the operator and its DuckDB-parity oracle builder so both embed
+    IDENTICAL thresholds."""
+    if not counts:
+        return {}
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0 (got {temperature})")
+    total = sum(counts.values())
+    q = {d: (n / total) ** temperature for d, n in counts.items()}
+    z = sum(q.values())
+    target_rows = target_fraction * total
+    return {
+        d: min(1.0, target_rows * (q[d] / z) / counts[d]) for d in counts
+    }
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    temperature: float = 0.7,
+    target_fraction: float = 0.5,
+    seed: int = 42,
+    hash_impl: str = "xxhash64",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Deterministic training-mixture sampler: one tiny groupBy(domain)
+    count (collected — cardinality = #domains, small by construction),
+    fractions from :func:`mixture_fractions`, then a per-domain hash
+    threshold filter (stratified_hash_sample semantics).  Returns
+    (sampled_df, fractions) so the realized mixture is auditable.
+
+    Scale shape: the only full-data pass is the map-only threshold
+    filter; membership depends on (key, seed) alone, so re-runs,
+    retries, and incremental appends sample consistently, and samples at
+    increasing target_fraction are nested per domain."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(domain_col).count().collect()
+    }
+    fractions = mixture_fractions(counts, temperature, target_fraction)
+    bucket = _bucket_of(F.col(key_col), seed, hash_impl)
+    thresh: Column = F.lit(0)
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(domain_col) == value, F.lit(int(frac * _BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh), fractions
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train/val/test split that NEVER separates near-duplicates: route
+    every document by its near-dup component id (connected components
+    over the pair edges; docs outside any pair route by their own id),
+    then hash_split on the component.  A near-copy of a training doc can
+    therefore never land in val/test — the contamination path ordinary
+    per-doc splitting leaves open.
+
+    Adds ``component`` (audit) and ``split`` columns.  Component ids are
+    min-reachable-id, so routing is deterministic across runs and
+    incremental re-splits agree wherever components are unchanged."""
+    from covid19i2b2_spark.operators.dedup_clusters import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
+        "node", id_col
+    )
+    routed = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    return hash_split(routed, "component", fractions, seed)

@@ -310,3 +310,26 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality_prob")
         .orderBy("doc_id")
     )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted domain-mixture sampling (tau=0.5 flattens
+    the language mix, target 50% of the corpus) in the oracle-mirrorable
+    poly-bucket mode.  UNREGISTERED (50-slot window); the DuckDB oracle
+    embeds thresholds computed by the SAME mixture_fractions float math,
+    so membership matches bit-for-bit."""
+    from covid19i2b2_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sampled, _ = temperature_mixture_sample(
+        docs,
+        "doc_id",
+        "lang",
+        temperature=0.5,
+        target_fraction=0.5,
+        seed=42,
+        hash_impl="poly",
+    )
+    return sampled.select("doc_id", "lang").orderBy("doc_id")

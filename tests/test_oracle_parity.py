@@ -160,10 +160,54 @@ def _quality_classifier_oracle() -> str:
     """
 
 
+
+def _mixture_sample_oracle() -> str:
+    """Mirror of temperature_mixture_sample(tau=0.5, target=0.5,
+    hash_impl='poly'): per-domain thresholds from the SAME
+    mixture_fractions float arithmetic (imported, not re-derived), poly
+    key bucket = affine(decimal-string polynomial) mod 1e6."""
+    import duckdb as _dd
+
+    from covid19i2b2_spark.operators.dedup import _hash_family
+    from covid19i2b2_spark.operators.sampling import mixture_fractions
+
+    con = _dd.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT lang, COUNT(*) FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    )
+    con.close()
+    fr = mixture_fractions(counts, 0.5, 0.5)
+    thresh = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{d}' THEN {int(f * 1_000_000)}"
+            for d, f in sorted(fr.items())
+        )
+        + " ELSE 0 END"
+    )
+    a, b = _hash_family(1, 42)[0]
+    key = "CAST(doc_id AS VARCHAR)"
+    bucket = (
+        f"((list_reduce(list_transform(range(1, length({key})+1), "
+        f"i -> CAST(unicode(({key})[i]) AS BIGINT)), "
+        f"(x, c) -> (x*1009 + c) % 9007199254740881) % 2147483647) "
+        f"* {a} + {b}) % 2147483647 % 1000000"
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {bucket} < {thresh}
+    ORDER BY doc_id
+    """
+
+
 UNREGISTERED_ORACLES = {
     "q_minhash_poly": _minhash_poly_oracle(),
     "q_chunk_documents": _chunk_documents_oracle(),
     "q_quality_classifier": _quality_classifier_oracle(),
+    "q_mixture_sample": _mixture_sample_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
@@ -491,6 +535,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_minhash_poly": llm3.q_minhash_poly,
         "q_chunk_documents": llm3.q_chunk_documents,
         "q_quality_classifier": llm3.q_quality_classifier,
+        "q_mixture_sample": llm3.q_mixture_sample,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()

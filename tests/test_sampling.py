@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from covid19i2b2_spark.operators.sampling import (
@@ -75,3 +76,80 @@ def test_pack_sequences_bounds(spark):
     a = sorted(map(tuple, packed.collect()))
     b = sorted(map(tuple, pack_sequences(docs, "doc_id", "n_tokens", target, n_shards=8).collect()))
     assert a == b
+
+
+def test_temperature_mixture_sample_flattens_and_nests(spark):
+    """tau<1 upsamples rare domains relative to their natural share, the
+    realized sizes track the computed fractions, membership is
+    deterministic, and lower targets nest inside higher ones."""
+    from covid19i2b2_spark.operators.sampling import (
+        mixture_fractions,
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "en" if i < 8000 else "de") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    sampled, fr = temperature_mixture_sample(
+        df, "doc_id", "lang", temperature=0.5, target_fraction=0.4
+    )
+    # rare domain keeps a larger fraction of itself
+    assert fr["de"] > fr["en"]
+    got = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(got["en"] - fr["en"] * 8000) < 0.05 * 8000
+    assert abs(got["de"] - fr["de"] * 2000) < 0.05 * 2000
+    # deterministic + nested in target_fraction
+    again, _ = temperature_mixture_sample(
+        df, "doc_id", "lang", temperature=0.5, target_fraction=0.4
+    )
+    ids = {r.doc_id for r in sampled.select("doc_id").collect()}
+    assert ids == {r.doc_id for r in again.select("doc_id").collect()}
+    smaller, _ = temperature_mixture_sample(
+        df, "doc_id", "lang", temperature=0.5, target_fraction=0.2
+    )
+    assert {r.doc_id for r in smaller.select("doc_id").collect()} <= ids
+    # tau=1 preserves natural proportions exactly (every fraction equal)
+    nat = mixture_fractions({"a": 700, "b": 300}, 1.0, 0.5)
+    assert abs(nat["a"] - 0.5) < 1e-9 and abs(nat["b"] - 0.5) < 1e-9
+    with pytest.raises(ValueError):
+        mixture_fractions({"a": 1}, -0.1, 0.5)
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(df, "doc_id", "lang", hash_impl="nope")
+
+
+def test_leakage_safe_split_keeps_dup_clusters_together(spark):
+    """Near-dup components must land in ONE split: plant chains whose
+    per-doc hash routing would separate them, and assert every component
+    is split-homogeneous while proportions stay near the request."""
+    from covid19i2b2_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2_000)], "doc_id long"
+    )
+    # chains 0-1-2, 10-11, ... every 10th id pairs with its neighbors
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 2_000, 10)]
+        + [(i + 1, i + 2) for i in range(0, 2_000, 10)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(
+        df, pairs, "doc_id", {"train": 0.8, "val": 0.2}
+    ).cache()
+    per_comp = (
+        out.groupBy("component")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_comp)
+    # the planted triples specifically stay together
+    trip = {
+        r.doc_id: r.split
+        for r in out.filter(F.col("doc_id") < 3).collect()
+    }
+    assert len(set(trip.values())) == 1 and len(trip) == 3
+    # proportions still track the request (components route, not docs)
+    sizes = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(sizes.get("train", 0) - 1600) < 200
+    out.unpersist()
