@@ -1,0 +1,122 @@
+"""Cross-document duplicate-passage mining (SURVEY.md §2.11 extension —
+the passage-level cousin of line_dedup: find k-token runs that repeat
+across documents, the signal used to strip templated boilerplate and to
+audit inter-document copying before training).
+
+Scale shape: one narrow projection builds each document's k-token
+passage hashes with positions (n - k + 1 rows per doc through ONE
+posexplode), one map-side-combined groupBy on the passage key (key
+space = distinct passages), and a semi-join back for the span listing.
+No cartesian anything: documents only meet through the passage-key
+aggregate, exactly like line_dedup's doc-frequency pass.
+
+Hash modes follow the house pattern: 'xxhash64' (JVM intrinsic — the
+100 TB hot path) or 'poly' (base-1009 codepoint polynomial over the
+joined passage string, bit-for-bit reproducible in an ANSI engine — the
+DuckDB-parity mode, see tests/test_oracle_parity.py q_dup_passages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from covid19i2b2_spark.operators.text import normalize_text, tokens
+
+_POLY_B = 1009
+_POLY_P = 9_007_199_254_740_881  # largest prime < 2^53
+
+
+def _passage_text(toks: Column | str, pos: Column, k: int) -> Column:
+    return F.array_join(F.slice(toks, pos, k), " ")
+
+
+def _passage_hash(passage: Column, hash_impl: str) -> Column:
+    if hash_impl == "xxhash64":
+        return F.xxhash64(passage)
+    if hash_impl == "poly":
+        cps = F.transform(
+            F.sequence(F.lit(1), F.length(passage)),
+            lambda i: F.ascii(F.substring(passage, i, F.lit(1))).cast("long"),
+        )
+        return F.aggregate(
+            cps,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * _POLY_B + c) % _POLY_P,
+        )
+    raise ValueError(f"hash_impl must be 'xxhash64' or 'poly' (got {hash_impl!r})")
+
+
+def passage_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """(id_col, pos, passage_hash) for every k-token window of the
+    normalized text (pos is the 1-based token offset).  Documents with
+    fewer than k tokens emit nothing — a sub-k run is not a passage."""
+    toked = df.select(
+        F.col(id_col), tokens(normalize_text(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    spans = toked.filter(F.col("__n") >= k).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias("pos"),
+    )
+    return spans.select(
+        F.col(id_col),
+        F.col("pos").cast("long"),
+        _passage_hash(_passage_text("__toks", F.col("pos"), k), hash_impl).alias(
+            "passage_hash"
+        ),
+    )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """Passages appearing in >= ``min_docs`` DISTINCT documents, with
+    occurrence stats and the earliest witness: (passage_hash, n_docs,
+    n_occurrences, first_doc, first_pos, passage_text).
+
+    first_* / passage_text come from min_by over (doc, pos) — the
+    deterministic earliest occurrence, so output is retry-stable.  The
+    aggregate carries the passage text through min_by rather than a
+    join-back, keeping this a single-shuffle plan."""
+    toked = df.select(
+        F.col(id_col), tokens(normalize_text(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    spans = (
+        toked.filter(F.col("__n") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias(
+                "pos"
+            ),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            _passage_text("__toks", F.col("pos"), k).alias("__ptxt"),
+        )
+        .withColumn("passage_hash", _passage_hash(F.col("__ptxt"), hash_impl))
+    )
+    order_key = F.col(id_col).cast("long") * F.lit(1_000_000_000) + F.col("pos")
+    return (
+        spans.groupBy("passage_hash")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min(id_col).cast("long").alias("first_doc"),
+            F.min_by(F.col("pos"), order_key).cast("long").alias("first_pos"),
+            F.min_by(F.col("__ptxt"), order_key).alias("passage_text"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -333,3 +333,34 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_impl="poly",
     )
     return sampled.select("doc_id", "lang").orderBy("doc_id")
+
+
+_DUP_BANNER = (
+    "subscribe to our newsletter for daily updates and exclusive offers today"
+)
+_DUP_EVERY = 5
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-passage mining (poly hash mode).  The
+    raw synthetic corpus has no repeated 8-grams, so a fixed boilerplate
+    banner is PLANTED on every 5th document (the q_text_hygiene
+    injection pattern) — its internal 8-token windows then repeat across
+    ~60 docs and must surface with exact doc/occurrence counts and the
+    earliest witness.  UNREGISTERED (50-slot window); full DuckDB parity
+    in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.passages import duplicate_passages
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _DUP_EVERY == 0,
+            F.concat(F.lit(_DUP_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_passages(
+        dirty, "doc_id", "text", k=8, min_docs=2, hash_impl="poly"
+    ).orderBy("passage_hash")

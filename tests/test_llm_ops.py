@@ -1040,3 +1040,45 @@ def test_linear_classifier_trained_weights_separate_planted_classes(spark):
     assert classifier_filter(empty, "text", list(w)).count() == 0
     with pytest.raises(ValueError):
         linear_text_classifier(df, "text", [])
+
+
+def test_duplicate_passages_finds_planted_boilerplate(spark):
+    """A 10-token banner shared by some docs must surface as duplicate
+    8-token passages with exact doc/occurrence counts and the earliest
+    witness; unique text must not."""
+    from covid19i2b2_spark.operators.passages import (
+        duplicate_passages,
+        passage_spans,
+    )
+
+    banner = "all rights reserved contact the sales team for more information"
+    rows = []
+    for i in range(30):
+        body = " ".join(f"unique{i}w{j}" for j in range(20))
+        text = f"{banner} {body}" if i % 3 == 0 else body
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_passages(df, "doc_id", "text", k=8, min_docs=2).collect()
+    assert out, "planted banner not found"
+    # banner is 10 tokens -> 3 banner-internal 8-token windows, each in
+    # the 10 banner-carrying docs exactly once
+    internal = [r for r in out if r.n_docs == 10]
+    assert len(internal) == 3
+    assert all(r.n_occurrences == 10 and r.first_doc == 0 for r in internal)
+    assert {r.first_pos for r in internal} == {1, 2, 3}
+    assert all(r.passage_text.split(" ")[0] in banner for r in internal)
+    # nothing from the unique bodies
+    assert all(r.n_docs <= 10 for r in out)
+    # spans listing: banner docs emit windows at pos 1..3 with the same
+    # hashes the miner reported
+    spans = passage_spans(df.filter(F.col("doc_id") == 0), "doc_id", "text", k=8)
+    hashes = {r.passage_hash for r in spans.filter(F.col("pos") <= 3).collect()}
+    assert {r.passage_hash for r in internal} == hashes
+    # poly mode agrees on the grouped stats (hash values differ)
+    poly = duplicate_passages(
+        df, "doc_id", "text", k=8, min_docs=2, hash_impl="poly"
+    ).collect()
+    assert sorted((r.n_docs, r.n_occurrences, r.passage_text) for r in poly) == \
+        sorted((r.n_docs, r.n_occurrences, r.passage_text) for r in out)
+    with pytest.raises(ValueError):
+        duplicate_passages(df, "doc_id", "text", hash_impl="nope")

@@ -203,11 +203,64 @@ def _mixture_sample_oracle() -> str:
     """
 
 
+
+def _dup_passages_oracle() -> str:
+    """Mirror of duplicate_passages(k=8, min_docs=2, hash_impl='poly')
+    over the banner-planted corpus: normalized single-space tokens ->
+    8-token windows -> polynomial hash of the joined passage -> grouped
+    stats with arg_min earliest witness."""
+    from covid19i2b2_spark.queries.llm3 import _DUP_BANNER, _DUP_EVERY
+
+    fold = (
+        "list_reduce(list_transform(range(1, length(ptxt)+1), "
+        "i -> CAST(unicode(ptxt[i]) AS BIGINT)), "
+        "(a, c) -> (a*1009 + c) % 9007199254740881)"
+    )
+    return f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_DUP_EVERY} = 0
+                    THEN '{_DUP_BANNER} ' || text ELSE text END AS text
+        FROM documents WHERE doc_id < 300
+    ),
+    normed AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM dirty
+    ),
+    toked AS (
+        SELECT doc_id,
+               CASE WHEN n = '' THEN [] ELSE string_split(n, ' ') END AS toks
+        FROM normed
+    ),
+    spans AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(toks[u.i:u.i+7], ' ') AS ptxt
+        FROM toked, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        WHERE len(toks) >= 8
+    ),
+    hashed AS (
+        SELECT doc_id, pos, ptxt, {fold} AS passage_hash FROM spans
+    )
+    SELECT passage_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(arg_min(pos, doc_id*1000000000 + pos) AS BIGINT) AS first_pos,
+           arg_min(ptxt, doc_id*1000000000 + pos) AS passage_text
+    FROM hashed
+    GROUP BY passage_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY passage_hash
+    """
+
+
 UNREGISTERED_ORACLES = {
     "q_minhash_poly": _minhash_poly_oracle(),
     "q_chunk_documents": _chunk_documents_oracle(),
     "q_quality_classifier": _quality_classifier_oracle(),
     "q_mixture_sample": _mixture_sample_oracle(),
+    "q_dup_passages": _dup_passages_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
@@ -536,6 +589,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_chunk_documents": llm3.q_chunk_documents,
         "q_quality_classifier": llm3.q_quality_classifier,
         "q_mixture_sample": llm3.q_mixture_sample,
+        "q_dup_passages": llm3.q_dup_passages,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
