@@ -27,6 +27,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # Runtime Bloom prefilters on selective shuffle joins (J1 at scale):
+    # the optimizer injects bloom_filter_agg on the filtered build side
+    # and might_contain on the probe side, dropping non-matching fact
+    # rows BEFORE the shuffle.  Explicitly pinned (and plan-tested in
+    # tests/test_plan_shape.py) rather than left to version defaults;
+    # the size thresholds stay at Spark's production defaults.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

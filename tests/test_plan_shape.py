@@ -3,6 +3,8 @@ the 100 TB design depends on."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from covid19i2b2_spark.plans import (
     assert_broadcast_hash_join,
     assert_no_nested_loop,
@@ -188,6 +190,59 @@ def test_aqe_splits_skewed_join_partitions(spark):
         assert "isFinalPlan=true" in plan, plan
         assert "skew=true" in plan, (
             "AQE did not mark the join as skew-split:\n" + plan
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prefilters_selective_join(spark, tmp_path):
+    """J1 at scale: a shuffle join whose build side carries a selective
+    filter gets an optimizer-injected Bloom prefilter — bloom_filter_agg
+    over the filtered dim keys, might_contain on the fact side BEFORE
+    its shuffle — so non-matching fact rows die at the scan.  Thresholds
+    are lowered only to make the small fixture eligible; the
+    conf itself (bloomFilter.enabled) is an engine default
+    (session.DEFAULT_CONF).  Results must equal the unfiltered plan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+        spark.range(0, 200_000).select(
+            (F.col("id") % 50_000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pay"),
+        ).write.mode("overwrite").parquet(fact_p)
+        spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("attr")
+        ).write.mode("overwrite").parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("attr") == 1)
+        joined = fact.join(dim, "k")
+        n = joined.count()
+        plan = physical_plan(joined)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # prefilter is semantics-free: same rows as without it
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        assert fact.join(dim, "k").count() == n
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
         )
     finally:
         for k, v in old.items():
