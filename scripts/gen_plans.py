@@ -43,7 +43,10 @@ COMMENT = {
         "SimHash near-dup (X2'). Check: no CartesianProduct — candidate "
         "pairs come from the 2-chunk multi-index equi-join on (key_idx, "
         "v1, v2) (~25-bit keys) over the persisted signatures; hamming "
-        "verify is the bit_count intrinsic, no string popcount."
+        "verify is the bit_count intrinsic, no string popcount; "
+        "signatures come from the Arrow kernel (MapInPandas) — no token "
+        "explode, no 64-vote aggregation exchange (round 4 "
+        "impl='kernel')."
     ),
     "q_topk": (
         "Top-k (O2). Check: TakeOrderedAndProject — per-partition heaps, "
@@ -51,17 +54,22 @@ COMMENT = {
     ),
     "q_covid_daily_counts": (
         "DailyCounts artifact. Check: InMemoryTableScan = the cohort "
-        "cached once for all six artifacts; the cumulative Window runs "
-        "over the tiny per-day pre-aggregate (W1, single partition safe "
-        "by construction); the census BroadcastNestedLoopJoin builds on "
-        "the few-hundred-row calendar side — the acceptable J6 shape "
-        "(two large sides would use range_join_binned's equi-join)."
+        "cached once for all six artifacts; cumulatives AND census come "
+        "from ONE per-day event-delta aggregate (each cohort row emits "
+        "+1/-1 at admission/severe/death/discharge+1) joined to the "
+        "calendar and a single Window producing all five running sums — "
+        "no interval join of any kind (round 4; the previous census "
+        "BroadcastNestedLoopJoin is gone)."
     ),
     "q_minhash_pairs": (
         "MinHash+LSH near-dup. Check: no CartesianProduct — candidates "
         "come from an equi-join on (band, bucket); InMemoryTableScan "
-        "shows the persisted single-pass signatures feeding both the "
-        "band join and the Jaccard verify."
+        "shows the persisted signatures feeding both the band join and "
+        "the Jaccard verify; signatures come from ONE narrow mapInPandas "
+        "(ArrowEvalPython/MapInPandas) kernel pass computing the "
+        "oracle-exact polynomial hashes — no shingle explode, no "
+        "aggregation exchange in the signature stage (round 4 "
+        "impl='kernel_poly')."
     ),
 }
 
