@@ -55,6 +55,13 @@ class CurationConfig:
     # differs from web text
     quality_min_words: int = 0
     quality_rules: tuple[tuple[str, float], ...] = ()
+    # model-based quality gate (empty disables): fasttext-style hashed
+    # linear classifier (operators/quality.py linear_text_classifier);
+    # weights come from an upstream trainer.  Runs after the rule gate —
+    # both are map-only, cheapest-first ordering unaffected.
+    classifier_weights: tuple[float, ...] = ()
+    classifier_bias: float = 0.0
+    classifier_threshold: float = 0.5
     minhash_threshold: float = 0.7
     minhash_hashes: int = 32
     minhash_bands: int = 8
@@ -62,6 +69,13 @@ class CurationConfig:
     contamination_n: int = 3
     contamination_threshold: float = 0.2
     sample_fraction: float = 1.0
+    # temperature mixture sampling (None disables): when set, the sample
+    # stage reweights domains as q_d ∝ p_d^τ at the same overall
+    # sample_fraction (operators/sampling.py temperature_mixture_sample)
+    # instead of uniform hash_sample.  The domain column is re-joined
+    # from the raw corpus (line_dedup's reassembly keeps only id+text).
+    mixture_domain_col: str | None = None
+    mixture_temperature: float = 0.7
     target_tokens: int = 2048
     n_shards: int = 64
     seed: int = 42
@@ -114,6 +128,16 @@ def curate(
             **dict(config.quality_rules),
         ).filter(F.col("passes"))
         corpus = corpus.join(passing.select(id_col), id_col, "left_semi")
+    if config.classifier_weights:
+        from covid19i2b2_spark.operators.quality import classifier_filter
+
+        corpus = classifier_filter(
+            corpus,
+            text_col,
+            list(config.classifier_weights),
+            bias=config.classifier_bias,
+            threshold=config.classifier_threshold,
+        )
     # 1. boilerplate lines out; docs reduced to nothing drop here
     cleaned = line_dedup(
         corpus.select(id_col, text_col),
@@ -164,12 +188,30 @@ def curate(
     clean = survivors.join(
         report.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
     )
-    # 6. deterministic sample (nested across fractions)
-    sampled = (
-        hash_sample(clean, id_col, config.sample_fraction, seed=config.seed)
-        if config.sample_fraction < 1.0
-        else clean
-    )
+    # 6. deterministic sample (nested across fractions).  With a domain
+    # column configured this becomes the temperature mixture sampler —
+    # same overall fraction, per-domain rates reweighted q_d ∝ p_d^τ.
+    if config.mixture_domain_col is not None and config.sample_fraction < 1.0:
+        from covid19i2b2_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        domains = corpus.select(id_col, config.mixture_domain_col)
+        sampled, _ = temperature_mixture_sample(
+            clean.join(domains, id_col),
+            id_col,
+            config.mixture_domain_col,
+            temperature=config.mixture_temperature,
+            target_fraction=config.sample_fraction,
+            seed=config.seed,
+        )
+        sampled = sampled.drop(config.mixture_domain_col)
+    elif config.sample_fraction < 1.0:
+        sampled = hash_sample(
+            clean, id_col, config.sample_fraction, seed=config.seed
+        )
+    else:
+        sampled = clean
     # 7. shard + chunk assignment for the trainer
     counted = sampled.withColumn("n_tokens", token_count(text_col))
     return pack_sequences(

@@ -163,3 +163,67 @@ def test_corpus_scd2_update_versions_changed_docs(spark):
     # doc 4: new first version
     assert rows[(4, "brand new")] == (date(2026, 3, 1), None)
     assert len(out) == 6
+
+
+def test_curation_classifier_gate_and_mixture_sample(spark):
+    """The model-based gate drops docs the (hand-set) classifier scores
+    low, and the mixture sampler reweights domains inside the chain —
+    both composing with the rest of the pipeline."""
+    from covid19i2b2_spark.operators.quality import _poly_token_bucket  # noqa: F401
+    import numpy as np
+
+    # weights that score docs containing 'spamword' low: find its bucket
+    # with the same arithmetic the operator uses
+    P, B, D = 9_007_199_254_740_881, 1009, 16
+
+    def bucket(tok: str) -> int:
+        h = 0
+        for ch in tok:
+            h = (h * B + ord(ch)) % P
+        return h % D
+
+    spam_bucket = bucket("spamword")
+    weights = [0.5] * D
+    weights[spam_bucket] = -50.0
+
+    def clean_tok(base: str) -> str:
+        # keep clean tokens out of the spam bucket so the gate's verdict
+        # is deterministic, not collision luck
+        while bucket(base) == spam_bucket:
+            base += "x"
+        return base
+
+    rows = []
+    for i in range(1, 41):
+        body = " ".join(clean_tok(f"tok{i}w{j}") for j in range(15))
+        if i % 4 == 0:
+            body = "spamword " + body
+        rows.append((i, body, "en" if i <= 32 else "de"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    evals = spark.createDataFrame([(999, "nothing shared here")], "doc_id long, text string")
+    cfg = CurationConfig(
+        classifier_weights=tuple(weights),
+        classifier_threshold=0.5,
+        boilerplate_min_docs=100,  # no boilerplate in this corpus
+    )
+    out = curate(corpus, evals, config=cfg)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept == {i for i in range(1, 41) if i % 4 != 0}
+    # mixture sampling: tau=0 flattens toward uniform-over-domains, so
+    # the rare domain keeps a larger share of itself than the common one
+    cfg2 = CurationConfig(
+        boilerplate_min_docs=100,
+        sample_fraction=0.5,
+        mixture_domain_col="lang",
+        mixture_temperature=0.0,
+    )
+    out2 = curate(corpus, evals, config=cfg2)
+    got = {r.doc_id for r in out2.select("doc_id").collect()}
+    langs = {i: ("en" if i <= 32 else "de") for i in range(1, 41)}
+    n_en = sum(1 for i in got if langs[i] == "en")
+    n_de = sum(1 for i in got if langs[i] == "de")
+    # tau=0 targets ~10 rows per domain (20 total); de has only 8 docs
+    assert n_de >= 6, (n_en, n_de)  # nearly all rare-domain docs kept
+    assert n_en <= 16, (n_en, n_de)  # common domain visibly downsampled
+    # and the pipeline schema is unchanged (no leaked domain column)
+    assert out2.columns == ["doc_id", "text", "n_tokens", "shard", "chunk_id"]
