@@ -111,3 +111,60 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class RunningSketchStore:
+    """In-memory merge target for the streaming HLL distinct-count store
+    (operators/sketches.py); production swaps this for a parquet/Delta
+    table holding (day, sketch) with the same union-merge."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.df: DataFrame | None = None
+
+    def merge(self, batch_sketches: DataFrame) -> None:
+        b = batch_sketches.localCheckpoint()
+        if self.df is None:
+            self.df = b
+            return
+        self.df = (
+            self.df.unionByName(b)
+            .groupBy("day")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+            .localCheckpoint()
+        )
+
+
+def incremental_distinct_users(
+    stream: DataFrame, target: RunningSketchStore, lg_k: int = 12
+):
+    """Maintain per-day distinct-user HLL sketches as events stream in:
+    each micro-batch aggregates into kilobyte sketches inside
+    foreachBatch and union-merges them into the running store — the
+    streaming form of sketches.build_distinct_sketches +
+    merge_sketch_stores.  Coarser-grained distinct questions (weekly /
+    total) are answered from the store via rollup_distinct_sketches
+    without ever re-reading the stream's history.
+
+    Replay note: HLL union is SET-semantics idempotent — re-merging a
+    replayed batch's sketch is a no-op for the estimate (union(s, s) =
+    s), so the store's distinct counts are exactly-once even though
+    foreachBatch is at-least-once.  (This is why the streaming store
+    carries no n_rows column: a row COUNT would double on replay.)"""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = (
+            batch_df.select(F.to_date("ts").alias("day"), "user_id")
+            .groupBy("day")
+            .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("sketch"))
+        )
+        target.merge(sk)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -231,3 +231,49 @@ def test_streaming_ingest_updates_index_and_corpus(spark, tmp_path):
     )
     q2.awaitTermination()
     assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == got
+
+
+def test_incremental_distinct_user_sketches_match_batch(spark):
+    """Streaming HLL store: after draining the bounded stream, per-day
+    sketch estimates equal the batch-built store's exactly (same sketch
+    algorithm over the same values), and re-merging a batch's sketches
+    (a foreachBatch replay) leaves every estimate unchanged — HLL union
+    is set-idempotent."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+    from covid19i2b2_spark.streaming.incremental import (
+        RunningSketchStore,
+        incremental_distinct_users,
+    )
+
+    target = RunningSketchStore(spark)
+    q = incremental_distinct_users(stream_events(spark, SF_DIR), target)
+    q.awaitTermination()
+    got = {
+        r["day"]: r["approx_distinct"]
+        for r in rollup_distinct_sketches(
+            target.df.withColumn("n_rows", F.lit(0)), ["day"]
+        ).collect()
+    }
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    batch = {
+        r["day"]: r["approx_distinct"]
+        for r in rollup_distinct_sketches(
+            build_distinct_sketches(ev, ["day"], "user_id"), ["day"]
+        ).collect()
+    }
+    assert got == batch
+    # replay idempotence: union-merging the whole store into itself
+    # changes no estimate
+    target.merge(target.df.select("day", "sketch"))
+    again = {
+        r["day"]: r["approx_distinct"]
+        for r in rollup_distinct_sketches(
+            target.df.withColumn("n_rows", F.lit(0)), ["day"]
+        ).collect()
+    }
+    assert again == got
