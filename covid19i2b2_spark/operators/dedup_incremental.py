@@ -49,12 +49,32 @@ def _bands(
     shingle_k: int,
     n_bands: int,
     seed: int,
+    signature_impl: str = "kernel",
 ) -> DataFrame:
     """(band, bucket, doc_id, signature) — banded MinHash signatures.
-    Mirrors lsh_candidate_pairs' banding so index and query agree."""
-    sigs = minhash_signatures(
-        df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k, seed=seed
-    )
+    Mirrors lsh_candidate_pairs' banding so index and query agree.
+
+    ``signature_impl='kernel'`` (default) computes signatures in the
+    narrow Arrow pass (operators/minhash_kernel.py — no shingle explode,
+    no aggregation shuffle); 'expr' keeps the explode+aggregate path.
+    The two produce DIFFERENT signature values (different shingle
+    hashes), which is why the impl is part of the index identity."""
+    if signature_impl == "kernel":
+        from covid19i2b2_spark.operators.minhash_kernel import (
+            minhash_signatures_kernel,
+        )
+
+        sigs = minhash_signatures_kernel(
+            df, id_col, text_col, n_hashes, shingle_k, seed
+        ).select(id_col, "signature")
+    elif signature_impl == "expr":
+        sigs = minhash_signatures(
+            df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k, seed=seed
+        )
+    else:
+        raise ValueError(
+            f"signature_impl must be 'kernel' or 'expr' (got {signature_impl!r})"
+        )
     rows_per_band = n_hashes // n_bands
     return sigs.select(
         F.col(id_col).alias("doc_id"),
@@ -85,6 +105,7 @@ class DedupIndex:
         shingle_k: int = 5,
         n_bands: int = 8,
         seed: int = 42,
+        signature_impl: str = "kernel",
     ):
         if n_hashes % n_bands != 0:
             raise ValueError("n_bands must divide n_hashes")
@@ -93,6 +114,12 @@ class DedupIndex:
         self.shingle_k = shingle_k
         self.n_bands = n_bands
         self.seed = seed
+        # signature_impl is index identity too: 'kernel' (Arrow pass,
+        # splitmix shingle hash — default since round 4) and 'expr'
+        # (explode+aggregate, xxhash64) store DIFFERENT signature
+        # values; an index built under one must not be queried or
+        # appended under the other (same contract as changing seed).
+        self.signature_impl = signature_impl
 
     @property
     def fp_path(self) -> str:
@@ -112,6 +139,7 @@ class DedupIndex:
             self.shingle_k,
             self.n_bands,
             self.seed,
+            self.signature_impl,
         ).write.mode(mode).parquet(self.bands_path)
 
     def build(self, corpus: DataFrame, id_col: str, text_col: str) -> None:
@@ -170,6 +198,7 @@ class DedupIndex:
             self.shingle_k,
             self.n_bands,
             self.seed,
+            self.signature_impl,
         ).persist()
         idx_bands = spark.read.parquet(self.bands_path)
         agree = F.size(
