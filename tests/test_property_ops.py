@@ -148,3 +148,46 @@ def test_gopher_signals_bounds(spark, text):
     assert 0.0 <= r.alpha_word_frac <= 1.0
     assert 0.0 <= r.bullet_line_frac <= 1.0
     assert 0.0 <= r.ellipsis_line_frac <= 1.0
+
+
+def _ref_chunks(n: int, chunk: int, overlap: int) -> list[tuple[int, int]]:
+    """Brute-force (start, length) chunk windows for an n-token doc."""
+    stride = chunk - overlap
+    bound = max(n - overlap, 1)
+    out = []
+    s = 1
+    while s <= bound:
+        out.append((s, min(chunk, n - s + 1)))
+        s += stride
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    chunk=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.95),
+)
+def test_chunk_documents_matches_reference(spark, n, chunk, overlap_frac):
+    """Window invariants over generated sizes: chunk starts/lengths match
+    the brute-force reference, every token is covered, and consecutive
+    chunks overlap by exactly `overlap` tokens (except the tail)."""
+    from covid19i2b2_spark.operators.chunking import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    text = " ".join(f"t{i}" for i in range(1, n + 1))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap_tokens=overlap
+        ).collect()
+    )
+    ref = _ref_chunks(n, chunk, overlap)
+    assert [(s, l) for s, l, _ in rows] == ref
+    covered = set()
+    for s, l, txt in rows:
+        toks = txt.split(" ")
+        assert toks == [f"t{i}" for i in range(s, s + l)]
+        covered.update(range(s, s + l))
+    assert covered == set(range(1, n + 1))
