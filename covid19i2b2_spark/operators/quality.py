@@ -281,3 +281,40 @@ def classifier_filter(
     here)."""
     scored = linear_text_classifier(df, text_col, weights, bias, "__prob")
     return scored.filter(F.col("__prob") >= threshold).drop("__prob")
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    domain_col: str,
+    score_col: str,
+    fraction: float,
+    approx: bool = False,
+) -> DataFrame:
+    """Keep the best ``fraction`` of each domain by score (the
+    'top X% per language by classifier score' curation step), WITHOUT a
+    per-domain sort: one tiny per-domain percentile aggregate (exact by
+    default; ``approx=True`` switches to percentile_approx for the
+    100 TB path), broadcast back, then a map-only threshold filter.
+
+    A full-sort percent_rank would shuffle every row into per-domain
+    sort order and serialize on skewed domains; the threshold shape
+    moves only one number per domain.  Ties AT the threshold are kept
+    (deterministic: membership depends on values, not row order), so
+    heavily-tied score distributions may keep slightly more than
+    ``fraction``."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1] (got {fraction})")
+    if fraction == 1.0:
+        return df
+    q = 1.0 - fraction
+    agg = (
+        F.percentile_approx(F.col(score_col), F.lit(q), F.lit(10_000))
+        if approx
+        else F.percentile(F.col(score_col), F.lit(q))
+    )
+    th = df.groupBy(domain_col).agg(agg.alias("__th"))
+    return (
+        df.join(F.broadcast(th), domain_col)
+        .filter(F.col(score_col) >= F.col("__th"))
+        .drop("__th")
+    )

@@ -153,3 +153,29 @@ def test_leakage_safe_split_keeps_dup_clusters_together(spark):
     sizes = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert abs(sizes.get("train", 0) - 1600) < 200
     out.unpersist()
+
+
+def test_keep_top_fraction_per_domain(spark):
+    """Per-domain threshold selection: exactly the top fraction survives
+    per domain on distinct scores, skewed domain sizes don't leak across
+    domains, and the approx path tracks the exact one."""
+    from covid19i2b2_spark.operators.quality import keep_top_fraction
+
+    rows = [(f"a{i}", "a", float(i)) for i in range(100)] + [
+        (f"b{i}", "b", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score double")
+    kept = keep_top_fraction(df, "lang", "score", 0.25).collect()
+    a = sorted(float(r.score) for r in kept if r.lang == "a")
+    b = sorted(float(r.score) for r in kept if r.lang == "b")
+    # exact percentile threshold at q=0.75 keeps the top quarter
+    # (plus the interpolated boundary value)
+    assert min(a) >= 74.0 and len(a) in (25, 26)
+    assert min(b) >= 6.0 and len(b) in (3, 4)
+    approx = keep_top_fraction(df, "lang", "score", 0.25, approx=True).count()
+    assert abs(approx - len(kept)) <= 2
+    assert keep_top_fraction(df, "lang", "score", 1.0).count() == 110
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        keep_top_fraction(df, "lang", "score", 0.0)
