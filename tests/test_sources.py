@@ -234,3 +234,39 @@ def test_zorder_clamps_bits_to_64bit_key(spark, tmp_path):
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_mod"]
     write_zordered(orders, path, cols, bits=16, n_files=4)
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_read_evolving_snapshots_aligns_by_name(spark, tmp_path):
+    """Snapshots written at three schema versions (base; +score; +score
+    +license, score moved position) read back as one frame aligned by
+    NAME with NULLs where a snapshot lacked the column, each row tagged
+    with its snapshot path; filters still push into each scan."""
+    from covid19i2b2_spark.sources.files import read_evolving_snapshots
+
+    p1, p2, p3 = (str(tmp_path / f"snap{i}") for i in (1, 2, 3))
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "beta", 0.9)], "doc_id long, text string, score double"
+    ).write.parquet(p2)
+    spark.createDataFrame(
+        [(3, 0.7, "cc-by", "gamma")],
+        "doc_id long, score double, license string, text string",
+    ).write.parquet(p3)
+    out = read_evolving_snapshots(spark, [p1, p2, p3])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text", "score", "license", "snapshot"}
+    assert rows[1].score is None and rows[1].license is None
+    assert rows[2].score == 0.9 and rows[2].license is None
+    assert rows[3].license == "cc-by" and rows[3].text == "gamma"
+    assert rows[1].snapshot.endswith("snap1")
+    # per-snapshot scans keep pushdown: a doc_id filter reaches parquet
+    from covid19i2b2_spark.plans import physical_plan
+
+    plan = physical_plan(out.filter(F.col("doc_id") == 3))
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,3)]" in plan, plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        read_evolving_snapshots(spark, [])
