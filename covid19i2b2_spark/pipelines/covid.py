@@ -29,15 +29,13 @@ fact table bucketed by patient_num makes the cohort build shuffle-free.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import (
     Column,
     DataFrame,
-    SparkSession,
     Window,
     functions as F,
-    types as T,
 )
 
 from covid19i2b2_spark.functions.buckets import age_group

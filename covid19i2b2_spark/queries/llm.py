@@ -23,10 +23,6 @@ from covid19i2b2_spark.operators.text import (
     fingerprint,
     lang_guess,
     punct_count,
-    quality_score,
-    stopword_hits,
-    stopword_ratio,
-    token_count,
 )
 from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
