@@ -318,3 +318,57 @@ def keep_top_fraction(
         .filter(F.col(score_col) >= F.col("__th"))
         .drop("__th")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n_vocab: int = 1000,
+    out_col: str = "unigram_logprob",
+) -> DataFrame:
+    """Statistical language-model quality scoring (the CCNet-style
+    perplexity filter, unigram form): per document, the mean add-one-
+    smoothed log-probability of its tokens under the corpus unigram
+    distribution — fluent prose made of common words scores high,
+    gibberish and rare-token streams score low (more negative).
+
+    P(t) = (count(t) + 1) / (N + V) with counts from the top-N vocab
+    (everything below the cut is one OOV bucket with count 0), N = total
+    corpus token count, V = top_n_vocab + 1.
+
+    Scale shape: the vocab is the already-bounded top-N table
+    (build_vocab — one explode + one token-keyed aggregate), broadcast
+    into the per-token left join; N comes from the same pass's corpus
+    count.  Tokenless documents keep their row with NULL (no evidence),
+    like linear_text_classifier."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = build_vocab(df, text_col, top_n=top_n_vocab, lowercase=False)
+    n_total = toks.count()  # one scalar: total corpus tokens
+    v = top_n_vocab + 1
+    logp = F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+        / F.lit(float(n_total + v))
+    )
+    # fixed-point picounit sum (the _fixdot/dmean pattern): double sums
+    # are association-order-dependent across partitions, so the mean is
+    # taken over floor(logp*1e12+0.5) BIGINTs — order-independent, and
+    # bit-identical in the DuckDB oracle.  |logp|*1e12 * tokens-per-doc
+    # stays far under 2^63.
+    lp_fix = F.floor(logp * F.lit(1e12) + F.lit(0.5)).cast("long")
+    per_doc = (
+        toks.join(F.broadcast(vocab.select("token", "n")), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            round6(
+                F.sum(lp_fix).cast("double")
+                / F.count("*")
+                / F.lit(1e12)
+            ).alias(out_col)
+        )
+    )
+    return df.join(per_doc, id_col, "left").select(
+        df["*"], F.col(out_col)
+    )

@@ -364,3 +364,18 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_passages(
         dirty, "doc_id", "text", k=8, min_docs=2, hash_impl="poly"
     ).orderBy("passage_hash")
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet-style statistical filter) over
+    the documents table: mean add-one-smoothed token log-probability
+    under the corpus's own top-100 unigram distribution.  UNREGISTERED
+    (50-slot window); full DuckDB parity in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.quality import unigram_logprob_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        unigram_logprob_score(docs, "doc_id", "text", top_n_vocab=100)
+        .select("doc_id", "unigram_logprob")
+        .orderBy("doc_id")
+    )

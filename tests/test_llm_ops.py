@@ -1082,3 +1082,22 @@ def test_duplicate_passages_finds_planted_boilerplate(spark):
         sorted((r.n_docs, r.n_occurrences, r.passage_text) for r in out)
     with pytest.raises(ValueError):
         duplicate_passages(df, "doc_id", "text", hash_impl="nope")
+
+
+def test_unigram_logprob_separates_fluent_from_gibberish(spark):
+    """Docs made of corpus-common tokens must outscore docs of rare
+    tokens under the corpus unigram LM; tokenless docs get NULL."""
+    from covid19i2b2_spark.operators.quality import unigram_logprob_score
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zqxv jkwp mbrt ylgh ffzz"))  # rare tokens
+    rows.append((101, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.unigram_logprob
+        for r in unigram_logprob_score(df, "doc_id", "text", top_n_vocab=50).collect()
+    }
+    assert out[101] is None
+    assert out[100] < out[0]  # gibberish strictly lower
+    assert all(out[i] == out[0] for i in range(20))  # identical docs tie

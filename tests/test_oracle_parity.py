@@ -255,12 +255,45 @@ def _dup_passages_oracle() -> str:
     """
 
 
+
+def _unigram_logprob_oracle() -> str:
+    """Mirror of unigram_logprob_score(top_n_vocab=100): top-100 vocab
+    (count desc, token asc — build_vocab's exact tie-break), add-one
+    smoothing over N + V, fixed-point picounit mean (order-independent
+    BIGINT sums, matching the Spark side bit-for-bit)."""
+    return f"""
+    WITH {_DUCK_TOKED},
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM toked),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 100),
+    total AS (SELECT COUNT(*) AS nt FROM tok),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(ln((COALESCE(v.n, 0) + 1)
+                             / (CAST(total.nt AS DOUBLE) + 101))
+                          * 1000000000000 + 0.5) AS BIGINT) AS lp_fix
+        FROM tok t LEFT JOIN vocab v USING (token), total
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               FLOOR((CAST(SUM(lp_fix) AS DOUBLE) / COUNT(*)
+                      / 1000000000000) * 1000000 + 0.5) / 1000000
+                   AS unigram_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, p.unigram_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 UNREGISTERED_ORACLES = {
     "q_minhash_poly": _minhash_poly_oracle(),
     "q_chunk_documents": _chunk_documents_oracle(),
     "q_quality_classifier": _quality_classifier_oracle(),
     "q_mixture_sample": _mixture_sample_oracle(),
     "q_dup_passages": _dup_passages_oracle(),
+    "q_unigram_logprob": _unigram_logprob_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
@@ -590,6 +623,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_quality_classifier": llm3.q_quality_classifier,
         "q_mixture_sample": llm3.q_mixture_sample,
         "q_dup_passages": llm3.q_dup_passages,
+        "q_unigram_logprob": llm3.q_unigram_logprob,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
