@@ -372,3 +372,59 @@ def unigram_logprob_score(
     return df.join(per_doc, id_col, "left").select(
         df["*"], F.col(out_col)
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 512,
+    iters: int = 400,
+    lr: float = 0.5,
+) -> tuple[list[float], float]:
+    """Train the weights for :func:`linear_text_classifier` from a
+    LABELED document sample (label 1 = keep, 0 = drop) — closing the
+    train→infer loop inside the engine with ONE hash function: features
+    here use the same polynomial bucket the inference operator applies,
+    so the returned (weights, bias) plug straight into
+    ``linear_text_classifier`` / ``classifier_filter`` / the curation
+    config.
+
+    Scale shape: feature extraction is distributed (explode → bucket →
+    one groupBy on (doc, bucket), emitting mean-normalized counts —
+    exactly the inference-side feature); only the SPARSE feature triples
+    of the labeled sample are collected for the driver-side logistic
+    regression.  Labeled sets are small by construction (human/LLM
+    labels, ~10^4-10^5 docs), which is why a numpy batch-gradient loop
+    beats shipping a distributed trainer whose hash wouldn't match the
+    inference bucket."""
+    import numpy as np
+
+    labels = {
+        r[0]: float(r[1]) for r in df.select(id_col, label_col).collect()
+    }
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+        F.size(tokens(F.col(text_col))).alias("__n"),
+    )
+    triples = (
+        toks.withColumn("bucket", _poly_token_bucket(F.col("tok"), n_buckets))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum(F.lit(1.0) / F.col("__n")).alias("w"))
+        .collect()
+    )
+    ids = sorted(labels)
+    row_of = {d: i for i, d in enumerate(ids)}
+    feats = np.zeros((len(ids), n_buckets))
+    for r in triples:
+        feats[row_of[r[0]], r["bucket"]] = r["w"]
+    y = np.array([labels[d] for d in ids])
+    w, b = np.zeros(n_buckets), 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(feats @ w + b)))
+        g = p - y
+        w -= lr * (feats.T @ g) / len(y)
+        b -= lr * g.mean()
+    return [float(x) for x in w], float(b)

@@ -1101,3 +1101,31 @@ def test_unigram_logprob_separates_fluent_from_gibberish(spark):
     assert out[101] is None
     assert out[100] < out[0]  # gibberish strictly lower
     assert all(out[i] == out[0] for i in range(20))  # identical docs tie
+
+
+def test_train_quality_classifier_end_to_end(spark):
+    """The in-engine trainer's weights must plug into the inference
+    operator and separate held-out planted classes — one hash function
+    end to end (train features == inference features)."""
+    from covid19i2b2_spark.operators.quality import (
+        classifier_filter,
+        train_quality_classifier,
+    )
+
+    spam_vocab = ["buy", "now", "click", "winner", "free$$"]
+    prose_vocab = ["the", "quiet", "library", "holds", "many", "books"]
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(80):
+        vocab = spam_vocab if i % 2 else prose_vocab
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 12)]
+        rows.append((i, " ".join(words), 1 - (i % 2)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter(F.col("doc_id") < 60)
+    heldout = df.filter(F.col("doc_id") >= 60)
+    w, b = train_quality_classifier(train, "doc_id", "text", "label")
+    kept = {
+        r.doc_id
+        for r in classifier_filter(heldout, "text", w, bias=b).select("doc_id").collect()
+    }
+    assert kept == {i for i in range(60, 80) if i % 2 == 0}  # prose only
