@@ -285,3 +285,36 @@ def repetition_ratios(col: str | Column) -> Column:
     return F.struct(
         dup_line.alias("dup_line_frac"), dup_gram.alias("dup_2gram_frac")
     )
+
+
+# -- HTML -> text (crawl-ingest pre-step) --------------------------------
+
+_HTML_DROP_BLOCKS = (
+    r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1>"  # code/style payloads
+)
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"(?is)</?[a-z][^>]*>"
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def strip_html(col: str | Column) -> Column:
+    """Crawl-pipeline HTML -> text: drop script/style/noscript payloads
+    and comments, strip remaining tags, decode the common entities,
+    collapse whitespace.  Pure regexp_replace chain — JVM-side,
+    codegen'd, map-only at any scale; a parser it is not (malformed
+    markup degrades to leaving text in place, never to dropping it),
+    which is the right failure mode for bulk crawl cleaning."""
+    out = _c(col)
+    out = F.regexp_replace(out, _HTML_DROP_BLOCKS, " ")
+    out = F.regexp_replace(out, _HTML_COMMENT, " ")
+    out = F.regexp_replace(out, _HTML_TAG, " ")
+    for ent, repl in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

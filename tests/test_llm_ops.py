@@ -1129,3 +1129,68 @@ def test_train_quality_classifier_end_to_end(spark):
         for r in classifier_filter(heldout, "text", w, bias=b).select("doc_id").collect()
     }
     assert kept == {i for i in range(60, 80) if i % 2 == 0}  # prose only
+
+
+def test_strip_html_extracts_visible_text(spark):
+    """Tags, script/style payloads, comments and entities go; visible
+    text survives with collapsed whitespace; malformed markup degrades
+    to keeping text."""
+    from covid19i2b2_spark.operators.text import strip_html
+
+    rows = [
+        (1, "<html><head><style>p{color:red}</style>"
+            "<script>var x=1;</script></head>"
+            "<body><h1>Title</h1><p>Hello <b>world</b> &amp; friends</p>"
+            "<!-- hidden --></body></html>"),
+        (2, "plain text stays"),
+        (3, "a &lt;tag&gt; literal &nbsp; spaced"),
+        (4, "<div>unclosed <span>still here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r.text for r in df.select(
+        "doc_id", strip_html("html").alias("text")).collect()}
+    assert out[1] == "Title Hello world & friends"
+    assert out[2] == "plain text stays"
+    assert out[3] == 'a <tag> literal spaced'
+    assert out[4] == "unclosed still here"
+
+
+def test_sentence_chunking_packs_whole_sentences(spark):
+    """Sentences never split across chunks, greedy boundary closes the
+    chunk AT the crossing sentence, over-long sentences stand alone,
+    chunk ids are dense per doc, and reassembled chunks reproduce the
+    sentence stream in order."""
+    from covid19i2b2_spark.operators.chunking import (
+        chunk_documents_sentences,
+    )
+
+    s = lambda n, tag: " ".join(f"{tag}w{j}" for j in range(n - 1)) + f" {tag}end."  # noqa: E731
+    # doc 1: 4 sentences of 10 tokens, target 25 -> greedy chunks
+    # cum = 10,20,30,40 -> raw chunk floor((cum-1)/25) = 0,0,1,1
+    d1 = " ".join(s(10, f"a{k}") for k in range(4))
+    # doc 2: one 40-token sentence then a 5-token one, target 25
+    # cum = 40,45 -> raw 1,1 -> ONE chunk holding both (over-long closes
+    # its chunk; the 5-token sentence lands with it since cum stays in
+    # the same greedy bucket)
+    d2 = s(40, "b") + " " + s(5, "c")
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents_sentences(df, "doc_id", "text", target_tokens=25)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1)]
+    assert rows[(1, 0)].n_sentences == 2 and rows[(1, 0)].n_tokens == 20
+    assert rows[(1, 1)].n_sentences == 2 and rows[(1, 1)].n_tokens == 20
+    # no sentence split: every chunk text is whole sentences in order
+    assert rows[(1, 0)].chunk_text.endswith("a1end.")
+    assert rows[(1, 1)].chunk_text.startswith("a2w0")
+    assert sorted(k for k in rows if k[0] == 2) == [(2, 0)]
+    assert rows[(2, 0)].n_tokens == 45
+    assert not any(k[0] == 3 for k in rows)  # blank doc absent
+    # reassembly: concatenating chunks reproduces the sentence stream
+    full = " ".join(rows[(1, i)].chunk_text for i in (0, 1))
+    assert full == d1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents_sentences(df, "doc_id", "text", target_tokens=0)
