@@ -43,6 +43,9 @@ from covid19i2b2_spark.operators.text import fingerprint, token_count
 
 @dataclass(frozen=True)
 class CurationConfig:
+    # raw crawl HTML in text_col: strip tags/scripts/entities before any
+    # other stage (map-only; operators/text.py strip_html)
+    html_input: bool = False
     boilerplate_max_doc_frac: float = 0.1
     # floor for "appears in >= this many docs" — keeps a line shared by a
     # handful of exact-dup docs from reading as corpus boilerplate on
@@ -110,6 +113,10 @@ def curate(
         curate(corpus, evals, cache_handles=handles).write.parquet(out)
         for h in handles: h.unpersist()
     """
+    if config.html_input:
+        from covid19i2b2_spark.operators.text import strip_html
+
+        corpus = corpus.withColumn(text_col, strip_html(text_col))
     # 0. cheapest filters first: source blocklist (broadcast anti-join),
     # then the map-only Gopher quality gate — both shrink what the
     # shuffling stages below ever see

@@ -227,3 +227,25 @@ def test_curation_classifier_gate_and_mixture_sample(spark):
     assert n_en <= 16, (n_en, n_de)  # common domain visibly downsampled
     # and the pipeline schema is unchanged (no leaked domain column)
     assert out2.columns == ["doc_id", "text", "n_tokens", "shard", "chunk_id"]
+
+
+def test_curation_html_input_strips_markup(spark):
+    """html_input=True runs strip_html before every other stage: markup
+    never reaches dedup/packing, and tag-only docs drop out."""
+    rows = [
+        (1, "<p>the quick brown fox jumps over the lazy dog today</p>"),
+        (2, "<script>var x=1;</script><b>splendid isolation of the "
+            "mountain cabin makes winter feel calm</b>"),
+        (3, "<div><!-- nothing visible --></div>"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame([(9, "unrelated")], "doc_id long, text string")
+    out = curate(
+        corpus,
+        evals,
+        config=CurationConfig(html_input=True, boilerplate_min_docs=100),
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert set(got) == {1, 2}  # tag-only doc 3 reduced to nothing
+    assert "<" not in got[1] and "script" not in got[2]
+    assert got[1].startswith("the quick brown fox")
