@@ -4,12 +4,16 @@ The composition users actually run — one lazy DataFrame chain over the
 raw corpus, proving the LLM-pipeline operators compose rather than run in
 isolation:
 
-    line_dedup         strip corpus-frequent boilerplate lines
+    [strip_html]       optional: raw crawl HTML -> text (map-only)
+    [blocklist]        optional: broadcast anti-join on source/domain
+    [gopher rules]     optional: map-only rule gate
+    [classifier]       optional: hashed linear model gate (map-only)
+      -> line_dedup    strip corpus-frequent boilerplate lines
       -> exact_dedup   collapse byte-identical documents (content hash)
-      -> MinHash+LSH   near-dup pair graph
+      -> MinHash+LSH   near-dup pair graph (Arrow signature kernel)
       -> components    transitive closure, min-id survivor per group
       -> contamination drop docs overlapping the eval/benchmark set
-      -> hash_sample   deterministic corpus fraction (nested subsets)
+      -> sample        hash_sample, or temperature mixture per domain
       -> pack_sequences shard + chunk assignment for the trainer
 
 Scale shape: every stage is the already-audited operator — the chain adds
