@@ -75,3 +75,175 @@ def merge_sketch_stores(
             F.sum("n_rows").alias("n_rows"),
         )
     )
+
+
+# --- Mergeable frequent-items (heavy-hitters) store ---------------------
+#
+# The top-k companion to the HLL store above: summarize each shard/day
+# ONCE into its k most frequent items plus a residual bound, persist the
+# kilobyte summaries, and answer coarser-grained "what dominates this
+# corpus?" questions (boilerplate tokens, hot domains, repeated license
+# headers) by merging summaries — never re-scanning raw data.
+#
+# Summary semantics (Misra-Gries / SpaceSaving merge, expressed purely
+# declaratively):
+#   - a FRESH shard summary is exact for its kept items (count_lo ==
+#     count_hi == true shard count) and carries ``bound`` = the largest
+#     count it dropped (0 when the shard had <= k distinct items);
+#   - MERGING summaries sums count_lo where present, and for count_hi
+#     charges each absent shard its ``bound`` (an absent item can hide
+#     below a shard's truncation line but not above it), then re-truncates
+#     to the k largest upper bounds;
+#   - invariant preserved by both steps: true count in [count_lo,
+#     count_hi], and any item whose true count exceeds the group's summed
+#     bound is guaranteed present.
+#
+# Store schema (one row per group — same shape discipline as the HLL
+# rows): group_cols..., items: array<struct<count_hi, count_lo, item>>
+# (sorted descending so items[0] is the heaviest), bound, n_rows.
+
+
+def _truncate_items(
+    per_item: DataFrame, group_cols: Sequence[str], k: int
+) -> DataFrame:
+    """(group..., item, count_hi, count_lo, group_bound, n_rows) rows ->
+    one summary row per group keeping the k largest by (count_hi, item).
+
+    The rank sort runs over the DISTINCT items per group (already
+    count-aggregated with map-side combine), not raw rows — at 100 TB
+    that is vocabulary-sized, orders of magnitude below the scan."""
+    from pyspark.sql import Window
+
+    # tie-break by item DESC to agree exactly with the stored array's
+    # sort_array(desc) order over (count_hi, count_lo, item) structs
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("count_hi"), F.desc("count_lo"), F.desc("item")
+    )
+    ranked = per_item.withColumn("__rk", F.row_number().over(w))
+    return ranked.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__rk") <= k,
+                    F.struct(
+                        F.col("count_hi"),
+                        F.col("count_lo"),
+                        F.col("item"),
+                    ),
+                )
+            ),
+            asc=False,
+        ).alias("items"),
+        # new residual bound: anything truncated NOW could have a true
+        # count as large as its upper bound -> fold the largest dropped
+        # upper into the carried bound
+        F.greatest(
+            F.first("group_bound"),
+            F.coalesce(
+                F.max(F.when(F.col("__rk") > k, F.col("count_hi"))), F.lit(0)
+            ),
+        ).alias("bound"),
+        F.first("n_rows").alias("n_rows"),
+    )
+
+
+def build_topk_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One frequent-items summary of ``value_col`` per group.  The only
+    pass over raw data this store ever takes: one map-side-combined
+    count aggregate, then a per-group truncation over the distinct
+    items.  Kept items are EXACT for the shard (count_lo == count_hi);
+    ``bound`` records the largest dropped count."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("cnt"))
+    # group totals come from the counted items themselves (their counts
+    # are exhaustive here) — no second aggregate over raw data
+    gw = Window.partitionBy(*group_cols)
+    per_item = counts.select(
+        *group_cols,
+        F.col(value_col).cast("string").alias("item"),
+        F.col("cnt").alias("count_hi"),
+        F.col("cnt").alias("count_lo"),
+        F.lit(0).cast("bigint").alias("group_bound"),
+        F.sum("cnt").over(gw).alias("n_rows"),
+    )
+    out = _truncate_items(per_item, group_cols, k)
+    return out.withColumn("bound", F.col("bound").cast("bigint"))
+
+
+def merge_topk_sketches(
+    sketches: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Merge/roll up summaries to ``group_cols`` grain (pass a coarser
+    key set to roll up; union new-batch summaries in first for
+    incremental maintenance — the same operation serves both).
+
+    Moves only summary rows (k items + 2 longs per input group) through
+    the shuffle.  For each item: count_lo sums over shards where it was
+    kept; count_hi additionally charges every shard that did NOT keep it
+    that shard's bound (total_bound - sum of bounds where present)."""
+    shard = sketches.select(
+        *group_cols,
+        F.col("bound").alias("shard_bound"),
+        F.col("n_rows").alias("shard_rows"),
+        F.col("items"),
+    )
+    totals = shard.groupBy(*group_cols).agg(
+        F.sum("shard_bound").alias("total_bound"),
+        F.sum("shard_rows").alias("n_rows"),
+    )
+    exploded = shard.select(
+        *group_cols,
+        "shard_bound",
+        F.explode("items").alias("it"),
+    )
+    grouped = exploded.groupBy(*group_cols, F.col("it.item").alias("item")).agg(
+        F.sum("it.count_lo").alias("count_lo"),
+        F.sum("it.count_hi").alias("hi_present"),
+        F.sum("shard_bound").alias("bound_present"),
+    )
+    # totals is one tiny row per output group — broadcast; the global
+    # rollup (no group cols) is a 1-row crossJoin
+    if group_cols:
+        joined = grouped.join(F.broadcast(totals), list(group_cols))
+    else:
+        joined = grouped.crossJoin(F.broadcast(totals))
+    per_item = joined.select(
+        *group_cols,
+        "item",
+        (
+            F.col("hi_present") + F.col("total_bound") - F.col("bound_present")
+        ).alias("count_hi"),
+        "count_lo",
+        F.col("total_bound").alias("group_bound"),
+        "n_rows",
+    )
+    return _truncate_items(per_item, group_cols, k)
+
+
+def topk_estimates(sketches: DataFrame) -> DataFrame:
+    """Unpack a summary store into the answer frame: one row per (group,
+    item) with count_lo/count_hi bounds and a 1-based rank (by upper
+    bound — the stored order)."""
+    group_cols = [
+        c for c in sketches.columns if c not in ("items", "bound", "n_rows")
+    ]
+    return sketches.select(
+        *group_cols,
+        "bound",
+        "n_rows",
+        F.posexplode("items").alias("__pos", "it"),
+    ).select(
+        *group_cols,
+        (F.col("__pos") + 1).alias("rank"),
+        F.col("it.item").alias("item"),
+        F.col("it.count_lo").alias("count_lo"),
+        F.col("it.count_hi").alias("count_hi"),
+        "bound",
+        "n_rows",
+    )

@@ -379,3 +379,40 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "unigram_logprob")
         .orderBy("doc_id")
     )
+
+
+def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 mergeable frequent-items store, full build->merge arithmetic:
+    per-(shard, source) top-k token summaries (shard = doc_id % 4)
+    merged to per-source heavy hitters with [count_lo, count_hi] bounds
+    and the residual ``bound``.  Exercises the SpaceSaving merge charge
+    (absent shard contributes its bound to count_hi) end-to-end.
+
+    Unregistered (50-slot window); DuckDB parity replays the identical
+    summary/merge arithmetic in SQL (tests/test_oracle_parity.py)."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_topk_sketches,
+        merge_topk_sketches,
+        topk_estimates,
+    )
+    from covid19i2b2_spark.operators.text import tokens
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.pmod("doc_id", F.lit(4)).alias("shard"),
+            "source",
+            F.explode(tokens(F.lower("text"))).alias("token"),
+        )
+    )
+    shards = build_topk_sketches(toks, ["shard", "source"], "token", k=12)
+    merged = merge_topk_sketches(shards, ["source"], k=12)
+    return topk_estimates(merged).select(
+        "source",
+        F.col("rank").cast("long").alias("rank"),
+        "item",
+        F.col("count_lo").cast("long").alias("count_lo"),
+        F.col("count_hi").cast("long").alias("count_hi"),
+        F.col("bound").cast("long").alias("bound"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).orderBy("source", "rank")

@@ -287,7 +287,78 @@ def _unigram_logprob_oracle() -> str:
     """
 
 
+def _topk_sketch_oracle(k: int = 12) -> str:
+    """Replay of operators/sketches.py build_topk_sketches +
+    merge_topk_sketches: per-(shard,source) exact top-k summaries with
+    residual bound, merged to per-source bounds — absent shards charge
+    their bound into count_hi; ties break (count desc, item desc)."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id % 4 AS shard, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS item
+        FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (
+        SELECT shard, source, item, COUNT(*) AS n
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT shard, source, item, n,
+               ROW_NUMBER() OVER (PARTITION BY shard, source
+                                  ORDER BY n DESC, item DESC) AS rk
+        FROM counts
+    ),
+    shard_stats AS (
+        SELECT shard, source,
+               COALESCE(MAX(CASE WHEN rk > {k} THEN n END), 0) AS sbound,
+               SUM(n) AS srows
+        FROM ranked GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source, SUM(sbound) AS total_bound, SUM(srows) AS n_rows
+        FROM shard_stats GROUP BY 1
+    ),
+    per_item AS (
+        SELECT r.source, r.item,
+               SUM(r.n) AS count_lo,
+               SUM(r.n) + ANY_VALUE(t.total_bound) - SUM(st.sbound)
+                   AS count_hi,
+               ANY_VALUE(t.total_bound) AS total_bound,
+               ANY_VALUE(t.n_rows) AS n_rows
+        FROM ranked r
+        JOIN shard_stats st USING (shard, source)
+        JOIN totals t ON t.source = r.source
+        WHERE r.rk <= {k}
+        GROUP BY r.source, r.item
+    ),
+    merged AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY count_hi DESC, count_lo DESC,
+                                           item DESC) AS rk
+        FROM per_item
+    ),
+    final_bound AS (
+        SELECT source,
+               GREATEST(ANY_VALUE(total_bound),
+                        COALESCE(MAX(CASE WHEN rk > {k} THEN count_hi END),
+                                 0)) AS bound
+        FROM merged GROUP BY source
+    )
+    SELECT m.source, CAST(m.rk AS BIGINT) AS rank, m.item,
+           CAST(m.count_lo AS BIGINT) AS count_lo,
+           CAST(m.count_hi AS BIGINT) AS count_hi,
+           CAST(b.bound AS BIGINT) AS bound,
+           CAST(m.n_rows AS BIGINT) AS n_rows
+    FROM merged m JOIN final_bound b USING (source)
+    WHERE m.rk <= {k}
+    ORDER BY m.source, rank
+    """
+
+
 UNREGISTERED_ORACLES = {
+    "q_topk_sketch": _topk_sketch_oracle(),
     "q_minhash_poly": _minhash_poly_oracle(),
     "q_chunk_documents": _chunk_documents_oracle(),
     "q_quality_classifier": _quality_classifier_oracle(),
@@ -624,6 +695,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_mixture_sample": llm3.q_mixture_sample,
         "q_dup_passages": llm3.q_dup_passages,
         "q_unigram_logprob": llm3.q_unigram_logprob,
+        "q_topk_sketch": llm3.q_topk_sketch,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()

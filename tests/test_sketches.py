@@ -77,3 +77,128 @@ def test_incremental_merge_equals_rebuild(spark):
     }
     assert a == b  # identical sketches -> identical estimates and counts
     ev.unpersist()
+
+
+# --- frequent-items (top-k heavy hitters) store -------------------------
+
+
+def _doc_tokens(spark):
+    from covid19i2b2_spark.operators.text import tokens
+
+    return (
+        read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", tokens(F.lower("text")).alias("toks"))
+        .select("doc_id", "source", F.explode("toks").alias("token"))
+    )
+
+
+def test_topk_build_is_exact_for_kept_items(spark):
+    """A fresh shard summary is EXACT: with k >= distinct items per
+    group, every item appears with count_lo == count_hi == true count,
+    ranked by count desc, and bound == 0 (nothing dropped)."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_topk_sketches,
+        topk_estimates,
+    )
+
+    toks = _doc_tokens(spark)
+    n_distinct = (
+        toks.groupBy("source", "token").count().groupBy("source").count()
+    )
+    k = max(r["count"] for r in n_distinct.collect())
+    store = build_topk_sketches(toks, ["source"], "token", k=k)
+    est = topk_estimates(store).collect()
+    exact = {
+        (r["source"], r["token"]): r["n"]
+        for r in toks.groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(est) == len(exact)
+    for r in est:
+        true = exact[(r["source"], r["item"])]
+        assert r["count_lo"] == true == r["count_hi"]
+        assert r["bound"] == 0
+    # ranks are 1..n and non-increasing in count
+    by_src: dict = {}
+    for r in sorted(est, key=lambda r: (r["source"], r["rank"])):
+        prev = by_src.get(r["source"])
+        if prev is not None:
+            assert r["count_hi"] <= prev
+        by_src[r["source"]] = r["count_hi"]
+
+
+def test_topk_merge_bounds_and_guarantee(spark, tmp_path):
+    """Shard-wise summaries merged to the coarser grain must (a)
+    bracket every true count in [count_lo, count_hi] and (b) retain
+    every item whose true count exceeds the merged residual bound —
+    after a parquet round-trip of the nested summary rows."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_topk_sketches,
+        merge_topk_sketches,
+        topk_estimates,
+    )
+
+    toks = _doc_tokens(spark).cache()
+    k = 16
+    shards = build_topk_sketches(
+        toks.withColumn("shard", F.pmod("doc_id", F.lit(4))),
+        ["shard", "source"],
+        "token",
+        k=k,
+    )
+    path = str(tmp_path / "topk")
+    shards.write.mode("overwrite").parquet(path)
+    merged = merge_topk_sketches(spark.read.parquet(path), ["source"], k=k)
+    est = topk_estimates(merged).collect()
+    exact = {
+        (r["source"], r["token"]): r["n"]
+        for r in toks.groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    bounds = {r["source"]: r["bound"] for r in merged.collect()}
+    present = set()
+    for r in est:
+        true = exact[(r["source"], r["item"])]
+        assert r["count_lo"] <= true <= r["count_hi"], (r, true)
+        present.add((r["source"], r["item"]))
+    for (src, tok), true in exact.items():
+        if true > bounds[src]:
+            assert (src, tok) in present, (src, tok, true, bounds[src])
+    # n_rows preserved through the merge
+    n_rows = {r["source"]: r["n_rows"] for r in merged.collect()}
+    exact_rows = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert n_rows == exact_rows
+    toks.unpersist()
+
+
+def test_topk_planted_heavy_hitter_survives_skew(spark):
+    """SpaceSaving guarantee under skew: a value holding >1/k of the
+    mass in every shard must survive shard summaries of k slots and the
+    merge, with its count_lo/count_hi tight around the true count."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_topk_sketches,
+        merge_topk_sketches,
+        topk_estimates,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.pmod("id", F.lit(8)).alias("shard"),
+        F.when(F.pmod("id", F.lit(3)) == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 1500).cast("string")))
+        .alias("token"),
+    )
+    shards = build_topk_sketches(df, ["shard"], "token", k=8)
+    merged = merge_topk_sketches(shards, [], k=8)
+    est = topk_estimates(merged)
+    hot = est.filter(F.col("item") == "HOT").collect()
+    assert len(hot) == 1 and hot[0]["rank"] == 1
+    true_hot = df.filter(F.col("token") == "HOT").count()
+    assert hot[0]["count_lo"] <= true_hot <= hot[0]["count_hi"]
+    # HOT is kept in every shard -> its lower bound is exact
+    assert hot[0]["count_lo"] == true_hot
