@@ -28,6 +28,63 @@ def read_json(
     return spark.read.schema(schema).options(**options).json(path)
 
 
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Crawl-grade JSONL ingest: parse with the enforced schema in
+    PERMISSIVE mode and ROUTE rather than drop or die — returns
+    ``(good, quarantine)``.
+
+    - ``good``: rows that parsed clean, exactly ``schema``'s columns;
+    - ``quarantine``: the raw line of every row that failed to parse
+      (or half-parsed: PERMISSIVE nulls out bad fields and captures the
+      whole line), for audit/replay.
+
+    At 100 TB of crawl data malformed lines are a certainty, FAILFAST
+    dies on the first one, and DROPMALFORMED silently biases the corpus
+    (breakage correlates with source); quarantining keeps the pipeline
+    total AND accountable.  Both frames come from ONE parse pass over
+    the files (the split is two filters on the same scan — Spark plans
+    the JSON parse per-branch, no shuffle either way).
+
+    Implementation note: reads LINES (text source) and parses with
+    ``from_json`` rather than ``spark.read.json`` — the raw-JSON reader
+    refuses plans that reference only its corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
+    documented workaround is caching the scan, a non-starter at crawl
+    scale).  As an expression, the parse runs inside whole-stage
+    codegen and each branch stays an independent scan+filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"{corrupt_col!r} collides with a data column")
+    full = StructType(list(schema.fields)).add(corrupt_col, StringType())
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value",
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": corrupt_col,
+                **options,
+            },
+        ).alias("d"),
+    )
+    bad_flag = F.col(f"d.{corrupt_col}").isNotNull() | F.col("d").isNull()
+    good = parsed.filter(~bad_flag).select(
+        *[F.col(f"d.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.filter(bad_flag).select("raw_line")
+    return good, quarantine
+
+
 def read_evolving_snapshots(
     spark: SparkSession,
     paths: list[str],

@@ -270,3 +270,45 @@ def test_read_evolving_snapshots_aligns_by_name(spark, tmp_path):
 
     with _pt.raises(ValueError):
         read_evolving_snapshots(spark, [])
+
+
+def test_read_json_with_quarantine_routes_bad_lines(spark, tmp_path):
+    """Crawl ingest: malformed JSONL lines land in the quarantine frame
+    (raw line preserved for replay), clean lines parse to exactly the
+    declared schema — nothing dropped, nothing fatal, one parse pass."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from covid19i2b2_spark.sources.files import read_json_with_quarantine
+
+    p = tmp_path / "crawl.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "alpha"}',
+                '{"doc_id": 2, "text": "beta"',  # truncated — malformed
+                "not json at all",
+                '{"doc_id": "three", "text": "gamma"}',  # type mismatch
+                '{"doc_id": 4, "text": "delta"}',
+            ]
+        )
+    )
+    schema = (
+        StructType().add("doc_id", LongType()).add("text", StringType())
+    )
+    good, bad = read_json_with_quarantine(spark, str(p), schema)
+    assert good.columns == ["doc_id", "text"]
+    assert {r["doc_id"] for r in good.collect()} == {1, 4}
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert len(raws) == 3
+    assert any("not json at all" in r for r in raws)
+    assert any('"three"' in r for r in raws)  # half-parsed lines kept whole
+
+    # declaring a colliding data column is a hard error, not silent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_json_with_quarantine(
+            spark,
+            str(p),
+            StructType().add("_corrupt_record", StringType()),
+        )
