@@ -168,3 +168,71 @@ def incremental_distinct_users(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class RunningTopkStore:
+    """In-memory merge target for the streaming frequent-items store
+    (operators/sketches.py top-k family); production swaps this for a
+    parquet/Delta table of summary rows with the same merge call.
+
+    Unlike HLL union, SpaceSaving merge is NOT replay-idempotent (counts
+    sum, so a re-merged batch double-counts) — the store therefore keys
+    merges on ``epoch_id`` and skips epochs it has already folded in,
+    the same commit-marker discipline streaming/curation.py uses for
+    its side effects."""
+
+    def __init__(self, spark, group_cols: list[str], k: int = 64):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.k = k
+        self.df: DataFrame | None = None
+        self._epochs: set[int] = set()
+
+    def merge(self, batch_sketches: DataFrame, epoch_id: int) -> None:
+        from covid19i2b2_spark.operators.sketches import merge_topk_sketches
+
+        if epoch_id in self._epochs:
+            return  # replayed micro-batch: already folded in
+        b = batch_sketches.localCheckpoint()
+        if self.df is None:
+            self.df = b
+        else:
+            self.df = merge_topk_sketches(
+                self.df.unionByName(b), self.group_cols, self.k
+            ).localCheckpoint()
+        self._epochs.add(epoch_id)
+
+
+def incremental_topk_tokens(
+    stream: DataFrame,
+    target: RunningTopkStore,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Maintain per-group heavy-hitter token summaries as documents
+    stream in: each micro-batch builds its own exact top-k summaries
+    inside foreachBatch (one narrow aggregate over the batch) and folds
+    them into the running store via the SpaceSaving merge — the
+    streaming form of build_topk_sketches + merge_topk_sketches.  The
+    store answers "what tokens dominate each source so far?" with
+    [count_lo, count_hi] bounds, never re-reading stream history."""
+    from covid19i2b2_spark.operators.sketches import build_topk_sketches
+    from covid19i2b2_spark.operators.text import tokens
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(
+            group_col, F.explode(tokens(F.lower(text_col))).alias("token")
+        )
+        target.merge(
+            build_topk_sketches(toks, [group_col], "token", k=target.k),
+            epoch_id,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -277,3 +277,56 @@ def test_incremental_distinct_user_sketches_match_batch(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_incremental_topk_store_brackets_batch_counts(spark):
+    """Streaming frequent-items store: after draining the bounded
+    document stream, every stored item's [count_lo, count_hi] brackets
+    its true corpus count, every token above the residual bound is
+    present, and a replayed epoch (same epoch_id) is a no-op — the
+    store's epoch guard makes the non-idempotent SpaceSaving merge
+    effectively exactly-once."""
+    from covid19i2b2_spark.operators.sketches import topk_estimates
+    from covid19i2b2_spark.operators.text import tokens as tok_col
+    from covid19i2b2_spark.streaming.curation import stream_documents
+    from covid19i2b2_spark.streaming.incremental import (
+        RunningTopkStore,
+        incremental_topk_tokens,
+    )
+
+    target = RunningTopkStore(spark, ["source"], k=16)
+    q = incremental_topk_tokens(stream_documents(spark, SF_DIR), target)
+    q.awaitTermination()
+    assert target.df is not None and len(target._epochs) >= 1
+
+    est = topk_estimates(target.df).collect()
+    toks = (
+        read_table(spark, SF_DIR, "documents")
+        .select("source", F.explode(tok_col(F.lower("text"))).alias("token"))
+    )
+    exact = {
+        (r["source"], r["token"]): r["n"]
+        for r in toks.groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    bounds = {r["source"]: r["bound"] for r in target.df.collect()}
+    present = set()
+    for r in est:
+        true = exact[(r["source"], r["item"])]
+        assert r["count_lo"] <= true <= r["count_hi"], (r, true)
+        present.add((r["source"], r["item"]))
+    for (src, tok), true in exact.items():
+        if true > bounds[src]:
+            assert (src, tok) in present, (src, tok, true)
+
+    # replayed epoch: merging any already-seen epoch changes nothing
+    before = sorted(
+        (r["source"], r["item"], r["count_lo"], r["count_hi"]) for r in est
+    )
+    target.merge(target.df, epoch_id=next(iter(target._epochs)))
+    after = sorted(
+        (r["source"], r["item"], r["count_lo"], r["count_hi"])
+        for r in topk_estimates(target.df).collect()
+    )
+    assert before == after
