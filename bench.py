@@ -261,6 +261,26 @@ def main() -> None:
             "value": round(sum(scaled.values()), 3),
             "queries": scaled,
         }
+        # curation chain at x10: the replicated corpus is ~90% exact
+        # duplicates (10-copy families), which is a REALISTIC dedup
+        # workload — the chain's early exact-dedup stage collapses the
+        # families before the pair-graph stages run, so this entry pins
+        # that the end-to-end cost scales with the data, not with the
+        # duplicate count squared
+        from covid19i2b2_spark.pipelines.curation import (
+            CurationConfig,
+            curate,
+        )
+        from covid19i2b2_spark.sources.tables import read_table
+
+        sdocs = read_table(spark, sdir, "documents").select("doc_id", "text")
+        sev = sdocs.orderBy("doc_id").limit(5).select("text")
+        t0 = time.perf_counter()
+        curate(
+            sdocs, sev, config=CurationConfig(minhash_threshold=0.7)
+        ).write.format("noop").mode("overwrite").save()
+        result["curation_scaled_sec"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     if SCALE100_X > 1:
         sdir100 = _scaled_dir(spark, SCALE100_X, n_files=128)
