@@ -568,11 +568,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-verified since round 3: exact_decimal=True fixed-points every
     dot product (bucketing signs AND verify cosine), making the full
     LSH+verify pipeline reproducible in the DuckDB oracle — this was
-    rows-only in rounds 1-2."""
+    rows-only in rounds 1-2.  Runs impl='kernel' (round 4): the Arrow
+    kernels compute the identical fixed-point arithmetic ~1.6x faster
+    than the interpreted HOF expressions (equality pinned in
+    tests/test_llm_ops.py); the oracle is unchanged because the values
+    are bit-identical."""
     emb = read_table(spark, sf_dir, "embeddings")
     return sim.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", _near_dup_planes(), threshold=0.3,
-        exact_decimal=True,
+        exact_decimal=True, impl="kernel",
     ).orderBy("id_a", "id_b")
 
 

@@ -1194,3 +1194,39 @@ def test_sentence_chunking_packs_whole_sentences(spark):
 
     with _pt.raises(ValueError):
         chunk_documents_sentences(df, "doc_id", "text", target_tokens=0)
+
+
+def test_embedding_near_dup_kernel_equals_expression(spark):
+    """The Arrow fixed-point kernels (dot12_kernel/bucket_norm_kernel)
+    must return BIT-identical pairs and cosines to the interpreted HOF
+    expression path — same floor(x*y*1e12+0.5) roundings, same int64
+    sums — so the registered query can run the fast path under the
+    unchanged DuckDB oracle.  Invalid impl combinations raise."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators import similarity as sim
+    from covid19i2b2_spark.queries.llm import _near_dup_planes
+    from covid19i2b2_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    kwargs = dict(threshold=0.3, exact_decimal=True)
+    expr = sim.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", _near_dup_planes(), **kwargs
+    ).orderBy("id_a", "id_b").collect()
+    kern = sim.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", _near_dup_planes(), impl="kernel",
+        **kwargs
+    ).orderBy("id_a", "id_b").collect()
+    assert len(expr) > 0
+    assert expr == kern  # ids AND cosine doubles, bit-for-bit
+
+    with _pytest.raises(ValueError):
+        sim.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", _near_dup_planes(), impl="nope"
+        )
+    with _pytest.raises(ValueError):
+        sim.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", _near_dup_planes(),
+            exact_decimal=False, impl="kernel",
+        )
