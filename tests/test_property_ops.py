@@ -191,3 +191,52 @@ def test_chunk_documents_matches_reference(spark, n, chunk, overlap_frac):
         assert toks == [f"t{i}" for i in range(s, s + l)]
         covered.update(range(s, s + l))
     assert covered == set(range(1, n + 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # shard
+            st.integers(min_value=0, max_value=12),  # item id (small domain
+        ),                                           # -> forced collisions)
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_topk_merge_invariants(spark, items, k):
+    """SpaceSaving store invariants for ARBITRARY shardings and k:
+    after build(shard grain) + merge(global), (a) every surviving item's
+    [count_lo, count_hi] brackets its true count, (b) every item whose
+    true count exceeds the merged bound survives, (c) n_rows is exact.
+    Checked against a brute-force Counter reference."""
+    from collections import Counter
+
+    from covid19i2b2_spark.operators.sketches import (
+        build_topk_sketches,
+        merge_topk_sketches,
+        topk_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(s, f"i{v}") for s, v in items], "shard long, item string"
+    )
+    merged = merge_topk_sketches(
+        build_topk_sketches(df, ["shard"], "item", k=k), [], k=k
+    ).collect()
+    assert len(merged) == 1
+    bound, n_rows = merged[0]["bound"], merged[0]["n_rows"]
+    true = Counter(f"i{v}" for _, v in items)
+    assert n_rows == len(items)
+    est = {
+        r["item"]: (r["count_lo"], r["count_hi"])
+        for r in topk_estimates(
+            spark.createDataFrame(merged, schema=None)
+        ).collect()
+    }
+    for it, (lo, hi) in est.items():
+        assert lo <= true[it] <= hi, (it, lo, true[it], hi)
+    for it, n in true.items():
+        if n > bound:
+            assert it in est, (it, n, bound)
