@@ -202,6 +202,47 @@ def build_vocab(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_n: int = 200, lowercase: bool = True
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies over the word-frequency dict —
+    the statistic BPE tokenizer training merges on each iteration
+    (Sennrich et al. 2016 operate on exactly this count table).
+
+    Plan: words aggregate to (word, n_docs_weighted_count) FIRST — the
+    pair extraction then runs over the DISTINCT word list (vocabulary-
+    sized, not corpus-sized), each word contributing its in-word pairs
+    weighted by its corpus frequency.  One token shuffle + one tiny
+    pair shuffle; at 100 TB the char-pair expansion never touches raw
+    text again."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    words = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_word"))
+    )
+    # guard single-char words: sequence(1, 0) would generate a DESCENDING
+    # [1, 0] in Spark, not an empty array
+    in_word_pairs = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = words.select("n_word", F.explode(in_word_pairs).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.sum("n_word").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "pair").limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return top.select(
+        "pair", "n", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
 # -- model-based quality scoring (fasttext-style linear classifier) ------
 
 _CLF_POLY_B = 1009

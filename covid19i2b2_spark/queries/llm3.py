@@ -416,3 +416,16 @@ def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bound").cast("long").alias("bound"),
         F.col("n_rows").cast("long").alias("n_rows"),
     ).orderBy("source", "rank")
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 BPE pair statistics: top adjacent character-pair counts over
+    the word-frequency dict (the merge statistic of BPE tokenizer
+    training), deterministic rank (count desc, pair asc).
+
+    Unregistered (50-slot window); DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.quality import bpe_pair_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_n=100).orderBy("rank")

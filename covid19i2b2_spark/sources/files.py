@@ -85,6 +85,52 @@ def read_json_with_quarantine(
     return good, quarantine
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = False,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_json_with_quarantine`: one text scan,
+    ``from_csv`` in PERMISSIVE mode, split into (good, quarantine raw
+    lines).  ``header=True`` drops lines equal to the schema's own
+    header rendering (the text source has no header concept — crawl
+    shards often repeat headers mid-stream, so dropping by VALUE is the
+    robust reading anyway)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"{corrupt_col!r} collides with a data column")
+    full = StructType(list(schema.fields)).add(corrupt_col, StringType())
+    lines = spark.read.text(path)
+    if header:
+        sep = options.get("sep", ",")
+        lines = lines.filter(
+            F.col("value") != sep.join(schema.fieldNames())
+        )
+    parsed = lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_csv(
+            "value",
+            full.simpleString(),
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": corrupt_col,
+                **options,
+            },
+        ).alias("d"),
+    )
+    bad_flag = F.col(f"d.{corrupt_col}").isNotNull() | F.col("d").isNull()
+    good = parsed.filter(~bad_flag).select(
+        *[F.col(f"d.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.filter(bad_flag).select("raw_line")
+    return good, quarantine
+
+
 def read_evolving_snapshots(
     spark: SparkSession,
     paths: list[str],

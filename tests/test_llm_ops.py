@@ -1230,3 +1230,28 @@ def test_embedding_near_dup_kernel_equals_expression(spark):
             emb, "vec_id", "embedding", _near_dup_planes(),
             exact_decimal=False, impl="kernel",
         )
+
+
+def test_bpe_pair_counts_reference(spark):
+    """BPE pair statistic vs a brute-force Python reference, including
+    the single-char-word guard (Spark's sequence(1,0) descends — a
+    1-char word must contribute NO pairs, not a reversed range)."""
+    from collections import Counter
+
+    from covid19i2b2_spark.operators.quality import bpe_pair_counts
+
+    rows = [(1, "low low lower a I newest"), (2, "low newest newest a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["pair"]: r["n"]
+        for r in bpe_pair_counts(df, "text", top_n=1000).collect()
+    }
+    ref: Counter = Counter()
+    words = Counter(
+        w for _, t in rows for w in t.lower().split()
+    )
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            ref[w[i : i + 2]] += n
+    assert got == dict(ref)
+    assert "a" not in got and "i" not in got  # 1-char words: no pairs

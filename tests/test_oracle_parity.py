@@ -358,6 +358,25 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 
 UNREGISTERED_ORACLES = {
+    "q_bpe_pairs": """
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    words AS (SELECT word, COUNT(*) AS n_word FROM toks GROUP BY word),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> substr(word, i, 2))) AS pair,
+               n_word
+        FROM words WHERE length(word) >= 2
+    ),
+    counts AS (SELECT pair, SUM(n_word) AS n FROM pairs GROUP BY pair),
+    top AS (SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT 100)
+    SELECT pair, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM top ORDER BY rank
+    """,
     "q_topk_sketch": _topk_sketch_oracle(),
     "q_minhash_poly": _minhash_poly_oracle(),
     "q_chunk_documents": _chunk_documents_oracle(),
@@ -696,6 +715,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_dup_passages": llm3.q_dup_passages,
         "q_unigram_logprob": llm3.q_unigram_logprob,
         "q_topk_sketch": llm3.q_topk_sketch,
+        "q_bpe_pairs": llm3.q_bpe_pairs,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()

@@ -312,3 +312,32 @@ def test_read_json_with_quarantine_routes_bad_lines(spark, tmp_path):
             str(p),
             StructType().add("_corrupt_record", StringType()),
         )
+
+
+def test_read_csv_with_quarantine_routes_bad_lines(spark, tmp_path):
+    """CSV twin: type-mismatched and over-width lines quarantine with
+    their raw text; repeated header lines (common in concatenated crawl
+    shards) are dropped by value when header=True."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from covid19i2b2_spark.sources.files import read_csv_with_quarantine
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "\n".join(
+            [
+                "doc_id,text",
+                "1,alpha",
+                "oops,beta",          # doc_id not a long
+                "doc_id,text",        # mid-stream repeated header
+                "2,gamma",
+            ]
+        )
+    )
+    schema = (
+        StructType().add("doc_id", LongType()).add("text", StringType())
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema, header=True)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert raws == ["oops,beta"]
