@@ -1,0 +1,134 @@
+"""In-engine BPE training + application (operators/bpe.py): trainer vs
+a pure-Python Sennrich reference, apply-kernel properties, end-to-end
+corpus compression."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.bpe import apply_bpe, bpe_vocab, train_bpe
+from covid19i2b2_spark.sources.tables import read_table
+from tests.conftest import SF_DIR
+
+
+def _ref_merge(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(
+    word_freqs: Counter, n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Sennrich et al. 2016 reference with the engine's tie-break
+    (count desc, 'a b' string asc)."""
+    words = {w: list(w) for w in word_freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, n in word_freqs.items():
+            s = words[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        if not counts:
+            break
+        (a, b), n = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )[0]
+        if n < min_count:
+            break
+        merges.append((a, b))
+        for w in words:
+            words[w] = _ref_merge(words[w], a, b)
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    """The distributed trainer must reproduce the reference merge list
+    exactly — same greedy pair choice, same tie-break, same leftmost
+    non-overlapping merge semantics (incl. 'aaa' under pair (a,a))."""
+    corpus = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "aaa aaa banana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    wf = Counter(w for t in corpus for w in t.split())
+    for n_merges in (1, 5, 12):
+        got = train_bpe(df, "text", n_merges=n_merges, min_count=2)
+        assert got == _ref_train(wf, n_merges, 2), n_merges
+
+
+def test_apply_bpe_properties(spark):
+    """Apply kernel: tokens concatenate back to the word stream, fully
+    merged training words come out as single tokens, unknown characters
+    survive as singletons, nulls stay null, and the result is identical
+    across partitionings (pure function of (text, merges))."""
+    corpus = ["low low low lower newest", "newest newest widest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, "text", n_merges=20, min_count=1)
+    assert ("l", "o") in merges or ("lo", "w") in merges
+
+    test = spark.createDataFrame(
+        [(1, "low newest zq low"), (2, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["toks"]
+        for r in test.select(
+            "doc_id", apply_bpe("text", merges).alias("toks")
+        ).collect()
+    }
+    assert rows[2] is None
+    toks = rows[1]
+    assert "".join(toks) == "lownewestzqlow"
+    assert toks.count("low") == 2 and "newest" in toks  # fully merged
+    assert "z" in toks and "q" in toks  # unseen chars -> singletons
+
+    repartitioned = {
+        r["doc_id"]: r["toks"]
+        for r in test.repartition(7)
+        .select("doc_id", apply_bpe("text", merges).alias("toks"))
+        .collect()
+    }
+    assert repartitioned == rows
+
+    vocab = bpe_vocab(merges, base=set("lownewstzqider "))
+    assert all(a + b in vocab for a, b in merges)
+
+
+def test_bpe_end_to_end_compresses_corpus(spark):
+    """Train on the documents table, apply to the same corpus: subword
+    token count per doc must sit between the fully-merged floor (word
+    count) and the char ceiling, and shrink as merges are learned —
+    the compression property that makes BPE a tokenizer."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, "text", n_merges=24, min_count=2)
+    assert len(merges) == 24
+
+    counts = (
+        docs.select(
+            "doc_id",
+            F.size(apply_bpe("text", merges)).alias("n_bpe"),
+            F.size(apply_bpe("text", [])).alias("n_chars"),
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_words"),
+        )
+        .agg(
+            F.sum("n_bpe").alias("bpe"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("n_words").alias("words"),
+        )
+        .collect()[0]
+    )
+    assert counts["words"] <= counts["bpe"] < counts["chars"]
