@@ -415,6 +415,76 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n_vocab: int = 1000,
+    top_n_bigrams: int = 5000,
+    out_col: str = "bigram_logprob",
+) -> DataFrame:
+    """Bigram form of :func:`unigram_logprob_score` — the next rung of
+    the CCNet-style perplexity ladder: per document, the mean add-one-
+    smoothed conditional log-probability of its adjacent token pairs,
+
+        P(b | a) = (c(a,b) + 1) / (c(a) + V),   V = top_n_vocab + 1,
+
+    with c(a,b) from the bounded top-N bigram table and c(a) from the
+    top-N vocab (below-cut contexts/pairs count 0).  Fluent word ORDER
+    now matters: shuffled common words score like gibberish, which the
+    unigram filter cannot see.
+
+    Scale shape: bigram extraction is map-only (an in-array zip — no
+    self-join, no window shuffle); both model tables are bounded top-Ns
+    broadcast into per-pair left joins; the per-doc mean uses the same
+    order-independent fixed-point picounit sums as the unigram scorer.
+    Documents with < 2 tokens keep their row with NULL."""
+    toks_arr = tokens(F.col(text_col))
+    big_arr = F.when(
+        F.size(toks_arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_arr) - 1),
+            lambda i: F.struct(
+                F.element_at(toks_arr, i).alias("a"),
+                F.element_at(toks_arr, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = df.select(F.col(id_col), F.explode(big_arr).alias("bg")).select(
+        id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    )
+    bigram_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), "a", "b")
+        .limit(top_n_bigrams)
+    )
+    vocab = build_vocab(df, text_col, top_n=top_n_vocab, lowercase=False)
+    v = top_n_vocab + 1
+    logp = F.log(
+        (F.coalesce(F.col("n_ab"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("n"), F.lit(0)) + F.lit(v)).cast("double")
+    )
+    lp_fix = F.floor(logp * F.lit(1e12) + F.lit(0.5)).cast("long")
+    per_doc = (
+        pairs.join(F.broadcast(bigram_counts), ["a", "b"], "left")
+        .join(
+            F.broadcast(
+                vocab.select(F.col("token").alias("a"), "n")
+            ),
+            "a",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            round6(
+                F.sum(lp_fix).cast("double") / F.count("*") / F.lit(1e12)
+            ).alias(out_col)
+        )
+    )
+    return df.join(per_doc, id_col, "left").select(df["*"], F.col(out_col))
+
+
 def train_quality_classifier(
     df: DataFrame,
     id_col: str,

@@ -429,3 +429,22 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, "text", top_n=100).orderBy("rank")
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 bigram-LM quality scoring: per-doc mean add-one-smoothed
+    conditional logprob over the bounded top-N vocab/bigram tables —
+    the word-order-aware rung of the perplexity-filter ladder.
+
+    Unregistered (50-slot window); DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.quality import bigram_logprob_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        bigram_logprob_score(
+            docs, "doc_id", "text", top_n_vocab=100, top_n_bigrams=300
+        )
+        .select("doc_id", "bigram_logprob")
+        .orderBy("doc_id")
+    )

@@ -160,3 +160,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` and return the output file count.
+
+    Streaming ingest (one file per micro-batch per partition) and
+    fine-grained epoch commits leave corpora as thousands of KB-sized
+    files; at 100 TB that is a metadata and task-scheduling tax on every
+    downstream scan (one task per tiny file, footer reads dominating).
+    Compaction sizes the output from the INPUT's on-disk bytes — no
+    data-pass estimation — and rewrites with one repartition:
+
+    - file count = ceil(input_bytes / target_file_bytes) (>= 1);
+    - ``sort_within_by`` optionally restores clustering inside each
+      output file (sortWithinPartitions — no extra shuffle) so min/max
+      footer stats stay selective after the rewrite.
+
+    The rewrite goes to a NEW directory; swap atomically at the caller
+    (rename / manifest flip) — compact-in-place cannot be atomic on a
+    plain filesystem."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path).repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst_path)
+    _LOG.info(
+        "compacted %s (%d bytes) -> %s as %d file(s)",
+        src_path,
+        total,
+        dst_path,
+        n_files,
+    )
+    return n_files

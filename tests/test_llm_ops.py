@@ -1255,3 +1255,37 @@ def test_bpe_pair_counts_reference(spark):
             ref[w[i : i + 2]] += n
     assert got == dict(ref)
     assert "a" not in got and "i" not in got  # 1-char words: no pairs
+
+
+def test_bigram_logprob_sees_word_order(spark):
+    """The bigram LM must separate fluent word ORDER from shuffled
+    common words — same unigram distribution, so the unigram scorer is
+    blind to the difference by construction; docs with < 2 tokens get
+    NULL."""
+    from covid19i2b2_spark.operators.quality import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the mat too"
+    shuffled = "mat the on too sat dog cat the and mat the on sat the"
+    assert sorted(fluent.split()) == sorted(shuffled.split())
+    rows = [(i, fluent) for i in range(20)]
+    rows += [(100, shuffled), (101, "one"), (102, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(top_n_vocab=50, top_n_bigrams=100)
+    bi = {
+        r.doc_id: r.bigram_logprob
+        for r in bigram_logprob_score(df, "doc_id", "text", **kw).collect()
+    }
+    assert bi[101] is None and bi[102] is None  # < 2 tokens: no evidence
+    assert bi[100] < bi[0]  # shuffled order strictly lower
+    assert all(bi[i] == bi[0] for i in range(20))
+
+    uni = {
+        r.doc_id: r.unigram_logprob
+        for r in unigram_logprob_score(
+            df, "doc_id", "text", top_n_vocab=50
+        ).collect()
+    }
+    assert uni[100] == uni[0]  # unigram scorer cannot see the shuffle

@@ -287,6 +287,48 @@ def _unigram_logprob_oracle() -> str:
     """
 
 
+def _bigram_logprob_oracle() -> str:
+    """Mirror of bigram_logprob_score(top_n_vocab=100,
+    top_n_bigrams=300): P(b|a) = (c(a,b)+1)/(c(a)+101) with c from the
+    bounded top-N tables (ties: count desc then key asc), fixed-point
+    picounit mean.  Docs with < 2 tokens -> NULL."""
+    return f"""
+    WITH {_DUCK_TOKED},
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM toked),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 100),
+    pairs AS (
+        SELECT doc_id,
+               toks[i] AS a, toks[i + 1] AS b
+        FROM toked, unnest(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2
+    ),
+    bigrams AS (
+        SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b
+        ORDER BY n_ab DESC, a, b LIMIT 300
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(FLOOR(ln((COALESCE(g.n_ab, 0) + 1)
+                             / (CAST(COALESCE(v.n, 0) AS DOUBLE) + 101))
+                          * 1000000000000 + 0.5) AS BIGINT) AS lp_fix
+        FROM pairs p
+        LEFT JOIN bigrams g USING (a, b)
+        LEFT JOIN vocab v ON v.token = p.a
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               FLOOR((CAST(SUM(lp_fix) AS DOUBLE) / COUNT(*)
+                      / 1000000000000) * 1000000 + 0.5) / 1000000
+                   AS bigram_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, p.bigram_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 def _topk_sketch_oracle(k: int = 12) -> str:
     """Replay of operators/sketches.py build_topk_sketches +
     merge_topk_sketches: per-(shard,source) exact top-k summaries with
@@ -384,6 +426,7 @@ UNREGISTERED_ORACLES = {
     "q_mixture_sample": _mixture_sample_oracle(),
     "q_dup_passages": _dup_passages_oracle(),
     "q_unigram_logprob": _unigram_logprob_oracle(),
+    "q_bigram_logprob": _bigram_logprob_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
@@ -716,6 +759,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_unigram_logprob": llm3.q_unigram_logprob,
         "q_topk_sketch": llm3.q_topk_sketch,
         "q_bpe_pairs": llm3.q_bpe_pairs,
+        "q_bigram_logprob": llm3.q_bigram_logprob,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()

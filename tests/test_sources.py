@@ -341,3 +341,36 @@ def test_read_csv_with_quarantine_routes_bad_lines(spark, tmp_path):
     assert {r["doc_id"] for r in good.collect()} == {1, 2}
     raws = [r["raw_line"] for r in bad.collect()]
     assert raws == ["oops,beta"]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction must collapse a many-tiny-files layout into the byte-
+    target-derived file count, preserve every row, and (with
+    sort_within_by) restore selective min/max footer clustering."""
+    import glob
+
+    from covid19i2b2_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "frag")
+    # 64 micro-batch-sized files
+    spark.range(20_000).selectExpr(
+        "id", "id % 7 as k", "repeat('x', 20) as pad"
+    ).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(
+        spark, src, dst, target_file_bytes=1 << 30, sort_within_by=["id"]
+    )
+    assert n == 1
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(20_000))
+
+    # a tiny byte target forces multiple output files
+    dst2 = str(tmp_path / "compact2")
+    n2 = compact_parquet(spark, src, dst2, target_file_bytes=64 * 1024)
+    assert n2 > 1
+    assert len(glob.glob(f"{dst2}/*.parquet")) == n2
