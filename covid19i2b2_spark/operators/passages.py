@@ -120,3 +120,83 @@ def duplicate_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    hash_impl: str = "xxhash64",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Cut cross-document duplicated runs OUT of each document — the
+    removal side of passage mining (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" treatment, with fixed-k
+    window chaining standing in for suffix arrays: overlapping
+    duplicated k-windows merge into maximal excised spans by
+    construction, so any shared run of length >= k is removed whole).
+
+    Adds ``out_col`` (the normalized token stream minus every token
+    covered by a duplicated window; '' when everything was boilerplate)
+    and ``n_removed_tokens``.  Removal operates on the SAME normalized
+    stream the mining does — lowercased, whitespace-collapsed — so a
+    span flagged duplicated is exactly a span excised.
+
+    Plan: passage keys aggregate to doc-frequencies (map-side combine),
+    duplicated starts come back via one semi-join, covered positions
+    explode to at most k rows per duplicated start, and reconstruction
+    is one anti-join + one per-doc sort_array fold.  Shuffles are
+    bounded by token count — the honest cost of exact substring dedup;
+    run AFTER the cheap document-level passes in a curation chain."""
+    toked = df.select(
+        F.col(id_col), tokens(normalize_text(text_col)).alias("__toks")
+    )
+    spans = passage_spans(df, id_col, text_col, k=k, hash_impl=hash_impl)
+    dup_keys = (
+        spans.groupBy("passage_hash")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("passage_hash")
+    )
+    covered = (
+        spans.join(dup_keys, "passage_hash", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    toks_pos = toked.select(
+        F.col(id_col),
+        F.posexplode("__toks").alias("__p0", "__tok"),
+    ).select(id_col, (F.col("__p0") + 1).cast("long").alias("__p"), "__tok")
+    kept = toks_pos.join(covered, [id_col, "__p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias(out_col)
+    )
+    removed = covered.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_removed_tokens")
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            df["*"],
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0).cast("long")).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )

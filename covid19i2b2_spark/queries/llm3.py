@@ -448,3 +448,31 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bigram_logprob")
         .orderBy("doc_id")
     )
+
+
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 duplicated-span REMOVAL (poly hash mode): the planted banner
+    corpus from q_dup_passages, with every cross-document duplicated
+    run excised from the normalized token stream — banner docs lose
+    exactly the banner tokens, clean docs come back byte-identical to
+    their normalization.  UNREGISTERED (50-slot window); full DuckDB
+    parity in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.passages import remove_duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _DUP_EVERY == 0,
+            F.concat(F.lit(_DUP_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        remove_duplicate_spans(
+            dirty, "doc_id", "text", k=8, min_docs=2, hash_impl="poly"
+        )
+        .select("doc_id", "text_deduped", "n_removed_tokens")
+        .orderBy("doc_id")
+    )

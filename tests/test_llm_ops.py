@@ -1289,3 +1289,36 @@ def test_bigram_logprob_sees_word_order(spark):
         ).collect()
     }
     assert uni[100] == uni[0]  # unigram scorer cannot see the shuffle
+
+
+def test_remove_duplicate_spans_excises_shared_runs(spark):
+    """Span removal: a >= k-token run shared across docs is excised
+    WHOLE (overlapping duplicated windows chain into the maximal span),
+    unique text survives byte-identical to its normalization, shares of
+    only k-1 tokens are untouched, and an all-boilerplate doc empties."""
+    from covid19i2b2_spark.operators.passages import remove_duplicate_spans
+
+    banner = "one two three four five six seven eight nine ten"  # 10 toks
+    rows = [
+        (1, f"{banner} unique tail for doc one"),
+        (2, f"leading words here {banner} and more after"),
+        (3, "totally unique document with no shared runs at all"),
+        (4, banner),                       # all boilerplate
+        (5, "one two three four five six seven alpha"),  # only 7 shared
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_deduped"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", k=8, min_docs=2
+        ).collect()
+    }
+    assert out[1] == ("unique tail for doc one", 10)
+    assert out[2] == ("leading words here and more after", 10)
+    assert out[3] == (
+        "totally unique document with no shared runs at all", 0)
+    assert out[4] == ("", 10)
+    # 7-token overlap is below k: nothing removed
+    assert out[5] == ("one two three four five six seven alpha", 0)
+    assert out[6] == ("", 0)

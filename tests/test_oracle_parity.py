@@ -287,6 +287,78 @@ def _unigram_logprob_oracle() -> str:
     """
 
 
+def _remove_dup_spans_oracle() -> str:
+    """Mirror of remove_duplicate_spans(k=8, min_docs=2, 'poly') over
+    the q_dup_passages banner corpus: duplicated 8-windows -> covered
+    positions -> anti-join token stream -> ordered string_agg rebuild."""
+    from covid19i2b2_spark.queries.llm3 import _DUP_BANNER, _DUP_EVERY
+
+    fold = (
+        "list_reduce(list_transform(range(1, length(ptxt)+1), "
+        "i -> CAST(unicode(ptxt[i]) AS BIGINT)), "
+        "(a, c) -> (a*1009 + c) % 9007199254740881)"
+    )
+    return f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_DUP_EVERY} = 0
+                    THEN '{_DUP_BANNER} ' || text ELSE text END AS text
+        FROM documents WHERE doc_id < 300
+    ),
+    normed AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM dirty
+    ),
+    toked AS (
+        SELECT doc_id,
+               CASE WHEN n = '' THEN [] ELSE string_split(n, ' ') END AS toks
+        FROM normed
+    ),
+    spans AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(toks[u.i:u.i+7], ' ') AS ptxt
+        FROM toked, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        WHERE len(toks) >= 8
+    ),
+    hashed AS (
+        SELECT doc_id, pos, {fold} AS passage_hash FROM spans
+    ),
+    dups AS (
+        SELECT passage_hash FROM hashed
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT h.doc_id, CAST(u.p AS BIGINT) AS p
+        FROM hashed h JOIN dups USING (passage_hash),
+             UNNEST(range(h.pos, h.pos + 8)) AS u(p)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS p, toks[u.i] AS tok
+        FROM toked, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.tok FROM tokpos t
+        ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_deduped
+        FROM kept GROUP BY doc_id
+    ),
+    removed AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed_tokens
+        FROM covered GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.text_deduped, '') AS text_deduped,
+           COALESCE(m.n_removed_tokens, 0) AS n_removed_tokens
+    FROM dirty d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN removed m USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 def _bigram_logprob_oracle() -> str:
     """Mirror of bigram_logprob_score(top_n_vocab=100,
     top_n_bigrams=300): P(b|a) = (c(a,b)+1)/(c(a)+101) with c from the
@@ -427,6 +499,7 @@ UNREGISTERED_ORACLES = {
     "q_dup_passages": _dup_passages_oracle(),
     "q_unigram_logprob": _unigram_logprob_oracle(),
     "q_bigram_logprob": _bigram_logprob_oracle(),
+    "q_remove_dup_spans": _remove_dup_spans_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
@@ -760,6 +833,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_topk_sketch": llm3.q_topk_sketch,
         "q_bpe_pairs": llm3.q_bpe_pairs,
         "q_bigram_logprob": llm3.q_bigram_logprob,
+        "q_remove_dup_spans": llm3.q_remove_dup_spans,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
