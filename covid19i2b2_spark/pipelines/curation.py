@@ -9,6 +9,8 @@ isolation:
     [gopher rules]     optional: map-only rule gate
     [classifier]       optional: hashed linear model gate (map-only)
       -> line_dedup    strip corpus-frequent boilerplate lines
+    [span removal]     optional: excise cross-doc duplicated k-token
+                       runs (exact-substring dedup, token-bounded)
       -> exact_dedup   collapse byte-identical documents (content hash)
       -> MinHash+LSH   near-dup pair graph (Arrow signature kernel)
       -> components    transitive closure, min-id survivor per group
@@ -69,6 +71,14 @@ class CurationConfig:
     classifier_weights: tuple[float, ...] = ()
     classifier_bias: float = 0.0
     classifier_threshold: float = 0.5
+    # duplicated-span excision (0 disables): after line_dedup, cut every
+    # cross-document duplicated run of >= dup_span_k tokens out of the
+    # surviving text (operators/passages.py remove_duplicate_spans) —
+    # the exact-substring treatment for templated fragments line-level
+    # dedup can't see (runs that don't align with line boundaries).
+    # Token-bounded shuffles; leave 0 unless the corpus is template-heavy.
+    dup_span_k: int = 0
+    dup_span_min_docs: int = 2
     minhash_threshold: float = 0.7
     minhash_hashes: int = 32
     minhash_bands: int = 8
@@ -157,6 +167,24 @@ def curate(
         max_doc_frac=config.boilerplate_max_doc_frac,
         min_docs=config.boilerplate_min_docs,
     ).filter(F.trim(F.col(text_col)) != "")
+    # 1b. optional exact-substring pass: excise cross-doc duplicated
+    # k-token runs the line pass can't see (unaligned with line breaks)
+    if config.dup_span_k > 0:
+        from covid19i2b2_spark.operators.passages import (
+            remove_duplicate_spans,
+        )
+
+        cleaned = (
+            remove_duplicate_spans(
+                cleaned,
+                id_col,
+                text_col,
+                k=config.dup_span_k,
+                min_docs=config.dup_span_min_docs,
+            )
+            .select(id_col, F.col("text_deduped").alias(text_col))
+            .filter(F.trim(F.col(text_col)) != "")
+        )
     # 2. byte-identical dedup on the content fingerprint, min-id survivor.
     # Persisted: uniq is read by BOTH the minhash pair search and the
     # survivor semi-join — without the persist, Spark recomputes the

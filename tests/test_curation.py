@@ -249,3 +249,34 @@ def test_curation_html_input_strips_markup(spark):
     assert set(got) == {1, 2}  # tag-only doc 3 reduced to nothing
     assert "<" not in got[1] and "script" not in got[2]
     assert got[1].startswith("the quick brown fox")
+
+
+def test_curation_dup_span_stage_excises_templates(spark):
+    """dup_span_k > 0 inserts the exact-substring pass after
+    line_dedup: a template run shared across docs MID-LINE (invisible
+    to line-level dedup — it never matches a whole line) is excised
+    from every survivor, and the rest of the chain runs unchanged."""
+    template = (
+        "this offer is subject to the standard terms and "
+        "conditions of the service agreement"
+    )  # 14 tokens, embedded mid-line
+    rows = [(i, f"{BODIES[i]} {template} {BODIES[i]}") for i in (1, 2, 3)]
+    rows.append((4, BODIES[4]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([("unrelated eval text",)], "text string")
+    out = curate(
+        df,
+        ev,
+        config=CurationConfig(
+            boilerplate_max_doc_frac=1.0,  # line stage can't catch it
+            dup_span_k=8,
+            minhash_threshold=0.95,
+        ),
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in out}
+    assert set(texts) == {1, 2, 3, 4}
+    for i in (1, 2, 3):
+        assert "terms and conditions" not in texts[i], i
+        # each doc's unique body survives around the excision
+        assert BODIES[i].split()[0] in texts[i]
+    assert texts[4] == BODIES[4]

@@ -240,3 +240,46 @@ def test_topk_merge_invariants(spark, items, k):
     for it, n in true.items():
         if n > bound:
             assert it in est, (it, n, bound)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5),  # tiny alphabet ->
+            min_size=0,                             # natural shared runs
+            max_size=18,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_remove_duplicate_spans_matches_reference(spark, docs, k):
+    """Span removal vs a brute-force reference for arbitrary corpora:
+    a position is removed iff some k-window covering it occurs in >= 2
+    distinct docs; survivors rebuild in order."""
+    from covid19i2b2_spark.operators.passages import remove_duplicate_spans
+
+    texts = [" ".join(f"w{c}" for c in d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", k=k, min_docs=2
+        ).collect()
+    }
+    # reference: window -> set of docs; covered positions per doc
+    win_docs: dict = {}
+    for i, d in enumerate(docs):
+        for s in range(len(d) - k + 1):
+            win_docs.setdefault(tuple(d[s : s + k]), set()).add(i)
+    for i, d in enumerate(docs):
+        covered = set()
+        for s in range(len(d) - k + 1):
+            if len(win_docs[tuple(d[s : s + k])]) >= 2:
+                covered.update(range(s, s + k))
+        kept = [f"w{c}" for p, c in enumerate(d) if p not in covered]
+        assert got[i] == (" ".join(kept), len(covered)), (i, d)
