@@ -85,3 +85,122 @@ def write_training_shards(
         .partitionBy(*parts)
         .json(path)
     )
+
+
+def write_shard_manifest(
+    spark,
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    split_col: str | None = None,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Write the integrity manifest for a :func:`write_training_shards`
+    export: one row per (split,) shard with ``n_rows``, an
+    order-independent content checksum (bit_xor of per-row xxhash64
+    over the canonical JSON rendering), optional ``n_tokens``, and the
+    shard's on-disk bytes — persisted as JSON under ``path/_MANIFEST``.
+
+    The checksum is computed from the DATAFRAME (one aggregate —
+    map-side combined, XOR never overflows and ignores row order), the
+    bytes from one driver-side FS listing of the shard directories
+    (file-count-bounded).  Trainers and transfer jobs then verify a
+    copy with :func:`verify_training_shards` without trusting the
+    transport.  Returns the manifest DataFrame."""
+    parts = ([split_col] if split_col else []) + [shard_col]
+    # canonical rendering: SORTED columns — a JSON read-back infers an
+    # alphabetized schema, so verify's struct would otherwise differ
+    data_cols = sorted(c for c in df.columns if c not in parts)
+    row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
+    aggs = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.bit_xor(row_hash).alias("checksum"),
+    ]
+    if token_count_col:
+        aggs.append(F.sum(token_count_col).cast("long").alias("n_tokens"))
+    stats = df.groupBy(*parts).agg(*aggs)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    sizes = []
+    for kv in _iter_partition_dirs(fs, root, parts):
+        dirpath, values = kv
+        total = fs.getContentSummary(dirpath).getLength()
+        sizes.append(tuple(values) + (int(total),))
+    sizes_df = spark.createDataFrame(
+        sizes, ", ".join([f"{c} string" for c in parts] + ["n_bytes long"])
+    )
+    manifest = stats
+    for c in parts:  # partition values listed from dir names are strings
+        manifest = manifest.withColumn(c, F.col(c).cast("string"))
+    manifest = manifest.join(sizes_df, parts, "full_outer")
+    manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_MANIFEST")
+    return manifest
+
+
+def _iter_partition_dirs(fs, root, parts: list[str]):
+    """Yield (leaf_dir_path, [value, ...]) for path/[p0=v0/]p1=v1 dirs."""
+
+    def walk(dirpath, remaining, values):
+        if not remaining:
+            yield dirpath, values
+            return
+        key = remaining[0]
+        for st in fs.listStatus(dirpath):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.startswith(f"{key}="):
+                yield from walk(
+                    st.getPath(), remaining[1:], values + [name.split("=", 1)[1]]
+                )
+
+    yield from walk(root, parts, [])
+
+
+def verify_training_shards(
+    spark,
+    path: str,
+    shard_col: str = "shard",
+    split_col: str | None = None,
+) -> DataFrame:
+    """Re-read an exported shard tree, recompute per-shard row counts
+    and checksums, and compare against ``path/_MANIFEST``: returns one
+    row per shard with ``ok`` (rows AND checksum match) plus both sides
+    of each number — the post-transfer integrity gate.  A shard present
+    in only one side reports ok=false (nulls on the missing side)."""
+    parts = ([split_col] if split_col else []) + [shard_col]
+    # an integrity check must see the files AS THEY ARE NOW — drop any
+    # cached listing (stale sizes from a pre-corruption read otherwise
+    # fail the scan outright instead of failing the comparison)
+    spark.catalog.refreshByPath(path)
+    manifest = spark.read.json(f"{path}/_MANIFEST").select(
+        *parts,
+        F.col("n_rows").alias("manifest_rows"),
+        F.col("checksum").alias("manifest_checksum"),
+    )
+    data = spark.read.json(path)
+    data_cols = sorted(c for c in data.columns if c not in parts)
+    row_hash = F.xxhash64(
+        F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    )
+    actual = (
+        data.groupBy(*[F.col(c).cast("string").alias(c) for c in parts])
+        .agg(
+            F.count("*").cast("long").alias("actual_rows"),
+            F.bit_xor(row_hash).alias("actual_checksum"),
+        )
+    )
+    return manifest.join(actual, parts, "full_outer").select(
+        *parts,
+        "manifest_rows",
+        "actual_rows",
+        "manifest_checksum",
+        "actual_checksum",
+        (
+            F.col("manifest_rows").eqNullSafe(F.col("actual_rows"))
+            & F.col("manifest_checksum").eqNullSafe(F.col("actual_checksum"))
+        ).alias("ok"),
+    )

@@ -374,3 +374,49 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     n2 = compact_parquet(spark, src, dst2, target_file_bytes=64 * 1024)
     assert n2 > 1
     assert len(glob.glob(f"{dst2}/*.parquet")) == n2
+
+
+def test_shard_manifest_and_verify(spark, tmp_path):
+    """Export manifest + integrity gate: write shards, write manifest,
+    verify ok everywhere; corrupt one shard file (append a row) and the
+    verify must flag exactly that shard with both sides reported."""
+    import glob
+
+    from covid19i2b2_spark.sources.sinks import (
+        verify_training_shards,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.range(300).selectExpr(
+        "id", "concat('text ', id) as text", "cast(id % 4 as long) as shard"
+    )
+    path = str(tmp_path / "export")
+    write_training_shards(df, path, shard_col="shard")
+    man = write_shard_manifest(spark, df, path, shard_col="shard")
+    assert man.count() == 4
+    assert man.filter(F.col("n_bytes") > 0).count() == 4
+
+    ok = verify_training_shards(spark, path, shard_col="shard")
+    assert ok.count() == 4
+    assert ok.filter(~F.col("ok")).count() == 0
+
+    # corrupt shard 2: append one JSON line to its file.  Drop Hadoop's
+    # local .crc sidecar for that file — a copy to object storage would
+    # not carry it, and with it present the LocalFileSystem fails the
+    # READ instead of letting the manifest comparison catch the change
+    import os
+
+    victim = glob.glob(f"{path}/shard=2/*.json")[0]
+    with open(victim, "a") as f:
+        f.write('{"id": 99999, "text": "injected"}\n')
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    after = {
+        r["shard"]: r["ok"]
+        for r in verify_training_shards(spark, path, shard_col="shard").collect()
+    }
+    assert after == {"0": True, "1": True, "2": False, "3": True}
