@@ -100,3 +100,33 @@ def dedup_decision(
             F.col("component").isNull() | (F.col(id_col) == F.col("component"))
         ).alias("keep"),
     )
+
+
+def dedup_cluster_stats(decision: DataFrame) -> DataFrame:
+    """Audit summary of a :func:`dedup_decision` frame — the numbers a
+    curation run should log before anyone trusts its output: one row
+    per component SIZE with how many components have that size, rows
+    kept/dropped at that size, plus a size=NULL grand-total row
+    (n_docs, n_components, n_kept, n_dropped, dup_rate).
+
+    Shape: two aggregates over the (already edge-bounded) decision
+    frame — nothing touches the corpus.  A healthy near-dup graph shows
+    overwhelmingly size-2/3 components; a heavy tail of large
+    components is the LSH-blowup smell worth alarming on."""
+    per_comp = decision.groupBy("component").agg(
+        F.count("*").alias("sz"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    )
+    by_size = per_comp.groupBy(F.col("sz").alias("size")).agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(F.col("sz") - F.col("kept")).cast("long").alias("n_dropped"),
+    )
+    # grand total derives from the per-size rows — no extra pass
+    grand = by_size.agg(
+        F.lit(None).cast("long").alias("size"),
+        F.sum("n_components").cast("long").alias("n_components"),
+        F.sum("n_kept").cast("long").alias("n_kept"),
+        F.sum("n_dropped").cast("long").alias("n_dropped"),
+    )
+    return by_size.unionByName(grand).orderBy(F.col("size").asc_nulls_last())

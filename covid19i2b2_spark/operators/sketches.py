@@ -247,3 +247,180 @@ def topk_estimates(sketches: DataFrame) -> DataFrame:
         "bound",
         "n_rows",
     )
+
+
+# --- Mergeable quantile (DDSketch-style log-bucket) store ---------------
+#
+# Third member of the summary-store family (HLL distincts, SpaceSaving
+# heavy hitters, and now quantiles): per-shard histograms over
+# relative-error log buckets, exactly mergeable by summing bucket
+# counts, answering any quantile at any later grain without re-scanning
+# raw data.  DDSketch semantics (Masson et al., VLDB 2019): for x > 0,
+# bucket = ceil(log_gamma(x)) with gamma = (1+eps)/(1-eps) puts x in
+# (gamma^(b-1), gamma^b]; the estimate 2*gamma^b/(gamma+1) is within
+# relative error eps of any value in the bucket.  Zeros and negatives
+# keep exact sign fidelity via a (sign, bucket) identity with the
+# negative side mirrored.
+#
+# Unlike the HLL/top-k stores there is NO DuckDB parity: bucket edges
+# go through libm log(), which is not bit-identical across engines —
+# the tests pin the mathematical guarantee (relative error <= eps)
+# and exact merge≡rebuild instead.
+
+
+def _dd_gamma(eps: float) -> float:
+    if not 0 < eps < 1:
+        raise ValueError(f"eps must be in (0,1), got {eps}")
+    return (1 + eps) / (1 - eps)
+
+
+def build_quantile_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    eps: float = 0.01,
+) -> DataFrame:
+    """One log-bucket histogram of ``value_col`` per group: (group...,
+    buckets: array<struct<sign,bucket,cnt>> (sorted by value order),
+    n_rows).  NULL values are excluded (no evidence), zeros and
+    negatives are represented exactly/mirrored.  One map-side-combined
+    aggregate over raw data — the only full pass this store takes."""
+    import math
+
+    gamma = _dd_gamma(eps)
+    lg = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    bucket = F.when(
+        v == 0, F.lit(0).cast("long")
+    ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(lg)).cast("long"))
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, sign.alias("sign"), bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # value-order key: negatives first (large |x| most negative), then
+    # zero, then positives ascending
+    order_key = F.struct(
+        F.col("sign").alias("s"),
+        (F.col("sign") * F.col("bucket")).alias("k"),
+    )
+    return counts.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        order_key.alias("__o"),
+                        F.col("sign"),
+                        F.col("bucket"),
+                        F.col("cnt"),
+                    )
+                )
+            ),
+            lambda s: F.struct(s["sign"], s["bucket"], s["cnt"]),
+        ).alias("buckets"),
+        F.sum("cnt").alias("n_rows"),
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge/roll up histogram rows to ``group_cols`` grain — bucket
+    counts sum, so merge≡rebuild EXACTLY (no bound widening, unlike the
+    top-k store).  Moves only histogram rows through the shuffle."""
+    exploded = sketches.select(
+        *group_cols, F.explode("buckets").alias("b")
+    ).select(
+        *group_cols,
+        F.col("b.sign").alias("sign"),
+        F.col("b.bucket").alias("bucket"),
+        F.col("b.cnt").alias("cnt"),
+    )
+    summed = exploded.groupBy(*group_cols, "sign", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    order_key = F.struct(
+        F.col("sign").alias("s"),
+        (F.col("sign") * F.col("bucket")).alias("k"),
+    )
+    return summed.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        order_key.alias("__o"),
+                        F.col("sign"),
+                        F.col("bucket"),
+                        F.col("cnt"),
+                    )
+                )
+            ),
+            lambda s: F.struct(s["sign"], s["bucket"], s["cnt"]),
+        ).alias("buckets"),
+        F.sum("cnt").alias("n_rows"),
+    )
+
+
+def quantile_estimates(
+    sketches: DataFrame, qs: Sequence[float], eps: float = 0.01
+) -> DataFrame:
+    """Answer quantiles from a histogram store: one row per (group, q)
+    with the DDSketch estimate — relative error <= eps vs the true
+    q-quantile value.  Declarative walk: explode buckets (already in
+    value order), running-sum counts, first bucket reaching ceil(q*n).
+
+    The per-group window runs over the group's BUCKETS (a few hundred
+    rows for eps=0.01 across 15 orders of magnitude), not its data."""
+    from pyspark.sql import Window
+
+    gamma = _dd_gamma(eps)
+    w = (
+        Window.partitionBy("__gid")
+        .orderBy(F.col("sign"), (F.col("sign") * F.col("bucket")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    group_cols = [
+        c for c in sketches.columns if c not in ("buckets", "n_rows")
+    ]
+    gid = (
+        F.concat_ws("\x00", *[F.col(c).cast("string") for c in group_cols])
+        if group_cols
+        else F.lit("")
+    )
+    flat = (
+        sketches.select(
+            *group_cols,
+            gid.alias("__gid"),
+            "n_rows",
+            F.explode("buckets").alias("b"),
+        )
+        .select(
+            *group_cols,
+            "__gid",
+            "n_rows",
+            F.col("b.sign").alias("sign"),
+            F.col("b.bucket").alias("bucket"),
+            F.col("b.cnt").alias("cnt"),
+        )
+        .withColumn("cum", F.sum("cnt").over(w))
+    )
+    # bucket indexes |x|; sign applies OUTSIDE the power (the order key
+    # uses sign*bucket, the magnitude does not)
+    est = F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+        F.col("sign")
+        * F.lit(2.0)
+        * F.pow(F.lit(gamma), F.col("bucket"))
+        / F.lit(gamma + 1.0)
+    )
+    qdf = flat.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    hits = (
+        flat.join(F.broadcast(qdf))
+        .filter(
+            F.col("cum") - F.col("cnt")
+            < F.ceil(F.col("q") * F.col("n_rows"))
+        )
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_rows")))
+        .select(*group_cols, "q", est.alias("value"), "n_rows")
+    )
+    return hits

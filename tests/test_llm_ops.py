@@ -1322,3 +1322,29 @@ def test_remove_duplicate_spans_excises_shared_runs(spark):
     # 7-token overlap is below k: nothing removed
     assert out[5] == ("one two three four five six seven alpha", 0)
     assert out[6] == ("", 0)
+
+
+def test_dedup_cluster_stats_audit(spark):
+    """Cluster audit: planted 3-clique + 2-chain + singletons must report
+    exact per-size component counts, kept/dropped, and a grand-total row
+    whose dropped count equals the dedup decision's."""
+    from covid19i2b2_spark.operators.dedup_clusters import (
+        dedup_cluster_stats,
+        dedup_decision,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    decision = dedup_decision(nodes, pairs, "doc_id")
+    rows = {
+        r["size"]: r for r in dedup_cluster_stats(decision).collect()
+    }
+    assert rows[1]["n_components"] == 2  # 6, 7 singletons
+    assert rows[2]["n_components"] == 1 and rows[2]["n_dropped"] == 1
+    assert rows[3]["n_components"] == 1 and rows[3]["n_dropped"] == 2
+    total = rows[None]
+    assert total["n_components"] == 4
+    assert total["n_kept"] == 4 and total["n_dropped"] == 3
+    assert total["n_dropped"] == decision.filter(~F.col("keep")).count()

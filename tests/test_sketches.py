@@ -202,3 +202,87 @@ def test_topk_planted_heavy_hitter_survives_skew(spark):
     assert hot[0]["count_lo"] <= true_hot <= hot[0]["count_hi"]
     # HOT is kept in every shard -> its lower bound is exact
     assert hot[0]["count_lo"] == true_hot
+
+
+# --- quantile (DDSketch log-bucket) store -------------------------------
+
+
+def test_quantile_store_error_bound_and_merge(spark, tmp_path):
+    """DDSketch guarantee: per-day value quantiles from the store must
+    sit within relative eps of the exact percentiles; shard-built
+    sketches merged equal the directly-built store EXACTLY (bucket
+    counts sum); nested rows round-trip parquet."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+        quantile_estimates,
+    )
+
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select(F.to_date("ts").alias("day"), "value", "event_id")
+        .cache()
+    )
+    eps = 0.02
+    store = build_quantile_sketches(ev, ["day"], "value", eps=eps)
+    path = str(tmp_path / "qsketch")
+    store.write.mode("overwrite").parquet(path)
+    store = spark.read.parquet(path)
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {
+        (r["day"], r["q"]): r["value"]
+        for r in quantile_estimates(store, qs, eps=eps).collect()
+    }
+    # DDSketch guarantees relative eps vs the ORDER STATISTIC at rank
+    # ceil(q*n) — not vs interpolated percentiles, which at small n sit
+    # between order stats
+    import math
+
+    by_day: dict = {}
+    for r in ev.collect():
+        by_day.setdefault(r["day"], []).append(r["value"])
+    checked = 0
+    for day, vals in by_day.items():
+        vals.sort()
+        for q in qs:
+            true = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            got = est[(day, q)]
+            assert abs(got - true) <= eps * abs(true) + 1e-9, (
+                day, q, got, true,
+            )
+            checked += 1
+    assert checked >= 40
+
+    # shard split -> merge equals direct build exactly
+    shards = build_quantile_sketches(
+        ev.withColumn("shard", F.pmod("event_id", F.lit(4))),
+        ["shard", "day"],
+        "value",
+        eps=eps,
+    )
+    merged = merge_quantile_sketches(shards, ["day"])
+    a = {r["day"]: (r["buckets"], r["n_rows"]) for r in merged.collect()}
+    b = {r["day"]: (r["buckets"], r["n_rows"]) for r in store.collect()}
+    assert a == b
+    ev.unpersist()
+
+
+def test_quantile_store_signs_and_zeros(spark):
+    """Sign fidelity: a store over mixed negative/zero/positive values
+    must place q=0.5 at zero and keep negative estimates negative."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_quantile_sketches,
+        quantile_estimates,
+    )
+
+    vals = [-100.0] * 25 + [0.0] * 50 + [100.0] * 25
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    store = build_quantile_sketches(df, [], "value", eps=0.01)
+    est = {
+        r["q"]: r["value"]
+        for r in quantile_estimates(store, [0.1, 0.5, 0.9], eps=0.01).collect()
+    }
+    assert est[0.5] == 0.0
+    assert est[0.1] < 0 and abs(est[0.1] + 100) <= 2.5
+    assert est[0.9] > 0 and abs(est[0.9] - 100) <= 2.5
