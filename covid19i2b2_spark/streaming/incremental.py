@@ -236,3 +236,64 @@ def incremental_topk_tokens(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class RunningQuantileStore:
+    """In-memory merge target for the streaming quantile store
+    (operators/sketches.py DDSketch-style histograms).  Like the top-k
+    store — and unlike HLL union — the merge SUMS counts, so replays
+    double-count without the epoch guard; same commit discipline."""
+
+    def __init__(self, spark, group_cols: list[str]):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.df: DataFrame | None = None
+        self._epochs: set[int] = set()
+
+    def merge(self, batch_sketches: DataFrame, epoch_id: int) -> None:
+        from covid19i2b2_spark.operators.sketches import (
+            merge_quantile_sketches,
+        )
+
+        if epoch_id in self._epochs:
+            return
+        b = batch_sketches.localCheckpoint()
+        if self.df is None:
+            self.df = b
+        else:
+            self.df = merge_quantile_sketches(
+                self.df.unionByName(b), self.group_cols
+            ).localCheckpoint()
+        self._epochs.add(epoch_id)
+
+
+def incremental_value_quantiles(
+    stream: DataFrame,
+    target: RunningQuantileStore,
+    value_col: str = "value",
+    eps: float = 0.01,
+):
+    """Maintain per-day value-distribution histograms as events stream
+    in: per-batch DDSketch build in foreachBatch, exact count-sum merge
+    into the running store.  Any quantile at any grain then answers
+    from kilobyte histogram rows — the streaming percentile monitor
+    (latency/size/score distributions) without retained raw history."""
+    from covid19i2b2_spark.operators.sketches import build_quantile_sketches
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = build_quantile_sketches(
+            batch_df.select(F.to_date("ts").alias("day"), value_col),
+            ["day"],
+            value_col,
+            eps=eps,
+        )
+        target.merge(sk, epoch_id)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

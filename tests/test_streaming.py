@@ -330,3 +330,31 @@ def test_incremental_topk_store_brackets_batch_counts(spark):
         for r in topk_estimates(target.df).collect()
     )
     assert before == after
+
+
+def test_incremental_quantile_store_equals_batch(spark):
+    """Streaming DDSketch store: after draining the bounded stream the
+    merged histograms EQUAL the batch-built store (count-sum merge is
+    exact), and a replayed epoch is a no-op via the epoch guard."""
+    from covid19i2b2_spark.operators.sketches import build_quantile_sketches
+    from covid19i2b2_spark.streaming.incremental import (
+        RunningQuantileStore,
+        incremental_value_quantiles,
+    )
+
+    target = RunningQuantileStore(spark, ["day"])
+    q = incremental_value_quantiles(stream_events(spark, SF_DIR), target)
+    q.awaitTermination()
+    got = {r["day"]: (r["buckets"], r["n_rows"]) for r in target.df.collect()}
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    want = {
+        r["day"]: (r["buckets"], r["n_rows"])
+        for r in build_quantile_sketches(ev, ["day"], "value").collect()
+    }
+    assert got == want
+    before = got
+    target.merge(target.df, epoch_id=next(iter(target._epochs)))
+    after = {r["day"]: (r["buckets"], r["n_rows"]) for r in target.df.collect()}
+    assert after == before
