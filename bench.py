@@ -190,6 +190,48 @@ def _bench_incremental_dedup(spark) -> dict[str, float]:
     }
 
 
+def _bench_sketch_stores(spark) -> dict[str, float]:
+    """The three mergeable summary stores at SF_DIR: per-day HLL
+    distinct sketches over events, per-source heavy-hitter token
+    summaries over documents, per-day DDSketch value histograms over
+    events — each timed build+rollup end-to-end (the pattern that
+    replaces re-scans at 100 TB)."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_distinct_sketches,
+        build_quantile_sketches,
+        build_topk_sketches,
+        merge_topk_sketches,
+        quantile_estimates,
+        rollup_distinct_sketches,
+    )
+    from covid19i2b2_spark.operators.text import tokens
+    from covid19i2b2_spark.sources.tables import read_table
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "user_id", "value"
+    )
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "source", F.explode(tokens(F.lower("text"))).alias("token")
+    )
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    rollup_distinct_sketches(
+        build_distinct_sketches(ev, ["day"], "user_id"), []
+    ).write.format("noop").mode("overwrite").save()
+    out["hll_build_rollup_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    merge_topk_sketches(
+        build_topk_sketches(docs, ["source"], "token", k=64), [], k=64
+    ).write.format("noop").mode("overwrite").save()
+    out["topk_build_merge_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    quantile_estimates(
+        build_quantile_sketches(ev, ["day"], "value"), [0.5, 0.95, 0.99]
+    ).write.format("noop").mode("overwrite").save()
+    out["quantile_build_query_sec"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -248,6 +290,7 @@ def main() -> None:
 
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
+    result["sketch_stores"] = _bench_sketch_stores(spark)
 
     scaled: dict[str, float] = {}
     if SCALE_X > 1:
