@@ -130,11 +130,16 @@ def train_bpe(
     return merges
 
 
-def apply_bpe(col: str | Column, merges: list[tuple[str, str]]) -> Column:
+def apply_bpe(
+    col: str | Column,
+    merges: list[tuple[str, str]],
+    lowercase: bool = True,
+) -> Column:
     """Tokenize text with a trained merge list -> array<string> subword
     tokens (word boundaries preserved; tokens of a word concatenate
     back to the word).  Arrow kernel: rank-greedy merges per DISTINCT
-    word via a batch memo, standard BPE apply."""
+    word via a batch memo, standard BPE apply.  ``lowercase`` must
+    match what training used (train_bpe defaults True)."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -176,7 +181,8 @@ def apply_bpe(col: str | Column, merges: list[tuple[str, str]]) -> Column:
                 out.append(None)
                 continue
             toks_out: list[str] = []
-            for w in t.lower().strip().split():
+            src_text = t.lower() if lowercase else t
+            for w in src_text.strip().split():
                 toks_out.extend(_encode_word(w, memo))
             out.append(toks_out)
         return pd.Series(out)

@@ -295,7 +295,9 @@ def build_quantile_sketches(
         v == 0, F.lit(0).cast("long")
     ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(lg)).cast("long"))
     counts = (
-        df.filter(v.isNotNull())
+        # NULL: no evidence.  NaN: all three sign comparisons are false,
+        # which would silently file it as a zero — exclude instead
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(*group_cols, sign.alias("sign"), bucket.alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -414,13 +416,15 @@ def quantile_estimates(
         / F.lit(gamma + 1.0)
     )
     qdf = flat.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    # rank clamps to [1, n]: q=0 means the minimum (rank 1), not "no row"
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(F.col("n_rows"), F.ceil(F.col("q") * F.col("n_rows"))),
+    )
     hits = (
         flat.join(F.broadcast(qdf))
-        .filter(
-            F.col("cum") - F.col("cnt")
-            < F.ceil(F.col("q") * F.col("n_rows"))
-        )
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_rows")))
+        .filter(F.col("cum") - F.col("cnt") < rank)
+        .filter(F.col("cum") >= rank)
         .select(*group_cols, "q", est.alias("value"), "n_rows")
     )
     return hits

@@ -286,3 +286,24 @@ def test_quantile_store_signs_and_zeros(spark):
     assert est[0.5] == 0.0
     assert est[0.1] < 0 and abs(est[0.1] + 100) <= 2.5
     assert est[0.9] > 0 and abs(est[0.9] - 100) <= 2.5
+
+
+def test_quantile_store_edge_ranks_and_nan(spark):
+    """q=0 clamps to the minimum (rank 1) and q=1 to the maximum; NaN
+    values are excluded from the histogram rather than silently filed
+    as zeros."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_quantile_sketches,
+        quantile_estimates,
+    )
+
+    vals = [float(v) for v in range(1, 101)] + [float("nan")] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    store = build_quantile_sketches(df, [], "value", eps=0.01)
+    assert store.collect()[0]["n_rows"] == 100  # NaNs excluded
+    est = {
+        r["q"]: r["value"]
+        for r in quantile_estimates(store, [0.0, 1.0], eps=0.01).collect()
+    }
+    assert abs(est[0.0] - 1.0) <= 0.02
+    assert abs(est[1.0] - 100.0) <= 2.0
