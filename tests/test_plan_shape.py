@@ -250,3 +250,47 @@ def test_runtime_bloom_filter_prefilters_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_round4_operators_plan_shapes(spark):
+    """Round-4 operators keep their scale contracts: the heavy-hitters
+    build has ONE raw-data exchange (the count aggregate — the window
+    sort runs over distinct items, post-aggregate); quantile queries
+    broadcast the tiny q list and never nested-loop anything else; the
+    bigram scorer broadcasts both bounded model tables; span removal
+    has no nested loop (docs meet only through the passage-key
+    aggregate)."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_quantile_sketches,
+        build_topk_sketches,
+        quantile_estimates,
+    )
+    from covid19i2b2_spark.operators.text import tokens
+    from covid19i2b2_spark.queries.llm3 import (
+        q_bigram_logprob,
+        q_remove_dup_spans,
+    )
+    from covid19i2b2_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "source", F.explode(tokens(F.lower("text"))).alias("token")
+    )
+    topk = build_topk_sketches(docs, ["source"], "token", k=8)
+    assert_no_nested_loop(topk)
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    qdf = quantile_estimates(
+        build_quantile_sketches(ev, ["day"], "value"), [0.5, 0.9]
+    )
+    # the q-list join is the only BNLJ-eligible join and must broadcast
+    plan = physical_plan(qdf)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    bi = q_bigram_logprob(spark, SF_DIR)
+    assert_no_nested_loop(bi)
+    assert physical_plan(bi).count("BroadcastExchange") >= 2  # both models
+
+    assert_no_nested_loop(q_remove_dup_spans(spark, SF_DIR))
