@@ -9,6 +9,8 @@ same reproducibility contract as the obfuscation noise (SURVEY F13).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _BUCKETS = 1_000_000
@@ -245,3 +247,45 @@ def leakage_safe_split(
         "component", F.coalesce("component", F.col(id_col))
     )
     return hash_split(routed, "component", fractions, seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    group_cols: Sequence[str] = (),
+    seed: int = 42,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted k-sample (without replacement) per group —
+    quality-weighted data selection: pick k docs per (domain, ...) with
+    inclusion probability proportional to ``weight_col``.
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): each row draws
+    u = hash(key, seed) mapped into (0, 1] and keeps sort key
+    ln(u)/w; the k LARGEST keys per group are exactly a w-weighted
+    sample without replacement.  u comes from the house key hash, so
+    membership depends only on (key, seed): retries, re-runs, and
+    re-partitionings agree, and the same corpus always yields the same
+    sample (unlike rand()-based sampling, which breaks retry safety).
+
+    Non-positive or NULL weights never sample (excluded up front —
+    their inclusion probability is 0 by definition).  One window top-k
+    per group; with AQE the per-group sort is the only shuffle."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    # u in (0, 1]: bucket in [0, 1e6) -> (bucket + 1) / 1e6
+    u = (
+        _bucket_of(F.col(key_col), seed, hash_impl).cast("double") + 1.0
+    ) / float(_BUCKETS)
+    key = F.log(u) / w  # in (-inf, 0]; larger is better
+    eligible = df.filter(w.isNotNull() & (w > 0))
+    win = Window.partitionBy(
+        *[F.col(c) for c in group_cols]
+    ).orderBy(F.desc(key), F.asc(key_col))
+    return (
+        eligible.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -1348,3 +1348,42 @@ def test_dedup_cluster_stats_audit(spark):
     assert total["n_components"] == 4
     assert total["n_kept"] == 4 and total["n_dropped"] == 3
     assert total["n_dropped"] == decision.filter(~F.col("keep")).count()
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """A-ES weighted sampling: deterministic across partitionings,
+    exactly k per group, zero/null weights never selected, and over
+    many disjoint key-groups the high-weight item wins ~w_hi/(w_hi+w_lo)
+    of the time (the Efraimidis-Spirakis inclusion property)."""
+    from covid19i2b2_spark.operators.sampling import weighted_sample
+
+    # 400 groups, each with one heavy (w=9) and one light (w=1) item:
+    # P(heavy wins the k=1 slot) = 0.9
+    rows = []
+    for g in range(400):
+        rows.append((g, g * 2, 9.0))
+        rows.append((g, g * 2 + 1, 1.0))
+    rows.append((999, 5000, 0.0))   # zero weight: never sampled
+    rows.append((999, 5001, None))  # null weight: never sampled
+    df = spark.createDataFrame(rows, "grp long, key long, w double")
+    got = weighted_sample(df, "key", "w", k=1, group_cols=["grp"])
+    picked = {r["grp"]: r["key"] for r in got.collect()}
+    assert 999 not in picked
+    assert len(picked) == 400
+    heavy_wins = sum(1 for g, kk in picked.items() if kk == g * 2)
+    assert 320 <= heavy_wins <= 390, heavy_wins  # ~360 expected
+
+    again = {
+        r["grp"]: r["key"]
+        for r in weighted_sample(
+            df.repartition(13), "key", "w", k=1, group_cols=["grp"]
+        ).collect()
+    }
+    assert again == picked  # partitioning-independent
+
+    # k=3 over one group returns exactly 3 distinct rows
+    one = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(10)], "key long, w double"
+    )
+    three = weighted_sample(one, "key", "w", k=3)
+    assert three.count() == 3
