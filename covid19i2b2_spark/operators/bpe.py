@@ -139,7 +139,13 @@ def apply_bpe(
     tokens (word boundaries preserved; tokens of a word concatenate
     back to the word).  Arrow kernel: rank-greedy merges per DISTINCT
     word via a batch memo, standard BPE apply.  ``lowercase`` must
-    match what training used (train_bpe defaults True)."""
+    match what training used (train_bpe defaults True).
+
+    Word segmentation and casing run IN SPARK (the same tokens()/
+    F.lower the trainer used) and the kernel receives the word array —
+    Python's str.split()/str.lower() disagree with the JVM on Unicode
+    whitespace (\\xa0) and special casings ('İ'), which would break
+    train/apply parity exactly on the texts where it matters."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -173,21 +179,24 @@ def apply_bpe(
         return syms
 
     @pandas_udf("array<string>")
-    def _apply(texts: pd.Series) -> pd.Series:
+    def _apply(words: pd.Series) -> pd.Series:
         memo: dict = {}
         out = []
-        for t in texts:
-            if t is None:
+        for ws in words:
+            if ws is None:
                 out.append(None)
                 continue
             toks_out: list[str] = []
-            src_text = t.lower() if lowercase else t
-            for w in src_text.strip().split():
+            for w in ws:
                 toks_out.extend(_encode_word(w, memo))
             out.append(toks_out)
         return pd.Series(out)
 
-    return _apply(F.col(col) if isinstance(col, str) else col)
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c) if lowercase else c)
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        _apply(toks)
+    )
 
 
 def bpe_vocab(merges: list[tuple[str, str]], base: set[str]) -> list[str]:

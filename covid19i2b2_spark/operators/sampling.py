@@ -275,9 +275,14 @@ def weighted_sample(
     per group; with AQE the per-group sort is the only shuffle."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     w = w.cast("double")
-    # u in (0, 1]: bucket in [0, 1e6) -> (bucket + 1) / 1e6
+    # u in (0, 1]: bucket in [0, 1e6) -> (bucket + 1) / 1e6.  The key is
+    # SALTED (same hazard hash_split documents): hash_sample keeps
+    # exactly the low unsalted buckets, so an unsalted u here would be
+    # uniform on (0, fraction] after sampling — a weight-dependent bias
+    # A-ES does not have
+    salted = F.concat(F.lit("wsample:"), F.col(key_col).cast("string"))
     u = (
-        _bucket_of(F.col(key_col), seed, hash_impl).cast("double") + 1.0
+        _bucket_of(salted, seed, hash_impl).cast("double") + 1.0
     ) / float(_BUCKETS)
     key = F.log(u) / w  # in (-inf, 0]; larger is better
     eligible = df.filter(w.isNotNull() & (w > 0))

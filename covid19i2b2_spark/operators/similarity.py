@@ -349,12 +349,27 @@ def dot12_kernel(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def _dot12(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if len(xs) == 0:
+        n = len(xs)
+        if n == 0:
             return pd.Series(np.zeros(0))
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
-        s = np.floor(A * B * 1e12 + 0.5).astype(np.int64).sum(axis=1)
-        return pd.Series(s / 1e12)
+        out = np.full(n, np.nan)
+        # NULL or length-mismatched rows stay NaN -> NULL (the expr path
+        # returns NULL there; a kernel must not crash the stage instead)
+        lens: dict[int, list[int]] = {}
+        for i in range(n):
+            x, y = xs.iloc[i], ys.iloc[i]
+            if x is None or y is None or len(x) != len(y):
+                continue
+            lens.setdefault(len(x), []).append(i)
+        for L, idxs in lens.items():
+            if L == 0:
+                out[idxs] = 0.0
+                continue
+            A = np.stack([np.asarray(xs.iloc[i], dtype=np.float64) for i in idxs])
+            B = np.stack([np.asarray(ys.iloc[i], dtype=np.float64) for i in idxs])
+            s = np.floor(A * B * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+            out[idxs] = s / 1e12
+        return pd.Series(out)
 
     return _dot12(a, b)
 
@@ -369,24 +384,43 @@ def bucket_norm_kernel(vec_col: str, planes: list[list[float]]) -> Column:
 
     P = [list(map(float, p)) for p in planes]
 
+    dim = len(P[0]) if P else 0
+
     @pandas_udf("struct<bucket: long, norm: double>")
     def _bn(xs: pd.Series) -> pd.DataFrame:
-        if len(xs) == 0:
+        n = len(xs)
+        if n == 0:
             return pd.DataFrame({"bucket": [], "norm": []})
         Pm = np.asarray(P, dtype=np.float64)  # (n_planes, dim)
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
-        # fixed-point dot per (vector, plane): floor each elementwise
-        # product, THEN sum — same order of roundings as _dot_decimal
-        prods = V[:, None, :] * Pm[None, :, :]
-        dots = np.floor(prods * 1e12 + 0.5).astype(np.int64).sum(axis=2)
-        bits = (dots > 0).astype(np.int64)
-        bucket = (bits << np.arange(len(P), dtype=np.int64)[None, :]).sum(
-            axis=1
-        )
-        self_dot = (
-            np.floor(V * V * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-        )
-        return pd.DataFrame({"bucket": bucket, "norm": np.sqrt(self_dot)})
+        bucket = np.full(n, np.nan, dtype=object)
+        norm_out = np.full(n, np.nan)
+        # NULL or wrong-dimension vectors yield NULL struct fields (the
+        # expr path returns NULL there) rather than crashing the stage
+        good = [
+            i
+            for i in range(n)
+            if xs.iloc[i] is not None and len(xs.iloc[i]) == dim
+        ]
+        if good:
+            V = np.stack(
+                [np.asarray(xs.iloc[i], dtype=np.float64) for i in good]
+            )
+            # fixed-point dot per (vector, plane): floor each elementwise
+            # product, THEN sum — same order of roundings as _dot_decimal
+            prods = V[:, None, :] * Pm[None, :, :]
+            dots = np.floor(prods * 1e12 + 0.5).astype(np.int64).sum(axis=2)
+            bits = (dots > 0).astype(np.int64)
+            bk = (bits << np.arange(len(P), dtype=np.int64)[None, :]).sum(
+                axis=1
+            )
+            sd = (
+                np.floor(V * V * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+                / 1e12
+            )
+            for j, i in enumerate(good):
+                bucket[i] = int(bk[j])
+                norm_out[i] = np.sqrt(sd[j])
+        return pd.DataFrame({"bucket": bucket, "norm": norm_out})
 
     return _bn(F.col(vec_col))
 

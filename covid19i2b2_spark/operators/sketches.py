@@ -377,29 +377,28 @@ def quantile_estimates(
     from pyspark.sql import Window
 
     gamma = _dd_gamma(eps)
-    w = (
-        Window.partitionBy("__gid")
-        .orderBy(F.col("sign"), (F.col("sign") * F.col("bucket")))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     group_cols = [
         c for c in sketches.columns if c not in ("buckets", "n_rows")
     ]
-    gid = (
-        F.concat_ws("\x00", *[F.col(c).cast("string") for c in group_cols])
-        if group_cols
-        else F.lit("")
+    # partition by the group columns THEMSELVES — window partitioning is
+    # null-safe, unlike any string-concatenated gid (concat_ws skips
+    # NULLs, which collides ('a', NULL) with (NULL, 'a'))
+    part = (
+        [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
+    )
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("sign"), (F.col("sign") * F.col("bucket")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flat = (
         sketches.select(
             *group_cols,
-            gid.alias("__gid"),
             "n_rows",
             F.explode("buckets").alias("b"),
         )
         .select(
             *group_cols,
-            "__gid",
             "n_rows",
             F.col("b.sign").alias("sign"),
             F.col("b.bucket").alias("bucket"),

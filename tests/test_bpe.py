@@ -132,3 +132,18 @@ def test_bpe_end_to_end_compresses_corpus(spark):
         .collect()[0]
     )
     assert counts["words"] <= counts["bpe"] < counts["chars"]
+
+
+def test_apply_bpe_matches_spark_tokenization(spark):
+    """Regression (review r4): apply must segment with Spark's tokens()
+    semantics, not Python str.split() — a non-breaking space is NOT a
+    separator for the JVM's \\s+, so 'ab\\xa0ab' is ONE word for both
+    training and apply, and its subwords concatenate back to it."""
+    text = "plain words ab\xa0ab plain"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(df, "text", n_merges=10, min_count=1)
+    toks = df.select(apply_bpe("text", merges).alias("t")).collect()[0]["t"]
+    joined = "".join(toks)
+    # the NBSP word survives whole inside the token stream
+    assert "ab\xa0ab" in joined
+    assert joined == "".join(text.lower().split(" "))

@@ -1387,3 +1387,58 @@ def test_weighted_sample_determinism_and_bias(spark):
     )
     three = weighted_sample(one, "key", "w", k=3)
     assert three.count() == 3
+
+
+def test_embedding_near_dup_kernel_tolerates_null_and_ragged(spark):
+    """Regression (review r4): NULL or wrong-dimension embeddings must
+    fall out of the kernel path as non-candidates (the expression path
+    NULLs them), not crash the Arrow stage."""
+    from covid19i2b2_spark.operators import similarity as sim
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, -0.001]),  # same sign pattern as 1 -> same bucket
+        (3, None),
+        (4, [1.0, 0.0, 5.0]),  # wrong dimension
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = sim.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", planes, threshold=0.9,
+        exact_decimal=True, impl="kernel",
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert all(3 not in p and 4 not in p for p in ids)
+
+
+def test_weighted_sample_composes_with_hash_sample(spark):
+    """Regression (review r4): after hash_sample at the same seed, the
+    weighted sampler's u must still be uniform (salted hash) — the
+    heavy-item win rate stays in the A-ES band instead of drifting."""
+    from covid19i2b2_spark.operators.sampling import (
+        hash_sample,
+        weighted_sample,
+    )
+
+    rows = []
+    for g in range(800):
+        rows.append((g, g * 2, 9.0))
+        rows.append((g, g * 2 + 1, 1.0))
+    df = spark.createDataFrame(rows, "grp long, key long, w double")
+    survivors = hash_sample(df, "key", 0.5, seed=42)
+    # groups that kept both members still choose ~90% heavy
+    both = (
+        survivors.groupBy("grp").count().filter(F.col("count") == 2)
+    ).select("grp")
+    eligible = survivors.join(both, "grp", "left_semi")
+    picked = {
+        r["grp"]: r["key"]
+        for r in weighted_sample(
+            eligible, "key", "w", k=1, group_cols=["grp"], seed=42
+        ).collect()
+    }
+    n = len(picked)
+    assert n >= 120  # ~200 groups expected to keep both
+    heavy = sum(1 for g, kk in picked.items() if kk == g * 2)
+    assert 0.78 * n <= heavy <= 0.98 * n, (heavy, n)

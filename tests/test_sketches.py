@@ -307,3 +307,24 @@ def test_quantile_store_edge_ranks_and_nan(spark):
     }
     assert abs(est[0.0] - 1.0) <= 0.02
     assert abs(est[1.0] - 100.0) <= 2.0
+
+
+def test_quantile_store_null_groups_stay_distinct(spark):
+    """Regression (review r4): group columns containing NULL must keep
+    their own windows — ('a', NULL) and (NULL, 'a') are different
+    groups and both answer their own median."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_quantile_sketches,
+        quantile_estimates,
+    )
+
+    rows = [("a", None, 10.0), ("a", None, 20.0), (None, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, value double")
+    store = build_quantile_sketches(df, ["g1", "g2"], "value", eps=0.01)
+    est = {
+        (r["g1"], r["g2"]): r["value"]
+        for r in quantile_estimates(store, [0.5], eps=0.01).collect()
+    }
+    assert set(est) == {("a", None), (None, "a")}
+    assert abs(est[("a", None)] - 10.0) <= 0.5
+    assert abs(est[(None, "a")] - 1000.0) <= 25.0
