@@ -104,10 +104,10 @@ def dedup_decision(
 
 def dedup_cluster_stats(decision: DataFrame) -> DataFrame:
     """Audit summary of a :func:`dedup_decision` frame — the numbers a
-    curation run should log before anyone trusts its output: one row
-    per component SIZE with how many components have that size, rows
-    kept/dropped at that size, plus a size=NULL grand-total row
-    (n_docs, n_components, n_kept, n_dropped, dup_rate).
+    curation run should log before anyone trusts its output.  Schema:
+    (size, n_components, n_kept, n_dropped) — one row per component
+    SIZE, plus a size=NULL grand-total row; the corpus dedup rate is
+    grand.n_dropped / (grand.n_kept + grand.n_dropped).
 
     Shape: two aggregates over the (already edge-bounded) decision
     frame — nothing touches the corpus.  A healthy near-dup graph shows

@@ -138,22 +138,41 @@ def remove_duplicate_spans(
     duplicated k-windows merge into maximal excised spans by
     construction, so any shared run of length >= k is removed whole).
 
-    Adds ``out_col`` (the normalized token stream minus every token
-    covered by a duplicated window; '' when everything was boilerplate)
-    and ``n_removed_tokens``.  Removal operates on the SAME normalized
-    stream the mining does — lowercased, whitespace-collapsed — so a
-    span flagged duplicated is exactly a span excised.
+    Adds ``out_col`` and ``n_removed_tokens``.  Documents WITH an
+    excision are re-rendered from the normalized token stream the
+    mining operates on (lowercased, whitespace-collapsed — excision
+    positions only exist in that stream; '' when everything was
+    boilerplate); documents with NOTHING removed keep their ORIGINAL
+    text byte-for-byte, so enabling this pass never case-folds or
+    reflows the clean part of a corpus.
 
-    Plan: passage keys aggregate to doc-frequencies (map-side combine),
-    duplicated starts come back via one semi-join, covered positions
-    explode to at most k rows per duplicated start, and reconstruction
-    is one anti-join + one per-doc sort_array fold.  Shuffles are
-    bounded by token count — the honest cost of exact substring dedup;
-    run AFTER the cheap document-level passes in a curation chain."""
+    Plan: the corpus tokenizes ONCE (both the span mining and the
+    position explode read the same frame); passage keys aggregate to
+    doc-frequencies (map-side combine), duplicated starts come back via
+    one semi-join, covered positions explode to at most k rows per
+    duplicated start, and reconstruction is one anti-join + one per-doc
+    sort_array fold.  Shuffles are bounded by token count — the honest
+    cost of exact substring dedup; run AFTER the cheap document-level
+    passes in a curation chain."""
     toked = df.select(
         F.col(id_col), tokens(normalize_text(text_col)).alias("__toks")
     )
-    spans = passage_spans(df, id_col, text_col, k=k, hash_impl=hash_impl)
+    n_toks = F.size("__toks")
+    spans = (
+        toked.filter(n_toks >= k)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.sequence(F.lit(1), n_toks - (k - 1))).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long"),
+            _passage_hash(
+                _passage_text("__toks", F.col("pos"), k), hash_impl
+            ).alias("passage_hash"),
+        )
+    )
     dup_keys = (
         spans.groupBy("passage_hash")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -189,14 +208,19 @@ def remove_duplicate_spans(
     removed = covered.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_removed_tokens")
     )
+    n_removed = F.coalesce(F.col("n_removed_tokens"), F.lit(0).cast("long"))
     return (
         df.join(rebuilt, id_col, "left")
         .join(removed, id_col, "left")
         .select(
             df["*"],
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-            F.coalesce(F.col("n_removed_tokens"), F.lit(0).cast("long")).alias(
-                "n_removed_tokens"
-            ),
+            # untouched docs keep their ORIGINAL text; only excised docs
+            # re-render from the normalized stream
+            F.when(
+                n_removed > 0, F.coalesce(F.col(out_col), F.lit(""))
+            )
+            .otherwise(F.col(text_col))
+            .alias(out_col),
+            n_removed.alias("n_removed_tokens"),
         )
     )

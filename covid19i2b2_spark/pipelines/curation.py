@@ -76,6 +76,9 @@ class CurationConfig:
     # surviving text (operators/passages.py remove_duplicate_spans) —
     # the exact-substring treatment for templated fragments line-level
     # dedup can't see (runs that don't align with line boundaries).
+    # Untouched docs keep their original text byte-for-byte; docs WITH
+    # an excision re-render from the normalized (lowercased, reflowed)
+    # token stream — the only stream excision positions exist in.
     # Token-bounded shuffles; leave 0 unless the corpus is template-heavy.
     dup_span_k: int = 0
     dup_span_min_docs: int = 2

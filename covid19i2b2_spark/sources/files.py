@@ -59,23 +59,40 @@ def read_json_with_quarantine(
     scale).  As an expression, the parse runs inside whole-stage
     codegen and each branch stays an independent scan+filter."""
     from pyspark.sql import functions as F
+
+    return _parse_and_route(
+        spark.read.text(path),
+        schema,
+        corrupt_col,
+        lambda full, opts: F.from_json("value", full, opts),
+        options,
+    )
+
+
+def _parse_and_route(
+    lines: "DataFrame",
+    schema: StructType,
+    corrupt_col: str,
+    parse,
+    options: dict,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared quarantine plumbing for the line-oriented readers: extend
+    the schema with the corrupt column, parse each line with the given
+    expression builder, and split one scan into (good rows with exactly
+    the declared schema, raw quarantine lines)."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
     if corrupt_col in schema.fieldNames():
         raise ValueError(f"{corrupt_col!r} collides with a data column")
     full = StructType(list(schema.fields)).add(corrupt_col, StringType())
-    lines = spark.read.text(path)
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **options,
+    }
     parsed = lines.select(
-        F.col("value").alias("raw_line"),
-        F.from_json(
-            "value",
-            full,
-            {
-                "mode": "PERMISSIVE",
-                "columnNameOfCorruptRecord": corrupt_col,
-                **options,
-            },
-        ).alias("d"),
+        F.col("value").alias("raw_line"), parse(full, opts).alias("d")
     )
     bad_flag = F.col(f"d.{corrupt_col}").isNotNull() | F.col("d").isNull()
     good = parsed.filter(~bad_flag).select(
@@ -95,40 +112,34 @@ def read_csv_with_quarantine(
 ) -> tuple[DataFrame, DataFrame]:
     """CSV twin of :func:`read_json_with_quarantine`: one text scan,
     ``from_csv`` in PERMISSIVE mode, split into (good, quarantine raw
-    lines).  ``header=True`` drops lines equal to the schema's own
-    header rendering (the text source has no header concept — crawl
-    shards often repeat headers mid-stream, so dropping by VALUE is the
-    robust reading anyway)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType
+    lines).  ``header=True`` drops header lines BY VALUE anywhere in
+    the stream (crawl shards repeat headers mid-file): a line counts as
+    a header when its cells — split on the sep, trimmed, unquoted,
+    case-folded — equal the schema's field names, so 'name, city' and
+    '"Name","City"' variants are caught, not just the byte-exact
+    rendering."""
+    import re
 
-    if corrupt_col in schema.fieldNames():
-        raise ValueError(f"{corrupt_col!r} collides with a data column")
-    full = StructType(list(schema.fields)).add(corrupt_col, StringType())
+    from pyspark.sql import functions as F
+
     lines = spark.read.text(path)
     if header:
         sep = options.get("sep", ",")
-        lines = lines.filter(
-            F.col("value") != sep.join(schema.fieldNames())
+        cells = F.transform(
+            F.split(F.col("value"), re.escape(sep)),
+            lambda x: F.lower(F.regexp_replace(F.trim(x), '^"|"$', "")),
         )
-    parsed = lines.select(
-        F.col("value").alias("raw_line"),
-        F.from_csv(
-            "value",
-            full.simpleString(),
-            {
-                "mode": "PERMISSIVE",
-                "columnNameOfCorruptRecord": corrupt_col,
-                **options,
-            },
-        ).alias("d"),
+        names = F.array(
+            *[F.lit(n.lower()) for n in schema.fieldNames()]
+        )
+        lines = lines.filter(~(cells == names))
+    return _parse_and_route(
+        lines,
+        schema,
+        corrupt_col,
+        lambda full, opts: F.from_csv("value", full.simpleString(), opts),
+        options,
     )
-    bad_flag = F.col(f"d.{corrupt_col}").isNotNull() | F.col("d").isNull()
-    good = parsed.filter(~bad_flag).select(
-        *[F.col(f"d.{f.name}").alias(f.name) for f in schema.fields]
-    )
-    quarantine = parsed.filter(bad_flag).select("raw_line")
-    return good, quarantine
 
 
 def read_evolving_snapshots(

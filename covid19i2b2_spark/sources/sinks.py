@@ -107,10 +107,18 @@ def write_shard_manifest(
     (file-count-bounded).  Trainers and transfer jobs then verify a
     copy with :func:`verify_training_shards` without trusting the
     transport.  Returns the manifest DataFrame."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
     parts = ([split_col] if split_col else []) + [shard_col]
-    # canonical rendering: SORTED columns — a JSON read-back infers an
-    # alphabetized schema, so verify's struct would otherwise differ
+    # canonical rendering: SORTED top-level columns, and the EXACT data
+    # schema (incl. nested struct field order) recorded in the manifest
+    # so verify re-reads with it — schema inference on read-back
+    # alphabetizes nested fields, which would change to_json's rendering
+    # and fail intact copies
     data_cols = sorted(c for c in df.columns if c not in parts)
+    data_schema = _St([df.schema[c] for c in data_cols])
     row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
     aggs = [
         F.count("*").cast("long").alias("n_rows"),
@@ -135,7 +143,9 @@ def write_shard_manifest(
     manifest = stats
     for c in parts:  # partition values listed from dir names are strings
         manifest = manifest.withColumn(c, F.col(c).cast("string"))
-    manifest = manifest.join(sizes_df, parts, "full_outer")
+    manifest = manifest.join(sizes_df, parts, "full_outer").withColumn(
+        "schema_json", F.lit(_json.dumps(data_schema.jsonValue()))
+    )
     manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_MANIFEST")
     return manifest
 
@@ -171,17 +181,30 @@ def verify_training_shards(
     row per shard with ``ok`` (rows AND checksum match) plus both sides
     of each number — the post-transfer integrity gate.  A shard present
     in only one side reports ok=false (nulls on the missing side)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
     parts = ([split_col] if split_col else []) + [shard_col]
     # an integrity check must see the files AS THEY ARE NOW — drop any
     # cached listing (stale sizes from a pre-corruption read otherwise
     # fail the scan outright instead of failing the comparison)
     spark.catalog.refreshByPath(path)
-    manifest = spark.read.json(f"{path}/_MANIFEST").select(
+    manifest_raw = spark.read.json(f"{path}/_MANIFEST")
+    manifest = manifest_raw.select(
         *parts,
         F.col("n_rows").alias("manifest_rows"),
         F.col("checksum").alias("manifest_checksum"),
     )
-    data = spark.read.json(path)
+    # read with the WRITER'S schema (recorded in the manifest) so nested
+    # struct field order — and therefore to_json's rendering — matches
+    # the write-side checksum exactly
+    if "schema_json" in manifest_raw.columns:
+        ddl = manifest_raw.select("schema_json").first()["schema_json"]
+        schema = _St.fromJson(_json.loads(ddl))
+        data = spark.read.schema(schema).json(path)
+    else:
+        data = spark.read.json(path)
     data_cols = sorted(c for c in data.columns if c not in parts)
     row_hash = F.xxhash64(
         F.to_json(F.struct(*[F.col(c) for c in data_cols]))

@@ -350,7 +350,9 @@ def _remove_dup_spans_oracle() -> str:
         FROM covered GROUP BY doc_id
     )
     SELECT d.doc_id,
-           COALESCE(r.text_deduped, '') AS text_deduped,
+           CASE WHEN COALESCE(m.n_removed_tokens, 0) > 0
+                THEN COALESCE(r.text_deduped, '')
+                ELSE d.text END AS text_deduped,
            COALESCE(m.n_removed_tokens, 0) AS n_removed_tokens
     FROM dirty d
     LEFT JOIN rebuilt r USING (doc_id)

@@ -330,6 +330,8 @@ def test_read_csv_with_quarantine_routes_bad_lines(spark, tmp_path):
                 "1,alpha",
                 "oops,beta",          # doc_id not a long
                 "doc_id,text",        # mid-stream repeated header
+                "doc_id, text",       # header variant: space after sep
+                '"Doc_Id","Text"',    # header variant: quoted + cased
                 "2,gamma",
             ]
         )
@@ -420,3 +422,28 @@ def test_shard_manifest_and_verify(spark, tmp_path):
         for r in verify_training_shards(spark, path, shard_col="shard").collect()
     }
     assert after == {"0": True, "1": True, "2": False, "3": True}
+
+
+def test_shard_manifest_verifies_nested_structs(spark, tmp_path):
+    """Regression (review r4): nested struct fields re-read from JSON
+    infer alphabetized, which would change the to_json rendering — the
+    manifest records the writer's schema and verify re-reads with it,
+    so an intact copy of a nested-struct export verifies ok."""
+    from covid19i2b2_spark.sources.sinks import (
+        verify_training_shards,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.range(60).selectExpr(
+        "id",
+        "named_struct('b', id * 2, 'a', concat('x', id)) as meta",
+        "cast(id % 2 as long) as shard",
+    )
+    assert [f.name for f in df.schema["meta"].dataType.fields] == ["b", "a"]
+    path = str(tmp_path / "nested")
+    write_training_shards(df, path, shard_col="shard")
+    write_shard_manifest(spark, df, path, shard_col="shard")
+    ok = verify_training_shards(spark, path, shard_col="shard")
+    assert ok.count() == 2
+    assert ok.filter(~F.col("ok")).count() == 0
