@@ -171,3 +171,74 @@ def run_streaming_ingest(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_crawl_lines(spark: SparkSession, dirpath: str) -> DataFrame:
+    """Raw crawl JSONL landing zone as a bounded file stream — one
+    ``value`` line per record, schema applied downstream (the parse is
+    the ingest loop's job, because malformed lines must route to
+    quarantine, not kill the source)."""
+    return spark.readStream.text(dirpath)
+
+
+def run_streaming_crawl_ingest(
+    lines_stream: DataFrame,
+    schema,
+    index,
+    out_path: str,
+    quarantine_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sim_threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
+):
+    """:func:`run_streaming_ingest` fed from RAW crawl JSONL: each
+    micro-batch of lines parses with the quarantine split
+    (sources/files.py semantics — PERMISSIVE from_json, malformed and
+    half-parsed lines keep their raw text), bad lines land in
+    ``quarantine_path/epoch=<id>/`` and good rows flow into the same
+    dedup-filter -> corpus-append -> index-append loop.
+
+    Same replay discipline as run_streaming_ingest, extended to the
+    quarantine: all three side effects are epoch-keyed OVERWRITE writes
+    behind one commit marker, so a replayed micro-batch converges to
+    identical corpus AND quarantine contents."""
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.sources.files import _parse_and_route
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fs, marker = _hadoop_fs(
+            spark, f"{index.path}/_epochs/crawl_{epoch_id}"
+        )
+        if fs.exists(marker):
+            return  # replayed, fully committed before
+        good, bad = _parse_and_route(
+            batch_df,
+            schema,
+            "_corrupt_record",
+            lambda full, opts: F.from_json("value", full, opts),
+            {},
+        )
+        bad.write.mode("overwrite").parquet(
+            f"{quarantine_path}/epoch={epoch_id}"
+        )
+        survivors, _dropped = index.filter_batch(
+            spark, good, id_col, text_col, sim_threshold
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/epoch={epoch_id}"
+        )
+        index.append(survivors, id_col, text_col)
+        fs.create(marker, True).close()
+
+    writer = lines_stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

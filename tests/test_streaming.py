@@ -358,3 +358,59 @@ def test_incremental_quantile_store_equals_batch(spark):
     target.merge(target.df, epoch_id=next(iter(target._epochs)))
     after = {r["day"]: (r["buckets"], r["n_rows"]) for r in target.df.collect()}
     assert after == before
+
+
+def test_streaming_crawl_ingest_routes_quarantine(spark, tmp_path):
+    """Raw-JSONL crawl ingest: malformed lines land epoch-keyed in the
+    quarantine, good lines dedup against the index and land in the
+    corpus, and a replayed run (same files, marker present) changes
+    neither."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+    from covid19i2b2_spark.streaming.curation import (
+        run_streaming_crawl_ingest,
+        stream_crawl_lines,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "shard0.jsonl").write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "alpha beta gamma delta"}',
+                '{"doc_id": 2, "text": "alpha beta gamma delta"}',  # dup
+                "BROKEN LINE",
+                '{"doc_id": 3, "text": "unique words here entirely"}',
+                '{"doc_id": "x", "text": "bad id type"}',
+            ]
+        )
+    )
+    schema = (
+        StructType().add("doc_id", LongType()).add("text", StringType())
+    )
+    idx = DedupIndex(str(tmp_path / "idx"))
+    idx.build(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    out, quar = str(tmp_path / "corpus"), str(tmp_path / "quarantine")
+    q = run_streaming_crawl_ingest(
+        stream_crawl_lines(spark, str(land)), schema, idx, out, quar
+    )
+    q.awaitTermination()
+
+    corpus = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert corpus == {1, 3}  # 2 deduped away, bad lines quarantined
+    raws = [r["raw_line"] for r in spark.read.parquet(quar).collect()]
+    assert len(raws) == 2
+    assert any("BROKEN" in r for r in raws)
+
+    # replay: marker skips the epoch, contents unchanged
+    q2 = run_streaming_crawl_ingest(
+        stream_crawl_lines(spark, str(land)), schema, idx, out, quar
+    )
+    q2.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == corpus
+    assert spark.read.parquet(quar).count() == 2
