@@ -71,6 +71,15 @@ COMMENT = {
         "aggregation exchange in the signature stage (round 4 "
         "impl='kernel_poly')."
     ),
+    "q_embedding_near_dup": (
+        "Embedding-cosine near-dup (X2'''). Check: candidate generation "
+        "is a bucket EQUI-join (SortMergeJoin/ShuffledHashJoin on "
+        "__bucket), never a cross join; bucket signs + per-vector norms "
+        "come from ONE ArrowEvalPython pass (bucket_norm_kernel) and the "
+        "pair verify is the vectorized dot12_kernel — both bit-identical "
+        "to the fixed-point expression path under the unchanged DuckDB "
+        "oracle (round 4 impl='kernel', A/B median 2.11 -> 1.35 s)."
+    ),
 }
 
 
