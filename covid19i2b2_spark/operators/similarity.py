@@ -504,6 +504,64 @@ def embedding_near_dup_pairs(
     )
 
 
+def multi_bucket_norm_kernel(
+    vec_col: str, plane_tables: list[list[list[float]]]
+) -> Column:
+    """Arrow twin of the per-table hyperplane_lsh_bucket loop + norm for
+    the MULTI-table scheme: one batch pass computes every table's bucket
+    (all tables' planes stacked into one matmul-shaped product, split by
+    table) and the vector norm, exact_decimal semantics, bit-identical
+    to the expression path.  Returns struct<buckets: array<long>,
+    norm: double>; NULL/wrong-dimension vectors yield NULL fields."""
+    from pyspark.sql.functions import pandas_udf
+
+    tables = [[list(map(float, p)) for p in t] for t in plane_tables]
+    flat = [p for t in tables for p in t]
+    sizes = [len(t) for t in tables]
+    dim = len(flat[0]) if flat else 0
+
+    @pandas_udf("struct<buckets: array<long>, norm: double>")
+    def _mbn(xs: pd.Series) -> pd.DataFrame:
+        n = len(xs)
+        if n == 0:
+            return pd.DataFrame({"buckets": [], "norm": []})
+        Pm = np.asarray(flat, dtype=np.float64)
+        buckets = np.full(n, None, dtype=object)
+        norm_out = np.full(n, np.nan)
+        good = [
+            i
+            for i in range(n)
+            if xs.iloc[i] is not None and len(xs.iloc[i]) == dim
+        ]
+        if good:
+            V = np.stack(
+                [np.asarray(xs.iloc[i], dtype=np.float64) for i in good]
+            )
+            prods = V[:, None, :] * Pm[None, :, :]
+            dots = np.floor(prods * 1e12 + 0.5).astype(np.int64).sum(axis=2)
+            bits = (dots > 0).astype(np.int64)
+            off = 0
+            per_table = []
+            for sz in sizes:
+                chunk = bits[:, off : off + sz]
+                per_table.append(
+                    (chunk << np.arange(sz, dtype=np.int64)[None, :]).sum(
+                        axis=1
+                    )
+                )
+                off += sz
+            sd = (
+                np.floor(V * V * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+                / 1e12
+            )
+            for j, i in enumerate(good):
+                buckets[i] = [int(t[j]) for t in per_table]
+                norm_out[i] = np.sqrt(sd[j])
+        return pd.DataFrame({"buckets": buckets, "norm": norm_out})
+
+    return _mbn(F.col(vec_col))
+
+
 def embedding_near_dup_pairs_multitable(
     df: DataFrame,
     id_col: str,
@@ -511,6 +569,7 @@ def embedding_near_dup_pairs_multitable(
     plane_tables: list[list[list[float]]],
     threshold: float = 0.9,
     exact_decimal: bool = False,
+    impl: str = "expr",
 ) -> DataFrame:
     """Multi-table LSH (the classic recall lever): each of T independent
     plane sets buckets every vector once; candidates meet if they share a
@@ -523,24 +582,43 @@ def embedding_near_dup_pairs_multitable(
     table_idx in the key, so tables never cross-pollinate; duplicate
     candidates surfacing from multiple tables are dropped BEFORE the
     cosine, so extra tables cost index rows, not verify work."""
-    keyed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(vec_col, exact_decimal).alias("__norm"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_idx"),
-                        hyperplane_lsh_bucket(
-                            vec_col, planes, exact_decimal
-                        ).alias("bucket"),
-                    )
-                    for t, planes in enumerate(plane_tables)
-                ]
+    if impl not in ("expr", "kernel"):
+        raise ValueError(f"impl must be 'expr' or 'kernel', got {impl!r}")
+    if impl == "kernel" and not exact_decimal:
+        raise ValueError("impl='kernel' implements exact_decimal semantics")
+    if impl == "kernel":
+        keyed = (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                multi_bucket_norm_kernel(vec_col, plane_tables).alias("__bn"),
             )
-        ).alias("tb"),
-    ).select(id_col, vec_col, "__norm", "tb.table_idx", "tb.bucket")
+            .select(
+                id_col,
+                vec_col,
+                F.col("__bn.norm").alias("__norm"),
+                F.posexplode("__bn.buckets").alias("table_idx", "bucket"),
+            )
+        )
+    else:
+        keyed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(vec_col, exact_decimal).alias("__norm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_idx"),
+                            hyperplane_lsh_bucket(
+                                vec_col, planes, exact_decimal
+                            ).alias("bucket"),
+                        )
+                        for t, planes in enumerate(plane_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_col, vec_col, "__norm", "tb.table_idx", "tb.bucket")
     a = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
@@ -561,10 +639,15 @@ def embedding_near_dup_pairs_multitable(
         .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
         .dropDuplicates(["id_a", "id_b"])  # before the verify dot
     )
+    pair_dot = (
+        dot12_kernel(F.col("__va"), F.col("__vb"))
+        if impl == "kernel"
+        else dot("__va", "__vb", exact_decimal)
+    )
     return candidates.select(
         "id_a",
         "id_b",
-        round6(
-            dot("__va", "__vb", exact_decimal) / (F.col("__na") * F.col("__nb"))
-        ).alias("cosine_sim"),
+        round6(pair_dot / (F.col("__na") * F.col("__nb"))).alias(
+            "cosine_sim"
+        ),
     ).filter(F.col("cosine_sim") >= threshold)

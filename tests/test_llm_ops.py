@@ -1442,3 +1442,38 @@ def test_weighted_sample_composes_with_hash_sample(spark):
     assert n >= 120  # ~200 groups expected to keep both
     heavy = sum(1 for g, kk in picked.items() if kk == g * 2)
     assert 0.78 * n <= heavy <= 0.98 * n, (heavy, n)
+
+
+def test_multitable_near_dup_kernel_equals_expression(spark):
+    """Multi-table LSH kernel path: bit-identical pairs/cosines to the
+    expression path over the embeddings table (same superset-recall
+    plane tables), plus the invalid-impl guards."""
+    import numpy as np
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators import similarity as sim
+    from covid19i2b2_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    tables = [
+        [[float(x) for x in rng.standard_normal(dim)] for _ in range(6)]
+        for _ in range(3)
+    ]
+    emb = read_table(spark, SF_DIR, "embeddings")
+    kwargs = dict(threshold=0.3, exact_decimal=True)
+    expr = sim.embedding_near_dup_pairs_multitable(
+        emb, "vec_id", "embedding", tables, **kwargs
+    ).orderBy("id_a", "id_b").collect()
+    kern = sim.embedding_near_dup_pairs_multitable(
+        emb, "vec_id", "embedding", tables, impl="kernel", **kwargs
+    ).orderBy("id_a", "id_b").collect()
+    assert len(expr) > 0
+    assert expr == kern
+
+    with _pytest.raises(ValueError):
+        sim.embedding_near_dup_pairs_multitable(
+            emb, "vec_id", "embedding", tables, impl="kernel",
+            exact_decimal=False,
+        )
