@@ -186,7 +186,11 @@ def compact_parquet(
 
     The rewrite goes to a NEW directory; swap atomically at the caller
     (rename / manifest flip) — compact-in-place cannot be atomic on a
-    plain filesystem."""
+    plain filesystem.  Hive-partitioned inputs FLATTEN (partition values
+    become plain columns in the output); to keep a partitioned layout,
+    compact each partition directory independently — which is also the
+    natural incremental unit (compact only partitions whose small-file
+    count crossed a threshold)."""
     import math
 
     jvm = spark.sparkContext._jvm
