@@ -493,6 +493,7 @@ def train_quality_classifier(
     n_buckets: int = 512,
     iters: int = 400,
     lr: float = 0.5,
+    max_labeled: int = 1_000_000,
 ) -> tuple[list[float], float]:
     """Train the weights for :func:`linear_text_classifier` from a
     LABELED document sample (label 1 = keep, 0 = drop) — closing the
@@ -509,9 +510,20 @@ def train_quality_classifier(
     regression.  Labeled sets are small by construction (human/LLM
     labels, ~10^4-10^5 docs), which is why a numpy batch-gradient loop
     beats shipping a distributed trainer whose hash wouldn't match the
-    inference bucket."""
+    inference bucket.  ``max_labeled`` enforces that contract: pointing
+    the trainer at a corpus-sized frame raises a clear error BEFORE any
+    collect instead of OOMing an executor or the driver."""
     import numpy as np
 
+    n_labeled = df.count()
+    if n_labeled > max_labeled:
+        raise ValueError(
+            f"train_quality_classifier collects the labeled sample to the "
+            f"driver; got {n_labeled} rows > max_labeled={max_labeled}. "
+            f"This trainer is for small labeled sets (~10^4-10^5 docs) — "
+            f"sample the frame first (e.g. hash_sample) or raise "
+            f"max_labeled deliberately."
+        )
     labels = {
         r[0]: float(r[1]) for r in df.select(id_col, label_col).collect()
     }

@@ -275,7 +275,11 @@ def weighted_sample(
     per group; with AQE the per-group sort is the only shuffle."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     w = w.cast("double")
-    # u in (0, 1]: bucket in [0, 1e6) -> (bucket + 1) / 1e6.  The key is
+    # u strictly in (0, 1): bucket in [0, 1e6) -> (bucket + 1) / (1e6 + 1).
+    # A-ES assumes u < 1 a.s. — with a (bucket+1)/1e6 map, bucket 999999
+    # gave u=1.0 and sort key ln(1)/w = 0, the maximum possible, so ~1e-6
+    # of rows were selected REGARDLESS of weight (thousands of
+    # weight-independent inclusions at billion-row scale).  The key is
     # SALTED (same hazard hash_split documents): hash_sample keeps
     # exactly the low unsalted buckets, so an unsalted u here would be
     # uniform on (0, fraction] after sampling — a weight-dependent bias
@@ -283,7 +287,7 @@ def weighted_sample(
     salted = F.concat(F.lit("wsample:"), F.col(key_col).cast("string"))
     u = (
         _bucket_of(salted, seed, hash_impl).cast("double") + 1.0
-    ) / float(_BUCKETS)
+    ) / float(_BUCKETS + 1)
     key = F.log(u) / w  # in (-inf, 0]; larger is better
     eligible = df.filter(w.isNotNull() & (w > 0))
     win = Window.partitionBy(

@@ -367,8 +367,18 @@ def dot12_kernel(a: Column, b: Column) -> Column:
                 continue
             A = np.stack([np.asarray(xs.iloc[i], dtype=np.float64) for i in idxs])
             B = np.stack([np.asarray(ys.iloc[i], dtype=np.float64) for i in idxs])
-            s = np.floor(A * B * 1e12 + 0.5).astype(np.int64).sum(axis=1)
-            out[idxs] = s / 1e12
+            # a NULL *element* inside an array becomes NaN here, and
+            # floor(NaN).astype(int64) is platform-dependent garbage; the
+            # expression path returns NULL for such rows, so mask them out
+            # and leave their slot NaN -> NULL (bit-identical contract)
+            ok = ~(np.isnan(A).any(axis=1) | np.isnan(B).any(axis=1))
+            if ok.any():
+                s = (
+                    np.floor(A[ok] * B[ok] * 1e12 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                out[np.asarray(idxs)[ok]] = s / 1e12
         return pd.Series(out)
 
     return _dot12(a, b)
@@ -379,7 +389,17 @@ def bucket_norm_kernel(vec_col: str, planes: list[list[float]]) -> Column:
     exact_decimal semantics: one batch pass computes all plane sign
     bits AND the vector norm, replacing len(planes)+1 interpreted HOF
     aggregates per row.  Returns struct<bucket: long, norm: double>,
-    bit-identical to the expression path."""
+    bit-identical to the expression path for valid vectors.
+
+    Degenerate vectors (NULL array, wrong dimension, or a NULL
+    *element* — which numpy conversion turns into NaN) yield NULL
+    struct fields here, where the expression path yields (bucket=0,
+    norm=NULL) — its `when(dot > 0).otherwise(0)` bit falls through on
+    a NULL dot.  The FINAL pair output is still identical on both
+    paths: a NULL-norm row never survives the cosine verify, and NULL
+    buckets drop out of the bucket equi-join one stage earlier
+    (cheaper).  Pinned by the null-element test in
+    tests/test_llm_ops.py."""
     from pyspark.sql.functions import pandas_udf
 
     P = [list(map(float, p)) for p in planes]
@@ -405,6 +425,13 @@ def bucket_norm_kernel(vec_col: str, planes: list[list[float]]) -> Column:
             V = np.stack(
                 [np.asarray(xs.iloc[i], dtype=np.float64) for i in good]
             )
+            # NULL elements become NaN on conversion; floor(NaN)->int64 is
+            # undefined, and the expr path yields NULL for such vectors —
+            # drop them from the batch so their struct fields stay NULL
+            ok = ~np.isnan(V).any(axis=1)
+            good = [i for i, keep in zip(good, ok) if keep]
+            V = V[ok]
+        if good:
             # fixed-point dot per (vector, plane): floor each elementwise
             # product, THEN sum — same order of roundings as _dot_decimal
             prods = V[:, None, :] * Pm[None, :, :]

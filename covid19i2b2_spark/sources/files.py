@@ -108,21 +108,39 @@ def read_csv_with_quarantine(
     schema: StructType,
     header: bool = False,
     corrupt_col: str = "_corrupt_record",
+    header_routing: str = "drop",
     **options: str,
 ) -> tuple[DataFrame, DataFrame]:
     """CSV twin of :func:`read_json_with_quarantine`: one text scan,
     ``from_csv`` in PERMISSIVE mode, split into (good, quarantine raw
-    lines).  ``header=True`` drops header lines BY VALUE anywhere in
+    lines).  ``header=True`` treats header lines BY VALUE anywhere in
     the stream (crawl shards repeat headers mid-file): a line counts as
     a header when its cells — split on the sep, trimmed, unquoted,
     case-folded — equal the schema's field names, so 'name, city' and
     '"Name","City"' variants are caught, not just the byte-exact
-    rendering."""
+    rendering.
+
+    FALSE-POSITIVE HAZARD: a legitimate data row whose cells
+    coincidentally equal the field names is indistinguishable from a
+    repeated header, and the cell split does not honor quoted
+    separators (a quoted field containing the sep splits too many
+    cells — which can only cause a MISSED header, never a false drop,
+    since the cell count then mismatches).  ``header_routing`` decides
+    what happens to matched lines: ``"drop"`` (default) discards them
+    silently — correct when the corpus genuinely repeats headers;
+    ``"quarantine"`` routes them into the quarantine frame instead, so
+    they stay visible and countable (pick this when a data row matching
+    the header is conceivable for your schema)."""
     import re
 
     from pyspark.sql import functions as F
 
+    if header_routing not in ("drop", "quarantine"):
+        raise ValueError(
+            f"header_routing must be 'drop' or 'quarantine', got {header_routing!r}"
+        )
     lines = spark.read.text(path)
+    header_lines = None
     if header:
         sep = options.get("sep", ",")
         cells = F.transform(
@@ -132,14 +150,21 @@ def read_csv_with_quarantine(
         names = F.array(
             *[F.lit(n.lower()) for n in schema.fieldNames()]
         )
+        if header_routing == "quarantine":
+            header_lines = lines.filter(cells == names).select(
+                F.col("value").alias("raw_line")
+            )
         lines = lines.filter(~(cells == names))
-    return _parse_and_route(
+    good, quarantine = _parse_and_route(
         lines,
         schema,
         corrupt_col,
         lambda full, opts: F.from_csv("value", full.simpleString(), opts),
         options,
     )
+    if header_lines is not None:
+        quarantine = quarantine.unionAll(header_lines)
+    return good, quarantine
 
 
 def read_evolving_snapshots(

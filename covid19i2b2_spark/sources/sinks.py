@@ -87,6 +87,42 @@ def write_training_shards(
     )
 
 
+def _shard_content_stats(
+    df: DataFrame,
+    parts: list[str],
+    data_cols: list[str],
+    token_count_col: str | None = None,
+    cast_parts: bool = False,
+) -> DataFrame:
+    """Per-shard (n_rows, checksum[, n_tokens]) with a MULTISET-safe
+    order-independent checksum: bit_xor of xxhash64(row_hash, count)
+    over the per-distinct-row-hash counts.  A plain bit_xor of row
+    hashes cancels on any even multiset of identical rows (a copy that
+    swaps two duplicate rows for two copies of another existing row
+    verifies clean); folding the multiplicity into the hashed value
+    closes that hole.  Two map-side-combinable aggregates instead of
+    one — fine for an integrity gate, not a hot path."""
+    row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
+    part_cols = (
+        [F.col(c).cast("string").alias(c) for c in parts]
+        if cast_parts
+        else [F.col(c) for c in parts]
+    )
+    first_aggs = [F.count("*").cast("long").alias("__cnt")]
+    if token_count_col:
+        first_aggs.append(
+            F.sum(token_count_col).cast("long").alias("__tok")
+        )
+    per_hash = df.groupBy(*part_cols, row_hash.alias("__rh")).agg(*first_aggs)
+    second_aggs = [
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.bit_xor(F.xxhash64(F.col("__rh"), F.col("__cnt"))).alias("checksum"),
+    ]
+    if token_count_col:
+        second_aggs.append(F.sum("__tok").cast("long").alias("n_tokens"))
+    return per_hash.groupBy(*parts).agg(*second_aggs)
+
+
 def write_shard_manifest(
     spark,
     df: DataFrame,
@@ -97,12 +133,14 @@ def write_shard_manifest(
 ) -> DataFrame:
     """Write the integrity manifest for a :func:`write_training_shards`
     export: one row per (split,) shard with ``n_rows``, an
-    order-independent content checksum (bit_xor of per-row xxhash64
-    over the canonical JSON rendering), optional ``n_tokens``, and the
-    shard's on-disk bytes — persisted as JSON under ``path/_MANIFEST``.
+    order-independent multiset-safe content checksum (bit_xor of
+    xxhash64(row_hash, multiplicity) — see :func:`_shard_content_stats`
+    for why plain per-row XOR is not enough), optional ``n_tokens``,
+    and the shard's on-disk bytes — persisted as JSON under
+    ``path/_MANIFEST``.
 
-    The checksum is computed from the DATAFRAME (one aggregate —
-    map-side combined, XOR never overflows and ignores row order), the
+    The checksum is computed from the DATAFRAME (map-side combined
+    aggregates; XOR never overflows and ignores row order), the
     bytes from one driver-side FS listing of the shard directories
     (file-count-bounded).  Trainers and transfer jobs then verify a
     copy with :func:`verify_training_shards` without trusting the
@@ -119,14 +157,7 @@ def write_shard_manifest(
     # and fail intact copies
     data_cols = sorted(c for c in df.columns if c not in parts)
     data_schema = _St([df.schema[c] for c in data_cols])
-    row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
-    aggs = [
-        F.count("*").cast("long").alias("n_rows"),
-        F.bit_xor(row_hash).alias("checksum"),
-    ]
-    if token_count_col:
-        aggs.append(F.sum(token_count_col).cast("long").alias("n_tokens"))
-    stats = df.groupBy(*parts).agg(*aggs)
+    stats = _shard_content_stats(df, parts, data_cols, token_count_col)
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -206,15 +237,12 @@ def verify_training_shards(
     else:
         data = spark.read.json(path)
     data_cols = sorted(c for c in data.columns if c not in parts)
-    row_hash = F.xxhash64(
-        F.to_json(F.struct(*[F.col(c) for c in data_cols]))
-    )
-    actual = (
-        data.groupBy(*[F.col(c).cast("string").alias(c) for c in parts])
-        .agg(
-            F.count("*").cast("long").alias("actual_rows"),
-            F.bit_xor(row_hash).alias("actual_checksum"),
-        )
+    actual = _shard_content_stats(
+        data, parts, data_cols, cast_parts=True
+    ).select(
+        *parts,
+        F.col("n_rows").alias("actual_rows"),
+        F.col("checksum").alias("actual_checksum"),
     )
     return manifest.join(actual, parts, "full_outer").select(
         *parts,

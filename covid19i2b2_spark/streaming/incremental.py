@@ -177,9 +177,17 @@ class RunningTopkStore:
 
     Unlike HLL union, SpaceSaving merge is NOT replay-idempotent (counts
     sum, so a re-merged batch double-counts) — the store therefore keys
-    merges on ``epoch_id`` and skips epochs it has already folded in,
-    the same commit-marker discipline streaming/curation.py uses for
-    its side effects."""
+    merges on ``epoch_id`` and skips epochs it has already folded in.
+
+    DURABILITY CAVEAT: this epoch set lives in DRIVER MEMORY only —
+    weaker than the commit markers streaming/curation.py writes to
+    disk.  Within one process it guards replays correctly, but if the
+    stream runs with a ``checkpointLocation`` and the driver restarts,
+    Spark resumes PAST already-committed epochs against a fresh, empty
+    store — silently undercounting.  A production swap must persist the
+    folded-epoch set (e.g. an ``_epochs`` column or side table written
+    atomically with the summary rows) so restart recovery can tell
+    "epoch folded before the crash" from "epoch never seen"."""
 
     def __init__(self, spark, group_cols: list[str], k: int = 64):
         self.spark = spark
@@ -242,7 +250,11 @@ class RunningQuantileStore:
     """In-memory merge target for the streaming quantile store
     (operators/sketches.py DDSketch-style histograms).  Like the top-k
     store — and unlike HLL union — the merge SUMS counts, so replays
-    double-count without the epoch guard; same commit discipline."""
+    double-count without the epoch guard.  Same driver-memory-only
+    durability caveat as :class:`RunningTopkStore`: the epoch set does
+    NOT survive a driver restart, so resuming from a checkpointLocation
+    against a fresh store undercounts; production must persist the
+    folded-epoch set alongside the summary table."""
 
     def __init__(self, spark, group_cols: list[str]):
         self.spark = spark

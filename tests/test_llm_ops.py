@@ -1477,3 +1477,115 @@ def test_multitable_near_dup_kernel_equals_expression(spark):
             emb, "vec_id", "embedding", tables, impl="kernel",
             exact_decimal=False,
         )
+
+
+def test_kernel_null_element_matches_expression(spark):
+    """Regression (ADVICE r4): a NULL *element* inside an embedding
+    array becomes NaN on numpy conversion, and floor(NaN).astype(int64)
+    is platform-dependent garbage — the kernels must mask such rows to
+    NULL (dot12_kernel) / NULL struct fields (bucket_norm_kernel)
+    instead, and the near-dup PAIR output must equal the expression
+    path exactly."""
+    from covid19i2b2_spark.operators import similarity as sim
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, -0.001]),
+        (3, [1.0, None]),   # NULL element -> NaN in the Arrow batch
+        (4, [None, None]),  # all-NULL elements
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # direct kernel check: dot12 of a NaN-bearing pair is NULL, same as
+    # the expression path's fixed-point dot
+    a = df.alias("a").select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    crossed = a.crossJoin(
+        df.select(
+            F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+        )
+    )
+    both = crossed.select(
+        "ia",
+        "ib",
+        sim.dot12_kernel(F.col("ea"), F.col("eb")).alias("kd"),
+        sim.dot(F.col("ea"), F.col("eb"), exact_decimal=True).alias("xd"),
+    ).collect()
+    for r in both:
+        if 3 in (r["ia"], r["ib"]) or 4 in (r["ia"], r["ib"]):
+            assert r["kd"] is None and r["xd"] is None, r
+        else:
+            assert r["kd"] == r["xd"], r
+
+    # full pipeline: kernel pairs == expression pairs with NULL-element
+    # rows silently excluded on both paths
+    kwargs = dict(threshold=0.9, exact_decimal=True)
+    expr = sim.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", planes, **kwargs
+    ).orderBy("id_a", "id_b").collect()
+    kern = sim.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", planes, impl="kernel", **kwargs
+    ).orderBy("id_a", "id_b").collect()
+    assert expr == kern
+    ids = {(r["id_a"], r["id_b"]) for r in kern}
+    assert (1, 2) in ids
+    assert all(3 not in p and 4 not in p for p in ids)
+
+
+def test_weighted_sample_u_strictly_below_one(spark):
+    """Regression (ADVICE r4): the A-ES uniform draw must stay strictly
+    inside (0, 1) — with u = (bucket+1)/1e6, bucket 999999 mapped to
+    u = 1.0 and sort key ln(1)/w = 0, the global maximum, so ~1e-6 of
+    keys were selected REGARDLESS of weight.  Find a key whose salted
+    bucket is the top bucket and prove a tiny weight on it still loses
+    to a heavy competitor."""
+    from covid19i2b2_spark.operators.sampling import (
+        _BUCKETS,
+        _bucket_of,
+        weighted_sample,
+    )
+
+    salted = F.concat(F.lit("wsample:"), F.col("id").cast("string"))
+    hit = (
+        spark.range(0, 5_000_000)
+        .filter(_bucket_of(salted, 42, "xxhash64") == _BUCKETS - 1)
+        .limit(1)
+        .collect()
+    )
+    assert hit, "no key with top bucket in 5M — widen the scan"
+    top_key = hit[0]["id"]
+    df = spark.createDataFrame(
+        [(int(top_key), 1e-12), (int(top_key) + 5_000_001, 1e12)],
+        "key long, w double",
+    )
+    picked = weighted_sample(df, "key", "w", k=1, seed=42).collect()
+    assert len(picked) == 1
+    # old behavior: top_key's key ln(1.0)/1e-12 = 0 always wins; fixed
+    # behavior: ln(u)<0 and /1e-12 makes it hugely negative -> loses
+    assert picked[0]["key"] == int(top_key) + 5_000_001
+
+
+def test_train_quality_classifier_size_guard(spark):
+    """Regression (VERDICT r4 #8): the trainer collects the labeled
+    sample to the driver — a corpus-sized frame must raise a clear
+    error BEFORE collecting, not OOM."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators.quality import (
+        train_quality_classifier,
+    )
+
+    big = spark.range(0, 50).selectExpr(
+        "id as doc_id", "'some text here' as text", "cast(id % 2 as double) as label"
+    )
+    with _pytest.raises(ValueError, match="max_labeled"):
+        train_quality_classifier(
+            big, "doc_id", "text", "label", max_labeled=10
+        )
+    # under the cap it still trains
+    w, b = train_quality_classifier(
+        big.limit(8), "doc_id", "text", "label", max_labeled=10, iters=5
+    )
+    assert len(w) == 512

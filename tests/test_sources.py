@@ -447,3 +447,88 @@ def test_shard_manifest_verifies_nested_structs(spark, tmp_path):
     ok = verify_training_shards(spark, path, shard_col="shard")
     assert ok.count() == 2
     assert ok.filter(~F.col("ok")).count() == 0
+
+
+def test_csv_header_routing_quarantine(spark, tmp_path):
+    """Regression (ADVICE r4): a data row that coincidentally equals the
+    header is silently deleted under header_routing='drop' (documented
+    hazard); 'quarantine' keeps every matched line visible and
+    countable in the quarantine frame instead."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from covid19i2b2_spark.sources.files import read_csv_with_quarantine
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "\n".join(
+            [
+                "doc_id,text",
+                "1,alpha",
+                "oops,beta",
+                "doc_id,text",  # repeated header (or a matching data row)
+                "2,gamma",
+            ]
+        )
+    )
+    schema = (
+        StructType().add("doc_id", LongType()).add("text", StringType())
+    )
+    good, bad = read_csv_with_quarantine(
+        spark, str(p), schema, header=True, header_routing="quarantine"
+    )
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    raws = sorted(r["raw_line"] for r in bad.collect())
+    assert raws == ["doc_id,text", "doc_id,text", "oops,beta"]
+
+    with _pytest.raises(ValueError, match="header_routing"):
+        read_csv_with_quarantine(
+            spark, str(p), schema, header=True, header_routing="nope"
+        )
+
+
+def test_shard_manifest_multiset_checksum(spark, tmp_path):
+    """Regression (ADVICE r4): a plain bit_xor of row hashes cancels on
+    even multisets — a copy that swaps a duplicate PAIR for two copies
+    of another existing row preserved both n_rows and the old checksum
+    and verified clean.  The multiset checksum (xor of
+    xxhash64(row_hash, count)) must flag it."""
+    import glob
+    import os
+
+    from covid19i2b2_spark.sources.sinks import (
+        verify_training_shards,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 0), ("b", 0)], "text string, shard long"
+    )
+    path = str(tmp_path / "dup_export")
+    write_training_shards(df, path, shard_col="shard")
+    write_shard_manifest(spark, df, path, shard_col="shard")
+    ok = verify_training_shards(spark, path, shard_col="shard")
+    assert ok.filter(~F.col("ok")).count() == 0
+
+    # tamper: replace the two "b" rows with two more copies of the "a"
+    # row — same row count, and the per-row XOR is 0 both before
+    # (hA^hA^hB^hB) and after (hA^hA^hA^hA)
+    victim = glob.glob(f"{path}/shard=0/*.json")[0]
+    with open(victim) as f:
+        lines = f.read().splitlines()
+    a_line = next(ln for ln in lines if '"a"' in ln)
+    tampered = [a_line if '"b"' in ln else ln for ln in lines]
+    assert len(tampered) == len(lines)
+    with open(victim, "w") as f:
+        f.write("\n".join(tampered) + "\n")
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    after = verify_training_shards(spark, path, shard_col="shard")
+    flagged = after.filter(~F.col("ok")).collect()
+    assert len(flagged) == 1 and flagged[0]["shard"] == "0"
+    # row counts alone would NOT have caught it
+    assert flagged[0]["manifest_rows"] == flagged[0]["actual_rows"] == 4
