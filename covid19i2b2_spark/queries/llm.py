@@ -148,7 +148,9 @@ _LANG_SCORE = {
     FROM scored ORDER BY doc_id
     """,
 )
-def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_analysis(
+    spark: SparkSession, sf_dir: str, impl: str = "kernel"
+) -> DataFrame:
     """X4: the per-document text-analysis surface in one slot — language
     ID (stopword-hit argmax, 'und' when no signal; tie-break en > es > de
     pinned in both engines), token counting (whitespace tokens + a
@@ -160,34 +162,61 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT r1 #1); the per-lang aggregate rollups they reported are
     derivable from these per-doc columns.
 
-    Tokenized ONCE into a projected column; every measure reads that
-    array instead of re-splitting the text (~25% measured — see
-    text.stopword_hits_in)."""
+    ``impl="kernel"`` (default) computes every raw measure in ONE Arrow
+    batch pass (text.text_measures_kernel — value-identical, verified
+    against this expression path by test + the unchanged DuckDB
+    oracle); ``impl="expr"`` keeps the pure-expression plan as the
+    oracle mirror, tokenized ONCE into a projected column so every
+    measure reads that array instead of re-splitting the text (~25%
+    measured — see text.stopword_hits_in)."""
     from covid19i2b2_spark.operators.text import (
+        STOPWORDS,
         lang_guess_scored,
         lang_scores_in,
+        text_measures_kernel,
         tokens,
     )
 
+    if impl not in ("expr", "kernel"):
+        raise ValueError(f"impl must be 'expr' or 'kernel', got {impl!r}")
     docs = read_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", "lang", "text", tokens("text").alias("__toks")
-    )
-    scores = lang_scores_in(F.col("__toks"))
-    scored = toked.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.size("__toks").alias("__nt"),
-        *[s.alias(f"__s_{lang}") for lang, s in scores.items()],
-    )
+    lang_names = list(STOPWORDS)
+    if impl == "kernel":
+        scored = docs.select(
+            "doc_id", "lang", "text", text_measures_kernel("text").alias("__m")
+        ).select(
+            "doc_id",
+            "lang",
+            "text",
+            F.col("__m.n_tokens").alias("__nt"),
+            F.col("__m.n_bpe_tokens").alias("__nbpe"),
+            F.col("__m.n_punct").alias("__np"),
+            *[F.col(f"__m.s_{lang}").alias(f"__s_{lang}") for lang in lang_names],
+        )
+    else:
+        toked = docs.select(
+            "doc_id", "lang", "text", tokens("text").alias("__toks")
+        )
+        scores = lang_scores_in(F.col("__toks"))
+        scored = toked.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size("__toks").cast("long").alias("__nt"),
+            bpe_token_count("text").cast("long").alias("__nbpe"),
+            punct_count("text").cast("long").alias("__np"),
+            *[
+                s.cast("long").alias(f"__s_{lang}")
+                for lang, s in scores.items()
+            ],
+        )
     n = F.col("__nt")
     stop_hits = F.col("__s_en")
     stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
         round6(stop_hits.cast("double") / n)
     )
     nc = F.length("text")
-    punct = punct_count("text")
+    punct = F.col("__np")
     punct_density = F.when(nc == 0, F.lit(1.0)).otherwise(
         punct.cast("double") / nc
     )
@@ -196,18 +225,18 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(punct_density < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    # length/size return int in Spark but BIGINT in DuckDB — cast so the
-    # driver's schema compare sees identical widths
+    # kernel emits longs directly; the expr path casts (length/size are
+    # int in Spark but BIGINT in DuckDB) — identical schemas either way
     return scored.select(
         "doc_id",
         "lang",
         lang_guess_scored(
-            {lang: F.col(f"__s_{lang}") for lang in scores}
+            {lang: F.col(f"__s_{lang}") for lang in lang_names}
         ).alias("lang_guess"),
-        n.cast("long").alias("n_tokens"),
-        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
-        punct.cast("long").alias("n_punct"),
-        stop_hits.cast("long").alias("stop_hits"),
+        n.alias("n_tokens"),
+        F.col("__nbpe").alias("n_bpe_tokens"),
+        punct.alias("n_punct"),
+        stop_hits.alias("stop_hits"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
     ).orderBy("doc_id")
