@@ -94,6 +94,73 @@ def dstd_pre(col: str | Column, alias: str) -> Column:
     ).alias(alias)
 
 
+def two_level_fixed_sums(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sums: dict[str, tuple[Column, int]],
+    counts: dict[str, str | Column] | None = None,
+) -> DataFrame:
+    """Exact decimal-valued sums via two-level FIXED-POINT aggregation —
+    the 100 TB shape for q_agg_basic-style measure rollups (round-4
+    verdict #4).
+
+    Why: ``sum(cast(x as decimal(12,2)))`` plans a decimal(22,2)
+    accumulator — precision > 18, so Spark's UnsafeRow aggregation
+    buffer can't hold it as a mutable long and every row pays a
+    serialize/update/deserialize round trip (measured 2-3x the cost of
+    a long sum; x100 corpus 3.85 -> 2.47 s for the q_agg_basic main
+    aggregate).  Instead:
+
+    - level 1 groups by (group_cols, spark_partition_id()) and sums
+      integer UNITS (e.g. cents) as LONGS — pure primitive codegen'd
+      accumulation, map-side only (each (g, pid) group lives in exactly
+      one input partition, so the level-1 shuffle carries
+      #groups x #partitions rows, not data);
+    - level 2 re-sums the per-partition subtotals as decimal(38,0)
+      (exact, tiny input) and divides by 10^scale as a DECIMAL divide
+      (Spark's result scale >= 6 keeps it exact), casting to double
+      LAST — the identical correctly-rounded double the one-level
+      decimal sum produces.  Value equality is pinned by test and by
+      q_agg_basic's unchanged DuckDB oracle.
+
+    ``sums`` maps alias -> (long_units_expr, scale): the expression
+    must already be integer units (value * 10^scale), e.g.
+    ``(col.cast("decimal(12,2)") * 100).cast("long")`` for cents.
+    ``counts`` maps alias -> column for per-measure non-null counts
+    (mean denominators).
+
+    Overflow bound (documented, not checked row-wise): per-partition
+    long subtotals overflow past ~9.2e18 units — at scale 6 units of
+    ~1e11/row that is ~8e7 rows per input partition; default
+    maxPartitionBytes (128 MB) keeps parquet partitions 1-2 orders of
+    magnitude below that.  Level 2 is exact decimal(38,0) — no global
+    bound beyond 38 digits."""
+    counts = counts or {}
+    lvl1 = df.groupBy(
+        *[F.col(c) for c in group_cols], F.spark_partition_id().alias("__pid")
+    ).agg(
+        F.count("*").alias("__cnt"),
+        *[F.sum(expr).alias(f"__s_{a}") for a, (expr, _) in sums.items()],
+        *[F.count(c).alias(f"__n_{a}") for a, c in counts.items()],
+    )
+    tot = lvl1.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.sum("__cnt").alias("__count_rows"),
+        *[
+            F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")).alias(f"__t_{a}")
+            for a in sums
+        ],
+        *[F.sum(f"__n_{a}").alias(f"__count_{a}") for a in counts],
+    )
+    out_cols = [F.col(c) for c in group_cols]
+    out_cols.append(F.col("__count_rows").alias("count_rows"))
+    for a, (_, scale) in sums.items():
+        unit = F.lit(10**scale).cast(f"decimal({scale + 1},0)")
+        out_cols.append((F.col(f"__t_{a}") / unit).cast("double").alias(a))
+    for a in counts:
+        out_cols.append(F.col(f"__count_{a}").alias(f"n_{a}"))
+    return tot.select(*out_cols)
+
+
 def count_distinct_where(cond: Column, col: str | Column, alias: str) -> Column:
     """A8: COUNT(DISTINCT CASE WHEN cond THEN key END) — the reference's
     severe-subset columns next to all-patient columns (every artifact).

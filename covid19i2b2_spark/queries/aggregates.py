@@ -12,7 +12,9 @@ from covid19i2b2_spark.operators.aggregates import (
     dstd_pre,
     dsum,
     log_value,
+    round6,
     two_level_agg,
+    two_level_fixed_sums,
 )
 from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
@@ -44,11 +46,13 @@ from covid19i2b2_spark.sources.tables import read_table
     ORDER BY l_returnflag, l_linestatus
     """,
 )
-def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_agg_basic(
+    spark: SparkSession, sf_dir: str, impl: str = "fixed"
+) -> DataFrame:
     """A1/A2/A4/A11: the TPC-H Q1 shape — grouped counts, exact COUNT
     DISTINCTs (every 4CE output counts patients, not rows), sums, means.
-    Measures sum in exact decimal (order-independent, oracle-identical),
-    output as double; means divide the exact sum in double.
+    Measures sum exactly (order-independent, oracle-identical), output
+    as double; means divide the exact sum in double.
 
     The date bound is a raw timestamp comparison (not CAST(ts AS DATE) <=
     d, which is equivalent but wraps the column in a cast and would not
@@ -61,24 +65,76 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate (dropDuplicates = map-side partial on 3 columns) joined
     back on the tiny group key; measured ~2x faster at sf0.1 and the gap
     widens with row width.  Values are identical — the oracle is
-    unchanged."""
+    unchanged.
+
+    Fixed-point rewrite (round 5, impl='fixed' default): the measure
+    aggregate itself was the remaining tail — decimal(22,2+) sum
+    accumulators exceed UnsafeRow's 18-digit mutable-long limit, so
+    every row pays a BigDecimal buffer round trip.
+    operators.aggregates.two_level_fixed_sums sums integer cents /
+    scale-4 / scale-6 units as LONGS per (group, partition), then
+    finalizes the per-partition subtotals in exact decimal(38,0) — same
+    correctly-rounded doubles (x100 corpus: 3.85 -> 2.47 s for the main
+    aggregate).  impl='decimal' keeps the one-level decimal plan as the
+    oracle mirror."""
+    if impl not in ("fixed", "decimal"):
+        raise ValueError(f"impl must be 'fixed' or 'decimal', got {impl!r}")
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp_ntz")
     )
     g = ["l_returnflag", "l_linestatus"]
     dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    charge = disc_price * (F.lit(1) + dec("l_tax"))
-    main = li.groupBy(*g).agg(
-        F.count("*").alias("count_order"),
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        dmean("l_quantity", "avg_qty"),
-        dmean("l_extendedprice", "avg_price"),
-        dmean("l_discount", "avg_disc"),
-    )
+    if impl == "fixed":
+        cents = lambda c: (dec(c) * 100).cast("long")  # noqa: E731
+        price_c, disc_c, tax_c = (
+            cents("l_extendedprice"),
+            cents("l_discount"),
+            cents("l_tax"),
+        )
+        dp_u = price_c * (F.lit(100).cast("long") - disc_c)  # scale 4
+        ch_u = dp_u * (F.lit(100).cast("long") + tax_c)  # scale 6
+        tot = two_level_fixed_sums(
+            li,
+            g,
+            sums={
+                "sum_qty": (cents("l_quantity"), 2),
+                "sum_base_price": (price_c, 2),
+                "sum_disc_price": (dp_u, 4),
+                "sum_charge": (ch_u, 6),
+                "__sum_disc": (cents("l_discount"), 2),
+            },
+            counts={
+                "qty": "l_quantity",
+                "price": "l_extendedprice",
+                "disc": "l_discount",
+            },
+        )
+        main = tot.select(
+            *g,
+            F.col("count_rows").alias("count_order"),
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            round6(F.col("sum_qty") / F.col("n_qty")).alias("avg_qty"),
+            round6(F.col("sum_base_price") / F.col("n_price")).alias(
+                "avg_price"
+            ),
+            round6(F.col("__sum_disc") / F.col("n_disc")).alias("avg_disc"),
+        )
+    else:
+        disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        charge = disc_price * (F.lit(1) + dec("l_tax"))
+        main = li.groupBy(*g).agg(
+            F.count("*").alias("count_order"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            dmean("l_quantity", "avg_qty"),
+            dmean("l_extendedprice", "avg_price"),
+            dmean("l_discount", "avg_disc"),
+        )
     n_orders = (
         li.select(*g, "l_orderkey")
         .dropDuplicates()
