@@ -211,3 +211,82 @@ def compact_parquet(
         n_files,
     )
     return n_files
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    small_file_threshold: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Partition-aware compaction (round-4 verdict #6): walk a
+    Hive-partitioned tree (``k=v`` directories, any nesting depth),
+    compact each LEAF partition independently, and preserve the layout
+    — :func:`compact_parquet` on the root would flatten the partition
+    values into plain columns (its documented caller trap).
+
+    Each leaf partition is the natural incremental unit:
+
+    - leaves whose parquet-file count >= ``small_file_threshold`` are
+      rewritten via compact_parquet into ``dst_root/<same k=v path>``
+      (file count sized from that partition's on-disk bytes);
+    - leaves below the threshold are COPIED byte-for-byte (FileUtil) —
+      no read/decode/re-encode pass for partitions that are already
+      healthy, which at 100 TB is most of them on any given run.
+
+    Listing is one driver-side FS walk (directory-count-bounded, no
+    data pass).  Output goes to a NEW root; swap atomically at the
+    caller.  Returns {relative partition path: output file count}
+    (copied partitions report their existing count)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(src_root)
+    fs = root.getFileSystem(conf)
+
+    def leaves(dirpath, rel):
+        subdirs = [
+            st.getPath()
+            for st in fs.listStatus(dirpath)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subdirs:
+            yield dirpath, rel
+            return
+        for p in subdirs:
+            yield from leaves(p, f"{rel}/{p.getName()}" if rel else p.getName())
+
+    out: dict[str, int] = {}
+    for leaf, rel in leaves(root, ""):
+        if not rel:
+            raise ValueError(
+                f"{src_root} has no k=v partition directories — use "
+                f"compact_parquet for flat layouts"
+            )
+        n_parquet = sum(
+            1
+            for st in fs.listStatus(leaf)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        )
+        dst = f"{dst_root.rstrip('/')}/{rel}"
+        if n_parquet >= small_file_threshold:
+            out[rel] = compact_parquet(
+                spark,
+                str(leaf),
+                dst,
+                target_file_bytes=target_file_bytes,
+                sort_within_by=sort_within_by,
+            )
+        else:
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, leaf, fs, HPath(dst), False, True, conf
+            )
+            out[rel] = n_parquet
+            _LOG.info(
+                "partition %s below threshold (%d files) — copied as-is",
+                rel,
+                n_parquet,
+            )
+    return out

@@ -145,7 +145,10 @@ def run_streaming_ingest(
       cost space, never correctness.
 
     Pass ``checkpoint_dir`` in production so Structured Streaming tracks
-    epoch progress across restarts (tests run availableNow without one).
+    epoch progress across restarts — genuine stop/restart recovery
+    (resume past committed epochs, dedup new waves against the index,
+    no-op on an empty restart) is exercised in
+    tests/test_streaming.py::test_streaming_ingest_restart_recovery_with_checkpoint.
     Caller drives the returned query.  ``index`` is a :class:`DedupIndex`
     whose ``build`` has run (possibly on an empty corpus).
     """

