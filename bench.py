@@ -162,6 +162,56 @@ def _scaled_dir(spark, factor: int, n_files: int = 32) -> str:
     return dst
 
 
+def _near_dup_scaled_dir(spark, factor: int, n_files: int = 32) -> str:
+    """Scaled NEAR-DUP corpus (VERDICT r4 #5): plain replication plants
+    10-copy exact-dup families (quadratic pair blowup — why
+    SCALED_QUERIES excludes pair queries), so each replica is passed
+    through a replica-specific Caesar cipher instead
+    (translate(a..z -> rotate by r)).  A character bijection maps the
+    5-char shingle set bijectively, so WITHIN-replica Jaccards — and
+    therefore the pair structure — are preserved EXACTLY (replica 0 is
+    the original corpus; measured 256 -> 2560 pairs at x10, ratio
+    10.0), while cross-replica shingle sets are near-disjoint
+    (different cipher).  A word-salt variant was tried first and
+    rejected: a constant suffix digit on every word INCREASED
+    cross-doc shingle sharing and blew the candidate set up ~5x.
+    doc_ids offset per replica like _scaled_dir."""
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_neardup_{os.path.basename(SF_DIR.rstrip('/'))}_x{factor}v1",
+    )
+    marker = os.path.join(dst, "_SCALED_READY")
+    if os.path.exists(marker):
+        return dst
+    from covid19i2b2_spark.sources.tables import read_table
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    cipher = None
+    for r in range(factor):
+        rot = F.translate(F.col("text"), alpha, alpha[r:] + alpha[:r])
+        cipher = (
+            rot
+            if cipher is None
+            else F.when(F.col("__r") == r, rot).otherwise(cipher)
+        )
+    docs = (
+        read_table(spark, SF_DIR, "documents")
+        .withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.col("__r") * F.lit(_KEY_OFFSET)
+        )
+        .withColumn("text", cipher)
+        .drop("__r")
+        .repartition(n_files)
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dst
+
+
 def _bench_incremental_dedup(spark) -> dict[str, float]:
     """VERDICT r2 #6: the incremental cross-snapshot dedup at bench scale —
     build the fingerprint+band index from the even-doc_id half of the
@@ -323,6 +373,58 @@ def main() -> None:
             sdocs, sev, config=CurationConfig(minhash_threshold=0.7)
         ).write.format("noop").mode("overwrite").save()
         result["curation_scaled_sec"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+        # near-dup + sketch stores at x10 (VERDICT r4 #5): the LLM
+        # operators' scale story, measured rather than argued.
+        # q_minhash_pairs runs on the SALTED replicated corpus (see
+        # _near_dup_scaled_dir — linear pair workload by construction)
+        # at x1 and x10 of the same generation, reported with
+        # linear_ratio = t_x10 / (10 * t_x1); the top-k token sketch
+        # build runs on the plain scaled corpus (replication is the
+        # right workload for summaries — token distribution identical).
+        nd1 = _near_dup_scaled_dir(spark, 1)
+        nd10 = _near_dup_scaled_dir(spark, SCALE_X)
+        mh = {}
+        for label, d in (("x1", nd1), ("x10", nd10)):
+            t0 = time.perf_counter()
+            _fn("q_minhash_pairs")(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            mh[label] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        from covid19i2b2_spark.operators.sketches import (
+            build_topk_sketches,
+            merge_topk_sketches,
+        )
+        from covid19i2b2_spark.operators.text import tokens as _toks
+
+        sdocs_tok = read_table(spark, sdir, "documents").select(
+            "source", F.explode(_toks(F.lower("text"))).alias("token")
+        )
+        t0 = time.perf_counter()
+        merge_topk_sketches(
+            build_topk_sketches(sdocs_tok, ["source"], "token", k=64),
+            [],
+            k=64,
+        ).write.format("noop").mode("overwrite").save()
+        topk_scaled = round(time.perf_counter() - t0, 3)
+        result["llm_scaled"] = {
+            "factor": SCALE_X,
+            "minhash_pairs_ciphered": mh,
+            "minhash_linear_ratio": round(
+                mh["x10"] / (SCALE_X * mh["x1"]), 3
+            ),
+            "topk_sketch_build_sec": topk_scaled,
+            "topk_linear_ratio_vs_x1": round(
+                topk_scaled
+                / (
+                    SCALE_X
+                    * result["sketch_stores"]["topk_build_merge_sec"]
+                ),
+                3,
+            ),
+        }
         spark.catalog.clearCache()
 
     if SCALE100_X > 1:
