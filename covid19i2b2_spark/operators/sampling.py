@@ -298,3 +298,103 @@ def weighted_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    key_col: str,
+    score_col: str | Column,
+    token_col: str | Column,
+    budget: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quality-first selection under a TOKEN budget — the operator that
+    fills a training-mixture slice ("the best N-billion tokens per
+    domain"): order each group by (score desc, key asc) and keep docs
+    while the running token total stays within ``budget``.
+
+    Exactly one window per group (cumulative sum over the deterministic
+    order); a doc is kept iff the budget still covers it INCLUDING its
+    own tokens, so the output never exceeds the budget and a document
+    larger than the whole budget is never selected.  Deterministic:
+    same corpus -> same selection, any partitioning.
+
+    100 TB shape: one shuffle on group_cols (the window partition);
+    with per-domain budgets this is the natural final pass after
+    scoring, and composes with temperature_mixture_sample (hash
+    sampling first, budget trim second)."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    toks = F.col(token_col) if isinstance(token_col, str) else token_col
+    win = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(score.desc(), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum_tokens", F.sum(toks).over(win))
+        .filter(F.col("__cum_tokens") <= budget)
+        .drop("__cum_tokens")
+    )
+
+
+def filter_top_fraction(
+    df: DataFrame,
+    key_col: str,
+    score_col: str | Column,
+    frac: float,
+    group_cols: Sequence[str] = (),
+    impl: str = "exact",
+    eps: float = 0.01,
+) -> DataFrame:
+    """Keep the top ``frac`` fraction of each group by score — the
+    percentile gate behind "drop the worst 30% of every domain".
+
+    ``impl='exact'``: keep the top ceil(frac * group_size) rows by
+    (score desc, key asc) — integer row-count semantics, no float
+    quantile boundary ambiguity, reproducible in any ANSI engine (the
+    DuckDB parity mode).  One shuffle: row_number and the group count
+    share the same window partition.
+
+    ``impl='sketch'``: derive a per-group score threshold from the
+    mergeable DDSketch quantile store (operators/sketches.py) and keep
+    score >= threshold — TWO scans but no per-group sort, and the
+    thresholds are (1+-eps)-relative-accurate.  At 100 TB the exact
+    mode's full sort-per-group is the expensive part; the sketch mode
+    replaces it with one map-side-combined histogram build plus a
+    broadcast threshold join, the same trade HLL makes for distinct
+    counts.  Selected fraction is approximate (ties at the threshold
+    all pass); bounds asserted in tests/test_sampling.py."""
+    if impl not in ("exact", "sketch"):
+        raise ValueError(f"impl must be 'exact' or 'sketch', got {impl!r}")
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    parts = [F.col(c) for c in group_cols]
+    if impl == "exact":
+        win = Window.partitionBy(*parts).orderBy(score.desc(), F.asc(key_col))
+        cnt_win = Window.partitionBy(*parts)
+        return (
+            df.withColumn("__rn", F.row_number().over(win))
+            .withColumn("__n", F.count("*").over(cnt_win))
+            .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(frac)))
+            .drop("__rn", "__n")
+        )
+    from covid19i2b2_spark.operators.sketches import (
+        build_quantile_sketches,
+        quantile_estimates,
+    )
+
+    score_df = df.select(*parts, score.alias("__score"))
+    sk = build_quantile_sketches(
+        score_df, list(group_cols), "__score", eps=eps
+    )
+    thr = quantile_estimates(sk, [1.0 - frac]).select(
+        *[F.col(c) for c in group_cols],
+        F.col("value").alias("__thr"),
+    )
+    joined = (
+        df.join(F.broadcast(thr), list(group_cols))
+        if group_cols
+        else df.crossJoin(F.broadcast(thr))
+    )
+    return joined.filter(score >= F.col("__thr")).drop("__thr")

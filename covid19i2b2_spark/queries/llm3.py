@@ -476,3 +476,70 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_deduped", "n_removed_tokens")
         .orderBy("doc_id")
     )
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 X43: quality-first selection under a per-source token
+    budget (operators/sampling.py select_to_token_budget) — fill each
+    source's training-mixture slice with its longest docs until 500
+    tokens are claimed.  Deterministic (score desc, doc_id asc) window
+    cumsum.  UNREGISTERED (50-slot window); DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.sampling import select_to_token_budget
+    from covid19i2b2_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").alias("score"),
+        token_count("text").cast("long").alias("n_toks"),
+    )
+    return (
+        select_to_token_budget(
+            docs, "doc_id", "score", "n_toks", budget=500,
+            group_cols=["source"],
+        )
+        .select("doc_id", "source", "n_toks")
+        .orderBy("source", "doc_id")
+    )
+
+
+def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 X44: per-source percentile gate — keep the top 25% of
+    each source by score with integer ceil(frac*n) semantics
+    (operators/sampling.py filter_top_fraction, exact mode; the sketch
+    mode's error bounds are pytest-asserted in test_sampling.py).
+    UNREGISTERED; DuckDB parity in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.sampling import filter_top_fraction
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("score")
+    )
+    return (
+        filter_top_fraction(
+            docs, "doc_id", "score", 0.25, ["source"], impl="exact"
+        )
+        .select("doc_id", "source", "score")
+        .orderBy("source", "doc_id")
+    )
+
+
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 X45: token-distribution drift between two snapshot
+    halves of the corpus (operators/drift.py corpus_divergence) — JS
+    divergence per source plus token/type triage columns.  The halves
+    split on floor(doc_id/20) %% 2 so every source keeps docs on both
+    sides (doc_id %% 20 IS the source in the synthetic corpus).
+    UNREGISTERED; DuckDB parity in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.drift import corpus_divergence_ordered
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    half = F.pmod(F.floor(F.col("doc_id") / 20), F.lit(2))
+    return corpus_divergence_ordered(
+        docs.filter(half == 0),
+        docs.filter(half == 1),
+        "text",
+        ["source"],
+    )

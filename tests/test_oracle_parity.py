@@ -493,6 +493,86 @@ UNREGISTERED_ORACLES = {
            CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
     FROM top ORDER BY rank
     """,
+    "q_token_budget_select": """
+    WITH scored AS (
+        SELECT doc_id, source, length(text) AS score,
+               CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_toks,
+               SUM(n_toks) OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+        FROM scored
+    )
+    SELECT doc_id, source, n_toks FROM cum WHERE c <= 500
+    ORDER BY source, doc_id
+    """,
+    "q_top_fraction": """
+    WITH ranked AS (
+        SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY length(text) DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source, score FROM ranked
+    WHERE rn <= CEIL(n * 0.25)
+    ORDER BY source, doc_id
+    """,
+    "q_corpus_divergence": """
+    WITH toks AS (
+        SELECT source, CAST(FLOOR(doc_id / 20) AS BIGINT) % 2 AS half,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    ca AS (SELECT source, token, COUNT(*) AS c_a FROM toks WHERE half = 0
+           GROUP BY source, token),
+    cb AS (SELECT source, token, COUNT(*) AS c_b FROM toks WHERE half = 1
+           GROUP BY source, token),
+    j AS (
+        SELECT COALESCE(ca.source, cb.source) AS source,
+               COALESCE(ca.token, cb.token) AS token,
+               COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        FROM ca FULL OUTER JOIN cb
+          ON ca.source = cb.source AND ca.token = cb.token
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b
+        FROM j GROUP BY source
+    ),
+    terms AS (
+        SELECT j.source, c_a, c_b, n_a, n_b,
+               CAST(FLOOR((
+                 (CASE WHEN c_a > 0 THEN
+                    (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                    * ln((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                         / ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                             + CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0))
+                  ELSE 0.0 END
+                  +
+                  CASE WHEN c_b > 0 THEN
+                    (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    * ln((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                         / ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                             + CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0))
+                  ELSE 0.0 END) / 2.0
+               ) * 1000000000000 + 0.5) AS BIGINT) AS t_fix
+        FROM j JOIN tot ON j.source = tot.source
+    )
+    SELECT source,
+           CAST(MAX(n_a) AS BIGINT) AS n_tokens_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_tokens_b,
+           CAST(SUM(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_a,
+           CAST(SUM(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
+           CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_types_shared,
+           FLOOR((CAST(SUM(t_fix) AS DOUBLE) / 1000000000000) * 1000000 + 0.5)
+               / 1000000 AS js_divergence
+    FROM terms GROUP BY source ORDER BY source
+    """,
     "q_topk_sketch": _topk_sketch_oracle(),
     "q_minhash_poly": _minhash_poly_oracle(),
     "q_chunk_documents": _chunk_documents_oracle(),
@@ -836,6 +916,9 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_bpe_pairs": llm3.q_bpe_pairs,
         "q_bigram_logprob": llm3.q_bigram_logprob,
         "q_remove_dup_spans": llm3.q_remove_dup_spans,
+        "q_token_budget_select": llm3.q_token_budget_select,
+        "q_top_fraction": llm3.q_top_fraction,
+        "q_corpus_divergence": llm3.q_corpus_divergence,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()

@@ -179,3 +179,96 @@ def test_keep_top_fraction_per_domain(spark):
 
     with _pt.raises(ValueError):
         keep_top_fraction(df, "lang", "score", 0.0)
+
+
+def test_select_to_token_budget_semantics(spark):
+    """Budget selection: per-group totals never exceed the budget, docs
+    are claimed best-score-first, a doc bigger than the whole budget is
+    never selected, and the output is partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.operators.sampling import select_to_token_budget
+
+    rows = [
+        # grp a: scores 9,8,7 with tokens 40,50,20 -> 40+50=90 fits,
+        # the 20-token doc would cross 100 -> excluded
+        ("a", 1, 9.0, 40), ("a", 2, 8.0, 50), ("a", 3, 7.0, 20),
+        # grp b: single doc larger than the budget -> nothing selected
+        ("b", 4, 9.0, 150),
+        # grp c: tie scores break by key asc
+        ("c", 6, 5.0, 60), ("c", 5, 5.0, 60),
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long, score double, toks long")
+    got = select_to_token_budget(
+        df, "key", "score", "toks", budget=100, group_cols=["grp"]
+    )
+    keys = {r["key"] for r in got.collect()}
+    assert keys == {1, 2, 5}
+    again = select_to_token_budget(
+        df.repartition(7), "key", "score", "toks", budget=100,
+        group_cols=["grp"],
+    )
+    assert {r["key"] for r in again.collect()} == keys
+
+
+def test_filter_top_fraction_modes(spark):
+    """Exact mode keeps exactly ceil(frac*n) per group; sketch mode's
+    kept fraction sits within the DDSketch relative-error band of the
+    target; invalid args raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.operators.sampling import filter_top_fraction
+
+    df = spark.range(1000).selectExpr(
+        "id as key", "cast(id % 4 as string) as grp",
+        "cast(pmod(xxhash64(id), 100000) as double) as score",
+    )
+    exact = filter_top_fraction(df, "key", "score", 0.3, ["grp"], impl="exact")
+    per_group = {r["grp"]: r["count"] for r in exact.groupBy("grp").count().collect()}
+    assert all(v == 75 for v in per_group.values())  # ceil(250*0.3)
+
+    sk = filter_top_fraction(df, "key", "score", 0.3, ["grp"], impl="sketch")
+    n_sk = sk.count()
+    # DDSketch thresholds are (1+-eps)-relative on the VALUE; with a
+    # near-uniform score distribution the kept fraction stays close
+    assert 0.2 * 1000 <= n_sk <= 0.4 * 1000, n_sk
+    # sketch keeps a superset-biased set around the same threshold:
+    # every exact-kept score above the approx threshold is kept too
+    with _pytest.raises(ValueError):
+        filter_top_fraction(df, "key", "score", 0.3, ["grp"], impl="nope")
+    with _pytest.raises(ValueError):
+        filter_top_fraction(df, "key", "score", 1.5, ["grp"])
+
+
+def test_corpus_divergence_properties(spark):
+    """JS divergence: 0 for identical snapshots, symmetric, ln 2 for
+    disjoint vocabularies, and sensitive to a planted distribution
+    shift; groups missing on one side are omitted."""
+    import math
+
+    from covid19i2b2_spark.operators.drift import corpus_divergence_ordered
+
+    a = spark.createDataFrame(
+        [(1, "g", "x x y"), (2, "g", "x y z"), (3, "only_a", "q q")],
+        "doc_id long, src string, text string",
+    )
+    same = corpus_divergence_ordered(a, a, "text", ["src"]).collect()
+    assert all(r["js_divergence"] == 0.0 for r in same)
+
+    b = spark.createDataFrame(
+        [(4, "g", "x x y z"), (5, "g", "w w")],
+        "doc_id long, src string, text string",
+    )
+    ab = {r["src"]: r for r in corpus_divergence_ordered(a, b, "text", ["src"]).collect()}
+    ba = {r["src"]: r for r in corpus_divergence_ordered(b, a, "text", ["src"]).collect()}
+    assert set(ab) == {"g"}  # only_a has no counterpart -> omitted
+    assert ab["g"]["js_divergence"] == ba["g"]["js_divergence"] > 0.0
+    assert ab["g"]["n_types_shared"] == 3  # x, y, z
+
+    dis = spark.createDataFrame(
+        [(9, "g", "aa bb cc")], "doc_id long, src string, text string"
+    )
+    far = corpus_divergence_ordered(a, dis, "text", ["src"]).collect()[0]
+    assert abs(far["js_divergence"] - math.log(2)) < 1e-5
+    assert far["n_types_shared"] == 0
