@@ -15,7 +15,11 @@ isolation:
       -> MinHash+LSH   near-dup pair graph (Arrow signature kernel)
       -> components    transitive closure, min-id survivor per group
       -> contamination drop docs overlapping the eval/benchmark set
+    [top fraction]     optional: keep the best frac of each domain by
+                       quality score (percentile gate, exact mode)
       -> sample        hash_sample, or temperature mixture per domain
+    [token budget]     optional: cap each domain at N tokens,
+                       best-quality-first (window cumsum)
       -> pack_sequences shard + chunk assignment for the trainer
 
 Scale shape: every stage is the already-audited operator — the chain adds
@@ -96,6 +100,17 @@ class CurationConfig:
     # from the raw corpus (line_dedup's reassembly keeps only id+text).
     mixture_domain_col: str | None = None
     mixture_temperature: float = 0.7
+    # percentile quality gate (1.0 disables): after decontamination keep
+    # only the top `top_fraction` of docs by quality_score — per domain
+    # when mixture_domain_col is set, else globally (exact
+    # ceil(frac*n) semantics; operators/sampling.py filter_top_fraction;
+    # quality_score ties break by doc id, so the gate is deterministic)
+    top_fraction: float = 1.0
+    # token budget (0 disables): final cap applied AFTER sampling — keep
+    # the best-quality docs per domain (or globally) until `token_budget`
+    # tokens are claimed (operators/sampling.py select_to_token_budget).
+    # The "give me the best N tokens of this mix" contract.
+    token_budget: int = 0
     target_tokens: int = 2048
     n_shards: int = 64
     seed: int = 42
@@ -230,6 +245,24 @@ def curate(
     clean = survivors.join(
         report.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
     )
+    # 5b. optional percentile quality gate: keep the top fraction of
+    # each domain (or of the whole corpus) by quality score before any
+    # sampling — "drop the worst X% " as an exact, deterministic stage
+    if config.top_fraction < 1.0:
+        from covid19i2b2_spark.operators.sampling import filter_top_fraction
+        from covid19i2b2_spark.operators.text import quality_score
+
+        gate_groups: tuple[str, ...] = ()
+        gated = clean.withColumn("__q", quality_score(F.col(text_col)))
+        if config.mixture_domain_col is not None:
+            gated = gated.join(
+                corpus.select(id_col, config.mixture_domain_col), id_col
+            )
+            gate_groups = (config.mixture_domain_col,)
+        clean = filter_top_fraction(
+            gated, id_col, "__q", config.top_fraction, gate_groups,
+            impl="exact",
+        ).drop("__q", *gate_groups)
     # 6. deterministic sample (nested across fractions).  With a domain
     # column configured this becomes the temperature mixture sampler —
     # same overall fraction, per-domain rates reweighted q_d ∝ p_d^τ.
@@ -254,8 +287,31 @@ def curate(
         )
     else:
         sampled = clean
-    # 7. shard + chunk assignment for the trainer
+    # 6b. optional token budget: the final cap — claim the best-quality
+    # docs per domain (or globally) until the budget is spent
     counted = sampled.withColumn("n_tokens", token_count(text_col))
+    if config.token_budget > 0:
+        from covid19i2b2_spark.operators.sampling import (
+            select_to_token_budget,
+        )
+        from covid19i2b2_spark.operators.text import quality_score
+
+        budget_groups: tuple[str, ...] = ()
+        budgeted = counted.withColumn("__q", quality_score(F.col(text_col)))
+        if config.mixture_domain_col is not None:
+            budgeted = budgeted.join(
+                corpus.select(id_col, config.mixture_domain_col), id_col
+            )
+            budget_groups = (config.mixture_domain_col,)
+        counted = select_to_token_budget(
+            budgeted,
+            id_col,
+            "__q",
+            "n_tokens",
+            budget=config.token_budget,
+            group_cols=budget_groups,
+        ).drop("__q", *budget_groups)
+    # 7. shard + chunk assignment for the trainer
     return pack_sequences(
         counted,
         id_col,

@@ -280,3 +280,50 @@ def test_curation_dup_span_stage_excises_templates(spark):
         # each doc's unique body survives around the excision
         assert BODIES[i].split()[0] in texts[i]
     assert texts[4] == BODIES[4]
+
+
+def test_curation_top_fraction_and_token_budget_stages(spark):
+    """Round-5 stages: the percentile gate keeps ceil(frac*n) of each
+    domain, the token budget caps each domain's final token total, both
+    compose with the mixture domain column, and the run stays
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.pipelines.curation import CurationConfig, curate
+    from covid19i2b2_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ev = docs.orderBy("doc_id").limit(3).select("text")
+    base_cfg = CurationConfig(minhash_threshold=0.7)
+    base = curate(docs, ev, config=base_cfg)
+    n_base = base.count()
+
+    cfg = CurationConfig(
+        minhash_threshold=0.7,
+        mixture_domain_col="source",
+        top_fraction=0.5,
+        token_budget=200,
+    )
+    got = curate(docs, ev, config=cfg)
+    rows = got.collect()
+    assert 0 < len(rows) < n_base
+
+    # budget: no source exceeds 200 tokens in the final output
+    per_src = (
+        got.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+    )
+    assert per_src.filter(F.col("t") > 200).count() == 0
+
+    # determinism across partitionings of the input
+    again = curate(docs.repartition(17), ev, config=cfg).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in rows
+    )
+
+    # schema contract unchanged
+    assert got.columns == ["doc_id", "text", "n_tokens", "shard", "chunk_id"]
