@@ -386,7 +386,9 @@ def main() -> None:
         nd1 = _near_dup_scaled_dir(spark, 1)
         nd10 = _near_dup_scaled_dir(spark, SCALE_X)
         mh = {}
-        for label, d in (("x1", nd1), ("x10", nd10)):
+        # labels derive from SCALE_X — a hard-coded "x10" would mislabel
+        # runs under SPARK_GRAFT_BENCH_SCALE overrides (review r5)
+        for label, d in (("x1", nd1), (f"x{SCALE_X}", nd10)):
             t0 = time.perf_counter()
             _fn("q_minhash_pairs")(spark, d).write.format("noop").mode(
                 "overwrite"
@@ -413,7 +415,7 @@ def main() -> None:
             "factor": SCALE_X,
             "minhash_pairs_ciphered": mh,
             "minhash_linear_ratio": round(
-                mh["x10"] / (SCALE_X * mh["x1"]), 3
+                mh[f"x{SCALE_X}"] / (SCALE_X * mh["x1"]), 3
             ),
             "topk_sketch_build_sec": topk_scaled,
             "topk_linear_ratio_vs_x1": round(

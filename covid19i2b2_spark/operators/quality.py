@@ -342,7 +342,10 @@ def keep_top_fraction(
     moves only one number per domain.  Ties AT the threshold are kept
     (deterministic: membership depends on values, not row order), so
     heavily-tied score distributions may keep slightly more than
-    ``fraction``."""
+    ``fraction``.  For COUNT-exact ceil(frac*n) semantics (ties cut by
+    key order, SQL-oracle-reproducible) or the mergeable DDSketch
+    threshold path, use sampling.filter_top_fraction — same job,
+    different contracts."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1] (got {fraction})")
     if fraction == 1.0:
@@ -515,11 +518,13 @@ def train_quality_classifier(
     collect instead of OOMing an executor or the driver."""
     import numpy as np
 
-    n_labeled = df.count()
-    if n_labeled > max_labeled:
+    # limit-bounded: stops scanning after max_labeled+1 rows instead of
+    # paying a full count() over the very corpus the guard exists to
+    # reject (review r5)
+    if df.limit(max_labeled + 1).count() > max_labeled:
         raise ValueError(
             f"train_quality_classifier collects the labeled sample to the "
-            f"driver; got {n_labeled} rows > max_labeled={max_labeled}. "
+            f"driver; got more than max_labeled={max_labeled} rows. "
             f"This trainer is for small labeled sets (~10^4-10^5 docs) — "
             f"sample the frame first (e.g. hash_sample) or raise "
             f"max_labeled deliberately."

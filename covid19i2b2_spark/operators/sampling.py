@@ -300,6 +300,65 @@ def weighted_sample(
     )
 
 
+def _global_ordered_prefix(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight: Column,
+    budget: int,
+) -> DataFrame:
+    """Keep the prefix of the GLOBAL (order_cols) order whose cumulative
+    ``weight`` stays within ``budget`` — without the single-task
+    Window.partitionBy() trap (an unpartitioned window pulls the whole
+    corpus through one task).
+
+    Plan: repartitionByRange on the order keys (the same shuffle any
+    global sort pays; partition boundaries don't affect the result —
+    the kept set is a property of the total order, which the unique
+    key column makes well-defined), then ONE tiny per-partition weight
+    aggregate (#shuffle-partitions rows collected) locates the
+    boundary partition: everything before it is kept wholesale,
+    everything after dropped wholesale, and only the boundary
+    partition's rows — one range-partition's worth — run the cumsum
+    window.  Two driver-side scalars per partition, no corpus
+    collect."""
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    stats = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(weight).alias("__w"))
+        .orderBy("__pid")
+        .collect()
+    )
+    cum = 0
+    boundary_pid, boundary_offset = None, 0
+    full_pids = []
+    for r in stats:
+        if cum + r["__w"] <= budget:
+            full_pids.append(r["__pid"])
+            cum += r["__w"]
+        else:
+            boundary_pid, boundary_offset = r["__pid"], cum
+            break
+    kept = ranged.filter(F.col("__pid").isin(full_pids)) if full_pids else None
+    if boundary_pid is not None:
+        win = (
+            Window.partitionBy("__pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge = (
+            ranged.filter(F.col("__pid") == boundary_pid)
+            .withColumn("__cum", F.sum(weight).over(win))
+            .filter(F.col("__cum") + F.lit(boundary_offset) <= budget)
+            .drop("__cum")
+        )
+        kept = edge if kept is None else kept.unionByName(edge)
+    if kept is None:
+        kept = ranged.filter(F.lit(False))
+    return kept.drop("__pid")
+
+
 def select_to_token_budget(
     df: DataFrame,
     key_col: str,
@@ -319,12 +378,20 @@ def select_to_token_budget(
     larger than the whole budget is never selected.  Deterministic:
     same corpus -> same selection, any partitioning.
 
-    100 TB shape: one shuffle on group_cols (the window partition);
-    with per-domain budgets this is the natural final pass after
-    scoring, and composes with temperature_mixture_sample (hash
-    sampling first, budget trim second)."""
+    100 TB shape: with group_cols, one shuffle on the group key (the
+    window partition — parallel across groups); WITHOUT group_cols an
+    unpartitioned window would pull the whole corpus through one task,
+    so the global form routes through :func:`_global_ordered_prefix`
+    (range partition + boundary-partition-only window) instead.  Token
+    counts must be non-negative (the prefix argument relies on the
+    cumsum being monotone).  Composes with temperature_mixture_sample
+    (hash sampling first, budget trim second)."""
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     toks = F.col(token_col) if isinstance(token_col, str) else token_col
+    if not group_cols:
+        return _global_ordered_prefix(
+            df, [score.desc(), F.asc(key_col)], toks, budget
+        )
     win = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
         .orderBy(score.desc(), F.asc(key_col))
@@ -352,8 +419,18 @@ def filter_top_fraction(
     ``impl='exact'``: keep the top ceil(frac * group_size) rows by
     (score desc, key asc) — integer row-count semantics, no float
     quantile boundary ambiguity, reproducible in any ANSI engine (the
-    DuckDB parity mode).  One shuffle: row_number and the group count
-    share the same window partition.
+    DuckDB parity mode).  With group_cols, one shuffle (row_number and
+    the group count share the window partition, parallel across
+    groups); WITHOUT group_cols the global form routes through
+    :func:`_global_ordered_prefix` — an unpartitioned window would be
+    a single-task bottleneck.
+
+    Tie semantics: exact mode CUTS ties at the boundary by key order
+    (count-exact).  For value-threshold semantics that KEEP all
+    boundary ties, use quality.keep_top_fraction (exact/approx
+    percentile threshold + map-side filter) — the two operators share
+    the job but pin different contracts; this one exists for oracle-
+    exact row counts and the mergeable-sketch threshold path.
 
     ``impl='sketch'``: derive a per-group score threshold from the
     mergeable DDSketch quantile store (operators/sketches.py) and keep
@@ -371,6 +448,18 @@ def filter_top_fraction(
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     parts = [F.col(c) for c in group_cols]
     if impl == "exact":
+        if not group_cols:
+            import math
+
+            n = df.count()
+            if n == 0:
+                return df
+            return _global_ordered_prefix(
+                df,
+                [score.desc(), F.asc(key_col)],
+                F.lit(1).cast("long"),
+                int(math.ceil(n * frac)),
+            )
         win = Window.partitionBy(*parts).orderBy(score.desc(), F.asc(key_col))
         cnt_win = Window.partitionBy(*parts)
         return (
@@ -388,7 +477,9 @@ def filter_top_fraction(
     sk = build_quantile_sketches(
         score_df, list(group_cols), "__score", eps=eps
     )
-    thr = quantile_estimates(sk, [1.0 - frac]).select(
+    # decode with the SAME eps the sketch was built with — gamma is the
+    # bucket base; mismatched eps decodes garbage thresholds (review r5)
+    thr = quantile_estimates(sk, [1.0 - frac], eps=eps).select(
         *[F.col(c) for c in group_cols],
         F.col("value").alias("__thr"),
     )

@@ -245,24 +245,39 @@ def curate(
     clean = survivors.join(
         report.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
     )
-    # 5b. optional percentile quality gate: keep the top fraction of
-    # each domain (or of the whole corpus) by quality score before any
-    # sampling — "drop the worst X% " as an exact, deterministic stage
-    if config.top_fraction < 1.0:
-        from covid19i2b2_spark.operators.sampling import filter_top_fraction
+    # Selection-stage prep: the quality score and (when configured) the
+    # domain column are attached ONCE and carried through gate ->
+    # sample -> budget — attaching per stage would pay the domain join
+    # and the quality_score tokenization repeatedly (review r5; the
+    # repeated-tokens() cost text.stopword_hits_in documents, ~25%)
+    needs_score = config.top_fraction < 1.0 or config.token_budget > 0
+    needs_domain = config.mixture_domain_col is not None and (
+        needs_score or config.sample_fraction < 1.0
+    )
+    sel_groups: tuple[str, ...] = (
+        (config.mixture_domain_col,) if config.mixture_domain_col else ()
+    )
+    carried: list[str] = []
+    if needs_score:
         from covid19i2b2_spark.operators.text import quality_score
 
-        gate_groups: tuple[str, ...] = ()
-        gated = clean.withColumn("__q", quality_score(F.col(text_col)))
-        if config.mixture_domain_col is not None:
-            gated = gated.join(
-                corpus.select(id_col, config.mixture_domain_col), id_col
-            )
-            gate_groups = (config.mixture_domain_col,)
+        clean = clean.withColumn("__q", quality_score(F.col(text_col)))
+        carried.append("__q")
+    if needs_domain:
+        clean = clean.join(
+            corpus.select(id_col, config.mixture_domain_col), id_col
+        )
+        carried.append(config.mixture_domain_col)
+    # 5b. optional percentile quality gate: keep the top fraction of
+    # each domain (or of the whole corpus) by quality score before any
+    # sampling — "drop the worst X%" as an exact, deterministic stage
+    if config.top_fraction < 1.0:
+        from covid19i2b2_spark.operators.sampling import filter_top_fraction
+
         clean = filter_top_fraction(
-            gated, id_col, "__q", config.top_fraction, gate_groups,
-            impl="exact",
-        ).drop("__q", *gate_groups)
+            clean, id_col, "__q", config.top_fraction,
+            sel_groups, impl="exact",
+        )
     # 6. deterministic sample (nested across fractions).  With a domain
     # column configured this becomes the temperature mixture sampler —
     # same overall fraction, per-domain rates reweighted q_d ∝ p_d^τ.
@@ -271,16 +286,14 @@ def curate(
             temperature_mixture_sample,
         )
 
-        domains = corpus.select(id_col, config.mixture_domain_col)
         sampled, _ = temperature_mixture_sample(
-            clean.join(domains, id_col),
+            clean,
             id_col,
             config.mixture_domain_col,
             temperature=config.mixture_temperature,
             target_fraction=config.sample_fraction,
             seed=config.seed,
         )
-        sampled = sampled.drop(config.mixture_domain_col)
     elif config.sample_fraction < 1.0:
         sampled = hash_sample(
             clean, id_col, config.sample_fraction, seed=config.seed
@@ -294,23 +307,17 @@ def curate(
         from covid19i2b2_spark.operators.sampling import (
             select_to_token_budget,
         )
-        from covid19i2b2_spark.operators.text import quality_score
 
-        budget_groups: tuple[str, ...] = ()
-        budgeted = counted.withColumn("__q", quality_score(F.col(text_col)))
-        if config.mixture_domain_col is not None:
-            budgeted = budgeted.join(
-                corpus.select(id_col, config.mixture_domain_col), id_col
-            )
-            budget_groups = (config.mixture_domain_col,)
         counted = select_to_token_budget(
-            budgeted,
+            counted,
             id_col,
             "__q",
             "n_tokens",
             budget=config.token_budget,
-            group_cols=budget_groups,
-        ).drop("__q", *budget_groups)
+            group_cols=sel_groups if needs_domain else (),
+        )
+    if carried:
+        counted = counted.drop(*carried)
     # 7. shard + chunk assignment for the trainer
     return pack_sequences(
         counted,

@@ -280,8 +280,16 @@ def compact_partitioned(
                 sort_within_by=sort_within_by,
             )
         else:
+            # a crash-retry can find dst already present; FileUtil.copy
+            # into an EXISTING directory silently nests the copy as
+            # dst/<leafname>/ (duplicate partition column on read) —
+            # delete first so the copy branch is idempotent like the
+            # compact branch's mode='overwrite' (review r5)
+            dst_path = HPath(dst)
+            if fs.exists(dst_path):
+                fs.delete(dst_path, True)
             jvm.org.apache.hadoop.fs.FileUtil.copy(
-                fs, leaf, fs, HPath(dst), False, True, conf
+                fs, leaf, fs, dst_path, False, True, conf
             )
             out[rel] = n_parquet
             _LOG.info(

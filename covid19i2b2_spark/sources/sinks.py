@@ -174,8 +174,15 @@ def write_shard_manifest(
     manifest = stats
     for c in parts:  # partition values listed from dir names are strings
         manifest = manifest.withColumn(c, F.col(c).cast("string"))
-    manifest = manifest.join(sizes_df, parts, "full_outer").withColumn(
-        "schema_json", F.lit(_json.dumps(data_schema.jsonValue()))
+    manifest = (
+        manifest.join(sizes_df, parts, "full_outer")
+        .withColumn(
+            "schema_json", F.lit(_json.dumps(data_schema.jsonValue()))
+        )
+        # version 2 = multiset checksum (xxhash64(row_hash, count) XOR);
+        # absent/1 = legacy per-row XOR — verify dispatches on this so
+        # pre-upgrade manifests still verify (review r5)
+        .withColumn("checksum_version", F.lit(2))
     )
     manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_MANIFEST")
     return manifest
@@ -237,9 +244,27 @@ def verify_training_shards(
     else:
         data = spark.read.json(path)
     data_cols = sorted(c for c in data.columns if c not in parts)
-    actual = _shard_content_stats(
-        data, parts, data_cols, cast_parts=True
-    ).select(
+    # checksum_version dispatch: manifests written before the multiset
+    # checksum (version field absent) carry the legacy per-row XOR —
+    # recompute with the matching formula so intact old exports still
+    # verify ok (review r5)
+    version = 1
+    if "checksum_version" in manifest_raw.columns:
+        v = manifest_raw.select("checksum_version").first()[0]
+        version = int(v) if v is not None else 1
+    if version >= 2:
+        actual = _shard_content_stats(data, parts, data_cols, cast_parts=True)
+    else:
+        row_hash = F.xxhash64(
+            F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+        )
+        actual = data.groupBy(
+            *[F.col(c).cast("string").alias(c) for c in parts]
+        ).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.bit_xor(row_hash).alias("checksum"),
+        )
+    actual = actual.select(
         *parts,
         F.col("n_rows").alias("actual_rows"),
         F.col("checksum").alias("actual_checksum"),

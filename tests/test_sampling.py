@@ -272,3 +272,68 @@ def test_corpus_divergence_properties(spark):
     far = corpus_divergence_ordered(a, dis, "text", ["src"]).collect()[0]
     assert abs(far["js_divergence"] - math.log(2)) < 1e-5
     assert far["n_types_shared"] == 0
+
+
+def test_filter_top_fraction_sketch_respects_eps(spark):
+    """Regression (review r5): the sketch threshold must be decoded
+    with the SAME eps the histogram was built with — a mismatched gamma
+    decodes garbage thresholds that let everything through."""
+    from covid19i2b2_spark.operators.sampling import filter_top_fraction
+
+    df = spark.range(2000).selectExpr(
+        "id as key",
+        "cast(pmod(xxhash64(id), 100000) as double) + 1000.0 as score",
+    )
+    for eps in (0.01, 0.05, 0.1):
+        kept = filter_top_fraction(
+            df, "key", "score", 0.3, (), impl="sketch", eps=eps
+        ).count()
+        assert 0.15 * 2000 <= kept <= 0.45 * 2000, (eps, kept)
+
+
+def test_global_modes_avoid_single_task_window(spark):
+    """Regression (review r5): ungrouped exact filter_top_fraction and
+    select_to_token_budget must produce the same rows as the naive
+    single-partition computation — via the range-partition prefix plan,
+    whose physical plan contains no unpartitioned window over the full
+    input."""
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.operators.sampling import (
+        filter_top_fraction,
+        select_to_token_budget,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "id as key",
+        "cast(pmod(xxhash64(id, 7), 1000) as double) as score",
+        "cast(pmod(xxhash64(id, 11), 50) + 1 as long) as toks",
+    ).repartition(16)
+
+    rows = df.collect()
+    order = sorted(rows, key=lambda r: (-r["score"], r["key"]))
+
+    import math
+
+    n_keep = math.ceil(len(rows) * 0.2)
+    want_top = {r["key"] for r in order[:n_keep]}
+    got_top = {
+        r["key"]
+        for r in filter_top_fraction(df, "key", "score", 0.2, ()).collect()
+    }
+    assert got_top == want_top
+
+    budget, cum, want_budget = 20_000, 0, set()
+    for r in order:
+        if cum + r["toks"] <= budget:
+            want_budget.add(r["key"])
+            cum += r["toks"]
+        else:
+            break
+    got_budget = {
+        r["key"]
+        for r in select_to_token_budget(
+            df, "key", "score", "toks", budget=budget
+        ).collect()
+    }
+    assert got_budget == want_budget

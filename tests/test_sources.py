@@ -585,3 +585,84 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
     spark.range(100).write.parquet(flat)
     with _pytest.raises(ValueError, match="compact_parquet"):
         compact_partitioned(spark, flat, str(tmp_path / "flat_out"))
+
+
+def test_compact_partitioned_rerun_is_idempotent(spark, tmp_path):
+    """Regression (review r5): re-running compact_partitioned into an
+    existing dst_root (crash-retry path) must not nest copied
+    partitions as dst/k=1/k=1 — FileUtil.copy into an existing dir
+    redirects to a subdirectory without error."""
+    import glob
+
+    from covid19i2b2_spark.sources.layout import compact_partitioned
+
+    src = str(tmp_path / "tree")
+    spark.range(1000).selectExpr("id", "pmod(id, 2) as k").coalesce(
+        1
+    ).write.partitionBy("k").parquet(src)
+    dst = str(tmp_path / "out")
+    first = compact_partitioned(spark, src, dst, small_file_threshold=99)
+    second = compact_partitioned(spark, src, dst, small_file_threshold=99)
+    assert first == second
+    assert not glob.glob(f"{dst}/k=*/k=*")  # no nesting
+    spark.catalog.refreshByPath(dst)
+    assert spark.read.parquet(dst).count() == 1000
+
+
+def test_shard_manifest_legacy_checksum_fallback(spark, tmp_path):
+    """Regression (review r5): a manifest written BEFORE the multiset
+    checksum (no checksum_version field, legacy per-row XOR) must still
+    verify ok on intact data — verify dispatches on the version."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.sources.sinks import (
+        verify_training_shards,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "concat('t', id) as text", "cast(id % 2 as long) as shard"
+    )
+    path = str(tmp_path / "legacy_export")
+    write_training_shards(df, path, shard_col="shard")
+    write_shard_manifest(spark, df, path, shard_col="shard")
+
+    # rewrite the manifest as a LEGACY one: per-row XOR checksum, no
+    # checksum_version field (what pre-upgrade exports carry)
+    data_cols = ["id", "text"]
+    legacy = (
+        spark.read.json(path)
+        .groupBy(F.col("shard").cast("string").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.bit_xor(
+                F.xxhash64(
+                    F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+                )
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    man_file = glob.glob(f"{path}/_MANIFEST/*.json")[0]
+    old_lines = [json.loads(ln) for ln in open(man_file)]
+    by_shard = {r["shard"]: r for r in legacy}
+    with open(man_file, "w") as f:
+        for row in old_lines:
+            row.pop("checksum_version", None)
+            row["checksum"] = by_shard[row["shard"]]["checksum"]
+            f.write(json.dumps(row) + "\n")
+    import os
+
+    crc = os.path.join(
+        os.path.dirname(man_file), f".{os.path.basename(man_file)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    ok = verify_training_shards(spark, path, shard_col="shard")
+    assert ok.filter(~F.col("ok")).count() == 0
+    assert ok.count() == 2
