@@ -166,29 +166,36 @@ def _near_dup_scaled_dir(spark, factor: int, n_files: int = 32) -> str:
     """Scaled NEAR-DUP corpus (VERDICT r4 #5): plain replication plants
     10-copy exact-dup families (quadratic pair blowup — why
     SCALED_QUERIES excludes pair queries), so each replica is passed
-    through a replica-specific Caesar cipher instead
-    (translate(a..z -> rotate by r)).  A character bijection maps the
-    5-char shingle set bijectively, so WITHIN-replica Jaccards — and
-    therefore the pair structure — are preserved EXACTLY (replica 0 is
-    the original corpus; measured 256 -> 2560 pairs at x10, ratio
-    10.0), while cross-replica shingle sets are near-disjoint
-    (different cipher).  A word-salt variant was tried first and
-    rejected: a constant suffix digit on every word INCREASED
-    cross-doc shingle sharing and blew the candidate set up ~5x.
-    doc_ids offset per replica like _scaled_dir."""
+    through a replica-specific substitution cipher instead
+    (translate over a seeded random alphabet permutation; replica 0 is
+    the identity — the original corpus).  A character bijection maps
+    the 5-char shingle set bijectively, so WITHIN-replica Jaccards —
+    and therefore the pair structure — are preserved EXACTLY (measured
+    256 -> 2560 pairs at x10, ratio 10.0), while cross-replica shingle
+    sets are near-disjoint (different ciphers; seeded permutations
+    rather than Caesar rotations so factors beyond 26 stay pairwise
+    distinct).  A word-salt variant was tried first and rejected: a
+    constant suffix digit on every word INCREASED cross-doc shingle
+    sharing and blew the candidate set up ~5x.  doc_ids offset per
+    replica like _scaled_dir."""
     dst = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_neardup_{os.path.basename(SF_DIR.rstrip('/'))}_x{factor}v1",
+        f"spark_graft_neardup_{os.path.basename(SF_DIR.rstrip('/'))}_x{factor}v2",
     )
     marker = os.path.join(dst, "_SCALED_READY")
     if os.path.exists(marker):
         return dst
+    import random as _random
+
     from covid19i2b2_spark.sources.tables import read_table
 
     alpha = "abcdefghijklmnopqrstuvwxyz"
     cipher = None
     for r in range(factor):
-        rot = F.translate(F.col("text"), alpha, alpha[r:] + alpha[:r])
+        perm = list(alpha)
+        if r > 0:
+            _random.Random(1000 + r).shuffle(perm)
+        rot = F.translate(F.col("text"), alpha, "".join(perm))
         cipher = (
             rot
             if cipher is None
@@ -447,6 +454,26 @@ def main() -> None:
             "queries": scaled100,
             "linear_ratio_vs_x10": ratios,
         }
+        # near-dup at x100 (round 5): the ciphered corpus generalizes
+        # past 26 replicas via seeded alphabet permutations; pair count
+        # stays exactly linear (25600 = 100 * 256).  Ratio is computed
+        # against the llm_scaled x10 time when that section ran.
+        nd100 = _near_dup_scaled_dir(spark, SCALE100_X, n_files=128)
+        t0 = time.perf_counter()
+        _fn("q_minhash_pairs")(spark, nd100).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        mh100 = round(time.perf_counter() - t0, 3)
+        entry = {"minhash_pairs_ciphered_sec": mh100}
+        mh_x10 = result.get("llm_scaled", {}).get(
+            "minhash_pairs_ciphered", {}
+        ).get(f"x{SCALE_X}")
+        if mh_x10:
+            entry["minhash_linear_ratio_vs_x10"] = round(
+                mh100 / ((SCALE100_X / SCALE_X) * mh_x10), 3
+            )
+        result["scaled_x100"].update(entry)
+        spark.catalog.clearCache()
 
     print(json.dumps(result))
     spark.stop()

@@ -372,22 +372,26 @@ def minhash_dedup_pairs(
         bucket_cap=bucket_cap,
         band_hash="poly" if impl in ("poly", "kernel_poly") else "xxhash64",
     )
-    # ONE join per side fetching signature AND shingle set together (the
-    # per-doc row already holds both) — the estimate filter still runs
-    # BEFORE the expensive array_intersect inside the same plan, so the
-    # ~100x candidate cut is preserved while halving the id-keyed joins
-    # (4 -> 2).  No broadcast hints: the per-doc table grows with the
-    # corpus (TB-scale at 100 TB input), so forcing a broadcast OOMs;
-    # AQE picks broadcast at runtime whenever the side is actually small.
-    side_a = sigs.select(
-        F.col(id_col).alias("id_a"),
-        F.col("signature").alias("__sig_a"),
-        F.col("shingle_set").alias("__set_a"),
+    # STAGED candidate enrichment (round 5): fetch SIGNATURES first
+    # (32 longs ≈ 256 B/row), run the estimate filter, and only then
+    # fetch the SHINGLE SETS (~300 longs ≈ 2.4 KB/row) for the
+    # survivors.  A single join per side carrying sig+set together
+    # moved the wide sets for EVERY candidate through the second join's
+    # id_b exchange — ~0.2% of which survive the estimate cut; at the
+    # x100 bench corpus (500k docs, 11.9M candidates — linear in n,
+    # pinned below) that was a ~30 GB exchange and the whole pipeline
+    # went super-linear (106 s; this staging returns it to ~linear).
+    # The set-fetch joins reshuffle only the surviving pairs: the
+    # persisted sigs table carries HashPartitioning(id), so the big
+    # side reuses its layout.  No broadcast hints: the per-doc table
+    # grows with the corpus (TB-scale at 100 TB input), so forcing a
+    # broadcast OOMs; AQE picks broadcast when a side is actually
+    # small.
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a")
     )
-    side_b = sigs.select(
-        F.col(id_col).alias("id_b"),
-        F.col("signature").alias("__sig_b"),
-        F.col("shingle_set").alias("__set_b"),
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b")
     )
     est = (
         F.size(
@@ -399,12 +403,23 @@ def minhash_dedup_pairs(
         / n_hashes
     )
     est_floor = max(0.0, threshold - 0.15)
+    survivors = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= est_floor)
+        .select("id_a", "id_b")
+    )
+    set_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__set_a")
+    )
+    set_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__set_b")
+    )
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
     union = F.size(F.array_union("__set_a", "__set_b"))
     return (
-        pairs.join(side_a, "id_a")
-        .join(side_b, "id_b")
-        .filter(est >= est_floor)
+        survivors.join(set_a, "id_a")
+        .join(set_b, "id_b")
         .select(
             "id_a", "id_b", round6(inter.cast("double") / union).alias("jaccard")
         )
