@@ -219,6 +219,59 @@ def _near_dup_scaled_dir(spark, factor: int, n_files: int = 32) -> str:
     return dst
 
 
+def _embedding_scaled_dir(spark, factor: int, n_files: int = 32) -> str:
+    """Scaled EMBEDDING corpus: each replica's vectors pass through a
+    replica-specific ORTHOGONAL rotation (seeded QR; replica 0 is the
+    identity) — rotations preserve within-replica cosines (up to
+    float32 storage rounding), so the near-dup pair structure
+    replicates ~exactly, while cross-replica cosines and LSH buckets
+    scramble.  The vector analogue of _near_dup_scaled_dir's
+    substitution ciphers.  vec_ids offset per replica."""
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_embscaled_{os.path.basename(SF_DIR.rstrip('/'))}_x{factor}v1",
+    )
+    marker = os.path.join(dst, "_SCALED_READY")
+    if os.path.exists(marker):
+        return dst
+    import numpy as np
+    import pandas as pd
+
+    from covid19i2b2_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    qs = [np.eye(dim)]
+    for r in range(1, factor):
+        g = np.random.default_rng(5000 + r).standard_normal((dim, dim))
+        q, _ = np.linalg.qr(g)
+        qs.append(q)
+    rep = emb.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    ).withColumn("vec_id", F.col("vec_id") + F.col("__r") * F.lit(_KEY_OFFSET))
+
+    def _rotate(batches):
+        for pdf in batches:
+            out = []
+            for r_val, grp in pdf.groupby("__r"):
+                v = np.stack(grp["embedding"].map(
+                    lambda x: np.asarray(x, dtype=np.float64)
+                ))
+                rot = (v @ qs[int(r_val)].T).astype(np.float32)
+                g2 = grp.copy()
+                g2["embedding"] = list(rot)
+                out.append(g2)
+            yield pd.concat(out) if out else pdf
+
+    rotated = rep.mapInPandas(_rotate, schema=rep.schema).drop("__r")
+    rotated.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dst
+
+
 def _bench_incremental_dedup(spark) -> dict[str, float]:
     """VERDICT r2 #6: the incremental cross-snapshot dedup at bench scale —
     build the fingerprint+band index from the even-doc_id half of the
@@ -289,6 +342,74 @@ def _bench_sketch_stores(spark) -> dict[str, float]:
     return out
 
 
+def _bench_embedding_scaled(spark) -> dict:
+    """Embedding near-dup at scale (round 5): rotated-replica corpora
+    (_embedding_scaled_dir) timed at x1/x10/x100 with OCCUPANCY-CONSTANT
+    hyperplane counts — planes = 8 + round(log2(factor)), so expected
+    bucket size (and therefore verify candidates per vector) stays flat
+    as the corpus grows.  The quadratic trap is reported but not run:
+    candidate count at the largest factor with the FIXED 8-plane config
+    is counted via one bucket-size aggregate (88M vs 1.2M at x100 on
+    sf0.1 — LSH with a corpus-independent plane count does not scale;
+    production must grow planes, the same rule as IVF nlist).  Final
+    pair counts at threshold 0.3 include genuine cross-replica
+    random-geometry pairs (a data property at low thresholds); the
+    plan-level metric is the candidate count."""
+    import math
+
+    import numpy as np
+
+    from covid19i2b2_spark.operators import similarity as sim
+    from covid19i2b2_spark.sources.tables import read_table
+
+    def _planes(n):
+        rng = np.random.default_rng(42)
+        return rng.standard_normal((n, 64)).tolist()
+
+    def _cands(emb, npl):
+        b = sim.hyperplane_lsh_bucket(
+            "embedding", _planes(npl), exact_decimal=True
+        )
+        return (
+            emb.select(b.alias("bk"))
+            .groupBy("bk")
+            .count()
+            .selectExpr("sum(count * (count - 1) div 2) as c")
+            .collect()[0]["c"]
+        )
+
+    out: dict = {}
+    factors = [(1, 32), (SCALE_X, 32)]
+    if SCALE100_X > 1:
+        factors.append((SCALE100_X, 128))
+    for factor, nf in factors:
+        d = _embedding_scaled_dir(spark, factor, n_files=nf)
+        npl = 8 + (round(math.log2(factor)) if factor > 1 else 0)
+        emb = read_table(spark, d, "embeddings")
+        t0 = time.perf_counter()
+        sim.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", _planes(npl),
+            threshold=0.3, exact_decimal=True, impl="kernel",
+        ).write.format("noop").mode("overwrite").save()
+        out[f"x{factor}"] = {
+            "planes": npl,
+            "sec": round(time.perf_counter() - t0, 3),
+            "candidates": int(_cands(emb, npl)),
+        }
+        spark.catalog.clearCache()
+    largest = factors[-1][0]
+    if largest > 1:
+        d = _embedding_scaled_dir(spark, largest, n_files=factors[-1][1])
+        emb = read_table(spark, d, "embeddings")
+        out["fixed_8p_candidates_at_largest"] = int(_cands(emb, 8))
+        x1s = out["x1"]["sec"]
+        out[f"linear_ratio_x{largest}_vs_x1"] = round(
+            out[f"x{largest}"]["sec"] / (largest * x1s), 3
+        )
+        spark.catalog.clearCache()
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -346,6 +467,8 @@ def main() -> None:
     }
 
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
+    if SCALE_X > 1:
+        result["embedding_scaled"] = _bench_embedding_scaled(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
