@@ -397,6 +397,55 @@ def _bench_embedding_scaled(spark) -> dict:
             "candidates": int(_cands(emb, npl)),
         }
         spark.catalog.clearCache()
+    # IVF train/build/query at each factor: nlist = round(sqrt(n)) (the
+    # standard scaling), n_probe fixed at 8.  Training rides the Arrow
+    # matmul assignment kernel (277 s -> 14 s for one x100 training);
+    # build = one kernel assignment pass; query = probe + within-cluster
+    # brute force against the assigned table.
+    import math as _math
+
+    from covid19i2b2_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        probe_centroids,
+        train_centroids,
+    )
+
+    for factor, nf in factors:
+        d = _embedding_scaled_dir(spark, factor, n_files=nf)
+        emb = read_table(spark, d, "embeddings")
+        n = emb.count()
+        nlist = round(_math.sqrt(n))
+        t0 = time.perf_counter()
+        cents = train_centroids(
+            emb, "vec_id", "embedding", nlist, n_iter=3
+        ).localCheckpoint(eager=True)
+        t_train = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        assigned = ivf_assign(
+            emb, "vec_id", "embedding", cents
+        ).localCheckpoint(eager=True)
+        t_build = round(time.perf_counter() - t0, 3)
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        t0 = time.perf_counter()
+        probe_ids = probe_centroids(cents, q, 8)
+        cosine_topk(
+            assigned.join(F.broadcast(probe_ids), "centroid_id"),
+            "vec_id",
+            "embedding",
+            q,
+            10,
+        ).write.format("noop").mode("overwrite").save()
+        t_query = round(time.perf_counter() - t0, 3)
+        out[f"x{factor}"]["ann_ivf"] = {
+            "nlist": nlist,
+            "train_sec": t_train,
+            "build_sec": t_build,
+            "query_sec": t_query,
+        }
+        spark.catalog.clearCache()
     largest = factors[-1][0]
     if largest > 1:
         d = _embedding_scaled_dir(spark, largest, n_files=factors[-1][1])

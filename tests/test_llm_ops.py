@@ -1654,3 +1654,63 @@ def test_text_measures_kernel_matches_expression(spark):
 
     with _pytest.raises(ValueError):
         q_text_analysis(spark, SF_DIR, impl="nope")
+
+
+def test_centroid_argmax_kernel_matches_expression(spark):
+    """Round-5: the Arrow centroid-assignment kernel must equal the
+    broadcast-join + max_by expression path bit-for-bit under
+    exact_decimal — including the tie rule (highest centroid_id) and
+    degenerate vectors (NULL / ragged / NULL-element -> NULL
+    assignment, excluded rows)."""
+    from covid19i2b2_spark.operators import similarity as sim
+    from covid19i2b2_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)
+    ).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    a = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.ivf_assign(
+            emb, "vec_id", "embedding", cents,
+            exact_decimal=True, impl="expr",
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.ivf_assign(
+            emb, "vec_id", "embedding", cents,
+            exact_decimal=True, impl="kernel",
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    # explicit tie: two identical centroids -> highest id wins, both paths
+    tie_cents = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (7, [1.0, 0.0]), (5, [0.0, 1.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, None), (4, [1.0, None]),
+         (5, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.ivf_assign(
+            vecs, "vec_id", "embedding", tie_cents,
+            exact_decimal=True, impl="kernel",
+        ).collect()
+    }
+    assert got[1] == 7  # tie between 3 and 7 -> highest id
+    assert got[2] == 5
+    assert got[3] is None and got[4] is None and got[5] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sim.ivf_assign(vecs, "vec_id", "embedding", tie_cents, impl="nope")
