@@ -647,11 +647,15 @@ def main() -> None:
         # stays exactly linear (25600 = 100 * 256).  Ratio is computed
         # against the llm_scaled x10 time when that section ran.
         nd100 = _near_dup_scaled_dir(spark, SCALE100_X, n_files=128)
-        t0 = time.perf_counter()
-        _fn("q_minhash_pairs")(spark, nd100).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        mh100 = round(time.perf_counter() - t0, 3)
+        mh_runs = []
+        for _ in range(2):  # min-of-2: see the scaled section's note
+            t0 = time.perf_counter()
+            _fn("q_minhash_pairs")(spark, nd100).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            mh_runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        mh100 = round(min(mh_runs), 3)
         entry = {"minhash_pairs_ciphered_sec": mh100}
         mh_x10 = result.get("llm_scaled", {}).get(
             "minhash_pairs_ciphered", {}
