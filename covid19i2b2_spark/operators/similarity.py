@@ -115,33 +115,55 @@ def centroid_argmax_kernel(
 
     ``exact_decimal=True`` reproduces the fixed-point cosine
     (floor(x*y*1e12+0.5) int64 element sums — dot12_kernel semantics)
-    BIT-identically to the expression path, so the q_ann_ivf oracle
-    holds on the kernel path (pinned by test).  False = float64
-    matmul over unit-normalized operands — the training fast path;
-    may differ from the HOF fold in the last ulp (different summation
-    order), which can flip exact near-ties: acceptable for k-means
-    (documented), not for oracle parity.
+    BIT-identically to the expression path FOR VALID OPERANDS, so the
+    q_ann_ivf oracle holds on the kernel path (pinned by test).
+    False = float64 matmul over unit-normalized operands — the training
+    fast path; may differ from the HOF fold in the last ulp (different
+    summation order), which can flip exact near-ties: acceptable for
+    k-means (documented), not for oracle parity.
 
-    Degenerate vectors (NULL, wrong dim, NULL elements) get a NULL
-    struct.  Returns struct<centroid_id: int, sim: double>."""
-    import pandas as pd
+    Degenerate handling (review r5): a ZERO-NORM or NaN-carrying
+    CENTROID produces NaN/undefined similarities that would poison
+    np.argmax (every vector would assign to it) — such columns are
+    forced to -inf so they can never win; the expression path's NULL
+    cosine loses in max_by the same way.  A degenerate VECTOR (NULL,
+    wrong dim, NULL elements, zero norm — every sim NaN) gets a NULL
+    struct; the expression path instead assigns it to the HIGHEST
+    centroid id (NULL sims sort below any real sim in the max_by
+    struct, so with no real sims the highest cid wins) — a documented,
+    test-pinned divergence: NULL is the honest answer, and index
+    writers drop NULL-centroid rows explicitly rather than routing
+    garbage into a real cluster.  Returns
+    struct<centroid_id: long, sim: double> (long: frozen centroids may
+    carry raw 64-bit doc ids; the caller casts back to its input
+    type)."""
     from pyspark.sql.functions import pandas_udf
 
+    if not cents:
+        raise ValueError("centroid_argmax_kernel needs at least one centroid")
     ids = np.asarray([int(c) for c, _ in cents], dtype=np.int64)
     C = np.asarray([v for _, v in cents], dtype=np.float64)  # (k, dim)
     order = np.argsort(ids)
     ids, C = ids[order], C[order]  # cid-ascending for the last-max rule
-    dim = C.shape[1]
+    dim = C.shape[1] if C.ndim == 2 else 0
+    bad_cent = np.isnan(C).any(axis=1) if dim else np.zeros(0, dtype=bool)
     if exact_decimal:
-        cnorm = np.sqrt(
-            np.floor(C * C * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-        )
+        with np.errstate(invalid="ignore"):
+            cnorm = np.sqrt(
+                np.floor(np.nan_to_num(C) * np.nan_to_num(C) * 1e12 + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+                / 1e12
+            )
+        bad_cent = bad_cent | (cnorm == 0)
+        cnorm = np.where(cnorm == 0, 1.0, cnorm)
     else:
-        cn = np.sqrt((C * C).sum(axis=1))
-        cn[cn == 0] = 1.0
-        Cu = C / cn[:, None]
+        cn = np.sqrt(np.nan_to_num(C * C).sum(axis=1))
+        bad_cent = bad_cent | (cn == 0)
+        cn = np.where(cn == 0, 1.0, cn)
+        Cu = np.nan_to_num(C) / cn[:, None]
 
-    @pandas_udf("struct<centroid_id: int, sim: double>")
+    @pandas_udf("struct<centroid_id: long, sim: double>")
     def _assign(xs: pd.Series) -> pd.DataFrame:
         n = len(xs)
         out_id = np.full(n, np.nan, dtype=object)
@@ -164,13 +186,15 @@ def centroid_argmax_kernel(
                     np.floor(V * V * 1e12 + 0.5).astype(np.int64).sum(axis=1)
                     / 1e12
                 )
+                zero_v = vnorm == 0
+                vnorm = np.where(zero_v, 1.0, vnorm)
                 sims = np.empty((len(V), len(ids)))
                 # chunked: the per-element floor blows the intermediate
                 # up to rows x cents x dim doubles — bound it
                 for r0 in range(0, len(V), 1024):
                     Vb = V[r0 : r0 + 1024]
                     for c0 in range(0, len(ids), 64):
-                        Cb = C[c0 : c0 + 64]
+                        Cb = np.nan_to_num(C[c0 : c0 + 64])
                         prods = Vb[:, None, :] * Cb[None, :, :]
                         d = (
                             np.floor(prods * 1e12 + 0.5)
@@ -181,13 +205,22 @@ def centroid_argmax_kernel(
                         sims[r0 : r0 + 1024, c0 : c0 + 64] = d / (
                             vnorm[r0 : r0 + 1024, None] * cnorm[None, c0 : c0 + 64]
                         )
+                sims[zero_v, :] = -np.inf  # zero-norm vector: no winner
             else:
                 vn = np.sqrt((V * V).sum(axis=1))
-                vn[vn == 0] = 1.0
+                zero_v = vn == 0
+                vn = np.where(zero_v, 1.0, vn)
                 sims = (V / vn[:, None]) @ Cu.T
+                sims[zero_v, :] = -np.inf
+            # degenerate centroids can never win (review r5: their NaN
+            # sims would otherwise poison argmax and claim every row)
+            if bad_cent.any():
+                sims[:, bad_cent] = -np.inf
             # last occurrence of the max -> highest centroid_id on ties
             last_max = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
             for j, i in enumerate(good):
+                if np.isneginf(sims[j, last_max[j]]):
+                    continue  # every candidate degenerate -> NULL
                 out_id[i] = int(ids[last_max[j]])
                 out_sim[i] = sims[j, last_max[j]]
         return pd.DataFrame({"centroid_id": out_id, "sim": out_sim})
@@ -218,18 +251,31 @@ def ivf_assign(
 
     ``impl='kernel'`` (default) runs :func:`centroid_argmax_kernel` —
     one map-only Arrow pass, no join, no max_by shuffle; bit-identical
-    to the expression path under exact_decimal (pinned by test).
-    ``impl='expr'`` keeps the broadcast-join + max_by plan (the float
-    mode's ulp-exact legacy semantics)."""
+    to the expression path under exact_decimal FOR VALID VECTORS
+    (pinned by test).  Degenerate vectors (NULL / ragged / NULL
+    elements / zero norm) get centroid_id NULL on the kernel path,
+    where the expr path assigns them to the HIGHEST centroid id (NULL
+    sims lose every max_by comparison) — the kernel's NULL is the
+    honest answer, and write_ivf_index/append_to_ivf_index drop such
+    rows explicitly rather than routing garbage into a real cluster
+    (divergence pinned by test).  ``impl='expr'`` keeps the
+    broadcast-join + max_by plan (the float mode's ulp-exact legacy
+    semantics)."""
     if impl not in ("expr", "kernel"):
         raise ValueError(f"impl must be 'expr' or 'kernel', got {impl!r}")
     if impl == "kernel":
+        cid_type = centroids.schema["centroid_id"].dataType
         cents = [
             (r["centroid_id"], list(r["cvec"])) for r in centroids.collect()
         ]
         a = centroid_argmax_kernel(vec_col, cents, exact_decimal)
         return df.select(
-            id_col, F.col(vec_col), a.getField("centroid_id").alias("centroid_id")
+            id_col,
+            F.col(vec_col),
+            # kernel emits long (frozen centroids may be raw 64-bit doc
+            # ids); cast back to the caller's centroid_id type so the
+            # output schema matches the expr path (review r5)
+            a.getField("centroid_id").cast(cid_type).alias("centroid_id"),
         ).select(id_col, "centroid_id", vec_col)
     joined = df.join(F.broadcast(centroids))
     scored = joined.select(
@@ -314,20 +360,30 @@ def train_centroids(
     spark = df.sparkSession
     prev = {r["centroid_id"]: r["cvec"] for r in cents.collect()}
     for _ in range(n_iter):
-        cents = spark.createDataFrame(
-            [(cid, list(v)) for cid, v in sorted(prev.items())],
-            "centroid_id int, cvec array<double>",
+        # kernel assignment (float-matmul mode), with the centroid list
+        # passed straight from the driver dict — no createDataFrame ->
+        # collect round trip per iteration (review r5).  The
+        # per-iteration cost is n_vectors x n_centroids similarities:
+        # interpreted HOF cosines took 277 s for one x100 training
+        # (200k x 447); the Arrow matmul pass does the same work in
+        # seconds.  Last-ulp summation-order differences vs the HOF
+        # fold can flip exact near-ties; k-means is insensitive
+        # (quality pinned by recall tests) and the float mode is never
+        # an oracle surface.
+        a = centroid_argmax_kernel(
+            vec_col, [(cid, list(v)) for cid, v in sorted(prev.items())]
         )
-        # kernel assignment (float-matmul mode): the per-iteration cost
-        # is n_vectors x n_centroids similarities — interpreted HOF
-        # cosines took 277 s for one x100 training (200k x 447); the
-        # Arrow matmul pass does the same work in seconds.  Last-ulp
-        # summation-order differences vs the HOF fold can flip exact
-        # near-ties; k-means is insensitive (quality pinned by recall
-        # tests) and the float mode is never an oracle surface.
-        assigned = ivf_assign(unit, id_col, vec_col, cents, impl="kernel")
+        assigned = unit.select(
+            id_col,
+            a.getField("centroid_id").cast("int").alias("centroid_id"),
+            F.col(vec_col),
+        )
         means = (
-            assigned.select(
+            # NULL-centroid rows (degenerate vectors under the kernel
+            # assignment) must not form a None cluster key — sorted()
+            # over mixed None/int keys would crash the next iteration
+            assigned.filter(F.col("centroid_id").isNotNull())
+            .select(
                 "centroid_id", F.posexplode(vec_col).alias("pos", "val")
             )
             .groupBy("centroid_id", "pos")
@@ -360,8 +416,16 @@ def write_ivf_index(
 ) -> None:
     """Persist the IVF index partitioned by centroid_id: probe reads then
     scan ONLY the probed cluster directories (parquet partition pruning) —
-    the 100 TB layout where n_probe/n_centroids of the data is touched."""
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    the 100 TB layout where n_probe/n_centroids of the data is touched.
+
+    Rows with NULL centroid_id (degenerate vectors under the kernel
+    assignment) are DROPPED explicitly: partitionBy would file them
+    under __HIVE_DEFAULT_PARTITION__, which no probe ever reads — an
+    unsearchable vector does not belong in a search index.  Count them
+    upstream if the pipeline needs the audit."""
+    assigned.filter(F.col("centroid_id").isNotNull()).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
 
 
 def append_to_ivf_index(
@@ -377,9 +441,13 @@ def append_to_ivf_index(
     partitioned layout — batch-sized parquet appends landing in the right
     centroid_id directories, no index rewrite, no re-read of existing
     clusters.  The embedding-side counterpart of DedupIndex.append;
-    retrain centroids only on drift, then rebuild with write_ivf_index."""
+    retrain centroids only on drift, then rebuild with write_ivf_index.
+    NULL-centroid rows (degenerate vectors) are dropped like
+    write_ivf_index does."""
     assigned = ivf_assign(new_vectors, id_col, vec_col, centroids)
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    assigned.filter(F.col("centroid_id").isNotNull()).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(path)
 
 
 def probe_centroids(

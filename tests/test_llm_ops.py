@@ -1714,3 +1714,68 @@ def test_centroid_argmax_kernel_matches_expression(spark):
 
     with _pytest.raises(ValueError):
         sim.ivf_assign(vecs, "vec_id", "embedding", tie_cents, impl="nope")
+
+
+def test_centroid_argmax_kernel_degenerate_centroids(spark):
+    """Regression (review r5): a zero-norm or NaN-carrying CENTROID
+    must never win the argmax (its NaN similarities would otherwise
+    poison np.argmax and claim every vector), and the kernel-vs-expr
+    degenerate-VECTOR divergence is pinned: kernel -> NULL, expr ->
+    highest centroid id (NULL sims lose every max_by comparison)."""
+    from covid19i2b2_spark.operators import similarity as sim
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (9, [0.0, 0.0])],  # 9: zero norm
+        "centroid_id int, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [2.0, 0.1]), (2, [0.1, 2.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for ed in (True, False):
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in sim.ivf_assign(
+                vecs, "vec_id", "embedding", cents,
+                exact_decimal=ed, impl="kernel",
+            ).collect()
+        }
+        assert got[1] == 1 and got[2] == 2, (ed, got)
+        assert got[3] is None, (ed, got)  # zero-norm vector -> NULL
+
+    # pinned divergence on degenerate VECTORS: expr assigns highest cid
+    ragged = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    ex = sim.ivf_assign(
+        ragged, "vec_id", "embedding", cents, impl="expr"
+    ).collect()[0]["centroid_id"]
+    kn = sim.ivf_assign(
+        ragged, "vec_id", "embedding", cents, impl="kernel"
+    ).collect()[0]["centroid_id"]
+    assert ex == 9 and kn is None
+
+    # long centroid ids survive the kernel path (no int32 narrowing)
+    big = spark.createDataFrame(
+        [(10_000_000_001, [1.0, 0.0]), (10_000_000_002, [0.0, 1.0])],
+        "centroid_id long, cvec array<double>",
+    )
+    got = sim.ivf_assign(
+        vecs.filter(F.col("vec_id") == 1), "vec_id", "embedding", big,
+        impl="kernel",
+    ).collect()[0]
+    assert got["centroid_id"] == 10_000_000_001
+
+    # degenerate rows never reach a written index
+    import glob
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        assigned = sim.ivf_assign(
+            vecs, "vec_id", "embedding", cents, impl="kernel"
+        )
+        sim.write_ivf_index(assigned, f"{root}/idx")
+        assert not glob.glob(f"{root}/idx/*HIVE_DEFAULT*")
+        n = spark.read.parquet(f"{root}/idx").count()
+        assert n == 2  # vec 3 (NULL centroid) dropped
