@@ -283,3 +283,64 @@ def test_remove_duplicate_spans_matches_reference(spark, docs, k):
                 covered.update(range(s, s + k))
         kept = [f"w{c}" for p, c in enumerate(d) if p not in covered]
         assert got[i] == (" ".join(kept), len(covered)), (i, d)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),     # score
+            st.integers(min_value=0, max_value=40),      # tokens
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    budget=st.integers(min_value=0, max_value=400),
+    frac_pct=st.integers(min_value=1, max_value=100),
+)
+def test_global_selection_matches_reference(
+    spark, rows, budget, frac_pct
+):
+    """Property (round 5): the global (ungrouped) range-partition prefix
+    plans of select_to_token_budget and filter_top_fraction must equal
+    the brute-force Python reference for arbitrary score/token
+    multisets, budgets, and fractions — including all-ties, zero-token
+    rows, and empty inputs."""
+    import math
+
+    from covid19i2b2_spark.operators.sampling import (
+        filter_top_fraction,
+        select_to_token_budget,
+    )
+
+    data = [(i, float(s), t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "key long, score double, toks long"
+    ).repartition(5)
+    order = sorted(data, key=lambda r: (-r[1], r[0]))
+
+    # budget prefix
+    want, cum = set(), 0
+    for k, _, t in order:
+        if cum + t <= budget:
+            want.add(k)
+            cum += t
+        else:
+            break
+    got = {
+        r["key"]
+        for r in select_to_token_budget(
+            df, "key", "score", "toks", budget=budget
+        ).collect()
+    }
+    assert got == want
+
+    # top-fraction prefix
+    frac = frac_pct / 100.0
+    n_keep = math.ceil(len(data) * frac)
+    want_top = {k for k, _, _ in order[:n_keep]}
+    got_top = {
+        r["key"]
+        for r in filter_top_fraction(df, "key", "score", frac).collect()
+    }
+    assert got_top == want_top
