@@ -177,7 +177,18 @@ def _near_dup_scaled_dir(spark, factor: int, n_files: int = 32) -> str:
     distinct).  A word-salt variant was tried first and rejected: a
     constant suffix digit on every word INCREASED cross-doc shingle
     sharing and blew the candidate set up ~5x.  doc_ids offset per
-    replica like _scaled_dir."""
+    replica like _scaled_dir.
+
+    Scope: valid for SET-OVERLAP verifiers (MinHash / exact Jaccard —
+    bijection-invariant by construction).  NOT valid for SimHash on
+    the oracle-exact polynomial token hash: the base-1009 poly hash is
+    linear in codepoints (no avalanche), so hash VECTORS of ciphered
+    token variants correlate across replicas and cross-replica
+    signatures land within the hamming threshold — measured 281 ->
+    11684 pairs at x10 (4.2x super-linear) from hash correlation, not
+    from plan behavior.  A simhash scale corpus would need an
+    avalanche token hash (xxhash64 mode), which is exactly what the
+    poly mode trades away for DuckDB-oracle exactness."""
     dst = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_neardup_{os.path.basename(SF_DIR.rstrip('/'))}_x{factor}f{n_files}v2",
