@@ -347,3 +347,35 @@ def test_two_level_fixed_sums_null_and_negative(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_text_analysis_kernel_plan_is_one_arrow_pass(spark):
+    """Round-5 PLANS.md pin: the kernel-path q_text_analysis is one
+    scan -> one ArrowEvalPython -> project, with the output-order range
+    exchange as the ONLY exchange (no shuffle introduced by the
+    measures themselves)."""
+    plan = physical_plan(REGISTRY["q_text_analysis"].fn(spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Exchange") <= 2, plan  # range partition (+AQE read)
+
+
+def test_ivf_assign_kernel_plan_is_map_only(spark):
+    """Round-5 PLANS.md pin: kernel centroid assignment is map-only —
+    one ArrowEvalPython over the scan, no join, no max_by aggregate
+    exchange (the expr plan pays broadcast-join + groupBy)."""
+    from covid19i2b2_spark.operators import similarity as sim
+    from covid19i2b2_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)
+    ).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    plan = physical_plan(
+        sim.ivf_assign(emb, "vec_id", "embedding", cents, impl="kernel")
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
