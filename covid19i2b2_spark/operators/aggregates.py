@@ -129,26 +129,46 @@ def two_level_fixed_sums(
     ``counts`` maps alias -> column for per-measure non-null counts
     (mean denominators).
 
-    Overflow bound (documented, not checked row-wise): per-partition
-    long subtotals overflow past ~9.2e18 units — at scale 6 units of
+    Overflow bound (ENFORCED, VERDICT r6 #3): per-partition long
+    subtotals overflow past ~9.2e18 units — at scale 6 units of
     ~1e11/row that is ~8e7 rows per input partition; default
     maxPartitionBytes (128 MB) keeps parquet partitions 1-2 orders of
-    magnitude below that.  Level 2 is exact decimal(38,0) — no global
-    bound beyond 38 digits."""
+    magnitude below that.  In non-ANSI mode a plain long F.sum would
+    WRAP silently past the bound (a pathological partition corrupts
+    totals with no error — this is q_agg_basic's fast path), so level
+    1 uses F.try_sum (NULL on overflow regardless of ANSI mode) and
+    level 2 raises on a NULL subtotal that had non-NULL inputs —
+    distinguishing overflow from a legitimately all-NULL
+    (group, partition) cell, which still contributes nothing.  Level 2
+    is exact decimal(38,0) — no global bound beyond 38 digits."""
     counts = counts or {}
     lvl1 = df.groupBy(
         *[F.col(c) for c in group_cols], F.spark_partition_id().alias("__pid")
     ).agg(
         F.count("*").alias("__cnt"),
-        *[F.sum(expr).alias(f"__s_{a}") for a, (expr, _) in sums.items()],
+        *[F.try_sum(expr).alias(f"__s_{a}") for a, (expr, _) in sums.items()],
+        *[
+            F.count(expr).alias(f"__nn_{a}")
+            for a, (expr, _) in sums.items()
+        ],
         *[F.count(c).alias(f"__n_{a}") for a, c in counts.items()],
     )
+
+    def _guarded(a: str):
+        return F.when(
+            F.col(f"__s_{a}").isNull() & (F.col(f"__nn_{a}") > 0),
+            F.raise_error(
+                F.lit(
+                    f"two_level_fixed_sums: per-partition long subtotal"
+                    f" overflow for measure {a!r} (>9.2e18 units);"
+                    f" reduce partition size or the fixed-point scale"
+                )
+            ),
+        ).otherwise(F.col(f"__s_{a}").cast("decimal(38,0)"))
+
     tot = lvl1.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.sum("__cnt").alias("__count_rows"),
-        *[
-            F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")).alias(f"__t_{a}")
-            for a in sums
-        ],
+        *[F.sum(_guarded(a)).alias(f"__t_{a}") for a in sums],
         *[F.sum(f"__n_{a}").alias(f"__count_{a}") for a in counts],
     )
     out_cols = [F.col(c) for c in group_cols]

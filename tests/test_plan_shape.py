@@ -349,6 +349,32 @@ def test_two_level_fixed_sums_null_and_negative(spark):
     assert got == exp
 
 
+def test_two_level_fixed_sums_overflow_raises(spark):
+    """Regression (ADVICE r5 low / VERDICT r6 #3): a per-partition long
+    subtotal past ~9.2e18 units must ERROR, not wrap silently into a
+    corrupt total (this is q_agg_basic's fast path; non-ANSI long sums
+    wrap).  Planted: three 2^62-unit rows in ONE partition (sum 3*2^62
+    > 2^63-1) -> try_sum yields NULL with non-NULL inputs -> raise.  An
+    all-NULL cell still aggregates to nothing rather than raising."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators.aggregates import two_level_fixed_sums
+
+    big = spark.createDataFrame(
+        [("a", 2**62), ("a", 2**62), ("a", 2**62)], "g string, u long"
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="overflow for measure"):
+        two_level_fixed_sums(big, ["g"], sums={"s": (F.col("u"), 0)}).collect()
+
+    allnull = spark.createDataFrame(
+        [("a", None), ("a", None)], "g string, u long"
+    ).coalesce(1)
+    row = two_level_fixed_sums(
+        allnull, ["g"], sums={"s": (F.col("u"), 0)}
+    ).collect()[0]
+    assert row["s"] is None and row["count_rows"] == 2
+
+
 def test_text_analysis_kernel_plan_is_one_arrow_pass(spark):
     """Round-5 PLANS.md pin: the kernel-path q_text_analysis is one
     scan -> one ArrowEvalPython -> project, with the output-order range
