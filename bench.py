@@ -674,6 +674,51 @@ def main() -> None:
         result["scaled_x100"].update(entry)
         spark.catalog.clearCache()
 
+    # --- output contract (VERDICT r6 #5) ---------------------------------
+    # The driver records only the TAIL of stdout; the full result object
+    # (with the x10/x100/embedding detail sections) grew past the tail
+    # window, so the recorded BENCH_r*.json line was truncated from the
+    # FRONT and unparseable (`parsed: null` in r5/r6).  Print the bulky
+    # detail sections on their own line first, then END with a compact
+    # line that always fits the tail: the contract fields
+    # (metric/value/unit/queries/sf) plus suite_total_sec and the
+    # scaled-section totals/ratios that round-over-round comparison
+    # needs.
+    detail_keys = [
+        "incremental_dedup",
+        "embedding_scaled",
+        "sketch_stores",
+        "scaled",
+        "llm_scaled",
+        "scaled_x100",
+    ]
+    detail = {k: result.pop(k) for k in detail_keys if k in result}
+    print(json.dumps({"bench_detail": detail}))
+
+    result["suite_total_sec"] = total
+    summary: dict = {}
+    if "scaled" in detail:
+        summary["x10_total_sec"] = detail["scaled"]["value"]
+    if "scaled_x100" in detail:
+        summary["x100_total_sec"] = detail["scaled_x100"]["value"]
+        summary["x100_linear_ratio_vs_x10"] = detail["scaled_x100"][
+            "linear_ratio_vs_x10"
+        ]
+        if "minhash_linear_ratio_vs_x10" in detail["scaled_x100"]:
+            summary["minhash_x100_linear_ratio_vs_x10"] = detail[
+                "scaled_x100"
+            ]["minhash_linear_ratio_vs_x10"]
+    if "llm_scaled" in detail:
+        summary["minhash_x10_linear_ratio"] = detail["llm_scaled"][
+            "minhash_linear_ratio"
+        ]
+    if "embedding_scaled" in detail:
+        emb = detail["embedding_scaled"]
+        for k, v in emb.items():
+            if k.startswith("linear_ratio"):
+                summary[f"embedding_{k}"] = v
+    if summary:
+        result["scaled_summary"] = summary
     print(json.dumps(result))
     spark.stop()
 

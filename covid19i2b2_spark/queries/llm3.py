@@ -478,13 +478,14 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_budget_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 X43: quality-first selection under a per-source token
     budget (operators/sampling.py select_to_token_budget) — fill each
     source's training-mixture slice with its longest docs until 500
     tokens are claimed.  Deterministic (score desc, doc_id asc) window
-    cumsum.  UNREGISTERED (50-slot window); DuckDB parity in
-    tests/test_oracle_parity.py."""
+    cumsum.  UNREGISTERED (50-slot window; renamed from
+    q_token_budget_select in round 7 when the GLOBAL form took the t2
+    slot); DuckDB parity in tests/test_oracle_parity.py."""
     from covid19i2b2_spark.operators.sampling import select_to_token_budget
     from covid19i2b2_spark.operators.text import token_count
 
@@ -501,6 +502,50 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_toks")
         .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "q_token_budget_select",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, length(text) AS score,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_toks,
+               SUM(n_toks) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+        FROM scored
+    )
+    SELECT doc_id, n_toks FROM cum WHERE c <= 15000
+    ORDER BY doc_id
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 GLOBAL token-budget selection (registered round 7, VERDICT
+    r6 #4 — took q_join_left's slot): keep the corpus-wide best docs by
+    (length desc, doc_id asc) until 15 000 tokens are claimed, through
+    the range-partition + boundary-partition-window prefix plan
+    (operators/sampling.py _global_ordered_prefix) — the path the
+    round-7 partition-drift fix pinned with an eager localCheckpoint.
+    An unpartitioned window would be a single task at 100 TB; this plan
+    is #shuffle-partitions-parallel with one tiny stats collect."""
+    from covid19i2b2_spark.operators.sampling import select_to_token_budget
+    from covid19i2b2_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("score"),
+        token_count("text").cast("long").alias("n_toks"),
+    )
+    return (
+        select_to_token_budget(docs, "doc_id", "score", "n_toks", budget=15_000)
+        .select("doc_id", "n_toks")
+        .orderBy("doc_id")
     )
 
 

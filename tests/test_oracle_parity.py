@@ -493,7 +493,16 @@ UNREGISTERED_ORACLES = {
            CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
     FROM top ORDER BY rank
     """,
-    "q_token_budget_select": """
+    "q_join_left": """
+    SELECT c_custkey, c_nationkey,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+               AS sum_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_nationkey
+    ORDER BY c_custkey
+    """,
+    "q_token_budget_grouped": """
     WITH scored AS (
         SELECT doc_id, source, length(text) AS score,
                CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_toks
@@ -916,8 +925,9 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_bpe_pairs": llm3.q_bpe_pairs,
         "q_bigram_logprob": llm3.q_bigram_logprob,
         "q_remove_dup_spans": llm3.q_remove_dup_spans,
-        "q_token_budget_select": llm3.q_token_budget_select,
+        "q_token_budget_grouped": llm3.q_token_budget_grouped,
         "q_top_fraction": llm3.q_top_fraction,
+        "q_join_left": joins.q_join_left,
         "q_corpus_divergence": llm3.q_corpus_divergence,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
