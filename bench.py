@@ -299,6 +299,20 @@ def _bench_incremental_dedup(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         idx.build(first, "doc_id", "text")
         build_sec = time.perf_counter() - t0
+        # bloom-prefiltered variant (round 7, X46) FIRST, against the
+        # same pre-append index state as the plain run: the map-side
+        # membership gate in front of the vs-index joins.  At sf0.1 the
+        # joins are small so this mostly measures the bloom-build
+        # overhead floor; the operative claim (join input shrinks to
+        # ~|dups| + fpp*|batch|) is structural and pinned by the
+        # equality test in tests/test_bloom.py.
+        t0 = time.perf_counter()
+        s_b, d_b = idx.filter_batch(
+            spark, second, "doc_id", "text", bloom_fpp=0.01
+        )
+        s_b.write.format("noop").mode("overwrite").save()
+        d_b.write.format("noop").mode("overwrite").save()
+        bloom_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
         survivors, dropped = idx.filter_batch(spark, second, "doc_id", "text")
         survivors.write.format("noop").mode("overwrite").save()
@@ -308,6 +322,7 @@ def _bench_incremental_dedup(spark) -> dict[str, float]:
     return {
         "build_index_sec": round(build_sec, 3),
         "filter_append_sec": round(step_sec, 3),
+        "filter_bloom_sec": round(bloom_sec, 3),
     }
 
 

@@ -1,0 +1,179 @@
+"""Bloom membership pre-filter (SURVEY §2.11 X46 — round 7): an
+approximate, no-false-negative "is this key already in the corpus?"
+gate that prunes shuffle work before an exact join decides.
+
+Why: the incremental dedup step (dedup_incremental.DedupIndex) anti-joins
+every new crawl batch against a corpus-sized fingerprint index.  In the
+steady state MOST batch rows are new — they match nothing, yet still pay
+the full shuffle of the exact anti-join.  A Bloom bitmap built from the
+index's keys answers "definitely not present" map-side: only the rows
+the bitmap flags as *possible* members (true dups + ~fpp false
+positives) proceed to the exact join, so the join input shrinks from
+|batch| to |dups| + fpp·|batch|.  No false negatives by construction —
+the exact join only ever CONFIRMS candidate hits, so end results are
+byte-identical with the filter on or off (pinned in
+tests/test_dedup_incremental.py).
+
+Why an Arrow kernel and not SQL: Spark's BloomFilterAggregate exists but
+is NOT registered as a SQL-callable function in this build (probed
+2026-08-14: `bloom_filter_agg` -> UNRESOLVED_ROUTINE; it is reserved for
+the optimizer's runtime join filters).  So the bitmap is built with the
+same mapInPandas kernel pattern as operators/minhash_kernel.py: keys are
+hashed JVM-side with xxhash64 (one narrow long column through the
+kernel), each partition sets bits in a local numpy bitmap (k positions
+per key via Kirsch-Mitzenmacher double hashing over splitmix64 — pure
+vectorized uint64 ops), and the driver ORs the #partitions bitmaps.
+Probing is a vectorized pandas UDF over the same JVM-side hash, with the
+bitmap shipped once per executor via a SparkContext broadcast.
+
+100 TB shape: the build is one scan with NO row shuffle — partial
+bitmaps (#partitions rows of n_bits/8 bytes) are the only thing
+collected.  Bitmap sizing is the standard trade: ~9.6 bits/key at 1%
+fpp, so 1e9 indexed docs ≈ 1.2 GB — fine as an executor broadcast,
+guarded here by ``max_bytes`` so a mis-sized request fails loudly
+instead of OOMing the driver during the OR-reduce.  For blooms past a
+few GB, raise ``fpp`` (5% ≈ 6.2 bits/key) or shard the index by key
+range and build one bloom per shard.  Membership depends only on
+(key bytes, seed) — deterministic across runs, retries, and
+partitionings, the same reproducibility contract as every hash in this
+engine (no SipHash/randomized seeds).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+_SALT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (same mix as minhash_kernel._finalize) —
+    decorrelates the xxhash64 input into two independent-enough streams
+    for double hashing."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _positions(hashes: np.ndarray, n_hashes: int, n_bits: int) -> np.ndarray:
+    """(k, n) bit positions via Kirsch-Mitzenmacher: pos_i = h1 + i*h2
+    (mod n_bits).  Two derived 64-bit streams give the accuracy of k
+    independent hashes (Kirsch & Mitzenmacher 2006); h2 is forced odd so
+    the probe sequence never degenerates to a single position."""
+    h = hashes.view(np.uint64)
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h ^ _SALT) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64).reshape(-1, 1)
+    return ((h1 + i * h2) % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal (n_bits, n_hashes) for an expected load and target false-
+    positive rate: n_bits = -n·ln p / ln²2, k = (m/n)·ln 2."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    n = max(1, expected_items)
+    n_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    n_bits = (n_bits + 7) // 8 * 8  # whole bytes
+    n_hashes = max(1, round(n_bits / n * math.log(2)))
+    return n_bits, n_hashes
+
+
+@dataclass(frozen=True)
+class BloomSpec:
+    """A built bloom bitmap + the parameters that define membership.
+    ``seed`` and ``n_hashes`` are identity: probing with different
+    values than the build silently answers garbage (same contract as
+    DedupIndex's signature parameters)."""
+
+    bits: bytes
+    n_hashes: int
+    seed: int
+    n_items: int
+
+    @property
+    def n_bits(self) -> int:
+        return len(self.bits) * 8
+
+
+def build_bloom(
+    df: DataFrame,
+    key: str | Column,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    seed: int = 42,
+    max_bytes: int = 1 << 28,
+) -> BloomSpec:
+    """Build a BloomSpec over ``key``'s values: one scan, no row
+    shuffle — each partition contributes one n_bits/8-byte bitmap row,
+    OR-reduced on the driver.  ``expected_items=None`` counts the frame
+    first (parquet-metadata-cheap for plain scans); pass the known
+    cardinality to skip that job."""
+    k = F.col(key) if isinstance(key, str) else key
+    if expected_items is None:
+        expected_items = df.count()
+    n_bits, n_hashes = bloom_params(expected_items, fpp)
+    if n_bits // 8 > max_bytes:
+        raise ValueError(
+            f"bloom of {n_bits // 8} bytes exceeds max_bytes={max_bytes}; "
+            f"raise fpp, raise max_bytes, or shard the index"
+        )
+    hashed = df.select(F.xxhash64(k, F.lit(seed)).alias("__h"))
+
+    def _partition_bitmap(batches):
+        bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            h = pdf["__h"].to_numpy(dtype=np.int64)
+            if h.size == 0:
+                continue
+            seen = True
+            pos = _positions(h, n_hashes, n_bits).ravel()
+            np.bitwise_or.at(
+                bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
+        if seen:
+            yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+
+    partials = hashed.mapInPandas(_partition_bitmap, "bm binary").collect()
+    acc = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in partials:
+        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return BloomSpec(
+        bits=acc.tobytes(), n_hashes=n_hashes, seed=seed, n_items=expected_items
+    )
+
+
+def might_contain(spec: BloomSpec, key: str | Column) -> Column:
+    """Boolean Column: False means DEFINITELY not inserted under
+    ``spec``; True means present or a ~fpp false positive.  The key is
+    hashed JVM-side (xxhash64 with the spec's seed), so only one long
+    column crosses into the vectorized probe UDF; the bitmap rides a
+    SparkContext broadcast — shipped once per executor, not per task."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = F.col(key) if isinstance(key, str) else key
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(spec.bits)
+    n_hashes, n_bits = spec.n_hashes, spec.n_bits
+
+    @pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        h = s.to_numpy(dtype=np.int64)
+        if h.size == 0:
+            return pd.Series([], dtype=bool)
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = _positions(h, n_hashes, n_bits)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=0).astype(bool))
+
+    return _probe(F.xxhash64(k, F.lit(spec.seed)))

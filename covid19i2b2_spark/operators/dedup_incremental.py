@@ -168,6 +168,8 @@ class DedupIndex:
         id_col: str,
         text_col: str,
         sim_threshold: float = 0.7,
+        bloom_fpp: float | None = None,
+        bloom_broadcast_rows: int = 2_000_000,
     ) -> tuple[DataFrame, DataFrame]:
         """Dedup a new batch within itself AND against the index.
 
@@ -181,14 +183,76 @@ class DedupIndex:
         3. within-batch + vs-index LSH near-dup: candidates from band
            agreement, verified by MinHash signature agreement >=
            sim_threshold (estimates Jaccard without re-reading text).
+
+        ``bloom_fpp`` (round 7, X46): when set, Bloom bitmaps built from
+        the index's fingerprints and (band, bucket) keys pre-filter the
+        batch MAP-SIDE before passes 2 and 3's vs-index joins.  In the
+        steady state most batch rows are new and match nothing, so the
+        candidate set shrinks from |batch| to ~|dups| + fpp·|batch| —
+        and once candidates fit ``bloom_broadcast_rows``, the vs-index
+        checks flip to BROADCAST joins streamed over the index scan:
+        the corpus-sized index tables never shuffle at all (the plain
+        anti-join sort-merges BOTH sides; a bucketed index avoids its
+        side too, but only the bloom+broadcast form avoids it for a
+        plain parquet index).  The exact joins still decide every
+        candidate, so results are byte-identical with the filter on or
+        off (pinned in tests/test_bloom.py); the blooms cost one
+        no-row-shuffle scan of each index table (~9.6 bits/key at
+        fpp=0.01 — see operators/bloom.py for the 100 TB sizing math).
+        At sf0.1 bench scale the joins are trivially cheap and the
+        bloom-build floor dominates — the entry exists to pin the plan
+        shape, not to show a small-data speedup.
         """
+        if bloom_fpp is not None:
+            from covid19i2b2_spark.operators.bloom import (
+                build_bloom,
+                might_contain,
+            )
+
         batch = batch.persist()
         within = exact_dedup(batch, [fingerprint(text_col)], [F.col(id_col)])
-        fresh = within.join(
-            spark.read.parquet(self.fp_path).select("fingerprint"),
-            fingerprint(text_col) == F.col("fingerprint"),
-            "left_anti",
-        ).persist()
+        idx_fp = spark.read.parquet(self.fp_path).select("fingerprint")
+        if bloom_fpp is not None:
+            fp_bloom = build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp)
+            hit = might_contain(fp_bloom, fingerprint(text_col))
+            maybe_dup = within.filter(hit).persist()
+            definitely_new = within.filter(~hit)
+            if maybe_dup.count() <= bloom_broadcast_rows:
+                # confirmed dup fingerprints via a broadcast SEMI join
+                # built from the candidates: the index streams map-side,
+                # no exchange on either corpus-sized table
+                cand_fps = maybe_dup.select(
+                    fingerprint(text_col).alias("__cfp")
+                ).distinct()
+                dup_fps = (
+                    idx_fp.join(
+                        F.broadcast(cand_fps),
+                        idx_fp["fingerprint"] == F.col("__cfp"),
+                        "left_semi",
+                    )
+                    .distinct()
+                )
+                confirmed_new = maybe_dup.join(
+                    F.broadcast(dup_fps),
+                    fingerprint(text_col) == F.col("fingerprint"),
+                    "left_anti",
+                )
+            else:
+                # candidates too large to broadcast (fpp chosen high or
+                # dup-heavy batch): keep the shuffle anti-join, still
+                # bloom-pruned to the candidate set
+                confirmed_new = maybe_dup.join(
+                    idx_fp,
+                    fingerprint(text_col) == F.col("fingerprint"),
+                    "left_anti",
+                )
+            fresh = definitely_new.unionByName(confirmed_new).persist()
+        else:
+            fresh = within.join(
+                idx_fp,
+                fingerprint(text_col) == F.col("fingerprint"),
+                "left_anti",
+            ).persist()
 
         new_bands = _bands(
             fresh,
@@ -201,6 +265,24 @@ class DedupIndex:
             self.signature_impl,
         ).persist()
         idx_bands = spark.read.parquet(self.bands_path)
+        probe_bands, bands_broadcastable = new_bands, False
+        if bloom_fpp is not None:
+            # same trick for the near-dup pass: batch band rows whose
+            # (band, bucket) hits no index bucket can't produce a
+            # vs-index candidate — drop them before the join.  The
+            # within-batch pair join below still sees ALL of new_bands.
+            band_key = F.xxhash64("band", "bucket")
+            band_bloom = build_bloom(
+                idx_bands.select(band_key.alias("__bb")),
+                "__bb",
+                fpp=bloom_fpp,
+            )
+            probe_bands = new_bands.filter(
+                might_contain(band_bloom, band_key)
+            ).persist()
+            bands_broadcastable = (
+                probe_bands.count() <= bloom_broadcast_rows
+            )
         agree = F.size(
             F.filter(
                 F.zip_with(
@@ -209,16 +291,19 @@ class DedupIndex:
                 lambda x: x == 1,
             )
         ) / F.size("signature")
-        vs_index = (
-            new_bands.join(
-                idx_bands.select(
-                    "band",
-                    "bucket",
-                    F.col("signature").alias("__idx_sig"),
-                ),
-                ["band", "bucket"],
+        idx_side = idx_bands.select(
+            "band", "bucket", F.col("signature").alias("__idx_sig")
+        )
+        if bands_broadcastable:
+            # bloom-pruned probe rows broadcast over the streaming index
+            # scan — the corpus-sized bands table never shuffles
+            joined_bands = idx_side.join(
+                F.broadcast(probe_bands), ["band", "bucket"]
             )
-            .filter(agree >= F.lit(sim_threshold))
+        else:
+            joined_bands = probe_bands.join(idx_side, ["band", "bucket"])
+        vs_index = (
+            joined_bands.filter(agree >= F.lit(sim_threshold))
             .select("doc_id")
             .distinct()
         )

@@ -123,6 +123,7 @@ def run_streaming_ingest(
     text_col: str = "text",
     sim_threshold: float = 0.7,
     checkpoint_dir: str | None = None,
+    bloom_fpp: float | None = None,
 ):
     """The production crawl-ingest loop end-to-end: each micro-batch is
     deduped within itself AND against everything previously ingested via
@@ -151,6 +152,11 @@ def run_streaming_ingest(
     tests/test_streaming.py::test_streaming_ingest_restart_recovery_with_checkpoint.
     Caller drives the returned query.  ``index`` is a :class:`DedupIndex`
     whose ``build`` has run (possibly on an empty corpus).
+
+    ``bloom_fpp`` (round 7, X46): forwarded to ``filter_batch`` — in the
+    steady state (corpus >> micro-batch, mostly-new rows) the Bloom
+    membership gate prunes the vs-index join inputs map-side; results
+    are byte-identical with it on or off (tests/test_bloom.py).
     """
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
@@ -161,7 +167,8 @@ def run_streaming_ingest(
         if fs.exists(marker):
             return  # epoch fully committed before — replayed batch
         survivors, _dropped = index.filter_batch(
-            spark, batch_df, id_col, text_col, sim_threshold
+            spark, batch_df, id_col, text_col, sim_threshold,
+            bloom_fpp=bloom_fpp,
         )
         survivors = survivors.localCheckpoint(eager=True)  # pin before 2 writes
         survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
@@ -194,6 +201,7 @@ def run_streaming_crawl_ingest(
     text_col: str = "text",
     sim_threshold: float = 0.7,
     checkpoint_dir: str | None = None,
+    bloom_fpp: float | None = None,
 ):
     """:func:`run_streaming_ingest` fed from RAW crawl JSONL: each
     micro-batch of lines parses with the quarantine split
@@ -230,7 +238,8 @@ def run_streaming_crawl_ingest(
             f"{quarantine_path}/epoch={epoch_id}"
         )
         survivors, _dropped = index.filter_batch(
-            spark, good, id_col, text_col, sim_threshold
+            spark, good, id_col, text_col, sim_threshold,
+            bloom_fpp=bloom_fpp,
         )
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(

@@ -1,0 +1,176 @@
+"""Bloom membership pre-filter (operators/bloom.py, SURVEY §2.11 X46):
+no false negatives ever, false-positive rate near the target, identical
+results when wired into the incremental dedup path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.bloom import (
+    BloomSpec,
+    bloom_params,
+    build_bloom,
+    might_contain,
+)
+
+
+def test_bloom_params_math():
+    n_bits, n_hashes = bloom_params(1_000_000, 0.01)
+    # ~9.585 bits/key and ~7 hashes at 1% (standard optima)
+    assert 9_500_000 <= n_bits <= 9_700_000
+    assert n_hashes == 7
+    assert n_bits % 8 == 0
+    with pytest.raises(ValueError):
+        bloom_params(100, 1.5)
+    # degenerate expected sizes still produce a usable filter
+    assert bloom_params(0, 0.01)[0] >= 64
+
+
+def test_no_false_negatives_and_fpp_band(spark):
+    """Every inserted key probes True; non-members probe True at a rate
+    within a loose band of the 1% target (50k members, 50k probes)."""
+    members = spark.range(50_000).selectExpr("cast(id as string) as k")
+    spec = build_bloom(members, "k", fpp=0.01)
+    assert spec.n_items == 50_000
+
+    probed = members.withColumn("hit", might_contain(spec, "k"))
+    assert probed.filter(~F.col("hit")).count() == 0  # no false negatives
+
+    others = spark.range(50_000, 100_000).selectExpr("cast(id as string) as k")
+    fp = others.withColumn("hit", might_contain(spec, "k")).filter("hit").count()
+    assert fp / 50_000 < 0.03, fp  # ~1% target, loose band
+
+
+def test_bloom_deterministic_and_seeded(spark):
+    """Same (keys, seed) -> byte-identical bitmap regardless of
+    partitioning; a different seed produces a different bitmap."""
+    a = build_bloom(
+        spark.range(10_000).selectExpr("cast(id as string) as k"), "k"
+    )
+    b = build_bloom(
+        spark.range(10_000)
+        .selectExpr("cast(id as string) as k")
+        .repartition(13),
+        "k",
+    )
+    assert a.bits == b.bits and a.n_hashes == b.n_hashes
+    c = build_bloom(
+        spark.range(10_000).selectExpr("cast(id as string) as k"), "k", seed=7
+    )
+    assert c.bits != a.bits
+
+
+def test_empty_build_rejects_everything(spark):
+    empty = spark.range(0).selectExpr("cast(id as string) as k")
+    spec = build_bloom(empty, "k")
+    probe = spark.range(100).selectExpr("cast(id as string) as k")
+    assert probe.filter(might_contain(spec, "k")).count() == 0
+
+
+def test_max_bytes_guard(spark):
+    df = spark.range(10).selectExpr("cast(id as string) as k")
+    with pytest.raises(ValueError, match="max_bytes"):
+        build_bloom(df, "k", expected_items=10_000_000_000, max_bytes=1 << 20)
+
+
+def test_spec_identity_fields():
+    s = BloomSpec(bits=b"\x00" * 8, n_hashes=3, seed=42, n_items=5)
+    assert s.n_bits == 64
+
+
+def test_filter_batch_bloom_matches_exact(spark, tmp_path):
+    """The dedup-path integration contract: bloom_fpp on/off produce
+    IDENTICAL (survivors, dropped) — the bloom only prunes rows the
+    exact joins would reject anyway.  Corpus plants exact dups, near
+    dups, and mostly-new rows (the steady-state shape the filter is
+    for)."""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays and the crowd watches the game with great enthusiasm"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"{base} snapshot document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "bloom_idx"))
+    idx.build(corpus, "doc_id", "text")
+
+    batch = spark.createDataFrame(
+        # 10 exact copies of indexed docs, 5 near-dups, 185 new
+        [(1000 + i, f"{base} snapshot document number {i}") for i in range(10)]
+        + [
+            (
+                2000 + i,
+                f"{base} snapshot document number {i}".replace(
+                    "lazy dog", "sleepy dog"
+                ),
+            )
+            for i in range(5)
+        ]
+        + [
+            (3000 + i, f"entirely different text about topic {i} and more")
+            for i in range(185)
+        ],
+        "doc_id long, text string",
+    )
+    s0, d0 = idx.filter_batch(spark, batch, "doc_id", "text")
+    s1, d1 = idx.filter_batch(
+        spark, batch, "doc_id", "text", bloom_fpp=0.01
+    )
+    assert {r["doc_id"] for r in s0.collect()} == {
+        r["doc_id"] for r in s1.collect()
+    }
+    assert {(r["doc_id"], r["reason"]) for r in d0.collect()} == {
+        (r["doc_id"], r["reason"]) for r in d1.collect()
+    }
+    # the planted exact dups were caught (bloom did not mask them)
+    reasons = {r["doc_id"]: r["reason"] for r in d1.collect()}
+    assert all(reasons[1000 + i] == "exact_dup" for i in range(10))
+
+    # the broadcast-threshold fallback path (candidates too big to
+    # broadcast -> bloom-pruned shuffle anti-join) is equal too
+    s2, d2 = idx.filter_batch(
+        spark, batch, "doc_id", "text", bloom_fpp=0.01,
+        bloom_broadcast_rows=0,
+    )
+    assert {r["doc_id"] for r in s2.collect()} == {
+        r["doc_id"] for r in s0.collect()
+    }
+    assert {(r["doc_id"], r["reason"]) for r in d2.collect()} == {
+        (r["doc_id"], r["reason"]) for r in d0.collect()
+    }
+
+
+def test_filter_batch_bloom_plan_broadcasts_over_index(spark, tmp_path):
+    """100 TB plan pin: with the bloom gate on and candidates under the
+    broadcast threshold, BOTH vs-index checks run as BroadcastHashJoins
+    streamed over the index scans — the corpus-sized fingerprint and
+    bands tables never enter an exchange.  (The plain path sort-merges
+    both sides; this plan is the reason the gate exists.)"""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    corpus = spark.createDataFrame(
+        [(i, f"indexed snapshot document number {i} with unique text")
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "plan_idx"))
+    idx.build(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(500 + i, f"fresh batch document {i} about something else")
+         for i in range(50)]
+        + [(900, "indexed snapshot document number 7 with unique text")],
+        "doc_id long, text string",
+    )
+    survivors, _ = idx.filter_batch(
+        spark, batch, "doc_id", "text", bloom_fpp=0.01
+    )
+    from covid19i2b2_spark.plans.explain import physical_plan
+
+    plan = physical_plan(survivors)
+    assert "BroadcastHashJoin" in plan, plan
+    # no sort-merge anti-join against the fingerprint index remains
+    assert "SortMergeJoin LeftAnti" not in plan, plan

@@ -232,6 +232,20 @@ def test_streaming_ingest_updates_index_and_corpus(spark, tmp_path):
     q2.awaitTermination()
     assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == got
 
+    # bloom-gated loop (round 7, X46): same input + fresh index with the
+    # Bloom pre-filter on must ingest the identical survivor set
+    idx_bloom = DedupIndex(str(tmp_path / "idx_bloom"))
+    idx_bloom.build(first, "doc_id", "text")
+    out_bloom = str(tmp_path / "corpus_bloom")
+    qb = run_streaming_ingest(
+        stream_documents(spark, SF_DIR).select("doc_id", "text"),
+        idx_bloom,
+        out_bloom,
+        bloom_fpp=0.01,
+    )
+    qb.awaitTermination()
+    assert {r.doc_id for r in spark.read.parquet(out_bloom).collect()} == got
+
 
 def test_incremental_distinct_user_sketches_match_batch(spark):
     """Streaming HLL store: after draining the bounded stream, per-day
