@@ -93,7 +93,11 @@ class BloomSpec:
     """A built bloom bitmap + the parameters that define membership.
     ``seed`` and ``n_hashes`` are identity: probing with different
     values than the build silently answers garbage (same contract as
-    DedupIndex's signature parameters)."""
+    DedupIndex's signature parameters).  ``n_items`` is an audit-only
+    load counter: the sizing estimate at build time plus every
+    :func:`or_into` batch's rows — it never affects probing; use
+    :func:`fill_ratio` (bit occupancy) for the authoritative health
+    signal."""
 
     bits: bytes
     n_hashes: int
@@ -105,29 +109,15 @@ class BloomSpec:
         return len(self.bits) * 8
 
 
-def build_bloom(
-    df: DataFrame,
-    key: str | Column,
-    expected_items: int | None = None,
-    fpp: float = 0.01,
-    seed: int = 42,
-    max_bytes: int = 1 << 28,
-) -> BloomSpec:
-    """Build a BloomSpec over ``key``'s values: one scan, no row
+def _bitmap_from_df(
+    df: DataFrame, key: Column, n_bits: int, n_hashes: int, seed: int
+) -> np.ndarray:
+    """The bitmap build under fixed parameters: one scan, no row
     shuffle — each partition contributes one n_bits/8-byte bitmap row,
-    OR-reduced on the driver.  ``expected_items=None`` counts the frame
-    first (parquet-metadata-cheap for plain scans); pass the known
-    cardinality to skip that job."""
-    k = F.col(key) if isinstance(key, str) else key
-    if expected_items is None:
-        expected_items = df.count()
-    n_bits, n_hashes = bloom_params(expected_items, fpp)
-    if n_bits // 8 > max_bytes:
-        raise ValueError(
-            f"bloom of {n_bits // 8} bytes exceeds max_bytes={max_bytes}; "
-            f"raise fpp, raise max_bytes, or shard the index"
-        )
-    hashed = df.select(F.xxhash64(k, F.lit(seed)).alias("__h"))
+    OR-reduced on the driver.  Shared by :func:`build_bloom` (fresh,
+    fpp-sized) and the persisted-bloom append path (OR new keys into an
+    existing bitmap, whose parameters are already fixed)."""
+    hashed = df.select(F.xxhash64(key, F.lit(seed)).alias("__h"))
 
     def _partition_bitmap(batches):
         bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
@@ -148,8 +138,121 @@ def build_bloom(
     acc = np.zeros(n_bits // 8, dtype=np.uint8)
     for row in partials:
         acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return acc
+
+
+def build_bloom(
+    df: DataFrame,
+    key: str | Column,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    seed: int = 42,
+    max_bytes: int = 1 << 28,
+) -> BloomSpec:
+    """Build a BloomSpec over ``key``'s values (see
+    :func:`_bitmap_from_df` for the plan shape).  ``expected_items=None``
+    counts the frame first (parquet-metadata-cheap for plain scans);
+    pass the known cardinality to skip that job."""
+    k = F.col(key) if isinstance(key, str) else key
+    if expected_items is None:
+        expected_items = df.count()
+    n_bits, n_hashes = bloom_params(expected_items, fpp)
+    if n_bits // 8 > max_bytes:
+        raise ValueError(
+            f"bloom of {n_bits // 8} bytes exceeds max_bytes={max_bytes}; "
+            f"raise fpp, raise max_bytes, or shard the index"
+        )
+    acc = _bitmap_from_df(df, k, n_bits, n_hashes, seed)
     return BloomSpec(
         bits=acc.tobytes(), n_hashes=n_hashes, seed=seed, n_items=expected_items
+    )
+
+
+def or_into(spec: BloomSpec, df: DataFrame, key: str | Column) -> BloomSpec:
+    """New BloomSpec with ``key``'s values OR'd into ``spec``'s bitmap
+    under the SAME (n_bits, n_hashes, seed) — the persisted-bloom append
+    step.  Idempotent (re-setting bits is a no-op), so at-least-once
+    replays of the same batch are safe.  The false-positive rate
+    degrades as inserts exceed the bitmap's design load — monitor
+    :func:`fill_ratio` (fpp ≈ fill^n_hashes; 50 % fill is the design
+    point)."""
+    k = F.col(key) if isinstance(key, str) else key
+    delta = _bitmap_from_df(df, k, spec.n_bits, spec.n_hashes, spec.seed)
+    merged = np.frombuffer(spec.bits, dtype=np.uint8) | delta
+    n_new = df.count()
+    return BloomSpec(
+        bits=merged.tobytes(),
+        n_hashes=spec.n_hashes,
+        seed=spec.seed,
+        n_items=spec.n_items + n_new,
+    )
+
+
+def fill_ratio(spec: BloomSpec) -> float:
+    """Fraction of set bits.  fpp ≈ fill^n_hashes: 0.5 is the design
+    load; past ~0.6 the filter prunes little and should be rebuilt
+    sized to the current corpus."""
+    arr = np.frombuffer(spec.bits, dtype=np.uint8)
+    if hasattr(np, "bitwise_count"):
+        set_bits = int(np.bitwise_count(arr).sum())
+    else:  # numpy < 2
+        set_bits = int(np.unpackbits(arr).sum())
+    return set_bits / spec.n_bits
+
+
+_BLOOM_CHUNK = 16 << 20  # 16 MiB parquet cells; chunking keeps multi-GB
+# bitmaps under parquet page limits and lets the read reassemble in order
+_BLOOM_VERSION = 1
+
+
+def write_bloom_table(spark: SparkSession, spec: BloomSpec, path: str) -> None:
+    """Persist a BloomSpec as a tiny parquet table of bitmap chunks
+    (chunk, bits, n_hashes, seed, n_items, n_chunks, version) — written
+    through Spark so it lands on whatever filesystem the index lives on,
+    with the atomicity of a parquet job commit (a torn write leaves a
+    missing/unreadable table, which readers treat as 'no bloom', never a
+    wrong one)."""
+    chunks = [
+        spec.bits[off : off + _BLOOM_CHUNK]
+        for off in range(0, max(len(spec.bits), 1), _BLOOM_CHUNK)
+    ]
+    rows = [
+        (i, bytearray(c), spec.n_hashes, spec.seed, spec.n_items,
+         len(chunks), _BLOOM_VERSION)
+        for i, c in enumerate(chunks)
+    ]
+    spark.createDataFrame(
+        rows,
+        "chunk int, bits binary, n_hashes int, seed long, n_items long,"
+        " n_chunks int, version int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_bloom_table(spark: SparkSession, path: str) -> BloomSpec | None:
+    """Load a persisted BloomSpec, or None when absent/unreadable/
+    incomplete — callers fall back to building a fresh bloom, so a
+    missing table costs a rebuild, never correctness.  Absence is
+    probed through the Hadoop FS API first (works on any filesystem;
+    avoids the logged AnalysisException a read of a missing path
+    emits on every bloom-less filter_batch call)."""
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(jpath):
+        return None
+    try:
+        rows = spark.read.parquet(path).orderBy("chunk").collect()
+    except Exception:
+        return None
+    if not rows or rows[0]["version"] != _BLOOM_VERSION:
+        return None
+    if len(rows) != rows[0]["n_chunks"]:
+        return None  # torn write
+    return BloomSpec(
+        bits=b"".join(bytes(r["bits"]) for r in rows),
+        n_hashes=rows[0]["n_hashes"],
+        seed=rows[0]["seed"],
+        n_items=rows[0]["n_items"],
     )
 
 

@@ -129,6 +129,22 @@ class DedupIndex:
     def bands_path(self) -> str:
         return f"{self.path}/bands"
 
+    @property
+    def bloom_fp_path(self) -> str:
+        return f"{self.path}/blooms/fingerprints"
+
+    @property
+    def bloom_bands_path(self) -> str:
+        return f"{self.path}/blooms/bands"
+
+    @staticmethod
+    def _band_key():
+        """(band, bucket) -> the one long key both the persisted band
+        bloom and its probes hash; must match between write_blooms/
+        append/filter_batch or the bloom silently answers garbage.
+        Built lazily — Column construction needs an active session."""
+        return F.xxhash64("band", "bucket")
+
     def _write(self, df: DataFrame, id_col: str, text_col: str, mode: str) -> None:
         _fingerprints(df, id_col, text_col).write.mode(mode).parquet(self.fp_path)
         _bands(
@@ -143,8 +159,39 @@ class DedupIndex:
         ).write.mode(mode).parquet(self.bands_path)
 
     def build(self, corpus: DataFrame, id_col: str, text_col: str) -> None:
-        """Create the index from the initial corpus snapshot."""
+        """Create the index from the initial corpus snapshot.  Blooms
+        are NOT built here — call :meth:`write_blooms` once after build
+        to opt in; :meth:`append` then maintains them."""
         self._write(corpus, id_col, text_col, "overwrite")
+
+    def write_blooms(self, spark: SparkSession, fpp: float = 0.01) -> None:
+        """Build + persist Bloom bitmaps over the CURRENT index tables
+        (round 7, X46 persisted form): fingerprints keyed by the
+        fingerprint value, bands keyed by xxhash64(band, bucket).  One
+        no-row-shuffle scan each; sized to the tables' current counts at
+        ``fpp``.  Once present, :meth:`append` keeps them current and
+        :meth:`filter_batch` (bloom_fpp set) loads them instead of
+        rebuilding per batch — the steady-state saving is exactly the
+        two index scans per batch the rebuild path pays."""
+        from covid19i2b2_spark.operators.bloom import (
+            build_bloom,
+            write_bloom_table,
+        )
+
+        fp = spark.read.parquet(self.fp_path)
+        write_bloom_table(
+            spark,
+            build_bloom(fp, "fingerprint", fpp=fpp),
+            self.bloom_fp_path,
+        )
+        bands = spark.read.parquet(self.bands_path)
+        write_bloom_table(
+            spark,
+            build_bloom(
+                bands.select(self._band_key().alias("__bb")), "__bb", fpp=fpp
+            ),
+            self.bloom_bands_path,
+        )
 
     def append(self, survivors: DataFrame, id_col: str, text_col: str) -> None:
         """Fold a batch's surviving documents into the index — a
@@ -156,10 +203,57 @@ class DedupIndex:
         re-evaluating that plan for the bands write would see the
         batch's OWN fingerprints and append an empty bands delta.
         Batch-sized, so the checkpoint copy is cheap; at scale use a
-        reliable checkpoint dir or stage the batch to parquet first."""
-        self._write(
-            survivors.localCheckpoint(eager=True), id_col, text_col, "append"
+        reliable checkpoint dir or stage the batch to parquet first.
+
+        If persisted blooms exist (:meth:`write_blooms`), the batch's
+        keys are OR'd in and the bloom tables rewritten BEFORE the
+        parquet appends — deliberate ordering: a crash in between
+        leaves bloom bits for rows the index never received, which only
+        costs false positives (caught by the exact joins); the reverse
+        order could leave indexed rows missing from the bloom, whose
+        false NEGATIVES would let dups through unchecked.  The OR is
+        idempotent, so at-least-once epoch replays are safe."""
+        from covid19i2b2_spark.operators.bloom import (
+            or_into,
+            read_bloom_table,
+            write_bloom_table,
         )
+
+        pinned = survivors.localCheckpoint(eager=True)
+        spark = pinned.sparkSession
+        fp_spec = read_bloom_table(spark, self.bloom_fp_path)
+        if fp_spec is not None:
+            write_bloom_table(
+                spark,
+                or_into(
+                    fp_spec,
+                    _fingerprints(pinned, id_col, text_col),
+                    "fingerprint",
+                ),
+                self.bloom_fp_path,
+            )
+        band_spec = read_bloom_table(spark, self.bloom_bands_path)
+        if band_spec is not None:
+            batch_bands = _bands(
+                pinned,
+                id_col,
+                text_col,
+                self.n_hashes,
+                self.shingle_k,
+                self.n_bands,
+                self.seed,
+                self.signature_impl,
+            )
+            write_bloom_table(
+                spark,
+                or_into(
+                    band_spec,
+                    batch_bands.select(self._band_key().alias("__bb")),
+                    "__bb",
+                ),
+                self.bloom_bands_path,
+            )
+        self._write(pinned, id_col, text_col, "append")
 
     def filter_batch(
         self,
@@ -206,14 +300,21 @@ class DedupIndex:
         if bloom_fpp is not None:
             from covid19i2b2_spark.operators.bloom import (
                 build_bloom,
+                fill_ratio,
                 might_contain,
+                read_bloom_table,
             )
 
         batch = batch.persist()
         within = exact_dedup(batch, [fingerprint(text_col)], [F.col(id_col)])
         idx_fp = spark.read.parquet(self.fp_path).select("fingerprint")
         if bloom_fpp is not None:
-            fp_bloom = build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp)
+            # persisted bloom if available and healthy (past ~60 % fill
+            # the filter stops pruning — rebuild sized to the current
+            # index); else build per-batch from the index scan
+            fp_bloom = read_bloom_table(spark, self.bloom_fp_path)
+            if fp_bloom is None or fill_ratio(fp_bloom) > 0.6:
+                fp_bloom = build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp)
             hit = might_contain(fp_bloom, fingerprint(text_col))
             maybe_dup = within.filter(hit).persist()
             definitely_new = within.filter(~hit)
@@ -271,12 +372,14 @@ class DedupIndex:
             # (band, bucket) hits no index bucket can't produce a
             # vs-index candidate — drop them before the join.  The
             # within-batch pair join below still sees ALL of new_bands.
-            band_key = F.xxhash64("band", "bucket")
-            band_bloom = build_bloom(
-                idx_bands.select(band_key.alias("__bb")),
-                "__bb",
-                fpp=bloom_fpp,
-            )
+            band_key = self._band_key()
+            band_bloom = read_bloom_table(spark, self.bloom_bands_path)
+            if band_bloom is None or fill_ratio(band_bloom) > 0.6:
+                band_bloom = build_bloom(
+                    idx_bands.select(band_key.alias("__bb")),
+                    "__bb",
+                    fpp=bloom_fpp,
+                )
             probe_bands = new_bands.filter(
                 might_contain(band_bloom, band_key)
             ).persist()

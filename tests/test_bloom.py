@@ -144,6 +144,105 @@ def test_filter_batch_bloom_matches_exact(spark, tmp_path):
     }
 
 
+def test_bloom_table_roundtrip_and_chunking(spark, tmp_path, monkeypatch):
+    """write_bloom_table / read_bloom_table: byte-identical roundtrip,
+    multi-chunk reassembly (chunk size shrunk to force it), absent path
+    -> None (callers rebuild, never fail)."""
+    import covid19i2b2_spark.operators.bloom as B
+
+    spec = build_bloom(
+        spark.range(5_000).selectExpr("cast(id as string) as k"), "k"
+    )
+    monkeypatch.setattr(B, "_BLOOM_CHUNK", 1024)  # force many chunks
+    path = str(tmp_path / "bloomtab")
+    B.write_bloom_table(spark, spec, path)
+    got = B.read_bloom_table(spark, path)
+    assert got == spec
+    assert len(spec.bits) // 1024 >= 2  # the test really exercised chunking
+    assert B.read_bloom_table(spark, str(tmp_path / "nope")) is None
+
+
+def test_or_into_and_fill_ratio(spark):
+    """or_into: supersets the membership under fixed params and is
+    idempotent; fill_ratio grows with inserts and sits near the design
+    load when n_items matches expected."""
+    from covid19i2b2_spark.operators.bloom import fill_ratio, or_into
+
+    first = spark.range(10_000).selectExpr("cast(id as string) as k")
+    more = spark.range(10_000, 20_000).selectExpr("cast(id as string) as k")
+    spec = build_bloom(first, "k", expected_items=20_000)
+    f0 = fill_ratio(spec)
+    grown = or_into(spec, more, "k")
+    # n_items is audit-only: sizing estimate (20k) + appended rows (10k)
+    assert grown.n_items == 30_000
+    assert fill_ratio(grown) > f0
+    # at design load, fill ~ 50% (the classic bloom operating point)
+    assert 0.4 < fill_ratio(grown) < 0.6
+    # no false negatives on either half after the OR
+    both = first.unionByName(more)
+    assert both.filter(~might_contain(grown, "k")).count() == 0
+    # idempotent: OR'ing the same keys again changes nothing
+    again = or_into(grown, more, "k")
+    assert again.bits == grown.bits
+
+
+def test_persisted_blooms_lifecycle(spark, tmp_path):
+    """DedupIndex.write_blooms -> filter_batch loads the stored bitmaps
+    (same results as rebuild); append ORs new keys in BEFORE the table
+    writes, so a doc ingested in batch N is caught as a dup in batch
+    N+1 with the bloom gate on (the no-false-negative-after-append
+    property the write ordering exists for)."""
+    from covid19i2b2_spark.operators.bloom import read_bloom_table
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    corpus = spark.createDataFrame(
+        [(i, f"base corpus document number {i} entirely unique content")
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "pidx"))
+    idx.build(corpus, "doc_id", "text")
+    idx.write_blooms(spark, fpp=0.01)
+    fp0 = read_bloom_table(spark, idx.bloom_fp_path)
+    assert fp0 is not None and fp0.n_items == 100
+
+    # fresh docs need genuinely DISTINCT shingle sets: near-identical
+    # templates ("fresh document {i}") are legitimate within-batch
+    # near-dups and the engine rightly collapses them to one survivor
+    def _fresh(tag: str, i: int) -> str:
+        return f"{tag} document {i} " + " ".join(
+            f"{tag}token{i}x{j}" for j in range(12)
+        )
+
+    batch1 = spark.createDataFrame(
+        [(200 + i, _fresh("alpha", i)) for i in range(50)]
+        + [(299, "base corpus document number 3 entirely unique content")],
+        "doc_id long, text string",
+    )
+    s1, d1 = idx.filter_batch(spark, batch1, "doc_id", "text", bloom_fpp=0.01)
+    kept1 = {r["doc_id"] for r in s1.collect()}
+    assert 299 not in kept1  # stored bloom + exact join caught the dup
+    assert len(kept1) == 50
+    idx.append(s1, "doc_id", "text")
+
+    # blooms were maintained: n_items grew and a batch-1 doc re-submitted
+    # in batch 2 is caught (a false NEGATIVE here would let it through)
+    fp1 = read_bloom_table(spark, idx.bloom_fp_path)
+    assert fp1.n_items == 150
+    batch2 = spark.createDataFrame(
+        [(400, _fresh("alpha", 7)),  # exact copy of appended doc 207
+         (401, "second wave genuinely new document about topic beta")],
+        "doc_id long, text string",
+    )
+    s2, d2 = idx.filter_batch(spark, batch2, "doc_id", "text", bloom_fpp=0.01)
+    assert {r["doc_id"] for r in s2.collect()} == {401}
+    assert {r["doc_id"]: r["reason"] for r in d2.collect()}[400] == "exact_dup"
+
+    # and the bloom'd path equals the plain path on the same state
+    s2p, d2p = idx.filter_batch(spark, batch2, "doc_id", "text")
+    assert {r["doc_id"] for r in s2p.collect()} == {401}
+
+
 def test_filter_batch_bloom_plan_broadcasts_over_index(spark, tmp_path):
     """100 TB plan pin: with the bloom gate on and candidates under the
     broadcast threshold, BOTH vs-index checks run as BroadcastHashJoins
