@@ -350,13 +350,29 @@ def _bench_bloom_scaled(spark) -> dict[str, float]:
     from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
     from covid19i2b2_spark.sources.tables import read_table
 
+    import random as _random
+
     sdir = _scaled_dir(spark, SCALE_X)
     big = read_table(spark, sdir, "documents").select("doc_id", "text")
+    # mostly-NEW batch (review r7: _scaled_dir replicates text verbatim,
+    # so an un-ciphered batch is 100% exact dups — the opposite regime):
+    # 90% of rows pass through a seeded substitution cipher (bijection ->
+    # near-disjoint shingle sets vs the index, genuinely new documents),
+    # 10% keep verbatim text (true dups the gate must still catch)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    perm = list(alpha)
+    _random.Random(777).shuffle(perm)
     batch = (
         read_table(spark, SF_DIR, "documents")
         .select("doc_id", "text")
         .filter(F.pmod("doc_id", F.lit(2)) == 1)
         .withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000))
+        .withColumn(
+            "text",
+            F.when(
+                F.pmod("doc_id", F.lit(10)) == 1, F.col("text")
+            ).otherwise(F.translate("text", alpha, "".join(perm))),
+        )
     )
     out: dict[str, float] = {}
     with tempfile.TemporaryDirectory(prefix="spark_graft_bloom_sc_") as root:

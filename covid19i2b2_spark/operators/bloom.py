@@ -256,17 +256,27 @@ def read_bloom_table(spark: SparkSession, path: str) -> BloomSpec | None:
     )
 
 
-def might_contain(spec: BloomSpec, key: str | Column) -> Column:
+def might_contain(
+    spec: BloomSpec, key: str | Column, resources: list | None = None
+) -> Column:
     """Boolean Column: False means DEFINITELY not inserted under
     ``spec``; True means present or a ~fpp false positive.  The key is
     hashed JVM-side (xxhash64 with the spec's seed), so only one long
     column crosses into the vectorized probe UDF; the bitmap rides a
-    SparkContext broadcast — shipped once per executor, not per task."""
+    SparkContext broadcast — shipped once per executor, not per task.
+
+    ``resources``: optional list the broadcast handle is appended to,
+    so long-running callers (streaming micro-batch loops) can
+    ``.destroy()`` it once the probing plans have materialized —
+    otherwise each call leaks one bitmap-sized broadcast for the
+    session's lifetime (review r7)."""
     from pyspark.sql.functions import pandas_udf
 
     k = F.col(key) if isinstance(key, str) else key
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(spec.bits)
+    if resources is not None:
+        resources.append(bc)
     n_hashes, n_bits = spec.n_hashes, spec.n_bits
 
     @pandas_udf("boolean")

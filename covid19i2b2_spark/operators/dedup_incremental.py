@@ -120,6 +120,30 @@ class DedupIndex:
         # values; an index built under one must not be queried or
         # appended under the other (same contract as changing seed).
         self.signature_impl = signature_impl
+        # cached DataFrames + bitmap broadcasts issued by the LAST
+        # filter_batch call; see release()
+        self._resources: list = []
+
+    def release(self) -> None:
+        """Unpersist the cached frames and destroy the bitmap
+        broadcasts of the previous :meth:`filter_batch` call (review
+        r7): each call persists up to 5 intermediates and (bloom mode)
+        broadcasts up to 2 bitmaps, none of which Spark ever reclaims
+        on its own — a long-running micro-batch ingest loop would grow
+        executor storage without bound.  Called automatically at the
+        START of every filter_batch (the previous batch's results have
+        been consumed by then); streaming loops also call it after
+        checkpointing survivors.  Released results stay CORRECT if
+        re-evaluated — they just recompute instead of reading cache."""
+        for r in self._resources:
+            try:
+                if isinstance(r, DataFrame):
+                    r.unpersist()
+                else:
+                    r.destroy()
+            except Exception:
+                pass  # a stopped session can't release; nothing to leak
+        self._resources = []
 
     @property
     def fp_path(self) -> str:
@@ -161,7 +185,21 @@ class DedupIndex:
     def build(self, corpus: DataFrame, id_col: str, text_col: str) -> None:
         """Create the index from the initial corpus snapshot.  Blooms
         are NOT built here — call :meth:`write_blooms` once after build
-        to opt in; :meth:`append` then maintains them."""
+        to opt in; :meth:`append` then maintains them.
+
+        Any EXISTING bloom tables are deleted first (review r7 #1): a
+        re-build over the same path replaces the index contents, and a
+        stale bloom from the previous contents would answer FALSE
+        NEGATIVES for keys only in the new corpus — rows would skip
+        the exact joins entirely and duplicate silently.  Deletion
+        happens BEFORE the table overwrite so a crash in between
+        leaves no bloom (rebuild fallback), never a wrong one."""
+        spark = corpus.sparkSession
+        jvm = spark._jvm  # noqa: SLF001
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/blooms")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
         self._write(corpus, id_col, text_col, "overwrite")
 
     def write_blooms(self, spark: SparkSession, fpp: float = 0.01) -> None:
@@ -233,17 +271,21 @@ class DedupIndex:
                 self.bloom_fp_path,
             )
         band_spec = read_bloom_table(spark, self.bloom_bands_path)
+        batch_bands = _bands(
+            pinned,
+            id_col,
+            text_col,
+            self.n_hashes,
+            self.shingle_k,
+            self.n_bands,
+            self.seed,
+            self.signature_impl,
+        )
         if band_spec is not None:
-            batch_bands = _bands(
-                pinned,
-                id_col,
-                text_col,
-                self.n_hashes,
-                self.shingle_k,
-                self.n_bands,
-                self.seed,
-                self.signature_impl,
-            )
+            # the band frame feeds BOTH the bloom OR and the parquet
+            # append below — pin it so the MinHash signature kernel (the
+            # dominant per-append cost) runs once, not twice (review r7)
+            batch_bands = batch_bands.localCheckpoint(eager=True)
             write_bloom_table(
                 spark,
                 or_into(
@@ -253,7 +295,10 @@ class DedupIndex:
                 ),
                 self.bloom_bands_path,
             )
-        self._write(pinned, id_col, text_col, "append")
+        _fingerprints(pinned, id_col, text_col).write.mode("append").parquet(
+            self.fp_path
+        )
+        batch_bands.write.mode("append").parquet(self.bands_path)
 
     def filter_batch(
         self,
@@ -263,7 +308,7 @@ class DedupIndex:
         text_col: str,
         sim_threshold: float = 0.7,
         bloom_fpp: float | None = None,
-        bloom_broadcast_rows: int = 2_000_000,
+        bloom_broadcast_bytes: int = 128 << 20,
     ) -> tuple[DataFrame, DataFrame]:
         """Dedup a new batch within itself AND against the index.
 
@@ -283,8 +328,12 @@ class DedupIndex:
         batch MAP-SIDE before passes 2 and 3's vs-index joins.  In the
         steady state most batch rows are new and match nothing, so the
         candidate set shrinks from |batch| to ~|dups| + fpp·|batch| —
-        and once candidates fit ``bloom_broadcast_rows``, the vs-index
-        checks flip to BROADCAST joins streamed over the index scan:
+        and once candidates fit ``bloom_broadcast_bytes`` (estimated
+        from row counts x per-side row widths — the band side carries
+        the n_hashes-int signature array, ~8x a fingerprint row, so a
+        single row-count knob would mis-gate it; review r7), the
+        vs-index checks flip to BROADCAST joins streamed over the index
+        scan:
         the corpus-sized index tables never shuffle at all (the plain
         anti-join sort-merges BOTH sides; a bucketed index avoids its
         side too, but only the bloom+broadcast form avoids it for a
@@ -303,22 +352,40 @@ class DedupIndex:
                 fill_ratio,
                 might_contain,
                 read_bloom_table,
+                write_bloom_table,
             )
 
+        self.release()  # previous batch's caches/broadcasts (review r7)
         batch = batch.persist()
+        self._resources.append(batch)
         within = exact_dedup(batch, [fingerprint(text_col)], [F.col(id_col)])
         idx_fp = spark.read.parquet(self.fp_path).select("fingerprint")
+        # broadcast gates are BYTE-estimated per side: fingerprint rows
+        # are ~112 B (32-hex md5 + row overhead); band probe rows carry
+        # the n_hashes-int signature (~64 + 8*n_hashes B)
+        fp_cap = bloom_broadcast_bytes // 112
+        band_cap = bloom_broadcast_bytes // (64 + 8 * self.n_hashes)
         if bloom_fpp is not None:
-            # persisted bloom if available and healthy (past ~60 % fill
-            # the filter stops pruning — rebuild sized to the current
-            # index); else build per-batch from the index scan
+            # persisted bloom if available and healthy; an over-full
+            # stored bloom (fill > 0.6 stops pruning) is REBUILT sized
+            # to the current index AND written back — without the
+            # write-back every subsequent batch would silently pay the
+            # full rebuild scans forever (review r7).  Absent blooms
+            # (never opted in via write_blooms) rebuild without
+            # persisting.
             fp_bloom = read_bloom_table(spark, self.bloom_fp_path)
-            if fp_bloom is None or fill_ratio(fp_bloom) > 0.6:
+            if fp_bloom is not None and fill_ratio(fp_bloom) > 0.6:
                 fp_bloom = build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp)
-            hit = might_contain(fp_bloom, fingerprint(text_col))
+                write_bloom_table(spark, fp_bloom, self.bloom_fp_path)
+            elif fp_bloom is None:
+                fp_bloom = build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp)
+            hit = might_contain(
+                fp_bloom, fingerprint(text_col), self._resources
+            )
             maybe_dup = within.filter(hit).persist()
+            self._resources.append(maybe_dup)
             definitely_new = within.filter(~hit)
-            if maybe_dup.count() <= bloom_broadcast_rows:
+            if maybe_dup.count() <= fp_cap:
                 # confirmed dup fingerprints via a broadcast SEMI join
                 # built from the candidates: the index streams map-side,
                 # no exchange on either corpus-sized table
@@ -354,6 +421,7 @@ class DedupIndex:
                 fingerprint(text_col) == F.col("fingerprint"),
                 "left_anti",
             ).persist()
+        self._resources.append(fresh)
 
         new_bands = _bands(
             fresh,
@@ -365,6 +433,7 @@ class DedupIndex:
             self.seed,
             self.signature_impl,
         ).persist()
+        self._resources.append(new_bands)
         idx_bands = spark.read.parquet(self.bands_path)
         probe_bands, bands_broadcastable = new_bands, False
         if bloom_fpp is not None:
@@ -374,18 +443,24 @@ class DedupIndex:
             # within-batch pair join below still sees ALL of new_bands.
             band_key = self._band_key()
             band_bloom = read_bloom_table(spark, self.bloom_bands_path)
-            if band_bloom is None or fill_ratio(band_bloom) > 0.6:
+            if band_bloom is not None and fill_ratio(band_bloom) > 0.6:
+                band_bloom = build_bloom(
+                    idx_bands.select(band_key.alias("__bb")),
+                    "__bb",
+                    fpp=bloom_fpp,
+                )
+                write_bloom_table(spark, band_bloom, self.bloom_bands_path)
+            elif band_bloom is None:
                 band_bloom = build_bloom(
                     idx_bands.select(band_key.alias("__bb")),
                     "__bb",
                     fpp=bloom_fpp,
                 )
             probe_bands = new_bands.filter(
-                might_contain(band_bloom, band_key)
+                might_contain(band_bloom, band_key, self._resources)
             ).persist()
-            bands_broadcastable = (
-                probe_bands.count() <= bloom_broadcast_rows
-            )
+            self._resources.append(probe_bands)
+            bands_broadcastable = probe_bands.count() <= band_cap
         agree = F.size(
             F.filter(
                 F.zip_with(

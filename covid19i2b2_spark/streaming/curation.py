@@ -174,6 +174,7 @@ def run_streaming_ingest(
         survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
         index.append(survivors, id_col, text_col)
         fs.create(marker, True).close()
+        index.release()  # free this epoch's caches/broadcasts (review r7)
 
     writer = docs_stream.writeStream.foreachBatch(_ingest).trigger(
         availableNow=True
@@ -247,6 +248,7 @@ def run_streaming_crawl_ingest(
         )
         index.append(survivors, id_col, text_col)
         fs.create(marker, True).close()
+        index.release()  # free this epoch's caches/broadcasts (review r7)
 
     writer = lines_stream.writeStream.foreachBatch(_ingest).trigger(
         availableNow=True

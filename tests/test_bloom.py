@@ -134,7 +134,7 @@ def test_filter_batch_bloom_matches_exact(spark, tmp_path):
     # broadcast -> bloom-pruned shuffle anti-join) is equal too
     s2, d2 = idx.filter_batch(
         spark, batch, "doc_id", "text", bloom_fpp=0.01,
-        bloom_broadcast_rows=0,
+        bloom_broadcast_bytes=0,
     )
     assert {r["doc_id"] for r in s2.collect()} == {
         r["doc_id"] for r in s0.collect()
@@ -241,6 +241,78 @@ def test_persisted_blooms_lifecycle(spark, tmp_path):
     # and the bloom'd path equals the plain path on the same state
     s2p, d2p = idx.filter_batch(spark, batch2, "doc_id", "text")
     assert {r["doc_id"] for r in s2p.collect()} == {401}
+
+
+def test_rebuild_deletes_stale_blooms(spark, tmp_path):
+    """Review r7 #1: re-building the index over the same path must
+    delete persisted blooms — a stale bloom would answer FALSE
+    NEGATIVES for keys only in the new corpus, letting exact dups skip
+    the joins and through the gate silently."""
+    from covid19i2b2_spark.operators.bloom import read_bloom_table
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    a = spark.createDataFrame(
+        [(1, "corpus alpha document with original content here")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(2, "corpus beta document with entirely different content")],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "ridx"))
+    idx.build(a, "doc_id", "text")
+    idx.write_blooms(spark)
+    idx.build(b, "doc_id", "text")  # re-create over the same path
+    assert read_bloom_table(spark, idx.bloom_fp_path) is None  # deleted
+    dup_of_b = spark.createDataFrame(
+        [(9, "corpus beta document with entirely different content")],
+        "doc_id long, text string",
+    )
+    s, d = idx.filter_batch(spark, dup_of_b, "doc_id", "text", bloom_fpp=0.01)
+    assert s.count() == 0  # caught; the stale bloom would have missed it
+    assert {r["reason"] for r in d.collect()} == {"exact_dup"}
+
+
+def test_overfull_persisted_bloom_self_heals(spark, tmp_path):
+    """Review r7 #5: a persisted bloom past the 0.6-fill health bound
+    is rebuilt sized to the CURRENT index and written back, so only the
+    first batch after degradation pays the rebuild scans."""
+    from covid19i2b2_spark.operators.bloom import (
+        fill_ratio,
+        read_bloom_table,
+    )
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    def _doc(i):
+        return f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(10))
+
+    small = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(5)], "doc_id long, text string"
+    )
+    idx = DedupIndex(str(tmp_path / "hidx"))
+    idx.build(small, "doc_id", "text")
+    idx.write_blooms(spark, fpp=0.5)  # tiny, degrades fast
+    # grow the index well past the bloom's design load
+    grow = spark.createDataFrame(
+        [(100 + i, _doc(100 + i)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    idx.append(grow, "doc_id", "text")
+    assert fill_ratio(read_bloom_table(spark, idx.bloom_fp_path)) > 0.6
+    probe = spark.createDataFrame(
+        [(999, _doc(999))], "doc_id long, text string"
+    )
+    idx.filter_batch(spark, probe, "doc_id", "text", bloom_fpp=0.01)
+    healed = read_bloom_table(spark, idx.bloom_fp_path)
+    assert fill_ratio(healed) <= 0.6  # re-sized and written back
+    # and the healed bloom still has no false negatives for the corpus
+    from covid19i2b2_spark.operators.bloom import might_contain
+    from covid19i2b2_spark.operators.text import fingerprint
+
+    allfp = small.unionByName(grow).select(
+        fingerprint("text").alias("fingerprint")
+    )
+    assert allfp.filter(~might_contain(healed, "fingerprint")).count() == 0
 
 
 def test_filter_batch_bloom_plan_broadcasts_over_index(spark, tmp_path):
