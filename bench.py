@@ -106,6 +106,10 @@ HEADLINE = [
     "q_embedding_near_dup",
     "q_contamination",
     "q_bm25_rank",
+    # round 7: the global range-partition prefix plan (X43), registered
+    # this round — a distinctive plan shape (pinned localCheckpoint +
+    # boundary-partition window) worth tracking per-round
+    "q_token_budget_select",
 ]
 
 

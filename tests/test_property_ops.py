@@ -344,3 +344,54 @@ def test_global_selection_matches_reference(
         for r in filter_top_fraction(df, "key", "score", frac).collect()
     }
     assert got_top == want_top
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=400,
+        unique=True,
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0,
+        max_size=400,
+    ),
+    fpp=st.sampled_from([0.01, 0.05, 0.2]),
+)
+def test_bloom_bitmap_math_no_false_negatives(keys, probes, fpp):
+    """X46 membership math, adversarial inputs (pure numpy — the Spark
+    plumbing is pinned in tests/test_bloom.py): every inserted 64-bit
+    hash probes True under any (size, fpp); sizing formulas hold."""
+    import math as _math
+
+    import numpy as np
+
+    from covid19i2b2_spark.operators.bloom import _positions, bloom_params
+
+    n_bits, k = bloom_params(len(keys), fpp)
+    assert n_bits % 8 == 0 and k >= 1
+    # bits/key tracks the optimum -ln(fpp)/ln^2(2) (within rounding)
+    assert n_bits >= -len(keys) * _math.log(fpp) / (_math.log(2) ** 2) - 8
+
+    h = np.array(keys, dtype=np.int64)
+    bm = np.zeros(n_bits // 8, dtype=np.uint8)
+    pos = _positions(h, k, n_bits).ravel()
+    assert pos.min() >= 0 and pos.max() < n_bits
+    np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    p = _positions(h, k, n_bits)
+    hit = (bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+    assert bool(hit.all(axis=0).all())  # no false negatives, ever
+
+    nonmembers = np.array(
+        [x for x in probes if x not in set(keys)], dtype=np.int64
+    )
+    if nonmembers.size >= 50:
+        q = _positions(nonmembers, k, n_bits)
+        fp = int(((bm[q >> 3] >> (q & 7).astype(np.uint8)) & 1).all(axis=0).sum())
+        # loose band: observed fp rate shouldn't blow past ~5x target
+        # on a fresh filter at design load
+        assert fp / nonmembers.size <= max(5 * fpp, 0.02 + 3 * fpp)
