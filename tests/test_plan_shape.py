@@ -379,6 +379,23 @@ def test_two_level_fixed_sums_overflow_raises(spark):
     assert row["s"] is None and row["count_rows"] == 2
 
 
+def test_token_budget_select_plan_shape(spark):
+    """Round-7 pin for the registered global prefix plan
+    (q_token_budget_select): the ranged frame is a pinned scan (the
+    eager localCheckpoint shows as ExistingRDD/Scan, NOT a re-run
+    range exchange per consumer), and no unpartitioned window over the
+    full input exists — the only Window partitions by __pid on the
+    boundary partition's rows."""
+    plan = physical_plan(REGISTRY["q_token_budget_select"].fn(spark, SF_DIR))
+    # the checkpoint pins the exchange: consumers read the materialized
+    # RDD instead of re-executing repartitionByRange
+    assert "Scan ExistingRDD" in plan, plan
+    # any Window in the plan is partitioned (no global single-task sort)
+    for seg in plan.split("\n"):
+        if "Window" in seg and "windowspecdefinition" in seg:
+            assert "__pid" in seg, seg
+
+
 def test_text_analysis_kernel_plan_is_one_arrow_pass(spark):
     """Round-5 PLANS.md pin: the kernel-path q_text_analysis is one
     scan -> one ArrowEvalPython -> project, with the output-order range
