@@ -666,3 +666,48 @@ def test_shard_manifest_legacy_checksum_fallback(spark, tmp_path):
     ok = verify_training_shards(spark, path, shard_col="shard")
     assert ok.filter(~F.col("ok")).count() == 0
     assert ok.count() == 2
+
+
+def test_corpus_formats_roundtrip_and_pushdown(spark, tmp_path):
+    """Format-general corpus IO (sources/formats.py, round 7): the
+    documents table round-trips byte-identically through parquet, ORC,
+    JSON, and CSV; ORC serves predicate pushdown like parquet; the
+    weakly-typed formats refuse to read without a schema; avro raises
+    its env-fence explanation."""
+    import pytest as _pt
+
+    from covid19i2b2_spark.sources.formats import read_corpus, write_corpus
+    from covid19i2b2_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    want = sorted(map(tuple, docs.collect()))
+    schema = docs.schema
+
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"docs_{fmt}")
+        write_corpus(docs, path, fmt=fmt)
+        back = read_corpus(
+            spark, path, fmt=fmt,
+            schema=None if fmt in ("parquet", "orc") else schema,
+        )
+        assert back.schema == schema, fmt
+        assert sorted(map(tuple, back.collect())) == want, fmt
+
+    # ORC pushdown parity with parquet: the filter reaches the scan
+    from covid19i2b2_spark.plans.explain import physical_plan
+
+    orc = read_corpus(spark, str(tmp_path / "docs_orc"), fmt="orc")
+    plan = physical_plan(orc.filter(F.col("doc_id") < 100))
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters"
+    )[1][:120], plan
+
+    # weakly-typed formats refuse schema-less reads
+    with _pt.raises(ValueError, match="explicit schema"):
+        read_corpus(spark, str(tmp_path / "docs_json"), fmt="json")
+    with _pt.raises(ValueError, match="avro"):
+        write_corpus(docs, str(tmp_path / "docs_avro"), fmt="avro")
+    with _pt.raises(ValueError, match="fmt must be"):
+        write_corpus(docs, str(tmp_path / "docs_x"), fmt="xml")
