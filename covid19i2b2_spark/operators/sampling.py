@@ -302,14 +302,18 @@ def weighted_sample(
 
 def _global_ordered_prefix(
     df: DataFrame,
-    order_cols: list[Column],
+    key_col: str,
+    score: Column,
     weight: Column,
     budget,
 ) -> DataFrame:
-    """Keep the prefix of the GLOBAL (order_cols) order whose cumulative
-    ``weight`` stays within ``budget`` — without the single-task
-    Window.partitionBy() trap (an unpartitioned window pulls the whole
-    corpus through one task).
+    """Keep the prefix of the GLOBAL (score desc, key asc) order whose
+    cumulative ``weight`` stays within ``budget`` — without the
+    single-task Window.partitionBy() trap (an unpartitioned window
+    pulls the whole corpus through one task).  ``key_col`` must be
+    unique and non-NULL: uniqueness makes the total order (and
+    therefore the kept set) well-defined, and the final semi join
+    routes by key equality.
 
     ``budget`` is an int, or a callable given the TOTAL weight and
     returning the int budget — the callable form lets callers that
@@ -317,43 +321,53 @@ def _global_ordered_prefix(
     ceil(n*frac)) ride the per-partition stats collect this plan
     already pays instead of a separate df.count() job (VERDICT r6 #6).
 
-    Plan: repartitionByRange on the order keys (the same shuffle any
-    global sort pays; partition boundaries don't affect the result —
-    the kept set is a property of the total order, which the unique
-    key column makes well-defined), then ONE tiny per-partition weight
-    aggregate (#shuffle-partitions rows collected) locates the
-    boundary partition: everything before it is kept wholesale,
-    everything after dropped wholesale, and only the boundary
+    Plan: project the NARROW (key, score, weight) triple,
+    repartitionByRange on the order keys, pin it with an eager
+    localCheckpoint, then ONE tiny per-partition weight aggregate
+    (#shuffle-partitions rows collected) locates the boundary
+    partition: partitions before it contribute their keys wholesale,
+    partitions after are dropped wholesale, and only the boundary
     partition's rows — one range-partition's worth — run the cumsum
-    window.  Two driver-side scalars per partition, no corpus
-    collect.
+    window.  The kept KEYS then semi-join back to ``df`` for the full
+    rows.  Two driver-side scalars per partition, no corpus collect.
 
-    The ranged frame is PINNED with an eager localCheckpoint before
-    anything reads it.  Without it the stats collect and the kept/edge
-    filters run as separate jobs that each re-execute the range
-    exchange, and RangePartitioner's reservoir sample is re-drawn per
-    job (seeded from the RDD id) — so a row's ``__pid`` can differ
-    between the job that computed ``full_pids``/``boundary_offset``
-    and the jobs that filter on them: silent budget overshoot or
-    mid-prefix drops (reproduced at 300 k rows, 4/5 runs wrong by
-    ±0.5-3 %; ADVICE r5 HIGH / VERDICT r6 #1; regression test
+    Why narrow + semi join instead of checkpointing the full rows
+    (round 7, second pass): the checkpoint must materialize to
+    executor storage, and for a wide corpus (documents with text
+    columns) that is a full corpus copy — ~30 bytes/row for the
+    triple vs KBs/row for the payload, a 10-100x storage saving at
+    100 TB.  Both shapes move the full-width rows through exactly one
+    exchange (range before; the semi join's hash now), and with a
+    small kept-set AQE can flip the semi join to a broadcast, which
+    the old shape could never do.
+
+    Why the checkpoint at all (ADVICE r5 HIGH / VERDICT r6 #1): the
+    stats collect and the kept/edge jobs otherwise re-execute the
+    range exchange per job, and RangePartitioner re-draws its
+    reservoir sample each time (seeded from the RDD id) — a row's
+    ``__pid`` could differ between the job that computed
+    ``full_pids``/``boundary_offset`` and the jobs that filter on
+    them: silent budget overshoot or mid-prefix drops (reproduced at
+    300 k rows, 4/5 runs wrong by ±0.5-3 %; regression test
     tests/test_sampling.py::test_global_prefix_stable_across_jobs).
-    The checkpoint is also the cheaper plan: the downstream jobs
-    (stats + kept + edge) would otherwise re-run the full scan+shuffle
-    2-3x.  localCheckpoint stores MEMORY_AND_DISK on executors —
-    lineage is truncated, so an executor loss fails the job instead of
-    recomputing; on a shared long-lived cluster prefer a reliable
-    checkpoint dir, but for a batch selection stage the
-    fail-and-rerun trade is standard.  The RDD is unpersisted by the
-    ContextCleaner once the returned frame is garbage-collected."""
+    localCheckpoint stores MEMORY_AND_DISK on executors — lineage is
+    truncated, so an executor loss fails the job instead of silently
+    recomputing; the RDD is unpersisted by the ContextCleaner once
+    the returned frame is garbage-collected."""
+    narrow = df.select(
+        F.col(key_col).alias("__k"),
+        score.alias("__s"),
+        weight.alias("__w0"),
+    )
+    order_cols = [F.col("__s").desc(), F.asc("__k")]
     ranged = (
-        df.repartitionByRange(*order_cols)
+        narrow.repartitionByRange(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     stats = (
         ranged.groupBy("__pid")
-        .agg(F.sum(weight).alias("__w"))
+        .agg(F.sum("__w0").alias("__w"))
         .orderBy("__pid")
         .collect()
     )
@@ -382,14 +396,17 @@ def _global_ordered_prefix(
         )
         edge = (
             ranged.filter(F.col("__pid") == boundary_pid)
-            .withColumn("__cum", F.sum(weight).over(win))
+            .withColumn("__cum", F.sum("__w0").over(win))
             .filter(F.col("__cum") + F.lit(boundary_offset) <= budget)
             .drop("__cum")
         )
         kept = edge if kept is None else kept.unionByName(edge)
     if kept is None:
         kept = ranged.filter(F.lit(False))
-    return kept.drop("__pid")
+    kept_keys = kept.select("__k")
+    return df.join(
+        kept_keys, F.col(key_col) == F.col("__k"), "left_semi"
+    )
 
 
 def _checked_tokens(toks: Column) -> Column:
@@ -449,9 +466,7 @@ def select_to_token_budget(
         F.col(token_col) if isinstance(token_col, str) else token_col
     )
     if not group_cols:
-        return _global_ordered_prefix(
-            df, [score.desc(), F.asc(key_col)], toks, budget
-        )
+        return _global_ordered_prefix(df, key_col, score, toks, budget)
     win = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
         .orderBy(score.desc(), F.asc(key_col))
@@ -517,7 +532,8 @@ def filter_top_fraction(
             # (VERDICT r6 #6)
             return _global_ordered_prefix(
                 df,
-                [score.desc(), F.asc(key_col)],
+                key_col,
+                score,
                 F.lit(1).cast("long"),
                 lambda n: int(math.ceil(n * frac)),
             )
