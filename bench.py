@@ -373,8 +373,11 @@ def _bench_bloom_scaled(spark) -> dict[str, float]:
         .withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000))
         .withColumn(
             "text",
+            # mod 20 == 1 picks 1 of the 10 ODD residues (the batch is
+            # odd-id only) = a true 10% verbatim share; mod 10 == 1
+            # was 1 of 5 odd residues = 20% (review r7 second pass)
             F.when(
-                F.pmod("doc_id", F.lit(10)) == 1, F.col("text")
+                F.pmod("doc_id", F.lit(20)) == 1, F.col("text")
             ).otherwise(F.translate("text", alpha, "".join(perm))),
         )
     )

@@ -235,9 +235,9 @@ def read_bloom_table(spark: SparkSession, path: str) -> BloomSpec | None:
     probed through the Hadoop FS API first (works on any filesystem;
     avoids the logged AnalysisException a read of a missing path
     emits on every bloom-less filter_batch call)."""
-    jvm = spark._jvm  # noqa: SLF001
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    from covid19i2b2_spark.fsutil import hadoop_fs
+
+    fs, jpath = hadoop_fs(spark, path)
     if not fs.exists(jpath):
         return None
     try:

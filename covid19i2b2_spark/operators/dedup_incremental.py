@@ -125,22 +125,27 @@ class DedupIndex:
         self._resources: list = []
 
     def release(self) -> None:
-        """Unpersist the cached frames and destroy the bitmap
-        broadcasts of the previous :meth:`filter_batch` call (review
-        r7): each call persists up to 5 intermediates and (bloom mode)
-        broadcasts up to 2 bitmaps, none of which Spark ever reclaims
-        on its own — a long-running micro-batch ingest loop would grow
-        executor storage without bound.  Called automatically at the
-        START of every filter_batch (the previous batch's results have
-        been consumed by then); streaming loops also call it after
-        checkpointing survivors.  Released results stay CORRECT if
-        re-evaluated — they just recompute instead of reading cache."""
+        """Unpersist the cached frames and the bitmap broadcasts of the
+        previous :meth:`filter_batch` call (review r7): each call
+        persists up to 5 intermediates and (bloom mode) broadcasts up
+        to 2 bitmaps, none of which Spark ever reclaims on its own — a
+        long-running micro-batch ingest loop would grow executor
+        storage without bound.  Called automatically at the START of
+        every filter_batch (the previous batch's results have been
+        consumed by then); streaming loops also call it after
+        checkpointing survivors.
+
+        Released results stay CORRECT if re-evaluated — frames
+        recompute instead of reading cache, and broadcasts use
+        ``unpersist()`` (executor copies dropped, driver value kept,
+        re-shipped on demand), NOT ``destroy()``, which would leave the
+        previous results' UDF closures pointing at a dead broadcast and
+        crash their recompute (review r7 second pass).  Frames the
+        CALLER had already persisted before passing them in are never
+        released — only caches this class created."""
         for r in self._resources:
             try:
-                if isinstance(r, DataFrame):
-                    r.unpersist()
-                else:
-                    r.destroy()
+                r.unpersist()  # same method on DataFrame and Broadcast
             except Exception:
                 pass  # a stopped session can't release; nothing to leak
         self._resources = []
@@ -194,10 +199,9 @@ class DedupIndex:
         the exact joins entirely and duplicate silently.  Deletion
         happens BEFORE the table overwrite so a crash in between
         leaves no bloom (rebuild fallback), never a wrong one."""
-        spark = corpus.sparkSession
-        jvm = spark._jvm  # noqa: SLF001
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/blooms")
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        from covid19i2b2_spark.fsutil import hadoop_fs
+
+        fs, jpath = hadoop_fs(corpus.sparkSession, f"{self.path}/blooms")
         if fs.exists(jpath):
             fs.delete(jpath, True)
         self._write(corpus, id_col, text_col, "overwrite")
@@ -356,8 +360,14 @@ class DedupIndex:
             )
 
         self.release()  # previous batch's caches/broadcasts (review r7)
+        # only track the batch cache if WE created it — releasing a
+        # cache the caller persisted for their own use would silently
+        # drop it (review r7 second pass)
+        lvl = batch.storageLevel
+        caller_cached = lvl.useMemory or lvl.useDisk
         batch = batch.persist()
-        self._resources.append(batch)
+        if not caller_cached:
+            self._resources.append(batch)
         within = exact_dedup(batch, [fingerprint(text_col)], [F.col(id_col)])
         idx_fp = spark.read.parquet(self.fp_path).select("fingerprint")
         # broadcast gates are BYTE-estimated per side: fingerprint rows
@@ -366,19 +376,27 @@ class DedupIndex:
         fp_cap = bloom_broadcast_bytes // 112
         band_cap = bloom_broadcast_bytes // (64 + 8 * self.n_hashes)
         if bloom_fpp is not None:
-            # persisted bloom if available and healthy; an over-full
-            # stored bloom (fill > 0.6 stops pruning) is REBUILT sized
-            # to the current index AND written back — without the
-            # write-back every subsequent batch would silently pay the
-            # full rebuild scans forever (review r7).  Absent blooms
-            # (never opted in via write_blooms) rebuild without
-            # persisting.
-            fp_bloom = read_bloom_table(spark, self.bloom_fp_path)
-            if fp_bloom is not None and fill_ratio(fp_bloom) > 0.6:
-                fp_bloom = build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp)
-                write_bloom_table(spark, fp_bloom, self.bloom_fp_path)
-            elif fp_bloom is None:
-                fp_bloom = build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp)
+
+            def _healthy_bloom(path, build_fn):
+                """Persisted bloom if available and healthy; an
+                over-full stored bloom (fill > 0.6 stops pruning) is
+                REBUILT sized to the current index AND written back —
+                without the write-back every subsequent batch would
+                silently pay the full rebuild scans forever (review
+                r7).  Absent blooms (never opted in via write_blooms)
+                rebuild without persisting."""
+                spec = read_bloom_table(spark, path)
+                if spec is not None and fill_ratio(spec) > 0.6:
+                    spec = build_fn()
+                    write_bloom_table(spark, spec, path)
+                elif spec is None:
+                    spec = build_fn()
+                return spec
+
+            fp_bloom = _healthy_bloom(
+                self.bloom_fp_path,
+                lambda: build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp),
+            )
             hit = might_contain(
                 fp_bloom, fingerprint(text_col), self._resources
             )
@@ -442,20 +460,14 @@ class DedupIndex:
             # vs-index candidate — drop them before the join.  The
             # within-batch pair join below still sees ALL of new_bands.
             band_key = self._band_key()
-            band_bloom = read_bloom_table(spark, self.bloom_bands_path)
-            if band_bloom is not None and fill_ratio(band_bloom) > 0.6:
-                band_bloom = build_bloom(
+            band_bloom = _healthy_bloom(
+                self.bloom_bands_path,
+                lambda: build_bloom(
                     idx_bands.select(band_key.alias("__bb")),
                     "__bb",
                     fpp=bloom_fpp,
-                )
-                write_bloom_table(spark, band_bloom, self.bloom_bands_path)
-            elif band_bloom is None:
-                band_bloom = build_bloom(
-                    idx_bands.select(band_key.alias("__bb")),
-                    "__bb",
-                    fpp=bloom_fpp,
-                )
+                ),
+            )
             probe_bands = new_bands.filter(
                 might_contain(band_bloom, band_key, self._resources)
             ).persist()

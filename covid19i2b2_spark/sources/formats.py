@@ -59,8 +59,13 @@ def read_corpus(
     parquet/ORC: self-describing — ``schema`` is optional and, when
     given, applied as an enforced read schema (missing columns fail the
     read instead of silently yielding NULLs at first use).  JSON/CSV:
-    ``schema`` is REQUIRED (see module docstring); CSV reads with
-    header=true to match :func:`write_corpus`."""
+    ``schema`` is REQUIRED (see module docstring) and the read
+    delegates to sources/files.py's enforced-schema readers so the two
+    never-infer surfaces can't drift (review r7).  CSV reads with
+    header=true and multiLine=true: corpus text routinely contains
+    embedded newlines, which the writer quotes across physical lines —
+    without multiLine the reader tears each such document into garbage
+    rows (review r7)."""
     _check_fmt(fmt)
     if fmt in _SCHEMA_REQUIRED and schema is None:
         raise ValueError(
@@ -68,11 +73,17 @@ def read_corpus(
             " the data and guesses types per-read, which is not"
             " deterministic corpus IO"
         )
+    if fmt == "csv":
+        from covid19i2b2_spark.sources.files import read_csv
+
+        return read_csv(spark, path, schema, header=True, multiLine="true")
+    if fmt == "json":
+        from covid19i2b2_spark.sources.files import read_json
+
+        return read_json(spark, path, schema)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
-    if fmt == "csv":
-        reader = reader.option("header", "true")
     return reader.load(path)
 
 

@@ -108,11 +108,9 @@ def curate_stream(
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — works
-    on any filesystem the cluster can reach, unlike os.path."""
-    jvm = spark._jvm  # noqa: SLF001
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath  # noqa: SLF001
+    from covid19i2b2_spark.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def run_streaming_ingest(

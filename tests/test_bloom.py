@@ -243,6 +243,48 @@ def test_persisted_blooms_lifecycle(spark, tmp_path):
     assert {r["doc_id"] for r in s2p.collect()} == {401}
 
 
+def test_prior_results_survive_release(spark, tmp_path):
+    """Review r7 second pass: filter_batch call N+1 releases call N's
+    caches and bitmap broadcasts — the PREVIOUS call's returned frames
+    must still re-evaluate correctly afterwards (broadcasts are
+    unpersisted, not destroyed; a destroy left call N's UDF closures
+    pointing at a dead broadcast and crashed the recompute).  Also: a
+    batch the CALLER persisted must keep its cache across release()."""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    def _doc(tag, i):
+        return f"{tag} doc {i} " + " ".join(f"{tag}w{i}x{j}" for j in range(10))
+
+    corpus = spark.createDataFrame(
+        [(i, _doc("base", i)) for i in range(50)], "doc_id long, text string"
+    )
+    idx = DedupIndex(str(tmp_path / "relidx"))
+    idx.build(corpus, "doc_id", "text")
+
+    b1 = spark.createDataFrame(
+        [(100 + i, _doc("one", i)) for i in range(10)]
+        + [(199, _doc("base", 3))],
+        "doc_id long, text string",
+    ).persist()  # caller-owned cache
+    b2 = spark.createDataFrame(
+        [(200 + i, _doc("two", i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    s1, d1 = idx.filter_batch(spark, b1, "doc_id", "text", bloom_fpp=0.01)
+    s2, d2 = idx.filter_batch(spark, b2, "doc_id", "text", bloom_fpp=0.01)
+    # the second call released the first call's resources; the first
+    # call's results must still evaluate (recompute path) without error
+    assert {r["doc_id"] for r in s1.collect()} == {100 + i for i in range(10)}
+    assert {r["doc_id"]: r["reason"] for r in d1.collect()} == {
+        199: "exact_dup"
+    }
+    assert {r["doc_id"] for r in s2.collect()} == {200 + i for i in range(10)}
+    # caller-owned cache untouched by release()
+    assert b1.storageLevel.useMemory or b1.storageLevel.useDisk
+    b1.unpersist()
+    idx.release()
+
+
 def test_rebuild_deletes_stale_blooms(spark, tmp_path):
     """Review r7 #1: re-building the index over the same path must
     delete persisted blooms — a stale bloom would answer FALSE

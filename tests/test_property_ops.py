@@ -389,9 +389,14 @@ def test_bloom_bitmap_math_no_false_negatives(keys, probes, fpp):
     nonmembers = np.array(
         [x for x in probes if x not in set(keys)], dtype=np.int64
     )
-    if nonmembers.size >= 50:
+    if nonmembers.size >= 200:
         q = _positions(nonmembers, k, n_bits)
         fp = int(((bm[q >> 3] >> (q & 7).astype(np.uint8)) & 1).all(axis=0).sum())
-        # loose band: observed fp rate shouldn't blow past ~5x target
-        # on a fresh filter at design load
-        assert fp / nonmembers.size <= max(5 * fpp, 0.02 + 3 * fpp)
+        # statistical band sized so legitimate draws essentially never
+        # breach it (review r7: a fixed 5x multiplier failed ~1.4% of
+        # small-n fpp=0.01 examples, and hypothesis REPLAYS a stored
+        # failing example forever): fpp + 6 binomial sigmas
+        import math as _m
+
+        bound = fpp + 6 * _m.sqrt(fpp * (1 - fpp) / nonmembers.size)
+        assert fp / nonmembers.size <= bound, (fp, nonmembers.size, fpp)

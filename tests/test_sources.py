@@ -711,3 +711,21 @@ def test_corpus_formats_roundtrip_and_pushdown(spark, tmp_path):
         write_corpus(docs, str(tmp_path / "docs_avro"), fmt="avro")
     with _pt.raises(ValueError, match="fmt must be"):
         write_corpus(docs, str(tmp_path / "docs_x"), fmt="xml")
+
+    # embedded newlines / quotes / separators in text must round-trip
+    # through the TEXT formats too (review r7: without multiLine the
+    # CSV reader tears quoted multi-line documents into garbage rows)
+    tricky = spark.createDataFrame(
+        [
+            (1, "line one\nline two\nline three"),
+            (2, 'she said "hi, there" — then left'),
+            (3, "trailing comma, and a\r\nwindows newline"),
+        ],
+        "doc_id long, text string",
+    )
+    twant = sorted(map(tuple, tricky.collect()))
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"tricky_{fmt}")
+        write_corpus(tricky, path, fmt=fmt)
+        back = read_corpus(spark, path, fmt=fmt, schema=tricky.schema)
+        assert sorted(map(tuple, back.collect())) == twant, fmt
