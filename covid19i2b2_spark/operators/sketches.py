@@ -427,3 +427,149 @@ def quantile_estimates(
         .select(*group_cols, "q", est.alias("value"), "n_rows")
     )
     return hits
+
+
+# -- Count-Min frequency store (SURVEY §2.11 X47, round 7) ----------------
+#
+# The fourth mergeable summary: point-frequency estimates for ARBITRARY
+# keys at bounded size.  The heavy-hitter store answers "what are the
+# top items"; Count-Min answers "how often does THIS item appear" for
+# any item, without storing the vocabulary — the primitive behind
+# corpus-wide n-gram/token frequency lookups (repetition scoring,
+# contamination triage) when exact counts don't fit.
+#
+# Representation: sparse cells (group_cols..., row, cell, cnt) — at most
+# depth x width rows per group regardless of distinct count, exactly the
+# d x w counter matrix stored sparsely (absent cell = 0).  Estimate for
+# a key = min over the depth rows of its cell counts: never an
+# UNDERestimate, overestimates by at most n_rows/width per row with
+# probability (1/2)^depth (standard CM bound).  Merge = cell-wise count
+# sum — NOT replay-idempotent (same epoch-guard contract as the
+# heavy-hitter and DDSketch stores; see streaming/incremental.py).
+#
+# The cell hash is the house oracle-mirrorable polynomial (codepoint
+# poly mod 2^53-prime, affine over GF(2^31-1), mod width — the same
+# construction as sampling._poly_key_bucket), so a SQL engine reproduces
+# the cells bit-for-bit: q_cm_sketch carries full DuckDB arithmetic
+# parity in tests/test_oracle_parity.py.
+
+_CM_POLY_P = 9_007_199_254_740_881  # largest prime < 2^53
+_CM_M31 = 2_147_483_647
+
+
+def _cm_poly(value: "F.Column"):
+    s = value.cast("string")
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        cps, F.lit(0).cast("long"), lambda acc, c: (acc * 1009 + c) % _CM_POLY_P
+    )
+
+
+def _cm_cells(value: "F.Column", depth: int, width: int, seed: int):
+    """Array of ``depth`` cell indexes for a key — one affine hash per
+    row over the shared polynomial, mod width."""
+    from covid19i2b2_spark.operators.dedup import _hash_family
+
+    hp = F.pmod(_cm_poly(value), F.lit(_CM_M31))
+    return F.array(
+        *[
+            (F.pmod(hp * F.lit(a) + F.lit(b), F.lit(_CM_M31)) % width).cast(
+                "int"
+            )
+            for (a, b) in _hash_family(depth, seed)
+        ]
+    )
+
+
+def build_cm_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """One Count-Min summary of ``value_col`` per group as sparse cells
+    (group_cols..., row, cell, cnt, n_rows).  One pass over raw data:
+    each input row contributes ``depth`` (row, cell) pairs which
+    map-side combine into at most depth x width cells per group.
+    ``n_rows`` rides every cell row (audit + error bound n/width)."""
+    cells = df.select(
+        *group_cols,
+        F.posexplode(
+            _cm_cells(F.col(value_col), depth, width, seed)
+        ).alias("row", "cell"),
+    )
+    gw = [F.col(c) for c in group_cols]
+    out = cells.groupBy(*gw, "row", "cell").agg(F.count("*").alias("cnt"))
+    totals = (
+        out.filter(F.col("row") == 0)
+        .groupBy(*gw)
+        .agg(F.sum("cnt").alias("n_rows"))
+    )
+    if group_cols:
+        return out.join(F.broadcast(totals), list(group_cols))
+    return out.crossJoin(F.broadcast(totals))
+
+
+def merge_cm_sketches(
+    sketches: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge/roll up CM stores to ``group_cols`` grain (coarser key set
+    to roll up; union new-batch summaries in first for incremental
+    maintenance).  Cell-wise count addition — the shuffle moves at most
+    depth x width rows per input group, never raw data.  All inputs
+    must share (depth, width, seed): cells only align under identical
+    hashes (same identity contract as the dedup index parameters)."""
+    gw = [F.col(c) for c in group_cols]
+    merged = sketches.groupBy(*gw, "row", "cell").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    totals = (
+        merged.filter(F.col("row") == 0)
+        .groupBy(*gw)
+        .agg(F.sum("cnt").alias("n_rows"))
+    )
+    if group_cols:
+        return merged.join(F.broadcast(totals), list(group_cols))
+    return merged.crossJoin(F.broadcast(totals))
+
+
+def cm_estimates(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    keys: Sequence[str],
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Frequency estimates for ``keys`` at the store's grain: one row
+    per (group, key) with ``est`` = min over the depth rows of the
+    key's cell counts (a missing cell is 0 — no item ever hashed
+    there).  ``keys`` is a small driver-side list (the usual shape:
+    a probe vocabulary); it broadcasts against the cell store, so the
+    lookup moves summary rows only.  (depth, width, seed) must match
+    the build."""
+    spark = sketches.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string").select(
+        "key",
+        F.posexplode(_cm_cells(F.col("key"), depth, width, seed)).alias(
+            "row", "cell"
+        ),
+    )
+    gw = [F.col(c) for c in group_cols]
+    groups = sketches.select(*gw, "n_rows").distinct()
+    probe = groups.crossJoin(F.broadcast(kdf))
+    joined = probe.join(
+        sketches.select(*gw, "row", "cell", "cnt"),
+        [*group_cols, "row", "cell"],
+        "left",
+    )
+    return (
+        joined.groupBy(*gw, "key", "n_rows")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .select(*gw, "key", F.col("est").cast("long").alias("est"), "n_rows")
+    )

@@ -569,6 +569,44 @@ def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 Count-Min frequency store, full build->merge->estimate
+    arithmetic: per-(shard, source) sparse cell matrices (shard =
+    doc_id % 4) merged to per-source stores, probed for a fixed token
+    vocabulary.  Point-frequency estimates for ARBITRARY keys at
+    depth x width bounded size — the lookup the top-k store can't
+    serve.  The cell hash is the oracle-mirrorable codepoint
+    polynomial, so DuckDB replays the identical cells bit-for-bit.
+    UNREGISTERED (50-slot window); parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimates,
+        merge_cm_sketches,
+    )
+    from covid19i2b2_spark.operators.text import tokens
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.pmod("doc_id", F.lit(4)).alias("shard"),
+        "source",
+        F.explode(tokens(F.lower("text"))).alias("token"),
+    )
+    shards = build_cm_sketches(
+        toks, ["shard", "source"], "token", depth=3, width=512
+    )
+    merged = merge_cm_sketches(shards, ["source"])
+    return (
+        cm_estimates(merged, ["source"], CM_PROBE_KEYS, depth=3, width=512)
+        .orderBy("source", "key")
+    )
+
+
+# probe vocabulary for q_cm_sketch — shared with the DuckDB oracle
+# builder so both sides ask for the same keys (includes a token absent
+# from the corpus: its estimate must come back 0 or tiny-collision)
+CM_PROBE_KEYS = ["the", "and", "data", "model", "zzznotoken"]
+
+
 def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 X45: token-distribution drift between two snapshot
     halves of the corpus (operators/drift.py corpus_divergence) — JS

@@ -328,3 +328,74 @@ def test_quantile_store_null_groups_stay_distinct(spark):
     assert set(est) == {("a", None), (None, "a")}
     assert abs(est[("a", None)] - 10.0) <= 0.5
     assert abs(est[(None, "a")] - 1000.0) <= 25.0
+
+
+def test_cm_sketch_bounds_and_merge(spark):
+    """X47 Count-Min: estimates never UNDERestimate; with width >>
+    distinct items they are exact; merging shard stores equals building
+    on the union (linearity); an absent key estimates ~0 (at most the
+    collision bound n/width per row)."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimates,
+        merge_cm_sketches,
+    )
+
+    rows = (
+        [("a", "x")] * 50 + [("a", "y")] * 20 + [("a", "z")] * 5
+        + [("b", "x")] * 7 + [("b", "w")] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, v string").repartition(6)
+    truth = {("a", "x"): 50, ("a", "y"): 20, ("a", "z"): 5,
+             ("b", "x"): 7, ("b", "w"): 3}
+
+    wide = build_cm_sketches(df, ["g"], "v", depth=4, width=4096)
+    est = {
+        (r["g"], r["key"]): r["est"]
+        for r in cm_estimates(
+            wide, ["g"], ["x", "y", "z", "w", "absent"],
+            depth=4, width=4096,
+        ).collect()
+    }
+    for gk, n in truth.items():
+        assert est[gk] == n, (gk, est[gk], n)  # exact at wide width
+    assert est[("a", "absent")] == 0 and est[("b", "absent")] == 0
+
+    # never-underestimate even at a tiny, collision-heavy width
+    tight = build_cm_sketches(df, ["g"], "v", depth=3, width=4)
+    est_t = {
+        (r["g"], r["key"]): r["est"]
+        for r in cm_estimates(
+            tight, ["g"], ["x", "y", "z", "w"], depth=3, width=4
+        ).collect()
+    }
+    for gk, n in truth.items():
+        assert est_t[gk] >= n, (gk, est_t[gk], n)
+        assert est_t[gk] <= sum(
+            c for (g2, _), c in truth.items() if g2 == gk[0]
+        )  # bounded by the group total
+
+    # merge ≡ rebuild: shard by value hash, merge the shard stores
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64("v"), F.lit(3))
+    )
+    shard_stores = build_cm_sketches(
+        sharded, ["shard", "g"], "v", depth=4, width=4096
+    )
+    merged = merge_cm_sketches(shard_stores, ["g"])
+    direct = build_cm_sketches(df, ["g"], "v", depth=4, width=4096)
+    m = sorted(
+        map(tuple, merged.select("g", "row", "cell", "cnt", "n_rows").collect())
+    )
+    d = sorted(
+        map(tuple, direct.select("g", "row", "cell", "cnt", "n_rows").collect())
+    )
+    assert m == d
+
+    # global (no group) grain works too
+    g0 = build_cm_sketches(df, [], "v", depth=4, width=4096)
+    e0 = {
+        r["key"]: r["est"]
+        for r in cm_estimates(g0, [], ["x", "w"], depth=4, width=4096).collect()
+    }
+    assert e0["x"] == 57 and e0["w"] == 3
