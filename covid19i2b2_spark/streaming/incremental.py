@@ -309,3 +309,87 @@ def incremental_value_quantiles(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class RunningCmStore:
+    """In-memory merge target for the streaming Count-Min store
+    (operators/sketches.py X47 family); production swaps this for a
+    parquet table of cell rows with the same merge call.
+
+    Cell-wise count addition is NOT replay-idempotent (a re-merged
+    batch double-counts every cell), so merges key on ``epoch_id`` —
+    the same contract and DURABILITY CAVEAT as RunningTopkStore: the
+    epoch set lives in driver memory; a production swap must persist it
+    atomically with the cell rows."""
+
+    def __init__(
+        self,
+        spark,
+        group_cols: list[str],
+        depth: int = 4,
+        width: int = 1024,
+        seed: int = 42,
+    ):
+        self.spark = spark
+        self.group_cols = group_cols
+        self.depth = depth
+        self.width = width
+        self.seed = seed
+        self.df: DataFrame | None = None
+        self._epochs: set[int] = set()
+
+    def merge(self, batch_sketches: DataFrame, epoch_id: int) -> None:
+        from covid19i2b2_spark.operators.sketches import merge_cm_sketches
+
+        if epoch_id in self._epochs:
+            return  # replayed micro-batch: already folded in
+        b = batch_sketches.localCheckpoint()
+        if self.df is None:
+            self.df = b
+        else:
+            self.df = merge_cm_sketches(
+                self.df.unionByName(b), self.group_cols
+            ).localCheckpoint()
+        self._epochs.add(epoch_id)
+
+
+def incremental_cm_tokens(
+    stream: DataFrame,
+    target: RunningCmStore,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Maintain per-group Count-Min token-frequency cells as documents
+    stream in: each micro-batch builds its own cell store inside
+    foreachBatch (one narrow aggregate over the batch) and folds it in
+    by cell-wise addition — the streaming form of build_cm_sketches +
+    merge_cm_sketches.  The store answers "how often has THIS token
+    appeared per source so far?" for any probe vocabulary via
+    cm_estimates, never re-reading stream history."""
+    from covid19i2b2_spark.operators.sketches import build_cm_sketches
+    from covid19i2b2_spark.operators.text import tokens
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(
+            group_col, F.explode(tokens(F.lower(text_col))).alias("token")
+        )
+        target.merge(
+            build_cm_sketches(
+                toks,
+                [group_col],
+                "token",
+                depth=target.depth,
+                width=target.width,
+                seed=target.seed,
+            ),
+            epoch_id,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -522,3 +522,53 @@ def test_streaming_ingest_restart_recovery_with_checkpoint(spark, tmp_path):
     )
     survivors, _ = idx.filter_batch(spark, ingested, "doc_id", "text")
     assert survivors.count() == 0
+
+
+def test_incremental_cm_store_equals_batch(spark):
+    """Streaming Count-Min store (X47): after draining the bounded
+    document stream, probe estimates from the running store EQUAL the
+    batch-built store's (cell addition is exact arithmetic — unlike the
+    top-k brackets), and a replayed epoch is a no-op under the epoch
+    guard."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimates,
+    )
+    from covid19i2b2_spark.operators.text import tokens as tok_col
+    from covid19i2b2_spark.streaming.curation import stream_documents
+    from covid19i2b2_spark.streaming.incremental import (
+        RunningCmStore,
+        incremental_cm_tokens,
+    )
+
+    target = RunningCmStore(spark, ["source"], depth=3, width=256)
+    q = incremental_cm_tokens(stream_documents(spark, SF_DIR), target)
+    q.awaitTermination()
+    assert target.df is not None and len(target._epochs) >= 1
+
+    keys = ["the", "and", "data", "zzznotoken"]
+    got = {
+        (r["source"], r["key"]): (r["est"], r["n_rows"])
+        for r in cm_estimates(
+            target.df, ["source"], keys, depth=3, width=256
+        ).collect()
+    }
+    toks = read_table(spark, SF_DIR, "documents").select(
+        "source", F.explode(tok_col(F.lower("text"))).alias("token")
+    )
+    batch_store = build_cm_sketches(
+        toks, ["source"], "token", depth=3, width=256
+    )
+    want = {
+        (r["source"], r["key"]): (r["est"], r["n_rows"])
+        for r in cm_estimates(
+            batch_store, ["source"], keys, depth=3, width=256
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replayed epoch: merging any already-folded epoch id changes nothing
+    before = sorted(map(tuple, target.df.collect()))
+    some_epoch = next(iter(target._epochs))
+    target.merge(target.df, some_epoch)
+    assert sorted(map(tuple, target.df.collect())) == before
