@@ -448,6 +448,20 @@ def _bench_sketch_stores(spark) -> dict[str, float]:
         build_quantile_sketches(ev, ["day"], "value"), [0.5, 0.95, 0.99]
     ).write.format("noop").mode("overwrite").save()
     out["quantile_build_query_sec"] = round(time.perf_counter() - t0, 3)
+    from covid19i2b2_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimates,
+    )
+
+    t0 = time.perf_counter()
+    cm_estimates(
+        build_cm_sketches(docs, ["source"], "token", depth=4, width=1024),
+        ["source"],
+        ["the", "and", "data", "model"],
+        depth=4,
+        width=1024,
+    ).write.format("noop").mode("overwrite").save()
+    out["cm_build_probe_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 
