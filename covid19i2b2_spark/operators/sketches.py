@@ -494,17 +494,26 @@ def build_cm_sketches(
 ) -> DataFrame:
     """One Count-Min summary of ``value_col`` per group as sparse cells
     (group_cols..., row, cell, cnt, n_rows).  One pass over raw data:
-    each input row contributes ``depth`` (row, cell) pairs which
-    map-side combine into at most depth x width cells per group.
-    ``n_rows`` rides every cell row (audit + error bound n/width)."""
-    cells = df.select(
-        *group_cols,
-        F.posexplode(
-            _cm_cells(F.col(value_col), depth, width, seed)
-        ).alias("row", "cell"),
-    )
+    a map-side-combined count per (group, value) FIRST (same move as
+    build_topk_sketches — the distinct vocabulary is Zipfian-small next
+    to the raw stream), then each DISTINCT value explodes its ``depth``
+    (row, cell) pairs carrying its count, summing into at most
+    depth x width cells per group.  Exploding the raw stream instead
+    cost depth x the token volume through the first aggregate (measured
+    5.2 s vs ~1 s at sf0.1).  ``n_rows`` rides every cell row (audit +
+    error bound n/width)."""
     gw = [F.col(c) for c in group_cols]
-    out = cells.groupBy(*gw, "row", "cell").agg(F.count("*").alias("cnt"))
+    vcounts = df.groupBy(*gw, F.col(value_col).alias("__v")).agg(
+        F.count("*").alias("__n")
+    )
+    cells = vcounts.select(
+        *gw,
+        "__n",
+        F.posexplode(_cm_cells(F.col("__v"), depth, width, seed)).alias(
+            "row", "cell"
+        ),
+    )
+    out = cells.groupBy(*gw, "row", "cell").agg(F.sum("__n").alias("cnt"))
     totals = (
         out.filter(F.col("row") == 0)
         .groupBy(*gw)
