@@ -569,6 +569,75 @@ def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cm_sketch_oracle(depth: int = 3, width: int = 512, seed: int = 42) -> str:
+    """DuckDB replay of operators/sketches.py build_cm_sketches +
+    merge_cm_sketches + cm_estimates: per-source Count-Min cells from
+    the codepoint-polynomial affine hashes, probed for the shared
+    CM_PROBE_KEYS vocabulary.  The Spark query builds per-shard and
+    merges; cell-wise sums are linear, so per-source counts computed
+    directly here are the identical store — the parity therefore also
+    pins merge ≡ rebuild."""
+    from covid19i2b2_spark.operators.dedup import _hash_family
+
+    m31 = 2_147_483_647
+    p53 = 9_007_199_254_740_881
+    fam = _hash_family(depth, seed)
+    ab_vals = ", ".join(f"({r}, {a}, {b})" for r, (a, b) in enumerate(fam))
+    key_vals = ", ".join(f"('{k}')" for k in CM_PROBE_KEYS)
+
+    def hp(col: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, length({col})+1), "
+            f"i -> CAST(unicode({col}[i]) AS BIGINT)), "
+            f"(acc, ch) -> (acc*1009 + ch) % {p53})"
+        )
+
+    def cell(col: str) -> str:
+        return f"((({hp(col)} % {m31}) * ab.a + ab.b) % {m31}) % {width}"
+
+    return f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    ab(r, a, b) AS (VALUES {ab_vals}),
+    cells AS (
+        SELECT source, ab.r AS row, {cell('t')} AS cell
+        FROM toks CROSS JOIN ab
+    ),
+    counts AS (
+        SELECT source, row, cell, COUNT(*) AS c
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    nr AS (SELECT source, COUNT(*) AS n_rows FROM toks GROUP BY source),
+    keys(key) AS (VALUES {key_vals}),
+    kcells AS (
+        SELECT key, ab.r AS row, {cell('key')} AS cell
+        FROM keys CROSS JOIN ab
+    ),
+    est AS (
+        SELECT nr.source, k.key, MIN(COALESCE(c.c, 0)) AS est, nr.n_rows
+        FROM nr CROSS JOIN kcells k
+        LEFT JOIN counts c
+          ON c.source = nr.source AND c.row = k.row AND c.cell = k.cell
+        GROUP BY nr.source, k.key, nr.n_rows
+    )
+    SELECT source, key, CAST(est AS BIGINT) AS est,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM est ORDER BY source, key
+    """
+
+
+# probe vocabulary for q_cm_sketch — shared with the DuckDB oracle
+# builder so both sides ask for the same keys (includes a token absent
+# from the corpus: its estimate must come back 0 or tiny-collision; the
+# non-ASCII key pins Spark `ascii` ≡ DuckDB `unicode` codepoint
+# semantics through the polynomial hash — round 8, VERDICT r7 #5)
+CM_PROBE_KEYS = ["the", "and", "data", "model", "zzznotoken", "héllo→☃"]
+
+
+@query("q_cm_sketch", oracle=_cm_sketch_oracle())
 def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X47 Count-Min frequency store, full build->merge->estimate
     arithmetic: per-(shard, source) sparse cell matrices (shard =
@@ -577,8 +646,9 @@ def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth x width bounded size — the lookup the top-k store can't
     serve.  The cell hash is the oracle-mirrorable codepoint
     polynomial, so DuckDB replays the identical cells bit-for-bit.
-    UNREGISTERED (50-slot window); parity in
-    tests/test_oracle_parity.py."""
+    REGISTERED round 8 (VERDICT r7 #2; slot ceded by q_row_number,
+    whose W3 semantics stay green via q_covid_patient_mapping +
+    UNREGISTERED parity)."""
     from covid19i2b2_spark.operators.sketches import (
         build_cm_sketches,
         cm_estimates,
@@ -599,12 +669,6 @@ def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm_estimates(merged, ["source"], CM_PROBE_KEYS, depth=3, width=512)
         .orderBy("source", "key")
     )
-
-
-# probe vocabulary for q_cm_sketch — shared with the DuckDB oracle
-# builder so both sides ask for the same keys (includes a token absent
-# from the corpus: its estimate must come back 0 or tiny-collision)
-CM_PROBE_KEYS = ["the", "and", "data", "model", "zzznotoken"]
 
 
 def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,30 +6,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from covid19i2b2_spark.operators.windows import with_row_number
-from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
 
 
-@query(
-    "q_row_number",
-    oracle="""
-    SELECT c_nationkey AS nationkey, c_custkey, c_acctbal, rn
-    FROM (
-        SELECT c_nationkey, c_custkey, c_acctbal,
-               ROW_NUMBER() OVER (
-                   PARTITION BY c_nationkey
-                   ORDER BY c_acctbal DESC, c_custkey) AS rn
-        FROM customer
-    )
-    WHERE rn <= 3
-    ORDER BY nationkey, rn
-    """,
-)
 def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: partitioned row numbering — top-3 customers per nation by
     balance (reference uses ROW_NUMBER for CSV sort columns and Phase-2
     patient pseudonyms).  Partitioned window: scales with the partition
-    key, no global sort."""
+    key, no global sort.
+
+    UNREGISTERED since round 8 (slot ceded to q_cm_sketch per VERDICT
+    r7 #2 — the same move as q_join_left in r7): W3 semantics stay
+    under the driver oracle via q_covid_patient_mapping's pseudonym
+    window, and this query keeps full DuckDB parity in
+    tests/test_oracle_parity.py's UNREGISTERED tier."""
     cust = read_table(spark, sf_dir, "customer")
     ranked = with_row_number(
         cust,

@@ -403,67 +403,6 @@ def _bigram_logprob_oracle() -> str:
     """
 
 
-def _cm_sketch_oracle(depth: int = 3, width: int = 512, seed: int = 42) -> str:
-    """Replay of operators/sketches.py build_cm_sketches +
-    merge_cm_sketches + cm_estimates: per-source Count-Min cells from
-    the codepoint-polynomial affine hashes, probed for the shared
-    CM_PROBE_KEYS vocabulary.  The Spark query builds per-shard and
-    merges; cell-wise sums are linear, so per-source counts computed
-    directly here are the identical store — the parity therefore also
-    pins merge ≡ rebuild."""
-    from covid19i2b2_spark.operators.dedup import _hash_family
-    from covid19i2b2_spark.queries.llm3 import CM_PROBE_KEYS
-
-    m31 = 2_147_483_647
-    p53 = 9_007_199_254_740_881
-    fam = _hash_family(depth, seed)
-    ab_vals = ", ".join(f"({r}, {a}, {b})" for r, (a, b) in enumerate(fam))
-    key_vals = ", ".join(f"('{k}')" for k in CM_PROBE_KEYS)
-
-    def hp(col: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, length({col})+1), "
-            f"i -> CAST(unicode({col}[i]) AS BIGINT)), "
-            f"(acc, ch) -> (acc*1009 + ch) % {p53})"
-        )
-
-    def cell(col: str) -> str:
-        return f"((({hp(col)} % {m31}) * ab.a + ab.b) % {m31}) % {width}"
-
-    return f"""
-    WITH toks AS (
-        SELECT source,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
-        FROM documents WHERE trim(text) <> ''
-    ),
-    ab(r, a, b) AS (VALUES {ab_vals}),
-    cells AS (
-        SELECT source, ab.r AS row, {cell('t')} AS cell
-        FROM toks CROSS JOIN ab
-    ),
-    counts AS (
-        SELECT source, row, cell, COUNT(*) AS c
-        FROM cells GROUP BY 1, 2, 3
-    ),
-    nr AS (SELECT source, COUNT(*) AS n_rows FROM toks GROUP BY source),
-    keys(key) AS (VALUES {key_vals}),
-    kcells AS (
-        SELECT key, ab.r AS row, {cell('key')} AS cell
-        FROM keys CROSS JOIN ab
-    ),
-    est AS (
-        SELECT nr.source, k.key, MIN(COALESCE(c.c, 0)) AS est, nr.n_rows
-        FROM nr CROSS JOIN kcells k
-        LEFT JOIN counts c
-          ON c.source = nr.source AND c.row = k.row AND c.cell = k.cell
-        GROUP BY nr.source, k.key, nr.n_rows
-    )
-    SELECT source, key, CAST(est AS BIGINT) AS est,
-           CAST(n_rows AS BIGINT) AS n_rows
-    FROM est ORDER BY source, key
-    """
-
-
 def _topk_sketch_oracle(k: int = 12) -> str:
     """Replay of operators/sketches.py build_topk_sketches +
     merge_topk_sketches: per-(shard,source) exact top-k summaries with
@@ -643,7 +582,18 @@ UNREGISTERED_ORACLES = {
                / 1000000 AS js_divergence
     FROM terms GROUP BY source ORDER BY source
     """,
-    "q_cm_sketch": _cm_sketch_oracle(),
+    "q_row_number": """
+    SELECT c_nationkey AS nationkey, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    ORDER BY nationkey, rn
+    """,
     "q_topk_sketch": _topk_sketch_oracle(),
     "q_minhash_poly": _minhash_poly_oracle(),
     "q_chunk_documents": _chunk_documents_oracle(),
@@ -984,7 +934,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_dup_passages": llm3.q_dup_passages,
         "q_unigram_logprob": llm3.q_unigram_logprob,
         "q_topk_sketch": llm3.q_topk_sketch,
-        "q_cm_sketch": llm3.q_cm_sketch,
+        "q_row_number": windows.q_row_number,
         "q_bpe_pairs": llm3.q_bpe_pairs,
         "q_bigram_logprob": llm3.q_bigram_logprob,
         "q_remove_dup_spans": llm3.q_remove_dup_spans,

@@ -399,3 +399,35 @@ def test_cm_sketch_bounds_and_merge(spark):
         for r in cm_estimates(g0, [], ["x", "w"], depth=4, width=4096).collect()
     }
     assert e0["x"] == 57 and e0["w"] == 3
+
+
+def test_cm_sketch_non_ascii_keys_exact(spark):
+    """X47, round 8 (VERDICT r7 #5): the codepoint-polynomial cell hash
+    must treat non-ASCII keys by Unicode CODEPOINT (Spark `ascii` ==
+    codepoint of the first char, same as DuckDB `unicode`) — multi-byte
+    keys build and probe exactly, and two keys that differ only in a
+    non-ASCII char land in different cells (no byte-truncation
+    aliasing)."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimates,
+    )
+
+    rows = (
+        [("héllo→☃",)] * 11 + [("héllo→x",)] * 4 + [("日本語テスト",)] * 7
+        + [("ascii",)] * 3
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    store = build_cm_sketches(df, [], "v", depth=4, width=4096)
+    est = {
+        r["key"]: r["est"]
+        for r in cm_estimates(
+            store, [], ["héllo→☃", "héllo→x", "日本語テスト", "ascii", "héllo→y"],
+            depth=4, width=4096,
+        ).collect()
+    }
+    assert est["héllo→☃"] == 11
+    assert est["héllo→x"] == 4
+    assert est["日本語テスト"] == 7
+    assert est["ascii"] == 3
+    assert est["héllo→y"] == 0  # absent key, distinct cells from its near-twins
