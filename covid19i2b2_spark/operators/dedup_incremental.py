@@ -159,6 +159,15 @@ class DedupIndex:
         return f"{self.path}/bands"
 
     @property
+    def blooms_path(self) -> str:
+        """Parent dir of both bloom tables — its EXISTENCE is the
+        write_blooms opt-in signal: append() deletes a torn table
+        SUBDIR (leaving the parent), build() deletes the parent, so
+        filter_batch's self-heal can tell 'opted in, needs re-persist'
+        from 'never opted in' even after a torn table was dropped."""
+        return f"{self.path}/blooms"
+
+    @property
     def bloom_fp_path(self) -> str:
         return f"{self.path}/blooms/fingerprints"
 
@@ -254,8 +263,20 @@ class DedupIndex:
         costs false positives (caught by the exact joins); the reverse
         order could leave indexed rows missing from the bloom, whose
         false NEGATIVES would let dups through unchecked.  The OR is
-        idempotent, so at-least-once epoch replays are safe."""
+        idempotent, so at-least-once epoch replays are safe.
+
+        A bloom table that is PRESENT but unreadable (torn write,
+        transient FS failure) is DELETED here rather than skipped
+        (ADVICE r7): skipping would append rows the bloom never
+        receives, and if the read failure was transient the
+        intact-on-disk bloom would later load STALE and answer false
+        negatives for exactly this batch's keys — the failure mode the
+        bloom-before-table ordering exists to prevent.  Deletion makes
+        later readers fall back to the rebuild path (cost: one scan),
+        and filter_batch's self-heal persists a fresh bloom on its next
+        call."""
         from covid19i2b2_spark.operators.bloom import (
+            delete_bloom_table,
             or_into,
             read_bloom_table,
             write_bloom_table,
@@ -264,7 +285,9 @@ class DedupIndex:
         pinned = survivors.localCheckpoint(eager=True)
         spark = pinned.sparkSession
         fp_spec = read_bloom_table(spark, self.bloom_fp_path)
-        if fp_spec is not None:
+        if fp_spec is None:
+            delete_bloom_table(spark, self.bloom_fp_path)  # torn -> no-op
+        else:
             write_bloom_table(
                 spark,
                 or_into(
@@ -275,6 +298,8 @@ class DedupIndex:
                 self.bloom_fp_path,
             )
         band_spec = read_bloom_table(spark, self.bloom_bands_path)
+        if band_spec is None:
+            delete_bloom_table(spark, self.bloom_bands_path)
         batch_bands = _bands(
             pinned,
             id_col,
@@ -383,14 +408,24 @@ class DedupIndex:
                 REBUILT sized to the current index AND written back —
                 without the write-back every subsequent batch would
                 silently pay the full rebuild scans forever (review
-                r7).  Absent blooms (never opted in via write_blooms)
-                rebuild without persisting."""
+                r7).  A torn table (directory present, unreadable) is
+                also rebuilt AND written back — the opt-in already
+                happened via write_blooms, so leaving it torn would pay
+                the same forever-rebuild cost (ADVICE r7).  Only blooms
+                never opted into rebuild without persisting."""
+                from covid19i2b2_spark.operators.bloom import (
+                    bloom_table_present,
+                )
+
                 spec = read_bloom_table(spark, path)
-                if spec is not None and fill_ratio(spec) > 0.6:
-                    spec = build_fn()
+                if spec is not None and fill_ratio(spec) <= 0.6:
+                    return spec
+                opted_in = spec is not None or bloom_table_present(
+                    spark, self.blooms_path
+                )
+                spec = build_fn()
+                if opted_in:
                     write_bloom_table(spark, spec, path)
-                elif spec is None:
-                    spec = build_fn()
                 return spec
 
             fp_bloom = _healthy_bloom(

@@ -34,6 +34,15 @@ _SELF_DESCRIBING = ("parquet", "orc")
 _SCHEMA_REQUIRED = ("json", "csv")
 SUPPORTED_FORMATS = _SELF_DESCRIBING + _SCHEMA_REQUIRED
 
+# CSV NULL sentinel (the Hive convention): Spark's DEFAULTS write NULL
+# as an empty field AND read empty fields as NULL, so a written
+# empty-STRING column came back NULL (ADVICE r7).  Writing NULL as \N
+# and empty as a quoted "" keeps the two distinct through a round trip.
+# Residual caveat, documented not hidden: a string value exactly equal
+# to \N is written unquoted and reads back as NULL — CSV has no
+# escape-proof NULL representation; use parquet/ORC when that matters.
+_CSV_NULL = "\\N"
+
 
 def _check_fmt(fmt: str) -> None:
     if fmt == "avro":
@@ -76,7 +85,15 @@ def read_corpus(
     if fmt == "csv":
         from covid19i2b2_spark.sources.files import read_csv
 
-        return read_csv(spark, path, schema, header=True, multiLine="true")
+        return read_csv(
+            spark,
+            path,
+            schema,
+            header=True,
+            multiLine="true",
+            nullValue=_CSV_NULL,
+            emptyValue="",
+        )
     if fmt == "json":
         from covid19i2b2_spark.sources.files import read_json
 
@@ -95,12 +112,19 @@ def write_corpus(
     compression: str | None = None,
 ) -> None:
     """Write a corpus table in any supported format.  CSV writes a
-    header (so reads round-trip column names); compression defaults to
-    each format's Spark default (snappy for parquet/ORC)."""
+    header (so reads round-trip column names) and the ``\\N`` NULL
+    sentinel + quoted-empty emptyValue, matching :func:`read_corpus` so
+    NULL and empty-string survive the round trip distinctly (see
+    ``_CSV_NULL``); compression defaults to each format's Spark
+    default (snappy for parquet/ORC)."""
     _check_fmt(fmt)
     writer = df.write.format(fmt).mode(mode)
     if compression is not None:
         writer = writer.option("compression", compression)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        writer = (
+            writer.option("header", "true")
+            .option("nullValue", _CSV_NULL)
+            .option("emptyValue", '""')
+        )
     writer.save(path)

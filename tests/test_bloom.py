@@ -55,6 +55,15 @@ def test_bloom_deterministic_and_seeded(spark):
         "k",
     )
     assert a.bits == b.bits and a.n_hashes == b.n_hashes
+    # 300 partitions forces two executor-side OR-reduce rounds
+    # (300 -> 19 -> 2; fan-in 16) — bits must not depend on tree shape
+    t = build_bloom(
+        spark.range(10_000)
+        .selectExpr("cast(id as string) as k")
+        .repartition(300),
+        "k",
+    )
+    assert t.bits == a.bits
     c = build_bloom(
         spark.range(10_000).selectExpr("cast(id as string) as k"), "k", seed=7
     )
@@ -387,3 +396,80 @@ def test_filter_batch_bloom_plan_broadcasts_over_index(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
     # no sort-merge anti-join against the fingerprint index remains
     assert "SortMergeJoin LeftAnti" not in plan, plan
+
+
+def test_torn_bloom_never_goes_stale(spark, tmp_path):
+    """ADVICE r8: a PRESENT-but-unreadable bloom table (torn write /
+    transient FS failure) must never outlive a skipped maintenance
+    step.  append() deletes the torn table instead of silently
+    appending rows the bloom would then be stale for, and the next
+    bloom-gated filter_batch self-heals: rebuilds from the current
+    index AND persists (the write_blooms opt-in survives via the
+    blooms parent dir), with zero false negatives for rows appended
+    during the torn window."""
+    import pathlib
+    import shutil
+
+    from covid19i2b2_spark.operators.bloom import (
+        bloom_table_present,
+        fill_ratio,
+        might_contain,
+        read_bloom_table,
+    )
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+    from covid19i2b2_spark.operators.text import fingerprint
+
+    def _doc(tag, i):
+        return f"{tag} doc {i} " + " ".join(f"{tag}w{i}x{j}" for j in range(10))
+
+    corpus = spark.createDataFrame(
+        [(i, _doc("base", i)) for i in range(40)], "doc_id long, text string"
+    )
+    idx = DedupIndex(str(tmp_path / "tornidx"))
+    idx.build(corpus, "doc_id", "text")
+    idx.write_blooms(spark, fpp=0.01)
+
+    # tear BOTH bloom tables: directory present, contents unreadable
+    for p in (idx.bloom_fp_path, idx.bloom_bands_path):
+        d = pathlib.Path(p)
+        shutil.rmtree(d)
+        d.mkdir()
+        (d / "part-00000.parquet").write_text("not a parquet file")
+        assert read_bloom_table(spark, p) is None  # unreadable
+        assert bloom_table_present(spark, p)  # ...but present
+
+    # append during the torn window: maintenance can't OR into the torn
+    # blooms, so they must be DELETED (skipping would leave them stale)
+    batch_a = spark.createDataFrame(
+        [(100 + i, _doc("alpha", i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx.append(batch_a, "doc_id", "text")
+    assert not bloom_table_present(spark, idx.bloom_fp_path)
+    assert not bloom_table_present(spark, idx.bloom_bands_path)
+    assert bloom_table_present(spark, idx.blooms_path)  # opt-in survives
+
+    # next gated batch: dups of BOTH the original corpus and the
+    # torn-window append must be caught — a stale bloom would have
+    # answered false negatives for batch_a's keys
+    probe = spark.createDataFrame(
+        [(900, _doc("alpha", 3)), (901, _doc("base", 5)),
+         (902, _doc("gamma", 0))],
+        "doc_id long, text string",
+    )
+    s, d = idx.filter_batch(spark, probe, "doc_id", "text", bloom_fpp=0.01)
+    assert {r["doc_id"] for r in s.collect()} == {902}
+    assert {r["doc_id"]: r["reason"] for r in d.collect()} == {
+        900: "exact_dup", 901: "exact_dup"
+    }
+
+    # and the blooms self-healed: rebuilt from the current index AND
+    # persisted (torn tables otherwise cost a full rebuild per batch
+    # forever), with no false negatives over everything indexed so far
+    healed = read_bloom_table(spark, idx.bloom_fp_path)
+    assert healed is not None and fill_ratio(healed) <= 0.6
+    allfp = corpus.unionByName(batch_a).select(
+        fingerprint("text").alias("fingerprint")
+    )
+    assert allfp.filter(~might_contain(healed, "fingerprint")).count() == 0
+    assert read_bloom_table(spark, idx.bloom_bands_path) is not None

@@ -729,3 +729,20 @@ def test_corpus_formats_roundtrip_and_pushdown(spark, tmp_path):
         write_corpus(tricky, path, fmt=fmt)
         back = read_corpus(spark, path, fmt=fmt, schema=tricky.schema)
         assert sorted(map(tuple, back.collect())) == twant, fmt
+
+    # NULL vs empty-string must survive the CSV round trip DISTINCTLY
+    # (ADVICE r7: Spark's default nullValue/emptyValue collapse a
+    # written empty string to NULL on read; the \N sentinel fixes it)
+    ne = spark.createDataFrame(
+        [(1, None, "x"), (2, "", "y"), (3, "val", None), (4, "", "")],
+        "doc_id long, a string, b string",
+    )
+    newant = sorted(
+        map(tuple, ne.collect()), key=lambda t: t[0]
+    )
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"nullempty_{fmt}")
+        write_corpus(ne, path, fmt=fmt)
+        back = read_corpus(spark, path, fmt=fmt, schema=ne.schema)
+        got = sorted(map(tuple, back.collect()), key=lambda t: t[0])
+        assert got == newant, (fmt, got)
