@@ -52,6 +52,11 @@ SCALED_QUERIES = [
     "q_text_analysis",
     "q_cosine_topk",
     "q_sessionize",
+    # VERDICT r7 #4: the global range-partition prefix plan, measured at
+    # x10/x100 rather than argued from an sf0.1 A/B — the budget stays
+    # fixed (15k tokens) while the corpus grows, so the ratio isolates
+    # the O(n) stages (scan + range exchange + stats + semi-join probe)
+    "q_token_budget_select",
 ]
 # Scaled x100 section (VERDICT r3 #5): the closest local[32] proxy for the
 # 100 TB design claim — the 3 heaviest scan/join/agg queries once each at
@@ -62,7 +67,12 @@ SCALED_QUERIES = [
 # well above 1 would flag a super-linear stage.  Set
 # SPARK_GRAFT_BENCH_SCALE100=0 to skip.
 SCALE100_X = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100", "100"))
-SCALE100_QUERIES = ["q_agg_basic", "q_join_inner", "q_text_analysis"]
+SCALE100_QUERIES = [
+    "q_agg_basic",
+    "q_join_inner",
+    "q_text_analysis",
+    "q_token_budget_select",  # VERDICT r7 #4 — see SCALED_QUERIES note
+]
 _KEY_OFFSET = 10_000_000_000
 # table -> key columns offset per replica (other columns replicate as-is;
 # tables not listed are copied unscaled — small dims / unused by the set)

@@ -294,6 +294,7 @@ def minhash_dedup_pairs(
     seed: int = 42,
     bucket_cap: int | None = None,
     impl: str = "kernel",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """X2 end-to-end: MinHash -> LSH bands -> signature-estimate filter ->
     exact-Jaccard verify.  Returns (id_a, id_b, jaccard) near-dup pairs.
@@ -365,6 +366,11 @@ def minhash_dedup_pairs(
             f"impl must be 'kernel', 'kernel_poly', 'expr' or 'poly' "
             f"(got {impl!r})"
         )
+    # register the persisted per-doc table with the caller's release
+    # list (VERDICT r7 #6) — otherwise it stays in executor storage
+    # until the ContextCleaner GCs the dropped frame
+    if cache_handles is not None:
+        cache_handles.append(sigs)
     pairs = lsh_candidate_pairs(
         sigs,
         id_col,

@@ -33,9 +33,25 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in the edge list;
-    component = min node id reachable through the edges."""
+    component = min node id reachable through the edges.
+
+    Checkpoint lifecycle (VERDICT r7 #6): each superseded label frame
+    is released IN-loop once the next one is materialized (the
+    ``changed`` count job computes every new_labels partition — lazy
+    localCheckpoint launches a fill-in job for any partitions the
+    action skipped — after which iteration N-1's frame is dead), and
+    the edge frame is released on exit.  Only the FINAL label frame
+    outlives the call: with ``cache_handles`` its CheckpointHandle is
+    appended for the caller to release after materializing downstream;
+    without, the ContextCleaner frees it on GC as before."""
+    from covid19i2b2_spark.caching import (
+        CheckpointHandle,
+        release_local_checkpoint,
+    )
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -73,9 +89,17 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the changed-count job materialized new_labels' checkpoint in
+        # full, so the previous round's frame can be freed NOW instead
+        # of waiting for GC — bounds live storage at 2 label frames
+        # regardless of iteration count
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    release_local_checkpoint(edges)
+    if cache_handles is not None:
+        cache_handles.append(CheckpointHandle(labels))
     return labels
 
 
@@ -86,13 +110,16 @@ def dedup_decision(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Corpus + near-dup edges -> (id, component, keep).  Nodes outside
     any edge keep themselves (their own component); inside a component the
-    min id survives — deterministic under retries and across runs."""
-    comp = connected_components(pairs, id_a, id_b, max_iter).withColumnRenamed(
-        "node", id_col
-    )
+    min id survives — deterministic under retries and across runs.
+    ``cache_handles`` receives the component frame's CheckpointHandle
+    (see connected_components)."""
+    comp = connected_components(
+        pairs, id_a, id_b, max_iter, cache_handles=cache_handles
+    ).withColumnRenamed("node", id_col)
     return df.join(comp, id_col, "left").select(
         id_col,
         F.coalesce("component", F.col(id_col)).alias("component"),

@@ -13,7 +13,20 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from covid19i2b2_spark.caching import CheckpointHandle
+
 _BUCKETS = 1_000_000
+
+
+class PinnedPrefixHandle(CheckpointHandle):
+    """Explicit-release handle for the eager localCheckpoint that
+    :func:`_global_ordered_prefix` pins its range partitioning with
+    (VERDICT r7 #6).  Without it the checkpoint's executor storage
+    (~30 B/row of the corpus) is freed only when the ContextCleaner
+    happens to GC the dropped frame — a long-lived session running many
+    global curation stages accumulates checkpoints until then.
+    ``unpersist()`` ONLY after the returned result has been
+    materialized; see caching.CheckpointHandle for the contract."""
 
 
 def hash_sample(
@@ -306,6 +319,7 @@ def _global_ordered_prefix(
     score: Column,
     weight: Column,
     budget,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Keep the prefix of the GLOBAL (score desc, key asc) order whose
     cumulative ``weight`` stays within ``budget`` — without the
@@ -352,8 +366,16 @@ def _global_ordered_prefix(
     tests/test_sampling.py::test_global_prefix_stable_across_jobs).
     localCheckpoint stores MEMORY_AND_DISK on executors — lineage is
     truncated, so an executor loss fails the job instead of silently
-    recomputing; the RDD is unpersisted by the ContextCleaner once
-    the returned frame is garbage-collected."""
+    recomputing.
+
+    Checkpoint lifecycle (VERDICT r7 #6): with ``cache_handles`` a
+    :class:`PinnedPrefixHandle` is appended, and the caller releases
+    the ~30 B/row of executor storage deterministically (AFTER
+    materializing the result) via ``handle.unpersist()`` — the same
+    protocol as curate()'s cached intermediates.  Without it the RDD
+    is unpersisted by the ContextCleaner once the returned frame is
+    garbage-collected (fine for one-shot jobs; long-lived sessions
+    should pass handles or set spark.cleaner.periodicGC.interval)."""
     narrow = df.select(
         F.col(key_col).alias("__k"),
         score.alias("__s"),
@@ -365,6 +387,8 @@ def _global_ordered_prefix(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    if cache_handles is not None:
+        cache_handles.append(PinnedPrefixHandle(ranged))
     stats = (
         ranged.groupBy("__pid")
         .agg(F.sum("__w0").alias("__w"))
@@ -441,6 +465,7 @@ def select_to_token_budget(
     token_col: str | Column,
     budget: int,
     group_cols: Sequence[str] = (),
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Quality-first selection under a TOKEN budget — the operator that
     fills a training-mixture slice ("the best N-billion tokens per
@@ -466,7 +491,9 @@ def select_to_token_budget(
         F.col(token_col) if isinstance(token_col, str) else token_col
     )
     if not group_cols:
-        return _global_ordered_prefix(df, key_col, score, toks, budget)
+        return _global_ordered_prefix(
+            df, key_col, score, toks, budget, cache_handles=cache_handles
+        )
     win = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
         .orderBy(score.desc(), F.asc(key_col))
@@ -487,6 +514,7 @@ def filter_top_fraction(
     group_cols: Sequence[str] = (),
     impl: str = "exact",
     eps: float = 0.01,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Keep the top ``frac`` fraction of each group by score — the
     percentile gate behind "drop the worst 30% of every domain".
@@ -536,6 +564,7 @@ def filter_top_fraction(
                 score,
                 F.lit(1).cast("long"),
                 lambda n: int(math.ceil(n * frac)),
+                cache_handles=cache_handles,
             )
         win = Window.partitionBy(*parts).orderBy(score.desc(), F.asc(key_col))
         cnt_win = Window.partitionBy(*parts)

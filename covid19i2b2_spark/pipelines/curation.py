@@ -124,7 +124,7 @@ def curate(
     config: CurationConfig = CurationConfig(),
     blocked_sources: DataFrame | None = None,
     source_col: str = "source",
-    cache_handles: list[DataFrame] | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Raw (id, text) corpus + eval/benchmark texts -> packed training
     set: (id, text, n_tokens, shard, chunk_id).
@@ -136,14 +136,22 @@ def curate(
 
     Caching contract: two intermediates (the exact-dedup output and the
     near-dup survivors) are persisted because each is read by two
-    downstream branches; they stay cached after this returns so the lazy
-    result can be materialized.  In a long-lived session pass
-    ``cache_handles=[]`` — the persisted DataFrames are appended to it,
-    and the caller unpersists them once the result has been written:
+    downstream branches, and the GLOBAL top-fraction / token-budget
+    stages pin an eager localCheckpoint (sampling.PinnedPrefixHandle);
+    all stay in executor storage after this returns so the lazy result
+    can be materialized.  In a long-lived session pass
+    ``cache_handles=[]`` — every cached/checkpointed resource is
+    appended to it, and the caller releases them AFTER the result has
+    been written (checkpoint handles must not be released earlier —
+    lineage is truncated, see PinnedPrefixHandle):
 
-        handles: list[DataFrame] = []
+        handles: list = []
         curate(corpus, evals, cache_handles=handles).write.parquet(out)
         for h in handles: h.unpersist()
+
+    Without handles the ContextCleaner frees everything on GC —
+    nondeterministic timing; repeated curate() calls in one session
+    should pass handles (tests pin zero storage growth over 20 calls).
     """
     if config.html_input:
         from covid19i2b2_spark.operators.text import strip_html
@@ -225,8 +233,11 @@ def curate(
         shingle_k=config.shingle_k,
         threshold=config.minhash_threshold,
         seed=config.seed,
+        cache_handles=cache_handles,
     )
-    decision = dedup_decision(uniq.select(id_col), pairs, id_col)
+    decision = dedup_decision(
+        uniq.select(id_col), pairs, id_col, cache_handles=cache_handles
+    )
     # survivors feed the contamination report AND the post-filter join
     survivors = uniq.join(
         decision.filter(F.col("keep")).select(id_col), id_col, "left_semi"
@@ -276,7 +287,7 @@ def curate(
 
         clean = filter_top_fraction(
             clean, id_col, "__q", config.top_fraction,
-            sel_groups, impl="exact",
+            sel_groups, impl="exact", cache_handles=cache_handles,
         )
     # 6. deterministic sample (nested across fractions).  With a domain
     # column configured this becomes the temperature mixture sampler —
@@ -315,6 +326,7 @@ def curate(
             "n_tokens",
             budget=config.token_budget,
             group_cols=sel_groups if needs_domain else (),
+            cache_handles=cache_handles,
         )
     if carried:
         counted = counted.drop(*carried)

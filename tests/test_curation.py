@@ -327,3 +327,34 @@ def test_curation_top_fraction_and_token_budget_stages(spark):
 
     # schema contract unchanged
     assert got.columns == ["doc_id", "text", "n_tokens", "shard", "chunk_id"]
+
+
+def test_repeated_curate_no_storage_growth(spark):
+    """VERDICT r7 #6, pipeline level: 20 curate() calls in one session
+    with cache_handles released after each write leave ZERO net
+    executor storage — the cached intermediates (DataFrame.persist) and
+    the global top-fraction / token-budget stages' pinned checkpoints
+    (PinnedPrefixHandle) all release through the one handles list.
+    Tracked by persistent-RDD id so concurrent ContextCleaner activity
+    on unrelated RDDs cannot flake the asserts."""
+    from covid19i2b2_spark.operators.sampling import PinnedPrefixHandle
+    from tests.test_sampling import _persisted_rdd_ids
+
+    corpus, ev = _corpus(spark), _eval_df(spark)
+    cfg = CurationConfig(
+        boilerplate_min_docs=3,
+        minhash_threshold=0.6,
+        top_fraction=0.9,   # global percentile gate -> one checkpoint
+        token_budget=60,    # global budget stage  -> one checkpoint
+    )
+    initial = _persisted_rdd_ids(spark)
+    for _ in range(20):
+        handles: list = []
+        out = curate(corpus, ev, config=cfg, cache_handles=handles)
+        assert out.count() > 0  # "written" before release
+        assert (
+            sum(isinstance(h, PinnedPrefixHandle) for h in handles) == 2
+        ), handles
+        for h in handles:
+            h.unpersist()
+    assert _persisted_rdd_ids(spark) - initial == set()

@@ -462,3 +462,66 @@ def test_global_exact_empty_input(spark):
     assert out.count() == 0 and out.columns == df.columns
     out2 = select_to_token_budget(df, "key", "score", "toks", budget=10)
     assert out2.count() == 0 and out2.columns == df.columns
+
+
+def _persisted_rdd_ids(spark) -> set[int]:
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
+
+
+def test_checkpoint_handle_releases_storage(spark):
+    """VERDICT r7 #6: the global prefix plan's eager localCheckpoint
+    must have a DETERMINISTIC release path — without one a long-lived
+    session accumulates executor storage until the ContextCleaner
+    happens to GC the dropped frames.  cache_handles gets exactly one
+    PinnedPrefixHandle per global stage; unpersist() after
+    materialization frees the checkpoint immediately (asserted via the
+    persistent-RDD registry, by id — unrelated concurrent GC of other
+    tests' RDDs can only shrink the sets these asserts track) and is
+    idempotent.  20 iterations, zero net growth."""
+    from covid19i2b2_spark.operators.sampling import (
+        PinnedPrefixHandle,
+        select_to_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 17), 10 + i % 5) for i in range(500)],
+        "key long, score double, toks long",
+    )
+    initial = _persisted_rdd_ids(spark)
+    last_handle = None
+    for i in range(20):
+        before = _persisted_rdd_ids(spark)
+        handles: list = []
+        out = select_to_token_budget(
+            docs, "key", "score", "toks", budget=1000 + i,
+            cache_handles=handles,
+        )
+        n = out.count()  # materialize BEFORE release
+        assert n > 0
+        assert len(handles) == 1
+        assert isinstance(handles[0], PinnedPrefixHandle)
+        created = _persisted_rdd_ids(spark) - before
+        assert created, "checkpoint did not register as persisted"
+        for h in handles:
+            h.unpersist()
+        assert _persisted_rdd_ids(spark) & created == set()
+        last_handle = handles[0]
+    assert _persisted_rdd_ids(spark) - initial == set()
+    last_handle.unpersist()  # idempotent
+
+    # filter_top_fraction's ungrouped exact mode rides the same plan
+    handles2: list = []
+    from covid19i2b2_spark.operators.sampling import filter_top_fraction
+
+    kept = filter_top_fraction(
+        docs, "key", "score", 0.25, (), cache_handles=handles2
+    )
+    assert kept.count() == 125
+    assert len(handles2) == 1
+    handles2[0].unpersist()
+    assert _persisted_rdd_ids(spark) - initial == set()
