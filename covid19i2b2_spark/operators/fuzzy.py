@@ -1,0 +1,244 @@
+"""X48: distributed fuzzy string matching — edit-distance similarity
+join over short text columns (entity names, titles, URLs, author
+strings), the record-linkage step a training-data pipeline runs when
+metadata arrives dirty (SURVEY §2.11 extension; no reference
+counterpart — the reference has no approximate string join).
+
+All-pairs Levenshtein is O(n²·L²) — dead at any scale.  This is the
+ED-Join shape (Xiao, Wang & Lin, VLDB 2008 — public algorithm) rebuilt
+declaratively:
+
+1.  **Padded q-grams**: each string is framed by k-1 boundary chars
+    ('\\x01', outside any real alphabet) and cut into overlapping
+    k-grams.  One edit operation disturbs at most k grams, so strings
+    within edit distance d share >= max(|A|,|B|) - k*d grams — at
+    least ONE whenever the longer string has len >= k*(d-1)+2.
+2.  **Prefix blocking**: grams are globally ordered by xxhash64 and
+    only the first k*d+1 per string are indexed (prefix-filter
+    principle: two sets with required overlap t intersect within their
+    first |set|-t+1 elements, and t >= |set|-k*d here, so k*d+1
+    suffices).  Candidate volume is therefore independent of string
+    LENGTH — each row contributes <= k*d+1 exploded gram rows no
+    matter how long the string.
+3.  **Short-string pool**: pairs where BOTH sides are shorter than
+    k*(d-1)+2 carry no gram guarantee ("ab"/"cd" share nothing yet sit
+    at distance 2), so strings below the cutoff are cross-paired
+    directly — a pool that is small by construction (few distinct
+    strings that short) and guarded by ``short_cap``.
+4.  **Verify**: length filter |len_a-len_b| <= d (an edit changes
+    length by at most 1), then the JVM-side ``levenshtein(a, b, d)``
+    with the threshold argument — Spark's implementation early-exits
+    the DP once the band exceeds d, O(d*L) per pair instead of O(L²).
+
+Everything is built-in expressions (explode / equi-join / levenshtein)
+— no Python in the hot path; the only shuffles are the gram equi-join
+and the pair dedup.  100 TB shape: gram blocks behave like LSH bands
+(operators/dedup.py lsh_candidate_pairs); a hot gram (shared prefix
+boilerplate) can be capped with ``gram_cap``, which — like bucket_cap
+there — trades completeness for a bound and logs what it skipped.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_LOG = logging.getLogger(__name__)
+
+_PAD = "\x01"  # outside every real alphabet; cannot collide with data
+
+
+def _padded_qgrams(col: Column, k: int) -> Column:
+    """DISTINCT padded k-grams of a string column, as an array.  The
+    k-1-char frame gives every string (even '') at least one gram and
+    strengthens the count filter at the boundaries."""
+    pad = F.lit(_PAD * (k - 1))
+    framed = F.concat(pad, col, pad)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(framed) - (k - 1)),
+            lambda i: F.substring(framed, i, k),
+        )
+    )
+
+
+def _prefix_grams(col: Column, k: int, max_dist: int) -> Column:
+    """The first k*d+1 grams in the GLOBAL xxhash64 order — the
+    prefix-filter index set.  Any total order is correct (rare-first is
+    merely optimal); hash order needs no frequency pass and is
+    deterministic across runs and engines."""
+    n_prefix = k * max_dist + 1
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                _padded_qgrams(col, k),
+                lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")),
+            )
+        ),
+        1,
+        n_prefix,
+    ).getField("g")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    k: int = 2,
+    gram_cap: int | None = None,
+    short_cap: int = 100_000,
+) -> DataFrame:
+    """Self-join: all (id_a, id_b, dist) pairs with
+    levenshtein(text_a, text_b) <= max_dist, id_a < id_b.  COMPLETE —
+    every qualifying pair is found (the ED-Join bound plus the
+    short-string pool; equivalence to brute force pinned in tests and
+    the DuckDB oracle) — unless ``gram_cap`` skips a hot block, which
+    is logged.
+
+    ``id_col`` must be unique; NULL texts never match (SQL semantics:
+    levenshtein(NULL, x) is NULL, not 0).
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    grams = base.select(
+        "__id",
+        "__s",
+        F.explode(_prefix_grams(F.col("__s"), k, max_dist)).alias("__g"),
+    )
+    if gram_cap is not None:
+        sizes = grams.groupBy("__g").agg(F.count("*").alias("__gsz"))
+        hot = sizes.filter(F.col("__gsz") > gram_cap)
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "fuzzy_pairs: skipping %d gram blocks larger than "
+                "gram_cap=%d; pairs whose ONLY shared prefix gram is in "
+                "a skipped block are lost (completeness traded for a "
+                "bound, same contract as lsh_candidate_pairs.bucket_cap)",
+                n_hot,
+                gram_cap,
+            )
+        grams = grams.join(hot.select("__g"), "__g", "left_anti")
+    a = grams.select(
+        F.col("__g"),
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa"),
+    )
+    b = grams.select(
+        F.col("__g"),
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("__sb"),
+    )
+    blocked = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+    )
+    # pairs where BOTH strings sit below the gram-guarantee cutoff:
+    # cross-pair them directly (the length filter in verify still
+    # applies).  Bounded: len < k*(d-1)+2 admits few distinct strings;
+    # short_cap fails loudly rather than letting a degenerate corpus
+    # (everything 1-char) go quadratic unannounced.
+    cutoff = k * (max_dist - 1) + 2
+    short = base.filter(F.length("__s") < cutoff)
+    n_short = short.limit(short_cap + 1).count()
+    if n_short > short_cap:
+        raise ValueError(
+            f"fuzzy_pairs: more than short_cap={short_cap} strings "
+            f"shorter than {cutoff} chars — the short-string pool would "
+            f"go quadratic; raise short_cap deliberately or pre-filter"
+        )
+    if n_short > 1:
+        sa = short.select(
+            F.col("__id").alias("id_a"), F.col("__s").alias("__sa")
+        )
+        sb = short.select(
+            F.col("__id").alias("id_b"), F.col("__s").alias("__sb")
+        )
+        blocked = blocked.unionByName(
+            sa.join(sb, F.col("id_a") < F.col("id_b"))
+        )
+    dist = F.levenshtein("__sa", "__sb", max_dist)
+    return (
+        blocked.dropDuplicates(["id_a", "id_b"])
+        .filter(
+            (F.abs(F.length("__sa") - F.length("__sb")) <= max_dist)
+            & (dist >= 0)  # threshold form returns -1 when above d
+        )
+        .select("id_a", "id_b", dist.alias("dist"))
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_dist: int = 1,
+    k: int = 2,
+    gram_cap: int | None = None,
+    short_cap: int = 100_000,
+) -> DataFrame:
+    """Two-table edit-distance join: every (left row, right row) pair
+    with levenshtein(left_on, right_on) <= max_dist, carrying all
+    columns of both sides plus ``dist``.  Same blocking scheme and
+    completeness contract as :func:`fuzzy_pairs`.  Column name
+    collisions follow Spark join semantics — alias beforehand."""
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    lg = left.filter(F.col(left_on).isNotNull()).withColumn(
+        "__g", F.explode(_prefix_grams(F.col(left_on), k, max_dist))
+    )
+    rg = right.filter(F.col(right_on).isNotNull()).withColumn(
+        "__g", F.explode(_prefix_grams(F.col(right_on), k, max_dist))
+    )
+    if gram_cap is not None:
+        sizes = lg.groupBy("__g").agg(F.count("*").alias("__gsz"))
+        hot = sizes.filter(F.col("__gsz") > gram_cap)
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "fuzzy_join: skipping %d gram blocks larger than "
+                "gram_cap=%d (see fuzzy_pairs)",
+                n_hot,
+                gram_cap,
+            )
+        lg = lg.join(hot.select("__g"), "__g", "left_anti")
+        rg = rg.join(hot.select("__g"), "__g", "left_anti")
+    cutoff = k * (max_dist - 1) + 2
+    ls = left.filter(
+        F.col(left_on).isNotNull() & (F.length(left_on) < cutoff)
+    )
+    rs = right.filter(
+        F.col(right_on).isNotNull() & (F.length(right_on) < cutoff)
+    )
+    for side, nm in ((ls, "left"), (rs, "right")):
+        n = side.limit(short_cap + 1).count()
+        if n > short_cap:
+            raise ValueError(
+                f"fuzzy_join: more than short_cap={short_cap} {nm}-side "
+                f"strings shorter than {cutoff} chars; raise short_cap "
+                f"deliberately or pre-filter"
+            )
+    blocked = lg.join(rg, "__g").drop("__g")
+    shorts = ls.crossJoin(rs)
+    dist = F.levenshtein(F.col(left_on), F.col(right_on), max_dist)
+    out_cols = [*left.columns, *right.columns]
+    return (
+        blocked.unionByName(shorts)
+        .dropDuplicates(out_cols)
+        .filter(
+            (F.abs(F.length(left_on) - F.length(right_on)) <= max_dist)
+            & (dist >= 0)
+        )
+        .select(*out_cols, dist.alias("dist"))
+    )

@@ -690,3 +690,28 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         ["source"],
     )
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 X48: edit-distance similarity self-join
+    (operators/fuzzy.py fuzzy_pairs) — all customer-name pairs within
+    Levenshtein distance 1, via padded-q-gram prefix blocking + the
+    thresholded JVM levenshtein verify.  The synthetic c_name column
+    ("Customer#000000017") is exactly the dirty-metadata workload:
+    single-digit typos are distance-1 neighbors.  UNREGISTERED; DuckDB
+    brute-force parity in tests/test_oracle_parity.py pins
+    COMPLETENESS — blocking must find every pair the cross join finds."""
+    from covid19i2b2_spark.operators.fuzzy import fuzzy_pairs
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1, k=2)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

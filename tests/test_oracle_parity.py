@@ -474,6 +474,17 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 
 UNREGISTERED_ORACLES = {
+    # X48 fuzzy pairs: the oracle is the BRUTE-FORCE cross join — parity
+    # here pins the blocking scheme's completeness (padded q-gram prefix
+    # blocks + short pool must find every pair the O(n^2) scan finds)
+    "q_fuzzy_pairs": """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
     "q_bpe_pairs": """
     WITH toks AS (
         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
@@ -942,6 +953,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_top_fraction": llm3.q_top_fraction,
         "q_join_left": joins.q_join_left,
         "q_corpus_divergence": llm3.q_corpus_divergence,
+        "q_fuzzy_pairs": llm3.q_fuzzy_pairs,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
