@@ -715,3 +715,22 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def q_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 X49: the unigram tokenizer's seed-vocab statistic
+    (operators/unigram.py seed_piece_counts) — corpus frequencies of
+    every substring (length 1..6) of every word, weighted by word
+    frequency, top 200 by (n desc, piece asc).  The distributed half of
+    train_unigram; the EM/pruning half is vocabulary-sized and driver-
+    side (tests/test_unigram.py).  UNREGISTERED; DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.unigram import seed_piece_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        seed_piece_counts(docs, "text", max_piece_len=6)
+        .select("piece", F.col("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(200)
+    )

@@ -474,6 +474,28 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 
 UNREGISTERED_ORACLES = {
+    # X49 unigram tokenizer seed statistic: substring frequencies of
+    # the word dict, weighted by word count — the distributed half of
+    # train_unigram (the EM half is vocabulary-sized and driver-side)
+    "q_unigram_seed": """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE trim(text) <> ''
+    ),
+    words AS (SELECT word, COUNT(*) AS n_word FROM toks GROUP BY word),
+    subs AS (
+      SELECT unnest(flatten(list_transform(range(1, length(word)+1),
+               i -> list_transform(
+                    range(1, least(6, length(word)-CAST(i AS INT)+1)+1),
+                    l -> substr(word, CAST(i AS INT), CAST(l AS INT))))))
+                 AS piece,
+             n_word
+      FROM words
+    ),
+    counts AS (SELECT piece, SUM(n_word) AS n FROM subs GROUP BY piece)
+    SELECT piece, CAST(n AS BIGINT) AS n FROM counts
+    ORDER BY n DESC, piece LIMIT 200
+    """,
     # X48 fuzzy pairs: the oracle is the BRUTE-FORCE cross join — parity
     # here pins the blocking scheme's completeness (padded q-gram prefix
     # blocks + short pool must find every pair the O(n^2) scan finds)
@@ -954,6 +976,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_join_left": joins.q_join_left,
         "q_corpus_divergence": llm3.q_corpus_divergence,
         "q_fuzzy_pairs": llm3.q_fuzzy_pairs,
+        "q_unigram_seed": llm3.q_unigram_seed,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
