@@ -114,7 +114,9 @@ def fuzzy_pairs(
     )
     if gram_cap is not None:
         sizes = grams.groupBy("__g").agg(F.count("*").alias("__gsz"))
-        hot = sizes.filter(F.col("__gsz") > gram_cap)
+        # referenced twice (count + anti-join) — persist so the gram
+        # scan doesn't re-run per job (lsh_candidate_pairs precedent)
+        hot = sizes.filter(F.col("__gsz") > gram_cap).persist()
         n_hot = hot.count()
         if n_hot:
             _LOG.warning(
@@ -190,7 +192,10 @@ def fuzzy_join(
     with levenshtein(left_on, right_on) <= max_dist, carrying all
     columns of both sides plus ``dist``.  Same blocking scheme and
     completeness contract as :func:`fuzzy_pairs`.  Column name
-    collisions follow Spark join semantics — alias beforehand."""
+    collisions follow Spark join semantics — alias beforehand.  Rows
+    that are FULLY identical on a side collapse to one output pair
+    (the block dedup keys on all columns); keep a unique id column
+    when multiplicity matters."""
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     if k < 2:
@@ -202,8 +207,15 @@ def fuzzy_join(
         "__g", F.explode(_prefix_grams(F.col(right_on), k, max_dist))
     )
     if gram_cap is not None:
-        sizes = lg.groupBy("__g").agg(F.count("*").alias("__gsz"))
-        hot = sizes.filter(F.col("__gsz") > gram_cap)
+        # a block's join cost is |left block| x |right block| — count
+        # BOTH sides so a right-heavy gram can't slip under the cap
+        sizes = (
+            lg.select("__g")
+            .unionAll(rg.select("__g"))
+            .groupBy("__g")
+            .agg(F.count("*").alias("__gsz"))
+        )
+        hot = sizes.filter(F.col("__gsz") > gram_cap).persist()
         n_hot = hot.count()
         if n_hot:
             _LOG.warning(

@@ -210,6 +210,13 @@ def train_unigram(
         (r["word"], r["n_word"])
         for r in words.orderBy("word").collect()
     ]
+    if top_words is not None:
+        # the bounded-dict checkpoint is fully consumed (the seed scan
+        # below reads the RAW corpus, not `words`) — release its
+        # executor storage now instead of waiting for GC
+        from covid19i2b2_spark.caching import release_local_checkpoint
+
+        release_local_checkpoint(words)
     seed_n = max(vocab_size * seed_factor, vocab_size)
     seeds = (
         seed_piece_counts(df, text_col, max_piece_len, lowercase)
