@@ -416,6 +416,28 @@ def _bench_bloom_scaled(spark) -> dict[str, float]:
         s.write.format("noop").mode("overwrite").save()
         d.write.format("noop").mode("overwrite").save()
         out["filter_bloom_persisted_sec"] = round(time.perf_counter() - t0, 3)
+        # X50 sharded index over the same x10 fingerprint population
+        # (round 8): build = one 16 B/row shuffle + distributed
+        # partitionBy write (no driver transit, no OR-reduce); probe =
+        # the cogroup kernel.  Guards the sharded path's constants
+        # against regression next to the flat-bloom rows above.
+        from covid19i2b2_spark.operators.bloom_sharded import (
+            build_sharded_bloom,
+            sharded_bloom_flags,
+        )
+        from covid19i2b2_spark.operators.text import fingerprint
+
+        fps = big.select(fingerprint("text").alias("fp"))
+        spath = os.path.join(root, "sharded")
+        t0 = time.perf_counter()
+        build_sharded_bloom(fps, "fp", spath, n_shards=16, fpp=0.01)
+        out["sharded_build_sec"] = round(time.perf_counter() - t0, 3)
+        probe = batch.select(fingerprint("text").alias("fp"))
+        t0 = time.perf_counter()
+        sharded_bloom_flags(probe, "fp", spath).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["sharded_probe_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

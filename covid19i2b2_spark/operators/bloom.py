@@ -36,8 +36,9 @@ is the standard trade: ~9.6 bits/key at 1% fpp, so 1e9 indexed docs ≈
 1.2 GB — fine as an executor broadcast, guarded here by ``max_bytes``
 so a mis-sized request fails loudly instead of OOMing driver or
 executors on the broadcast.  For blooms past a
-few GB, raise ``fpp`` (5% ≈ 6.2 bits/key) or shard the index by key
-range and build one bloom per shard.  Membership depends only on
+few GB, raise ``fpp`` (5% ≈ 6.2 bits/key) or use the sharded index
+(operators/bloom_sharded.py — per-shard bitmaps, no driver transit,
+cogroup probe; round 8).  Membership depends only on
 (key bytes, seed) — deterministic across runs, retries, and
 partitionings, the same reproducibility contract as every hash in this
 engine (no SipHash/randomized seeds).

@@ -1,0 +1,297 @@
+"""X50: key-range-sharded Bloom index — the scale path past a single
+bitmap's ``max_bytes`` guard (operators/bloom.py documents the trade:
+"raise fpp ... or shard the index by key range and build one bloom per
+shard"; this is that follow-on, round 8).
+
+A single BloomSpec is driver-assembled and executor-broadcast — fine to
+~1 GB, wrong for 10^10+ keys (a 1%-fpp bloom over 10^10 keys is
+~12 GB).  The sharded index never materializes the whole bitmap
+ANYWHERE:
+
+- **Build**: keys are hashed JVM-side (one narrow long column), routed
+  to ``n_shards`` by an independent salt of the same xxhash64, and
+  repartitioned BY SHARD — so each shard's rows land wholly in one
+  task, which sets bits in that shard's (small) bitmap and emits it as
+  16 MiB parquet chunk rows.  The chunked table writes out
+  ``partitionBy(shard)`` straight from the executors: the driver never
+  sees a bitmap, and there is no OR-reduce at all (a shard has exactly
+  one producer task).  One shuffle of 16 B/row (hash + shard), total.
+- **Probe**: a COGROUP join in Pandas — probe rows grouped by shard
+  cogrouped with the chunk table grouped by shard
+  (``applyInPandas``): each task reassembles ONE shard's bitmap from
+  its chunks and tests only that shard's keys.  No broadcast, no
+  driver transit, no executor-side filesystem access from Python; the
+  chunk table is read by Spark like any other parquet.  An EMPTY shard
+  (no keys ever routed there) simply has no chunk rows, and its probes
+  answer False — the correct "contains nothing" semantics.
+
+Per-task memory is one shard bitmap + one shard's slice of the probe
+batch: size ``n_shards`` so both fit (``probe_splits`` further
+subdivides the probe side when probing a corpus-sized frame — the
+bitmap chunks replicate per split, the documented trade).
+
+Same guarantees as the flat bloom: no false negatives ever (crash
+mid-build leaves a missing/torn shard partition, which
+``read.parquet`` surfaces as absent chunks — callers treat the INDEX
+as unusable, not as empty; use the DedupIndex torn-table discipline),
+~fpp false positives, fully deterministic in (key bytes, seed).
+
+Cites: Kirsch & Mitzenmacher double hashing via operators/bloom.py
+``_positions`` (shared code).  No reference-repo counterpart
+(SURVEY §2.11 extension).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from covid19i2b2_spark.operators.bloom import (
+    _BLOOM_CHUNK,
+    _positions,
+    bloom_params,
+)
+
+_SHARD_SALT = 0x5A11  # shard routing salts the SAME xxhash64 differently
+# from position hashing, so shard choice and bit positions decorrelate
+_VERSION = 1
+
+
+@dataclass(frozen=True)
+class ShardedBloomMeta:
+    """Driver-side metadata only — never the bitmaps."""
+
+    n_shards: int
+    n_bits: int  # per shard
+    n_hashes: int
+    seed: int
+    n_items: int  # total keys inserted at build
+
+
+def _shard_of(key: Column, seed: int, n_shards: int) -> Column:
+    return F.pmod(
+        F.xxhash64(key, F.lit(seed + _SHARD_SALT)), F.lit(n_shards)
+    ).cast("int")
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    key: str | Column,
+    path: str,
+    n_shards: int = 16,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    seed: int = 42,
+    max_bytes_per_shard: int = 1 << 28,
+) -> ShardedBloomMeta:
+    """Build and persist the sharded index at ``path``; returns the
+    metadata (also stored in every chunk row, so
+    :func:`read_sharded_meta` can recover it without a side file).
+    Shards are sized for ``expected_items / n_shards`` keys each at
+    ``fpp`` — the uniform hash split keeps true per-shard loads within
+    sampling noise of that."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = F.col(key) if isinstance(key, str) else key
+    if expected_items is None:
+        expected_items = df.count()
+    per_shard = max(1, -(-expected_items // n_shards))
+    n_bits, n_hashes = bloom_params(per_shard, fpp)
+    if n_bits // 8 > max_bytes_per_shard:
+        raise ValueError(
+            f"shard bitmap of {n_bits // 8} bytes exceeds "
+            f"max_bytes_per_shard={max_bytes_per_shard}; raise n_shards,"
+            f" fpp, or the guard"
+        )
+    hashed = df.select(
+        F.xxhash64(k, F.lit(seed)).alias("__h"),
+        _shard_of(k, seed, n_shards).alias("__shard"),
+    ).repartition(n_shards, "__shard")
+
+    def _shard_bitmaps(batches):
+        # a partition may carry several shards (hash(shard) collisions)
+        # but each shard is WHOLLY here — one bitmap per shard, no
+        # cross-partition OR needed
+        maps: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby("__shard"):
+                h = grp["__h"].to_numpy(dtype=np.int64)
+                bm = maps.get(shard)
+                if bm is None:
+                    bm = maps[shard] = np.zeros(n_bits // 8, dtype=np.uint8)
+                    counts[shard] = 0
+                counts[shard] += h.size
+                pos = _positions(h, n_hashes, n_bits).ravel()
+                np.bitwise_or.at(
+                    bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        for shard, bm in maps.items():
+            raw = bm.tobytes()
+            chunks = [
+                raw[off : off + _BLOOM_CHUNK]
+                for off in range(0, max(len(raw), 1), _BLOOM_CHUNK)
+            ]
+            yield pd.DataFrame(
+                {
+                    "shard": np.int32(shard),
+                    "chunk": np.arange(len(chunks), dtype=np.int32),
+                    "bits": chunks,
+                    "n_chunks": np.int32(len(chunks)),
+                    "shard_items": np.int64(counts[shard]),
+                }
+            )
+
+    rows = hashed.mapInPandas(
+        _shard_bitmaps,
+        "shard int, chunk int, bits binary, n_chunks int, shard_items long",
+    )
+    (
+        rows.withColumn("n_shards", F.lit(n_shards))
+        .withColumn("n_bits", F.lit(n_bits))
+        .withColumn("n_hashes", F.lit(n_hashes))
+        .withColumn("seed", F.lit(seed).cast("long"))
+        .withColumn("n_items", F.lit(expected_items).cast("long"))
+        .withColumn("version", F.lit(_VERSION))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return ShardedBloomMeta(
+        n_shards=n_shards,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        seed=seed,
+        n_items=expected_items,
+    )
+
+
+def read_sharded_meta(
+    spark: SparkSession, path: str
+) -> ShardedBloomMeta | None:
+    """Metadata from any one chunk row (all rows carry it); None when
+    the index is absent/unreadable — same missing-costs-a-rebuild,
+    never-correctness contract as read_bloom_table."""
+    from covid19i2b2_spark.fsutil import hadoop_fs
+
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    try:
+        row = spark.read.parquet(path).limit(1).collect()
+    except Exception:
+        return None
+    if not row or row[0]["version"] != _VERSION:
+        return None
+    r = row[0]
+    return ShardedBloomMeta(
+        n_shards=r["n_shards"],
+        n_bits=r["n_bits"],
+        n_hashes=r["n_hashes"],
+        seed=r["seed"],
+        n_items=r["n_items"],
+    )
+
+
+def sharded_bloom_flags(
+    df: DataFrame,
+    key: str | Column,
+    path: str,
+    flag_col: str = "might_contain",
+    probe_splits: int = 1,
+) -> DataFrame:
+    """``df`` plus a boolean ``flag_col``: False = key DEFINITELY never
+    inserted; True = inserted or a ~fpp false positive.  The cogroup
+    probe described in the module docstring — per task: one shard
+    bitmap + that shard's probe slice.
+
+    ``probe_splits`` > 1 subdivides each shard's probe rows into that
+    many cogroup keys (the chunk rows replicate per split — bitmap
+    bytes through the shuffle grow by the factor, probe memory shrinks
+    by it); use when probing corpus-sized frames whose per-shard slice
+    wouldn't fit a task."""
+    spark = df.sparkSession
+    meta = read_sharded_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no readable sharded bloom index at {path!r} — build it "
+            f"with build_sharded_bloom (absent/torn indexes are "
+            f"unusable, NOT empty: treating them as empty would answer "
+            f"false negatives)"
+        )
+    if probe_splits < 1:
+        raise ValueError(f"probe_splits must be >= 1, got {probe_splits}")
+    k = F.col(key) if isinstance(key, str) else key
+    n_bits, n_hashes = meta.n_bits, meta.n_hashes
+    probes = df.withColumn("__h", F.xxhash64(k, F.lit(meta.seed))).withColumn(
+        "__shard", _shard_of(k, meta.seed, meta.n_shards)
+    )
+    chunks = spark.read.parquet(path).select("shard", "chunk", "bits", "n_chunks")
+    if probe_splits > 1:
+        probes = probes.withColumn(
+            "__split",
+            F.pmod(F.xxhash64("__h", F.lit(1)), F.lit(probe_splits)).cast(
+                "int"
+            ),
+        )
+        chunks = chunks.crossJoin(
+            spark.range(probe_splits).select(
+                F.col("id").cast("int").alias("__split")
+            )
+        )
+    else:
+        probes = probes.withColumn("__split", F.lit(0))
+        chunks = chunks.withColumn("__split", F.lit(0))
+
+    out_schema = probes.drop("__shard", "__split").schema.add(
+        flag_col, "boolean"
+    )
+
+    def _probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.drop(columns=["__shard", "__split"])
+        if left.empty:
+            return left.assign(**{flag_col: pd.Series([], dtype=bool)})
+        if right.empty:
+            # shard never received a key at build: contains nothing
+            return left.assign(**{flag_col: False})
+        right = right.drop_duplicates(subset=["chunk"]).sort_values("chunk")
+        if len(right) != int(right["n_chunks"].iloc[0]):
+            raise IOError(
+                "sharded bloom: shard chunk set is torn (have "
+                f"{len(right)}, expected {int(right['n_chunks'].iloc[0])})"
+                " — rebuild the index; probing a torn shard could answer"
+                " false negatives"
+            )
+        bits = np.frombuffer(b"".join(right["bits"]), dtype=np.uint8)
+        h = left["__h"].to_numpy(dtype=np.int64)
+        pos = _positions(h, n_hashes, n_bits)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return left.assign(**{flag_col: hit.all(axis=0).astype(bool)})
+
+    grouped = probes.groupBy("__shard", "__split").cogroup(
+        chunks.groupBy("shard", "__split")
+    )
+    return grouped.applyInPandas(_probe_group, out_schema).drop("__h")
+
+
+def sharded_bloom_filter(
+    df: DataFrame,
+    key: str | Column,
+    path: str,
+    keep: str = "maybe",
+    probe_splits: int = 1,
+) -> DataFrame:
+    """Filter ``df`` through the index: ``keep='maybe'`` keeps rows the
+    index may contain (the pre-filter in front of an exact join);
+    ``keep='new'`` keeps rows DEFINITELY not in the index (safe to
+    treat as fresh without any exact check — no false negatives)."""
+    if keep not in ("maybe", "new"):
+        raise ValueError(f"keep must be 'maybe' or 'new', got {keep!r}")
+    flagged = sharded_bloom_flags(
+        df, key, path, flag_col="__mc", probe_splits=probe_splits
+    )
+    cond = F.col("__mc") if keep == "maybe" else ~F.col("__mc")
+    return flagged.filter(cond).drop("__mc")
