@@ -149,8 +149,19 @@ def build_sharded_bloom(
         _shard_bitmaps,
         "shard int, chunk int, bits binary, n_chunks int, shard_items long",
     )
+    # sentinel meta row under shard=-1 (no probe ever routes there:
+    # pmod is in [0, n_shards)) — keeps the index READABLE when the
+    # build input is empty, so probes answer all-False ("contains
+    # nothing") instead of FileNotFoundError (review r8); the flat
+    # build_bloom's empty-input behavior, preserved
+    spark = df.sparkSession
+    sentinel = spark.createDataFrame(
+        [(-1, -1, bytearray(b""), 0, 0)],
+        "shard int, chunk int, bits binary, n_chunks int, shard_items long",
+    )
     (
-        rows.withColumn("n_shards", F.lit(n_shards))
+        rows.unionByName(sentinel)
+        .withColumn("n_shards", F.lit(n_shards))
         .withColumn("n_bits", F.lit(n_bits))
         .withColumn("n_hashes", F.lit(n_hashes))
         .withColumn("seed", F.lit(seed).cast("long"))

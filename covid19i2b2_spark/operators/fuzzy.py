@@ -89,6 +89,7 @@ def fuzzy_pairs(
     k: int = 2,
     gram_cap: int | None = None,
     short_cap: int = 100_000,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Self-join: all (id_a, id_b, dist) pairs with
     levenshtein(text_a, text_b) <= max_dist, id_a < id_b.  COMPLETE —
@@ -115,8 +116,12 @@ def fuzzy_pairs(
     if gram_cap is not None:
         sizes = grams.groupBy("__g").agg(F.count("*").alias("__gsz"))
         # referenced twice (count + anti-join) — persist so the gram
-        # scan doesn't re-run per job (lsh_candidate_pairs precedent)
+        # scan doesn't re-run per job (lsh_candidate_pairs precedent);
+        # registered with the caller's release list so a long-lived
+        # session frees it deterministically (VERDICT r7 #6 protocol)
         hot = sizes.filter(F.col("__gsz") > gram_cap).persist()
+        if cache_handles is not None:
+            cache_handles.append(hot)
         n_hot = hot.count()
         if n_hot:
             _LOG.warning(
@@ -187,6 +192,7 @@ def fuzzy_join(
     k: int = 2,
     gram_cap: int | None = None,
     short_cap: int = 100_000,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Two-table edit-distance join: every (left row, right row) pair
     with levenshtein(left_on, right_on) <= max_dist, carrying all
@@ -216,6 +222,8 @@ def fuzzy_join(
             .agg(F.count("*").alias("__gsz"))
         )
         hot = sizes.filter(F.col("__gsz") > gram_cap).persist()
+        if cache_handles is not None:
+            cache_handles.append(hot)
         n_hot = hot.count()
         if n_hot:
             _LOG.warning(

@@ -62,8 +62,17 @@ def read_corpus(
     path: str,
     fmt: str = "parquet",
     schema: StructType | str | None = None,
+    legacy_csv_nulls: bool = False,
 ) -> DataFrame:
     """Read a corpus table in any supported format.
+
+    ``legacy_csv_nulls``: CSV files written BEFORE the ``\\N`` sentinel
+    (round 8) encoded NULL as an empty field; reading them with the new
+    sentinel turns every legacy NULL string into '' (review r8).  Pass
+    True to read such files with Spark's original empty-field-is-NULL
+    defaults — which also restores the old lossy collapse of genuine
+    empty strings, so rewrite legacy corpora when the distinction
+    matters.
 
     parquet/ORC: self-describing — ``schema`` is optional and, when
     given, applied as an enforced read schema (missing columns fail the
@@ -85,14 +94,17 @@ def read_corpus(
     if fmt == "csv":
         from covid19i2b2_spark.sources.files import read_csv
 
+        sentinel = (
+            {} if legacy_csv_nulls
+            else {"nullValue": _CSV_NULL, "emptyValue": ""}
+        )
         return read_csv(
             spark,
             path,
             schema,
             header=True,
             multiLine="true",
-            nullValue=_CSV_NULL,
-            emptyValue="",
+            **sentinel,
         )
     if fmt == "json":
         from covid19i2b2_spark.sources.files import read_json

@@ -149,7 +149,15 @@ class _SummaryStore:
     (markers are zero bytes; compact them by re-basing the store path
     if billions of epochs ever matter).  Pruning invalidates summary
     FRAMES returned before the latest merge — read ``.df`` after
-    merging, not before."""
+    merging, not before.
+
+    Epoch contract (review r8): the durable guard assumes epoch ids
+    are MONOTONIC across process restarts, which Structured Streaming
+    only guarantees for a query resumed from a stable
+    checkpointLocation — a fresh un-checkpointed query numbers batches
+    from 0 again, colliding with marked epochs (new data silently
+    skipped).  :func:`_start_store_stream` enforces this: a durable
+    target refuses to start without ``checkpoint_location``."""
 
     def __init__(self, spark, path: str | None = None):
         self.spark = spark
@@ -225,6 +233,36 @@ class _SummaryStore:
             self._epochs.add(epoch_id)
 
 
+def _start_store_stream(
+    stream: DataFrame,
+    merge_fn,
+    target: "_SummaryStore",
+    checkpoint_location: str | None,
+):
+    """Start a foreachBatch query feeding a summary store, enforcing
+    the durable stores' epoch contract (review r8): foreachBatch epoch
+    ids are only monotonic across process restarts when the query runs
+    with a STABLE checkpointLocation — a fresh un-checkpointed query
+    numbers its batches from 0 again, colliding with epochs a durable
+    store already marked folded, so every new batch would be silently
+    skipped (and pre-crash source data re-read past the guard).  A
+    durable target therefore REQUIRES checkpoint_location; in-memory
+    stores (whose epoch set dies with the process anyway) may omit
+    it."""
+    if target.path is not None and checkpoint_location is None:
+        raise ValueError(
+            "this store persists its folded-epoch set (path="
+            f"{target.path!r}), so the stream must run with a stable"
+            " checkpoint_location — without one, a restarted query's"
+            " epoch ids restart at 0 and collide with already-marked"
+            " epochs (new data silently skipped)"
+        )
+    w = stream.writeStream.outputMode("append").foreachBatch(merge_fn)
+    if checkpoint_location is not None:
+        w = w.option("checkpointLocation", checkpoint_location)
+    return w.trigger(availableNow=True).start()
+
+
 class RunningSketchStore(_SummaryStore):
     """Merge target for the streaming HLL distinct-count store
     (operators/sketches.py).  HLL union is SET-semantics idempotent, so
@@ -239,7 +277,10 @@ class RunningSketchStore(_SummaryStore):
 
 
 def incremental_distinct_users(
-    stream: DataFrame, target: RunningSketchStore, lg_k: int = 12
+    stream: DataFrame,
+    target: RunningSketchStore,
+    lg_k: int = 12,
+    checkpoint_location: str | None = None,
 ):
     """Maintain per-day distinct-user HLL sketches as events stream in:
     each micro-batch aggregates into kilobyte sketches inside
@@ -265,12 +306,7 @@ def incremental_distinct_users(
         )
         target.merge(sk, epoch_id)
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_store_stream(stream, _merge, target, checkpoint_location)
 
 
 class RunningTopkStore(_SummaryStore):
@@ -304,6 +340,7 @@ def incremental_topk_tokens(
     target: RunningTopkStore,
     group_col: str = "source",
     text_col: str = "text",
+    checkpoint_location: str | None = None,
 ):
     """Maintain per-group heavy-hitter token summaries as documents
     stream in: each micro-batch builds its own exact top-k summaries
@@ -326,12 +363,7 @@ def incremental_topk_tokens(
             epoch_id,
         )
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_store_stream(stream, _merge, target, checkpoint_location)
 
 
 class RunningQuantileStore(_SummaryStore):
@@ -358,6 +390,7 @@ class RunningQuantileStore(_SummaryStore):
 def incremental_value_quantiles(
     stream: DataFrame,
     target: RunningQuantileStore,
+    checkpoint_location: str | None = None,
     value_col: str = "value",
     eps: float = 0.01,
 ):
@@ -379,12 +412,7 @@ def incremental_value_quantiles(
         )
         target.merge(sk, epoch_id)
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_store_stream(stream, _merge, target, checkpoint_location)
 
 
 class RunningCmStore(_SummaryStore):
@@ -421,6 +449,7 @@ def incremental_cm_tokens(
     target: RunningCmStore,
     group_col: str = "source",
     text_col: str = "text",
+    checkpoint_location: str | None = None,
 ):
     """Maintain per-group Count-Min token-frequency cells as documents
     stream in: each micro-batch builds its own cell store inside
@@ -450,9 +479,4 @@ def incremental_cm_tokens(
             epoch_id,
         )
 
-    return (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_store_stream(stream, _merge, target, checkpoint_location)

@@ -55,8 +55,9 @@ def test_bloom_deterministic_and_seeded(spark):
         "k",
     )
     assert a.bits == b.bits and a.n_hashes == b.n_hashes
-    # 300 partitions forces two executor-side OR-reduce rounds
-    # (300 -> 19 -> 2; fan-in 16) — bits must not depend on tree shape
+    # 300 partitions exercises the executor-side OR-reduce (300
+    # partials streamed into 16 reduce tasks) — bits must not depend
+    # on the reduction shape
     t = build_bloom(
         spark.range(10_000)
         .selectExpr("cast(id as string) as k")

@@ -135,3 +135,19 @@ def test_probe_plan_is_cogroup_no_broadcast(spark, tmp_path):
     assert "FlatMapCoGroupsInPandas" in plan
     # the whole point: bitmaps never ride a broadcast
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_empty_build_probes_all_false(spark, tmp_path):
+    """Review r8: building over an EMPTY frame must still leave a
+    readable index (sentinel meta row) whose probes answer all-False —
+    the flat build_bloom's empty-input semantics, not a
+    FileNotFoundError on first probe of an initially-empty corpus."""
+    path = str(tmp_path / "empty")
+    meta = build_sharded_bloom(
+        _keys(spark, 0, 0), "k", path, n_shards=4
+    )
+    assert meta.n_items == 0
+    assert read_sharded_meta(spark, path) is not None
+    flagged = sharded_bloom_flags(_keys(spark, 0, 100), "k", path)
+    assert flagged.count() == 100
+    assert flagged.filter(F.col("might_contain")).count() == 0

@@ -697,3 +697,47 @@ def test_durable_store_ignores_unmarked_state(spark, tmp_path):
     store2.merge(halves[1], epoch_id=1)
     assert sorted(map(tuple, store2.df.collect())) == want_crashfree
     assert store2._epochs == {0, 1}
+
+
+def test_durable_store_requires_checkpoint_location(spark, tmp_path):
+    """Review r8: a durable store's epoch guard is only sound when the
+    feeding query's epoch ids stay monotonic across restarts — i.e.
+    the query runs with a stable checkpointLocation.  Starting a
+    durable-store stream WITHOUT one must refuse (a fresh query's
+    epochs restart at 0, collide with marked epochs, and silently skip
+    new data); with one, the stream runs, the store commits, and a
+    RE-RUN of the same source+checkpoint with a FRESH store instance
+    folds nothing new (no re-read past the guard, no double count)."""
+    import pytest as _pt
+
+    from covid19i2b2_spark.streaming.curation import stream_documents
+    from covid19i2b2_spark.streaming.incremental import (
+        RunningCmStore,
+        incremental_cm_tokens,
+    )
+
+    path = str(tmp_path / "cm_durable")
+    store = RunningCmStore(spark, ["source"], depth=3, width=128, path=path)
+    with _pt.raises(ValueError, match="checkpoint_location"):
+        incremental_cm_tokens(stream_documents(spark, SF_DIR), store)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_cm_tokens(
+        stream_documents(spark, SF_DIR), store, checkpoint_location=ckpt
+    )
+    q.awaitTermination()
+    assert store.df is not None and store._epochs
+    state = sorted(map(tuple, store.df.collect()))
+    epochs = set(store._epochs)
+
+    # "restart": fresh store instance, same source files, SAME
+    # checkpoint — the resumed query has no new batches to hand us, so
+    # the restored store must stay exactly as committed
+    store2 = RunningCmStore(spark, ["source"], depth=3, width=128, path=path)
+    assert store2._epochs == epochs
+    q2 = incremental_cm_tokens(
+        stream_documents(spark, SF_DIR), store2, checkpoint_location=ckpt
+    )
+    q2.awaitTermination()
+    assert sorted(map(tuple, store2.df.collect())) == state
+    assert store2._epochs == epochs
