@@ -180,22 +180,216 @@ def build_sharded_bloom(
     )
 
 
+def append_sharded_bloom(
+    df: DataFrame,
+    key: str | Column,
+    path: str,
+) -> ShardedBloomMeta:
+    """OR a batch's keys into the persisted index under its FIXED
+    parameters (the or_into of the sharded world).  Fully distributed:
+    the batch's per-shard delta bitmaps (same kernel as the build)
+    cogroup with the existing chunk rows per shard and OR chunk-wise —
+    no bitmap ever crosses the driver.
+
+    The merged table writes to a fresh ``_v<n>`` sibling and a tiny
+    pointer file flips to it LAST, so a crash mid-append leaves the
+    old version intact and readable (an index must never be half-new:
+    a torn mix of old and new shards would answer false negatives for
+    whichever half lost the race).  Bit-idempotent: re-appending the
+    same batch re-sets the same bits (the shard_items audit count DOES
+    double-count replays — it is informational, like the flat bloom's
+    n_items).  Superseded versions are pruned after the flip; fill
+    beyond the design load degrades fpp exactly like the flat bloom —
+    rebuild when shard_items outgrow the per-shard design load."""
+    spark = df.sparkSession
+    meta = read_sharded_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no readable sharded bloom index at {path!r} — build it"
+            f" first (append under unknown parameters would miss keys)"
+        )
+    k = F.col(key) if isinstance(key, str) else key
+    n_bits, n_hashes = meta.n_bits, meta.n_hashes
+    hashed = df.select(
+        F.xxhash64(k, F.lit(meta.seed)).alias("__h"),
+        _shard_of(k, meta.seed, meta.n_shards).alias("__shard"),
+    ).repartition(meta.n_shards, "__shard")
+
+    def _delta_bitmaps(batches):
+        maps: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby("__shard"):
+                h = grp["__h"].to_numpy(dtype=np.int64)
+                bm = maps.get(shard)
+                if bm is None:
+                    bm = maps[shard] = np.zeros(n_bits // 8, dtype=np.uint8)
+                    counts[shard] = 0
+                counts[shard] += h.size
+                pos = _positions(h, n_hashes, n_bits).ravel()
+                np.bitwise_or.at(
+                    bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        for shard, bm in maps.items():
+            raw = bm.tobytes()
+            chunks = [
+                raw[off : off + _BLOOM_CHUNK]
+                for off in range(0, max(len(raw), 1), _BLOOM_CHUNK)
+            ]
+            yield pd.DataFrame(
+                {
+                    "shard": np.int32(shard),
+                    "chunk": np.arange(len(chunks), dtype=np.int32),
+                    "bits": chunks,
+                    "n_chunks": np.int32(len(chunks)),
+                    "shard_items": np.int64(counts[shard]),
+                }
+            )
+
+    schema = "shard int, chunk int, bits binary, n_chunks int, shard_items long"
+    delta = hashed.mapInPandas(_delta_bitmaps, schema)
+    old = _chunk_frame(spark, path).select(
+        "shard", "chunk", "bits", "n_chunks", "shard_items"
+    )
+
+    def _or_chunks(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = existing chunks of one shard, right = that shard's
+        # delta.  A shard present on only one side passes through as-is
+        # (new shard: first keys ever routed there; untouched shard:
+        # no batch keys).  Both sides chunked identically (same n_bits
+        # and _BLOOM_CHUNK), so the OR is positional per chunk row.
+        if right.empty:
+            return left
+        if left.empty:
+            return right
+        left = left.sort_values("chunk").reset_index(drop=True)
+        right = right.sort_values("chunk").reset_index(drop=True)
+        if len(left) != len(right) or len(left) != int(
+            left["n_chunks"].iloc[0]
+        ):
+            raise IOError(
+                "append_sharded_bloom: shard chunk sets misaligned "
+                f"({len(left)} existing vs {len(right)} delta) — the "
+                "existing shard is torn; rebuild the index (OR-ing a "
+                "torn shard would answer false negatives)"
+            )
+        merged = []
+        for i in range(len(left)):
+            a = np.frombuffer(left["bits"][i], dtype=np.uint8)
+            b = np.frombuffer(right["bits"][i], dtype=np.uint8)
+            merged.append((a | b).tobytes())
+        out = left.copy()
+        out["bits"] = merged
+        out["shard_items"] = left["shard_items"] + right["shard_items"]
+        return out
+
+    merged = (
+        old.groupBy("shard")
+        .cogroup(delta.groupBy("shard"))
+        .applyInPandas(_or_chunks, schema)
+    )
+    # the n_items COLUMN records the build-time estimate only; the live
+    # total is derived from per-shard shard_items (which _or_chunks
+    # accumulates) by read_sharded_meta — no extra agg on this hot path
+    new_meta_items = meta.n_items
+    versioned = (
+        merged.withColumn("n_shards", F.lit(meta.n_shards))
+        .withColumn("n_bits", F.lit(n_bits))
+        .withColumn("n_hashes", F.lit(n_hashes))
+        .withColumn("seed", F.lit(meta.seed).cast("long"))
+        .withColumn("n_items", F.lit(new_meta_items).cast("long"))
+        .withColumn("version", F.lit(_VERSION))
+    )
+    cur = _current_version(spark, path)
+    nxt_dir = f"{path}/_v{cur + 1}"
+    versioned.write.mode("overwrite").partitionBy("shard").parquet(nxt_dir)
+    _flip_version(spark, path, cur + 1)
+    return read_sharded_meta(spark, path)
+
+
+def _pointer_path(path: str) -> str:
+    return f"{path}/_CURRENT"
+
+
+def _current_version(spark: SparkSession, path: str) -> int:
+    """0 = the original flat layout at ``path`` itself (what
+    build_sharded_bloom writes); n>0 = ``{path}/_v<n>``."""
+    from covid19i2b2_spark.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, _pointer_path(path))
+    if not fs.exists(p):
+        return 0
+    stream = fs.open(p)
+    try:
+        data = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return int(bytes(data).decode())
+    finally:
+        stream.close()
+
+
+def _flip_version(spark: SparkSession, path: str, version: int) -> None:
+    """Point the index at a fully-written version dir — the LAST step
+    of an append, so a crash before it leaves the previous version
+    live; then prune superseded dirs (crash mid-prune only leaves
+    garbage the pointer never references)."""
+    from covid19i2b2_spark.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, _pointer_path(path))
+    out = fs.create(p, True)
+    try:
+        out.write(str(version).encode())
+    finally:
+        out.close()
+    _, root = hadoop_fs(spark, path)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_v") and name[2:].isdigit():
+            if int(name[2:]) != version:
+                fs.delete(st.getPath(), True)
+        elif name.startswith("shard=") and version > 0:
+            # the original build's root-level layout (version 0) is
+            # superseded once any _v<n> is live; the pointer was
+            # written FIRST, so a crash mid-delete leaves garbage no
+            # reader references
+            fs.delete(st.getPath(), True)
+
+
+def _chunk_frame(spark: SparkSession, path: str) -> DataFrame:
+    v = _current_version(spark, path)
+    return spark.read.parquet(path if v == 0 else f"{path}/_v{v}")
+
+
 def read_sharded_meta(
     spark: SparkSession, path: str
 ) -> ShardedBloomMeta | None:
     """Metadata from any one chunk row (all rows carry it); None when
     the index is absent/unreadable — same missing-costs-a-rebuild,
-    never-correctness contract as read_bloom_table."""
+    never-correctness contract as read_bloom_table.  ``n_items`` is
+    computed LIVE as the sum of per-shard ``shard_items`` (which
+    appends maintain), not the build-time column — one tiny aggregate
+    over the chunk table (rows = shards x chunks)."""
     from covid19i2b2_spark.fsutil import hadoop_fs
 
     fs, jpath = hadoop_fs(spark, path)
     if not fs.exists(jpath):
         return None
     try:
-        row = spark.read.parquet(path).limit(1).collect()
+        frame = _chunk_frame(spark, path)
+        row = frame.limit(1).collect()
+        if not row or row[0]["version"] != _VERSION:
+            return None
+        total = (
+            frame.groupBy("shard")
+            .agg(F.first("shard_items").alias("si"))
+            .agg(F.sum("si").alias("n"))
+            .collect()[0]["n"]
+        )
     except Exception:
-        return None
-    if not row or row[0]["version"] != _VERSION:
         return None
     r = row[0]
     return ShardedBloomMeta(
@@ -203,7 +397,7 @@ def read_sharded_meta(
         n_bits=r["n_bits"],
         n_hashes=r["n_hashes"],
         seed=r["seed"],
-        n_items=r["n_items"],
+        n_items=int(total or 0),
     )
 
 
@@ -240,7 +434,9 @@ def sharded_bloom_flags(
     probes = df.withColumn("__h", F.xxhash64(k, F.lit(meta.seed))).withColumn(
         "__shard", _shard_of(k, meta.seed, meta.n_shards)
     )
-    chunks = spark.read.parquet(path).select("shard", "chunk", "bits", "n_chunks")
+    chunks = _chunk_frame(spark, path).select(
+        "shard", "chunk", "bits", "n_chunks"
+    )
     if probe_splits > 1:
         probes = probes.withColumn(
             "__split",

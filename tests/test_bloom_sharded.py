@@ -151,3 +151,86 @@ def test_empty_build_probes_all_false(spark, tmp_path):
     flagged = sharded_bloom_flags(_keys(spark, 0, 100), "k", path)
     assert flagged.count() == 100
     assert flagged.filter(F.col("might_contain")).count() == 0
+
+
+def test_append_maintains_index(spark, tmp_path):
+    """append_sharded_bloom: appended keys become members with zero
+    false negatives (old AND new), version flip is atomic-by-pointer
+    (superseded layouts pruned), re-appending the same batch changes
+    no bits, and an append to a missing index refuses."""
+    from covid19i2b2_spark.operators.bloom_sharded import (
+        append_sharded_bloom,
+        _chunk_frame,
+    )
+
+    path = str(tmp_path / "appendix")
+    first = _keys(spark, 0, 5_000)
+    build_sharded_bloom(first, "k", path, n_shards=8, expected_items=15_000)
+    second = _keys(spark, 5_000, 10_000)
+    meta2 = append_sharded_bloom(second, "k", path)
+    assert meta2.n_items == 10_000  # live shard_items total
+    both = _keys(spark, 0, 10_000)
+    assert (
+        sharded_bloom_flags(both, "k", path)
+        .filter(~F.col("might_contain"))
+        .count()
+        == 0
+    )
+    # fpp still bounded (index sized for 15k, holds 10k)
+    fresh = _keys(spark, 2_000_000, 2_010_000)
+    fp = sharded_bloom_flags(fresh, "k", path).filter(
+        F.col("might_contain")
+    ).count()
+    assert fp / 10_000 < 0.05
+
+    # bit-idempotent replay: same batch again -> identical bitmaps
+    bits_before = {
+        (r["shard"], r["chunk"]): bytes(r["bits"])
+        for r in _chunk_frame(spark, path).collect()
+    }
+    append_sharded_bloom(second, "k", path)
+    bits_after = {
+        (r["shard"], r["chunk"]): bytes(r["bits"])
+        for r in _chunk_frame(spark, path).collect()
+    }
+    assert bits_before == bits_after
+
+    # superseded layouts pruned: only the live _v2 remains
+    import os
+
+    entries = sorted(os.listdir(path))
+    assert "_v2" in entries and "_v1" not in entries
+    assert not any(e.startswith("shard=") for e in entries)
+
+    with pytest.raises(FileNotFoundError):
+        append_sharded_bloom(second, "k", str(tmp_path / "missing"))
+
+
+def test_append_then_probe_matches_one_shot_build(spark, tmp_path):
+    """Membership after build(A) + append(B) equals build(A ∪ B) under
+    the same parameters — bit-for-bit, since bits depend only on
+    (key bytes, seed, n_bits)."""
+    from covid19i2b2_spark.operators.bloom_sharded import (
+        append_sharded_bloom,
+        _chunk_frame,
+    )
+
+    a, b = _keys(spark, 0, 3_000), _keys(spark, 3_000, 6_000)
+    p_inc = str(tmp_path / "inc")
+    build_sharded_bloom(a, "k", p_inc, n_shards=4, expected_items=6_000)
+    append_sharded_bloom(b, "k", p_inc)
+    p_one = str(tmp_path / "one")
+    build_sharded_bloom(
+        a.unionByName(b), "k", p_one, n_shards=4, expected_items=6_000
+    )
+    inc_bits = {
+        (r["shard"], r["chunk"]): bytes(r["bits"])
+        for r in _chunk_frame(spark, p_inc).collect()
+        if r["shard"] >= 0
+    }
+    one_bits = {
+        (r["shard"], r["chunk"]): bytes(r["bits"])
+        for r in _chunk_frame(spark, p_one).collect()
+        if r["shard"] >= 0
+    }
+    assert inc_bits == one_bits
