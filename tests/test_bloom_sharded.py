@@ -122,19 +122,39 @@ def test_build_guards(spark, tmp_path):
 
 
 def test_probe_plan_is_cogroup_no_broadcast(spark, tmp_path):
+    """VERDICT r8 #1: the cogroup must be NARROW — its probe-side input
+    carries only (__h, __shard, __split), never payload columns (those
+    join the boolean back JVM-side) — and bitmap chunk rows must never
+    ride a BroadcastExchange (a broadcast of the small flag/payload
+    side of the join-back is fine; that is the AQE fast path)."""
     import contextlib
     import io
 
     path = str(tmp_path / "plan")
     build_sharded_bloom(_keys(spark, 0, 1_000), "k", path, n_shards=4)
-    flagged = sharded_bloom_flags(_keys(spark, 0, 1_000), "k", path)
+    probe = spark.range(0, 1_000).selectExpr(
+        "concat('key-', id) as k", "repeat('x', 50) as payload"
+    )
+    flagged = sharded_bloom_flags(probe, "k", path)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         flagged.explain("formatted")
     plan = buf.getvalue()
     assert "FlatMapCoGroupsInPandas" in plan
-    # the whole point: bitmaps never ride a broadcast
-    assert "BroadcastExchange" not in plan, plan
+    # payload columns stay out of the Arrow cogroup: the node's left
+    # (probe) input lists only the narrow key pair + split id
+    cg_left = [
+        line
+        for line in plan.splitlines()
+        if line.startswith("Left output")
+    ]
+    assert cg_left and all("payload" not in line for line in cg_left), plan
+    assert "payload" in plan  # ...but the payload survives to the output
+    # bitmaps never ride a broadcast: no BroadcastExchange block may
+    # carry the chunk table's bits column
+    for block in plan.split("\n\n"):
+        if "BroadcastExchange" in block.splitlines()[0]:
+            assert "bits#" not in block, block
 
 
 def test_empty_build_probes_all_false(spark, tmp_path):
@@ -204,6 +224,39 @@ def test_append_maintains_index(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         append_sharded_bloom(second, "k", str(tmp_path / "missing"))
+
+
+def test_torn_version_pointer_falls_back(spark, tmp_path):
+    """ADVICE r8 #1: a torn/empty ``_CURRENT`` pointer (crash mid-flip,
+    reader racing the rename) must fall back to the highest fully
+    written ``_v`` dir — the index stays readable and answers with
+    zero false negatives, instead of FileNotFoundError until a manual
+    rebuild."""
+    from covid19i2b2_spark.operators.bloom_sharded import (
+        _current_version,
+        append_sharded_bloom,
+    )
+
+    path = str(tmp_path / "tornptr")
+    build_sharded_bloom(_keys(spark, 0, 2_000), "k", path, n_shards=4,
+                        expected_items=4_000)
+    append_sharded_bloom(_keys(spark, 2_000, 4_000), "k", path)
+    assert _current_version(spark, path) == 1
+    for garbage in (b"", b"not-a-number"):
+        with open(f"{path}/_CURRENT", "wb") as f:
+            f.write(garbage)
+        # drop the Hadoop local-FS checksum sidecar: the out-of-band
+        # edit above invalidates it (memory: crc sidecars fail reads)
+        import os
+
+        crc = f"{path}/._CURRENT.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        assert _current_version(spark, path) == 1
+        meta = read_sharded_meta(spark, path)
+        assert meta is not None
+        flags = sharded_bloom_flags(_keys(spark, 0, 4_000), "k", path)
+        assert flags.filter(~F.col("might_contain")).count() == 0
 
 
 def test_append_then_probe_matches_one_shot_build(spark, tmp_path):
