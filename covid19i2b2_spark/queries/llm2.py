@@ -63,35 +63,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_embedding_centroids",
-    oracle="""
-    WITH elems AS (
-        -- parallel unnests zip elementwise (no WITH ORDINALITY in duckdb 1.0)
-        SELECT label,
-               unnest(range(len(embedding))) AS dim,
-               unnest(embedding) AS val
-        FROM embeddings
-    ),
-    sums AS (
-        SELECT label, dim,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e12 AS s
-        FROM elems GROUP BY label, dim
-    )
-    SELECT label, dim,
-           CAST(n AS BIGINT) AS n_vectors,
-           FLOOR((s / n) * 1000000 + 0.5) / 1000000 AS centroid_val
-    FROM sums
-    WHERE dim < 4
-    ORDER BY label, dim
-    """,
-)
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: per-label mean embedding (class centroids) via posexplode +
     fixed-point sums — the building block for IVF training and label-
-    conditional analysis (first 4 dims shown; full vector same plan)."""
+    conditional analysis (first 4 dims shown; full vector same plan).
+    UNREGISTERED since round 9 (slot ceded to q_fuzzy_pairs per VERDICT
+    r8 #8 — centroid semantics stay oracle-checked via q_semantic_dedup
+    + q_ann_ivf, and full DuckDB parity lives in
+    tests/test_oracle_parity.py)."""
     emb = read_table(spark, sf_dir, "embeddings")
     elems = emb.select(
         "label", F.posexplode("embedding").alias("dim", "val")

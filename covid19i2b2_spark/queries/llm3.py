@@ -692,15 +692,31 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_fuzzy_pairs",
+    # the oracle is the BRUTE-FORCE cross join: driver-level parity
+    # pins the blocking scheme's COMPLETENESS (padded q-gram prefix
+    # blocks + short pool must find every pair the O(n²) scan finds)
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-8 X48: edit-distance similarity self-join
     (operators/fuzzy.py fuzzy_pairs) — all customer-name pairs within
     Levenshtein distance 1, via padded-q-gram prefix blocking + the
     thresholded JVM levenshtein verify.  The synthetic c_name column
     ("Customer#000000017") is exactly the dirty-metadata workload:
-    single-digit typos are distance-1 neighbors.  UNREGISTERED; DuckDB
-    brute-force parity in tests/test_oracle_parity.py pins
-    COMPLETENESS — blocking must find every pair the cross join finds."""
+    single-digit typos are distance-1 neighbors.  REGISTERED round 9
+    (VERDICT r8 #8; slot ceded by q_embedding_centroids, whose
+    centroid semantics stay green via q_semantic_dedup + q_ann_ivf +
+    UNREGISTERED parity): the brute-force oracle pins completeness —
+    blocking must find every pair the cross join finds."""
     from covid19i2b2_spark.operators.fuzzy import fuzzy_pairs
 
     cust = read_table(spark, sf_dir, "customer").select(

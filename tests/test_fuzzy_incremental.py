@@ -132,3 +132,69 @@ def test_match_deterministic_across_partitionings(spark, tmp_path):
         )
     )
     assert a == b
+
+
+def test_short_pool_cap_guards_both_sides(spark, tmp_path):
+    """VERDICT r8 #2 (what's wrong): a degenerate corpus — strings
+    below the gram-guarantee cutoff on either side — must raise
+    loudly at short_cap instead of running a silent quadratic cross
+    join.  The index pool grows across appends, so the guard must
+    catch it even when each individual append was small."""
+    # max_dist=2, k=2 -> cutoff k*(d-1)+2 = 4: 1-3 char strings pool
+    idx = FuzzyIndex(str(tmp_path / "cap"), max_dist=2, k=2, short_cap=10)
+    shorts = _df(spark, [(i, f"a{i % 10}") for i in range(8)])
+    idx.build(shorts, "id", "name")
+    ok_batch = _df(spark, [(100, "bcd"), (101, "wxyz")])
+    idx.match_batch(spark, ok_batch, "id", "name").collect()  # under cap
+    # batch side over cap
+    big_batch = _df(spark, [(200 + i, f"b{i % 10}") for i in range(11)])
+    with pytest.raises(ValueError, match="short_cap"):
+        idx.match_batch(spark, big_batch, "id", "name")
+    # index side over cap after appends accumulate
+    idx.append(_df(spark, [(300 + i, f"c{i}") for i in range(5)]),
+               "id", "name")
+    assert idx.stats(spark)["shorts_rows"] == 13
+    with pytest.raises(ValueError, match="index-side"):
+        idx.match_batch(spark, ok_batch, "id", "name")
+    with pytest.raises(ValueError):
+        FuzzyIndex(str(tmp_path / "bad"), short_cap=0)
+
+
+def test_compact_restores_one_shot_counts(spark, tmp_path):
+    """VERDICT r8 #3: replayed appends duplicate gram/short rows —
+    stats() must surface the duplication and compact() must restore
+    one-shot-build row counts with unchanged match results."""
+    idx = FuzzyIndex(str(tmp_path / "cmp"), max_dist=1, k=2)
+    canon = _df(spark, _CANON)
+    idx.build(canon, "id", "name")
+    delta = _df(spark, [(10, "amazonia"), (11, "nvidia"), (12, "ab")])
+    idx.append(delta, "id", "name")
+    # the at-least-once failure mode: the same append replayed 3x
+    for _ in range(3):
+        idx.append(delta, "id", "name")
+    batch = _df(
+        spark,
+        [(100, "anthropik"), (101, "nvidia!"), (102, "amazonia"),
+         (103, "ac"), (104, "zzz-unrelated")],
+    )
+    before = sorted(
+        map(tuple, idx.match_batch(spark, batch, "id", "name").collect())
+    )
+    st = idx.stats(spark)
+    assert st["grams_rows"] > st["grams_distinct"]  # replays visible
+    assert st["duplication_ratio"] > 1.0
+    idx.compact(spark)
+    st2 = idx.stats(spark)
+    assert st2["grams_rows"] == st2["grams_distinct"]
+    assert st2["shorts_rows"] == st2["shorts_distinct"]
+    assert st2["duplication_ratio"] == 1.0
+    # one-shot reference: build(canon + delta) fresh
+    ref = FuzzyIndex(str(tmp_path / "ref"), max_dist=1, k=2)
+    ref.build(canon.unionByName(delta), "id", "name")
+    rst = ref.stats(spark)
+    assert st2["grams_rows"] == rst["grams_rows"]
+    assert st2["shorts_rows"] == rst["shorts_rows"]
+    after = sorted(
+        map(tuple, idx.match_batch(spark, batch, "id", "name").collect())
+    )
+    assert after == before

@@ -496,16 +496,30 @@ UNREGISTERED_ORACLES = {
     SELECT piece, CAST(n AS BIGINT) AS n FROM counts
     ORDER BY n DESC, piece LIMIT 200
     """,
-    # X48 fuzzy pairs: the oracle is the BRUTE-FORCE cross join — parity
-    # here pins the blocking scheme's completeness (padded q-gram prefix
-    # blocks + short pool must find every pair the O(n^2) scan finds)
-    "q_fuzzy_pairs": """
-    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-    FROM customer a, customer b
-    WHERE a.c_custkey < b.c_custkey
-      AND levenshtein(a.c_name, b.c_name) <= 1
-    ORDER BY id_a, id_b
+    # X3 per-label centroids: REGISTERED rounds 2-8, slot ceded to
+    # q_fuzzy_pairs in round 9 (VERDICT r8 #8) — full-arithmetic parity
+    # (fixed-point sums) continues here
+    "q_embedding_centroids": """
+    WITH elems AS (
+        -- parallel unnests zip elementwise (no WITH ORDINALITY in duckdb 1.0)
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, dim,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e12 AS s
+        FROM elems GROUP BY label, dim
+    )
+    SELECT label, dim,
+           CAST(n AS BIGINT) AS n_vectors,
+           FLOOR((s / n) * 1000000 + 0.5) / 1000000 AS centroid_val
+    FROM sums
+    WHERE dim < 4
+    ORDER BY label, dim
     """,
     "q_bpe_pairs": """
     WITH toks AS (
@@ -931,6 +945,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         core,
         filters,
         joins,
+        llm2,
         llm3,
         reshape,
         scalar,
@@ -975,8 +990,8 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_top_fraction": llm3.q_top_fraction,
         "q_join_left": joins.q_join_left,
         "q_corpus_divergence": llm3.q_corpus_divergence,
-        "q_fuzzy_pairs": llm3.q_fuzzy_pairs,
         "q_unigram_seed": llm3.q_unigram_seed,
+        "q_embedding_centroids": llm2.q_embedding_centroids,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
