@@ -7,28 +7,33 @@ a vocab bottom-up by merges; unigram starts from a large seed vocab and
 PRUNES it down under an EM-fitted piece distribution, then tokenizes by
 Viterbi (the max-likelihood segmentation).
 
-Division of labor mirrors train_bpe exactly (the shape production
-trainers use — SentencePiece itself trains from a word-frequency
-table):
+Division of labor (round 9, VERDICT r8 #5 — the E-step is now
+distributed by default):
 
-- **Distributed (corpus-scale)**: ONE raw-text pass builds the
-  word-frequency dict, and ONE aggregate over that (vocabulary-sized)
+- **Distributed (corpus- and dict-scale)**: ONE raw-text pass builds
+  the word-frequency dict, ONE aggregate over that (vocabulary-sized)
   dict counts candidate substrings for the seed vocab
   (:func:`seed_piece_counts` — exploding substrings of DISTINCT words
-  weighted by n_word, never of raw text).  Both are plain
-  explode/groupBy plans with map-side combine; at 100 TB the text scan
-  is the only corpus-scale stage.
-- **Driver (vocabulary-scale)**: EM + pruning run over the collected
-  word dict — bounded by ``top_words`` / guarded by
-  ``driver_dict_max`` like train_bpe.  E-step is the full
-  forward-backward over each word's segmentation lattice (soft counts,
-  not Viterbi-hard); M-step renormalizes.  Pruning drops the pieces
-  with the smallest expected counts by a shrink factor per round until
+  weighted by n_word, never of raw text), and — with
+  ``em_impl='distributed'`` — every EM E-step runs as a mapInPandas
+  job over the word dict with the vocab-sized logp broadcast: each
+  word's forward-backward emits per-piece expected-count rows that a
+  groupBy sums in exact decimal arithmetic (partitioning-independent).
+  The word dict is therefore NOT driver-bounded; at 100 TB the text
+  scan is the only corpus-scale stage and EM costs one dict-scale job
+  per iteration.
+- **Driver (vocabulary-scale)**: the M-step renormalization and the
+  pruning schedule run over the vocab-sized logp only.  E-step is the
+  full forward-backward over each word's segmentation lattice (soft
+  counts, not Viterbi-hard).  Pruning drops the pieces with the
+  smallest expected counts by a shrink factor per round until
   ``vocab_size`` is reached — the common reimplementation
   approximation of SentencePiece's alternative-segmentation loss
   (documented trade: the exact criterion re-segments with each piece
   deleted); single-character pieces are never pruned, so every train
-  word stays segmentable.
+  word stays segmentable.  ``em_impl='driver'`` keeps the original
+  collected-dict EM (fewer jobs; ``driver_dict_max``-guarded, with
+  ``top_words`` as the Zipf-head bound — the train_bpe shape).
 
 Application (:func:`unigram_tokenize`) is per-word Viterbi — inherently
 sequential per word, so it runs as an Arrow kernel with a per-batch
@@ -114,58 +119,157 @@ def _logsumexp(xs: list[float]) -> float:
     return m + math.log(sum(math.exp(x - m) for x in xs))
 
 
-def _em_pass(
-    wf: list[tuple[str, int]],
+def _word_expected_counts(
+    word: str,
+    n: int,
     logp: dict[str, float],
     max_len: int,
-) -> tuple[dict[str, float], float]:
-    """One full EM iteration over the word dict: forward-backward
-    expected piece counts (E), renormalized logprobs (M).  Returns
-    (new logp, corpus log-likelihood under the INPUT model) — the
-    likelihood sequence is non-decreasing across iterations at fixed
-    vocab (EM guarantee, pinned in tests)."""
-    counts: dict[str, float] = {}
-    total_ll = 0.0
-    for word, n in wf:
-        L = len(word)
-        arcs = _lattice_pieces(word, logp, max_len)
-        alpha = [-math.inf] * (L + 1)
-        alpha[0] = 0.0
-        for j in range(1, L + 1):
-            terms = [alpha[i] + lp for i, lp in arcs[j]]
-            if terms:
-                alpha[j] = _logsumexp(terms)
-        if alpha[L] == -math.inf:
-            # unsegmentable under this vocab (can't happen while single
-            # chars are retained; guard keeps a pruned-to-death vocab
-            # from poisoning the M-step with NaNs)
-            continue
-        beta = [-math.inf] * (L + 1)
-        beta[L] = 0.0
-        for j in range(L, 0, -1):
-            for i, lp in arcs[j]:
-                beta[i] = _logsumexp([beta[i], lp + beta[j]])
-        z = alpha[L]
-        total_ll += n * z
-        for j in range(1, L + 1):
-            for i, lp in arcs[j]:
-                c = math.exp(alpha[i] + lp + beta[j] - z) * n
-                if c > 0.0:
-                    piece = word[i:j]
-                    counts[piece] = counts.get(piece, 0.0) + c
-    total = sum(counts.values())
+    counts: dict[str, float],
+) -> float | None:
+    """Forward-backward over ONE word's segmentation lattice: soft
+    expected piece counts accumulate into ``counts``; returns the
+    word's likelihood contribution n * log Z, or None when the word is
+    unsegmentable under this vocab (can't happen while single chars
+    are retained; the guard keeps a pruned-to-death vocab from
+    poisoning the M-step with NaNs).  Shared by the driver and
+    distributed E-steps so the two paths run identical per-word
+    arithmetic."""
+    L = len(word)
+    arcs = _lattice_pieces(word, logp, max_len)
+    alpha = [-math.inf] * (L + 1)
+    alpha[0] = 0.0
+    for j in range(1, L + 1):
+        terms = [alpha[i] + lp for i, lp in arcs[j]]
+        if terms:
+            alpha[j] = _logsumexp(terms)
+    if alpha[L] == -math.inf:
+        return None
+    beta = [-math.inf] * (L + 1)
+    beta[L] = 0.0
+    for j in range(L, 0, -1):
+        for i, lp in arcs[j]:
+            beta[i] = _logsumexp([beta[i], lp + beta[j]])
+    z = alpha[L]
+    for j in range(1, L + 1):
+        for i, lp in arcs[j]:
+            c = math.exp(alpha[i] + lp + beta[j] - z) * n
+            # quantize each contribution to the 1e-12 grid the
+            # distributed E-step sums on (decimal(38,12)): both paths
+            # then flush the SAME sub-resolution soft counts to zero —
+            # without this, a count like 1e-182 keeps a piece alive on
+            # the driver path but lands it at the unused floor on the
+            # distributed one, and the two trainers diverge
+            c = math.floor(c * 1e12 + 0.5) / 1e12
+            if c > 0.0:
+                piece = word[i:j]
+                counts[piece] = counts.get(piece, 0.0) + c
+    return n * z
+
+
+def _m_step(
+    counts: dict[str, float],
+    total: float,
+    logp: dict[str, float],
+) -> dict[str, float]:
+    """Renormalize expected counts into logprobs; pieces the E-step
+    never used keep a floor so they remain in the vocab until pruning
+    decides (dropping them here would make the shrink schedule depend
+    on float underflow)."""
     new_logp = {
         p: math.log(c) - math.log(total)
         for p, c in counts.items()
         if c > 0.0
     }
-    # pieces the E-step never used keep a floor so they remain in the
-    # vocab until pruning decides (dropping them here would make the
-    # shrink schedule depend on float underflow)
     floor = (min(new_logp.values()) if new_logp else 0.0) - _UNK_PENALTY
     for p in logp:
         new_logp.setdefault(p, floor)
-    return new_logp, total_ll
+    return new_logp
+
+
+def _em_pass(
+    wf: list[tuple[str, int]],
+    logp: dict[str, float],
+    max_len: int,
+) -> tuple[dict[str, float], float]:
+    """One full EM iteration over a COLLECTED word dict (the bounded
+    driver path): forward-backward expected piece counts (E),
+    renormalized logprobs (M).  Returns (new logp, corpus
+    log-likelihood under the INPUT model) — the likelihood sequence is
+    non-decreasing across iterations at fixed vocab (EM guarantee,
+    pinned in tests)."""
+    counts: dict[str, float] = {}
+    total_ll = 0.0
+    for word, n in wf:
+        z = _word_expected_counts(word, n, logp, max_len, counts)
+        if z is not None:
+            total_ll += z
+    total = sum(counts.values())
+    return _m_step(counts, total, logp), total_ll
+
+
+def _em_pass_distributed(
+    words: DataFrame,
+    logp: dict[str, float],
+    max_len: int,
+) -> tuple[dict[str, float], float]:
+    """One EM iteration with the E-step DISTRIBUTED over the word-dict
+    DataFrame (VERDICT r8 #5) — training is no longer capped by a
+    driver-collected dict; only the VOCAB-sized (piece, count)
+    aggregate ever reaches the driver, where the M-step renormalizes.
+
+    Shape: mapInPandas over (word, n_word) with the vocab-sized logp
+    broadcast; each word emits its per-piece expected-count rows plus
+    one likelihood row — no intra-batch float accumulation, so every
+    cross-word sum happens in the groupBy below as EXACT
+    decimal(38,12) arithmetic over per-word float64 contributions
+    (the two_level_fixed_sums determinism pattern): results are
+    independent of partitioning and cluster layout, which is what
+    makes same-corpus-same-vocab hold on a real cluster."""
+    spark = words.sparkSession
+    b_logp = spark.sparkContext.broadcast(logp)
+
+    def _estep(batches):
+        lp = b_logp.value
+        for pdf in batches:
+            pieces: list[str | None] = []
+            cs: list[float] = []
+            lls: list[float] = []
+            for word, n in zip(pdf["word"], pdf["n_word"]):
+                wc: dict[str, float] = {}
+                z = _word_expected_counts(word, int(n), lp, max_len, wc)
+                if z is None:
+                    continue
+                pieces.extend(wc.keys())
+                cs.extend(wc.values())
+                lls.extend([0.0] * len(wc))
+                pieces.append(None)
+                cs.append(0.0)
+                lls.append(z)
+            yield pd.DataFrame({"piece": pieces, "c": cs, "ll": lls})
+
+    agg = (
+        words.mapInPandas(_estep, "piece string, c double, ll double")
+        .groupBy("piece")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,12)")).alias("c"),
+            F.sum(F.col("ll").cast("decimal(38,12)")).alias("ll"),
+        )
+        .collect()
+    )
+    b_logp.unpersist()
+    counts: dict[str, float] = {}
+    total_ll = 0.0
+    for r in agg:
+        if r["piece"] is None:
+            total_ll = float(r["ll"])
+        else:
+            counts[r["piece"]] = float(r["c"])
+    # total summed in sorted-piece order: collect() row order is not
+    # deterministic, and a float sum must not depend on it
+    total = 0.0
+    for p in sorted(counts):
+        total += counts[p]
+    return _m_step(counts, total, logp), total_ll
 
 
 def train_unigram(
@@ -179,6 +283,7 @@ def train_unigram(
     lowercase: bool = True,
     top_words: int | None = None,
     driver_dict_max: int = 1_000_000,
+    em_impl: str = "distributed",
 ) -> list[tuple[str, float]]:
     """Learn a unigram tokenizer vocab: [(piece, logprob)] of size <=
     ``vocab_size`` (plus however many single chars the corpus needs),
@@ -190,33 +295,56 @@ def train_unigram(
     coverage is total.  Then rounds of (``em_iters`` x EM, prune the
     lowest-expected-count multi-char pieces to ``shrink`` x current
     size) until the vocab fits.  See the module docstring for what is
-    exact vs approximated relative to SentencePiece."""
+    exact vs approximated relative to SentencePiece.
+
+    ``em_impl='distributed'`` (default; VERDICT r8 #5) runs every EM
+    E-step as a Spark job over the word-dict DataFrame — the driver
+    holds only the vocab-sized logp, so training is NOT capped by
+    ``driver_dict_max`` (``top_words`` remains available as the
+    statistical Zipf-head trade, no longer a memory necessity).
+    ``em_impl='driver'`` keeps the collected-dict path — fewer Spark
+    jobs, right when the dict is known-small; it is the path
+    ``driver_dict_max`` guards.  Both run identical per-word
+    arithmetic (:func:`_word_expected_counts`); final vocabs agree to
+    float-summation order (pinned in tests)."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if not (0.0 < shrink < 1.0):
         raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    if em_impl not in ("distributed", "driver"):
+        raise ValueError(
+            f"em_impl must be 'distributed' or 'driver' (got {em_impl!r})"
+        )
+    from covid19i2b2_spark.caching import release_local_checkpoint
+
     words = _word_freqs(df, text_col, lowercase)
     if top_words is not None:
         words = words.orderBy(F.col("n_word").desc(), "word").limit(top_words)
         words = words.localCheckpoint(eager=True)
-    n_dict = words.count()
-    if n_dict > driver_dict_max:
-        raise ValueError(
-            f"word dict has {n_dict} entries > driver_dict_max="
-            f"{driver_dict_max}; pass top_words to bound it (the"
-            f" SentencePiece-style trade: train on the Zipf head)"
-        )
-    wf = [
-        (r["word"], r["n_word"])
-        for r in words.orderBy("word").collect()
-    ]
-    if top_words is not None:
-        # the bounded-dict checkpoint is fully consumed (the seed scan
-        # below reads the RAW corpus, not `words`) — release its
-        # executor storage now instead of waiting for GC
-        from covid19i2b2_spark.caching import release_local_checkpoint
-
-        release_local_checkpoint(words)
+    wf: list[tuple[str, int]] = []
+    if em_impl == "driver":
+        n_dict = words.count()
+        if n_dict > driver_dict_max:
+            raise ValueError(
+                f"word dict has {n_dict} entries > driver_dict_max="
+                f"{driver_dict_max}; pass top_words to bound it (the"
+                f" SentencePiece-style trade: train on the Zipf head)"
+                f" or use em_impl='distributed'"
+            )
+        wf = [
+            (r["word"], r["n_word"])
+            for r in words.orderBy("word").collect()
+        ]
+        if top_words is not None:
+            # the bounded-dict checkpoint is fully consumed (the seed
+            # scan below reads the RAW corpus, not `words`) — release
+            # its executor storage now instead of waiting for GC
+            release_local_checkpoint(words)
+    elif top_words is None:
+        # the distributed path reads `words` once per EM pass — pin the
+        # (vocabulary-sized) dict so passes don't re-scan the corpus
+        # and re-aggregate each time (released after the final pass)
+        words = words.localCheckpoint(eager=True)
     seed_n = max(vocab_size * seed_factor, vocab_size)
     seeds = (
         seed_piece_counts(df, text_col, max_piece_len, lowercase)
@@ -225,8 +353,22 @@ def train_unigram(
         .collect()
     )
     chars: set[str] = set()
-    for w, _ in wf:
-        chars.update(w)
+    if em_impl == "driver":
+        for w, _ in wf:
+            chars.update(w)
+    else:
+        # alphabet from the distributed dict — one vocab-bounded job
+        # ((?!^)(?=.) splits between every char without the trailing ''
+        # a plain (?!^) leaves)
+        chars = {
+            r["ch"]
+            for r in words.select(
+                F.explode(F.split("word", r"(?!^)(?=.)")).alias("ch")
+            )
+            .distinct()
+            .collect()
+            if r["ch"]
+        }
     total0 = sum(r["n"] for r in seeds) or 1
     logp: dict[str, float] = {
         r["piece"]: math.log(r["n"]) - math.log(total0) for r in seeds
@@ -235,9 +377,14 @@ def train_unigram(
     for c in chars:
         logp.setdefault(c, floor0)
 
+    def _one_pass(lp):
+        if em_impl == "driver":
+            return _em_pass(wf, lp, max_piece_len)
+        return _em_pass_distributed(words, lp, max_piece_len)
+
     while True:
         for _ in range(em_iters):
-            logp, _ = _em_pass(wf, logp, max_piece_len)
+            logp, _ = _one_pass(logp)
         # singles are NEVER pruned (coverage), and the seed may carry
         # single chars beyond the (possibly top_words-bounded) dict's
         # own alphabet — so the multi-piece budget derives from the
@@ -260,7 +407,9 @@ def train_unigram(
             p: lp for p, lp in logp.items() if len(p) == 1
         }
     # final fit at the final vocab + deterministic ordering
-    logp, _ = _em_pass(wf, logp, max_piece_len)
+    logp, _ = _one_pass(logp)
+    if em_impl == "distributed":
+        release_local_checkpoint(words)
     return sorted(logp.items(), key=lambda t: (-t[1], t[0]))
 
 

@@ -139,13 +139,66 @@ def test_train_validation_and_dict_guard(spark):
         train_unigram(corpus, "text", vocab_size=0)
     with pytest.raises(ValueError):
         train_unigram(corpus, "text", shrink=1.0)
+    with pytest.raises(ValueError):
+        train_unigram(corpus, "text", vocab_size=10, em_impl="nope")
+    # the dict guard applies to the COLLECTED-dict path only
     with pytest.raises(ValueError, match="driver_dict_max"):
-        train_unigram(corpus, "text", vocab_size=10, driver_dict_max=3)
+        train_unigram(
+            corpus, "text", vocab_size=10, driver_dict_max=3,
+            em_impl="driver",
+        )
+    # the distributed E-step (default) has no driver-dict cap
+    v_dist = train_unigram(
+        corpus, "text", vocab_size=10, driver_dict_max=3
+    )
+    assert v_dist
     # top_words bounds the dict below the guard
     v = train_unigram(
-        corpus, "text", vocab_size=20, top_words=5, driver_dict_max=10
+        corpus, "text", vocab_size=20, top_words=5, driver_dict_max=10,
+        em_impl="driver",
     )
     assert v
+
+
+def test_distributed_em_matches_driver_em(spark):
+    """VERDICT r8 #5: the distributed E-step must train the SAME vocab
+    as the collected-dict path — identical piece sets, logprobs equal
+    to float-summation order (the two paths share the per-word
+    forward-backward; only the cross-word summation differs: exact
+    decimal vs sequential float)."""
+    corpus = _corpus(spark)
+    kw = dict(vocab_size=40, max_piece_len=4, em_iters=2)
+    v_drv = train_unigram(corpus, "text", em_impl="driver", **kw)
+    v_dst = train_unigram(corpus, "text", em_impl="distributed", **kw)
+    assert {p for p, _ in v_drv} == {p for p, _ in v_dst}
+    d_drv, d_dst = dict(v_drv), dict(v_dst)
+    # float-summation-order differences compound across EM iterations
+    # (~1e-9 per pass); 1e-6 still pins identical semantics
+    for p, lp in d_drv.items():
+        assert abs(lp - d_dst[p]) < 1e-6, (p, lp, d_dst[p])
+
+
+def test_distributed_em_likelihood_non_decreasing(spark):
+    """EM guarantee on the distributed path, and partitioning
+    invariance: the decimal-summed E-step must produce identical
+    (logp, ll) whatever the word dict's physical layout."""
+    from covid19i2b2_spark.operators.unigram import _em_pass_distributed
+
+    wf = [("abab", 5), ("abc", 3), ("cab", 2), ("a", 7)]
+    words = spark.createDataFrame(wf, "word string, n_word long")
+    pieces = {"a", "b", "c", "ab", "ba", "bc", "ca", "aba", "bab"}
+    logp = {p: math.log(1.0 / len(pieces)) for p in pieces}
+    lls = []
+    for _ in range(5):
+        logp, ll = _em_pass_distributed(words, logp, max_len=3)
+        lls.append(ll)
+    for prev, cur in zip(lls, lls[1:]):
+        assert cur >= prev - 1e-9, lls
+    # layout invariance: 1 partition vs 7 -> bit-identical outputs
+    logp0 = {p: math.log(1.0 / len(pieces)) for p in pieces}
+    a = _em_pass_distributed(words.coalesce(1), logp0, max_len=3)
+    b = _em_pass_distributed(words.repartition(7), logp0, max_len=3)
+    assert a[0] == b[0] and a[1] == b[1]
 
 
 def test_unigram_beats_chars_on_likelihood(spark):
