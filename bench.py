@@ -297,6 +297,148 @@ def _embedding_scaled_dir(spark, factor: int, n_files: int = 32) -> str:
     return dst
 
 
+_FUZZY_BASE_ROWS = 1_000  # see _fuzzy_scaled_dir
+
+
+def _fuzzy_scaled_dir(spark, factor: int, n_files: int = 32) -> str:
+    """Scaled FUZZY-JOIN corpus (round 9, VERDICT r8 #6): a bounded
+    slice of the customer table replicated with a replica-specific
+    substitution cipher over [a-zA-Z0-9] (seeded permutations; replica
+    0 = identity).  A character bijection preserves Levenshtein
+    distances EXACTLY within a replica — the distance-1 pair structure
+    replicates linearly — while cross-replica names land in disjoint
+    gram blocks (different ciphers), so pair count is factor * x1 by
+    construction (the ciphered-minhash precedent, valid here because
+    edit distance, like set overlap, is bijection-invariant).
+    c_custkey offsets per replica keep ids unique.
+
+    The base pool is CAPPED at _FUZZY_BASE_ROWS names: TPC-H names
+    share the 'Customer#0000...' template, so every name in a replica
+    shares its hash-ordered prefix grams and the biggest block is the
+    whole replica — candidate volume is ~C(base, 2) PER REPLICA (the
+    workload the gram-block distribution below makes visible).  The
+    scale axis under test is the REPLICA COUNT (does cost stay linear
+    as the corpus grows factor-fold), not the per-replica block cost,
+    so the base is held at a size whose quadratic term is measurable
+    but bounded."""
+    import random as _random
+
+    from covid19i2b2_spark.sources.tables import read_table
+
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_fuzzy_{os.path.basename(SF_DIR.rstrip('/'))}"
+        f"_x{factor}f{n_files}b{_FUZZY_BASE_ROWS}v2",
+    )
+    marker = os.path.join(dst, "_SCALED_READY")
+    if os.path.exists(marker):
+        return dst
+    alpha = (
+        "abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    )
+    cipher = None
+    for r in range(factor):
+        perm = list(alpha)
+        if r > 0:
+            _random.Random(3000 + r).shuffle(perm)
+        rot = F.translate(F.col("c_name"), alpha, "".join(perm))
+        cipher = (
+            rot
+            if cipher is None
+            else F.when(F.col("__r") == r, rot).otherwise(cipher)
+        )
+    cust = (
+        read_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_name")
+        .filter(F.col("c_custkey") <= _FUZZY_BASE_ROWS)
+        .withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        .withColumn(
+            "c_custkey", F.col("c_custkey") + F.col("__r") * F.lit(_KEY_OFFSET)
+        )
+        .withColumn("c_name", cipher)
+        .drop("__r")
+        .repartition(n_files)
+    )
+    cust.write.mode("overwrite").parquet(os.path.join(dst, "customer.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def _bench_fuzzy_scaled(spark) -> dict:
+    """X48 fuzzy_pairs at x1/x10/x100 over the ciphered-replica
+    customer corpus (VERDICT r8 #6): the ED-Join blocking claims
+    candidate volume independent of corpus-wide string statistics —
+    the linear ratios measure it.  Also logs the gram-block size
+    distribution at the largest factor (blocking health: a hot block
+    is the quadratic smell gram_cap exists for)."""
+    from covid19i2b2_spark.operators.fuzzy import _prefix_grams, fuzzy_pairs
+    from covid19i2b2_spark.sources.tables import read_table
+
+    out: dict = {}
+    factors = [(1, 32)]
+    if SCALE_X > 1:
+        factors.append((SCALE_X, 32))
+    if SCALE100_X > 1 and SCALE100_X != SCALE_X:
+        factors.append((SCALE100_X, 128))
+    for factor, nf in factors:
+        d = _fuzzy_scaled_dir(spark, factor, n_files=nf)
+        cust = read_table(spark, d, "customer").select("c_custkey", "c_name")
+        # both gram orders per factor: 'hash' is the default workload
+        # (the linear-ratio rows); 'rare' shows what the idf-ascending
+        # prefix buys on exactly this template-heavy name corpus (the
+        # hash order puts each replica in ONE block -> ~C(base,2)
+        # candidates per replica; rare order blocks on digit grams)
+        for order, suffix in (("hash", ""), ("rare", "_rare")):
+            runs = []
+            for _ in range(2):  # min-of-2: the scaled-section method
+                t0 = time.perf_counter()
+                fuzzy_pairs(
+                    cust, "c_custkey", "c_name", max_dist=1, k=2,
+                    gram_order=order,
+                ).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            out[f"x{factor}{suffix}"] = round(min(runs), 3)
+    if len(factors) >= 2:
+        f1 = factors[1][0]
+        out[f"linear_ratio_x{f1}_vs_x1"] = round(
+            out[f"x{f1}"] / (f1 * out["x1"]), 3
+        )
+    if len(factors) == 3:
+        f1, f2 = factors[1][0], factors[2][0]
+        out[f"linear_ratio_x{f2}_vs_x{f1}"] = round(
+            out[f"x{f2}"] / ((f2 / f1) * out[f"x{f1}"]), 3
+        )
+    # gram-block size distribution at the largest factor: candidate
+    # volume is sum(block^2)/2, so the tail is what matters
+    dL = _fuzzy_scaled_dir(spark, factors[-1][0], n_files=factors[-1][1])
+    grams = (
+        read_table(spark, dL, "customer")
+        .select(
+            F.explode(_prefix_grams(F.col("c_name"), 2, 1)).alias("g")
+        )
+        .groupBy("g")
+        .count()
+    )
+    dist = grams.agg(
+        F.count("*").alias("blocks"),
+        F.max("count").alias("max"),
+        F.expr("percentile(count, 0.99)").alias("p99"),
+        F.avg("count").alias("mean"),
+    ).collect()[0]
+    out["gram_blocks_at_largest"] = {
+        "blocks": int(dist["blocks"]),
+        "max": int(dist["max"]),
+        "p99": round(float(dist["p99"]), 1),
+        "mean": round(float(dist["mean"]), 1),
+    }
+    return out
+
+
 def _bench_incremental_dedup(spark) -> dict[str, float]:
     """VERDICT r2 #6: the incremental cross-snapshot dedup at bench scale —
     build the fingerprint+band index from the even-doc_id half of the
@@ -416,6 +558,23 @@ def _bench_bloom_scaled(spark) -> dict[str, float]:
         s.write.format("noop").mode("overwrite").save()
         d.write.format("noop").mode("overwrite").save()
         out["filter_bloom_persisted_sec"] = round(time.perf_counter() - t0, 3)
+        # DedupIndex on the X50 SHARDED gate (round 9, VERDICT r8 #2):
+        # the same steady-state filter through the narrow cogroup probe
+        # instead of broadcast bitmaps — the path that still works when
+        # no single bitmap can exist (10^10+ keys).  At this scale it
+        # pays the cogroup's fixed costs; the entry guards the
+        # constants and pins that the mode is wired end-to-end.
+        t0 = time.perf_counter()
+        idx.write_blooms(spark, fpp=0.01, sharded=16)
+        out["write_blooms_sharded_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        s, d = idx.filter_batch(
+            spark, batch, "doc_id", "text", bloom_fpp=0.01
+        )
+        s.write.format("noop").mode("overwrite").save()
+        d.write.format("noop").mode("overwrite").save()
+        out["filter_bloom_sharded_sec"] = round(time.perf_counter() - t0, 3)
+        idx.release()
         # X50 sharded index over the same x10 fingerprint population
         # (round 8): build = one 16 B/row shuffle + distributed
         # partitionBy write (no driver transit, no OR-reduce); probe =
@@ -605,6 +764,53 @@ def _bench_embedding_scaled(spark) -> dict:
     return out
 
 
+def _isolated_minhash_x100(nd100: str, nd1: str) -> float | None:
+    """VERDICT r8 #7: the RECORDED minhash-x100 metric is measured in
+    a FRESH process, min-of-3 — two consecutive rounds saw the
+    in-suite reading drift ~2x from late-suite GC/page-cache state on
+    unchanged code and needed a manual isolated probe to adjudicate;
+    this folds that probe into bench.py.  The in-suite number stays as
+    a secondary column.  Returns None (caller falls back to the
+    in-suite reading) if the subprocess fails."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    mem = os.environ.get("SPARK_GRAFT_BENCH_MEM", "16g")
+    code = (
+        "import sys, time\n"
+        f"sys.path.insert(0, {here!r})\n"
+        "from covid19i2b2_spark.registry import REGISTRY, all_queries\n"
+        "from covid19i2b2_spark.session import get_spark\n"
+        "all_queries()\n"
+        f"spark = get_spark(app_name='minhash-isolated', driver_memory={mem!r})\n"
+        "fn = REGISTRY['q_minhash_pairs'].fn\n"
+        "# warm-up at x1: JVM/codegen startup outside the timing\n"
+        f"fn(spark, {nd1!r}).write.format('noop').mode('overwrite').save()\n"
+        "best = None\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        f"    fn(spark, {nd100!r}).write.format('noop').mode('overwrite').save()\n"
+        "    dt = time.perf_counter() - t0\n"
+        "    best = dt if best is None else min(best, dt)\n"
+        "    spark.catalog.clearCache()\n"
+        "print('ISOLATED_MINHASH_SEC', round(best, 3))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=here,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("ISOLATED_MINHASH_SEC"):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return None
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -665,6 +871,7 @@ def main() -> None:
     if SCALE_X > 1:
         result["bloom_scaled"] = _bench_bloom_scaled(spark)
         result["embedding_scaled"] = _bench_embedding_scaled(spark)
+        result["fuzzy_scaled"] = _bench_fuzzy_scaled(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
@@ -807,8 +1014,18 @@ def main() -> None:
             ).save()
             mh_runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        mh100 = round(min(mh_runs), 3)
-        entry = {"minhash_pairs_ciphered_sec": mh100}
+        mh100_insuite = round(min(mh_runs), 3)
+        # the RECORDED metric is the fresh-process min-of-3 (VERDICT r8
+        # #7); the in-suite reading is kept as a drift diagnostic
+        mh100_iso = _isolated_minhash_x100(
+            nd100, _near_dup_scaled_dir(spark, 1)
+        )
+        mh100 = mh100_iso if mh100_iso is not None else mh100_insuite
+        entry = {
+            "minhash_pairs_ciphered_sec": mh100,
+            "minhash_pairs_ciphered_insuite_sec": mh100_insuite,
+            "minhash_isolated_probe_ok": mh100_iso is not None,
+        }
         mh_x10 = result.get("llm_scaled", {}).get(
             "minhash_pairs_ciphered", {}
         ).get(f"x{SCALE_X}")
@@ -833,6 +1050,7 @@ def main() -> None:
         "incremental_dedup",
         "bloom_scaled",
         "embedding_scaled",
+        "fuzzy_scaled",
         "sketch_stores",
         "scaled",
         "llm_scaled",
@@ -863,6 +1081,10 @@ def main() -> None:
         for k, v in emb.items():
             if k.startswith("linear_ratio"):
                 summary[f"embedding_{k}"] = v
+    if "fuzzy_scaled" in detail:
+        for k, v in detail["fuzzy_scaled"].items():
+            if k.startswith("linear_ratio"):
+                summary[f"fuzzy_{k}"] = v
     if summary:
         result["scaled_summary"] = summary
     print(json.dumps(result))

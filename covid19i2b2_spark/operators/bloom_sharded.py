@@ -454,6 +454,46 @@ def read_sharded_meta(
     )
 
 
+def sharded_bloom_health(spark: SparkSession, path: str) -> dict:
+    """The fill_ratio analog for the sharded index (round 9): per-shard
+    live item counts vs the per-shard design load the bitmaps were
+    sized for.  ``load_ratio`` > ~1.5 means fpp has degraded well past
+    the target and the caller should rebuild sized to the current
+    population (appends maintain shard_items, so replays inflate the
+    counts — the signal is conservative, like the flat bloom's
+    n_items).  One small aggregate over the chunk table; a maintenance
+    call, not a probe-path cost."""
+    meta = read_sharded_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no readable sharded bloom index at {path!r}"
+        )
+    per_shard = (
+        _chunk_frame(spark, path)
+        .filter(F.col("shard") >= 0)
+        .groupBy("shard")
+        .agg(F.first("shard_items").alias("si"))
+        .agg(
+            F.count("*").alias("shards"),
+            F.sum("si").alias("total"),
+            F.max("si").alias("max"),
+            F.avg("si").alias("mean"),
+        )
+        .collect()[0]
+    )
+    design_per_shard = max(1, -(-meta.n_items // meta.n_shards))
+    max_items = int(per_shard["max"] or 0)
+    return {
+        "n_shards": meta.n_shards,
+        "live_shards": int(per_shard["shards"] or 0),
+        "design_items_per_shard": design_per_shard,
+        "total_items": int(per_shard["total"] or 0),
+        "max_shard_items": max_items,
+        "mean_shard_items": round(float(per_shard["mean"] or 0.0), 1),
+        "load_ratio": round(max_items / design_per_shard, 4),
+    }
+
+
 def sharded_bloom_flags(
     df: DataFrame,
     key: str | Column,

@@ -13,13 +13,23 @@ declaratively:
     k-grams.  One edit operation disturbs at most k grams, so strings
     within edit distance d share >= max(|A|,|B|) - k*d grams — at
     least ONE whenever the longer string has len >= k*(d-1)+2.
-2.  **Prefix blocking**: grams are globally ordered by xxhash64 and
+2.  **Prefix blocking**: grams are put in a global total order and
     only the first k*d+1 per string are indexed (prefix-filter
     principle: two sets with required overlap t intersect within their
     first |set|-t+1 elements, and t >= |set|-k*d here, so k*d+1
     suffices).  Candidate volume is therefore independent of string
     LENGTH — each row contributes <= k*d+1 exploded gram rows no
-    matter how long the string.
+    matter how long the string.  ANY consistent total order is
+    CORRECT; which one bounds BLOCK sizes is data-dependent:
+    ``gram_order='hash'`` (default) orders by xxhash64 — zero extra
+    passes, fine for naturally diverse strings; ``gram_order='rare'``
+    orders by ascending corpus frequency (ED-Join's idf-ascending
+    choice) at the cost of one gram-count aggregate + join + per-id
+    window — decisive on TEMPLATE-heavy corpora ('Customer#0000...'),
+    where every string shares its lowest-hash prefix grams and the
+    hash order degenerates to one block per template (~C(n,2)
+    candidates), while the rare order picks each string's
+    DISCRIMINATIVE grams (measured in tests: max block n -> df-bounded).
 3.  **Short-string pool**: pairs where BOTH sides are shorter than
     k*(d-1)+2 carry no gram guarantee ("ab"/"cd" share nothing yet sit
     at distance 2), so strings below the cutoff are cross-paired
@@ -65,9 +75,12 @@ def _padded_qgrams(col: Column, k: int) -> Column:
 
 def _prefix_grams(col: Column, k: int, max_dist: int) -> Column:
     """The first k*d+1 grams in the GLOBAL xxhash64 order — the
-    prefix-filter index set.  Any total order is correct (rare-first is
-    merely optimal); hash order needs no frequency pass and is
-    deterministic across runs and engines."""
+    prefix-filter index set.  Any total order is correct (rare-first
+    bounds block sizes better on template-heavy data — see
+    ``gram_order='rare'``); hash order needs no frequency pass, is
+    deterministic across runs and engines, and is the only order
+    STABLE under appends (frequencies drift as a corpus grows, hashes
+    don't) — which is why FuzzyIndex pins it."""
     n_prefix = k * max_dist + 1
     return F.slice(
         F.array_sort(
@@ -81,6 +94,36 @@ def _prefix_grams(col: Column, k: int, max_dist: int) -> Column:
     ).getField("g")
 
 
+def _rare_prefix_grams(
+    exploded: DataFrame,
+    freq: DataFrame,
+    id_cols: list[str],
+    k: int,
+    max_dist: int,
+) -> DataFrame:
+    """Keep each string's k*d+1 grams in ascending (corpus frequency,
+    hash, gram) order — the ED-Join idf-ascending prefix.  ``exploded``
+    carries one row per (string, DISTINCT gram); ``freq`` is the
+    (``__g``, ``__df``) count table the CALLER built over whichever
+    population must share the order (the input itself for a self-join,
+    the union of both sides for a two-table join — consistency of the
+    order across sides is what the completeness proof needs).  One
+    join + one per-id window; the window partitions on the id so no
+    single task sees more than one string's grams."""
+    from pyspark.sql.window import Window
+
+    n_prefix = k * max_dist + 1
+    w = Window.partitionBy(*id_cols).orderBy(
+        "__df", F.xxhash64("__g"), "__g"
+    )
+    return (
+        exploded.join(freq, "__g")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_prefix)
+        .drop("__df", "__rn")
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -89,6 +132,7 @@ def fuzzy_pairs(
     k: int = 2,
     gram_cap: int | None = None,
     short_cap: int = 100_000,
+    gram_order: str = "hash",
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Self-join: all (id_a, id_b, dist) pairs with
@@ -98,6 +142,14 @@ def fuzzy_pairs(
     the DuckDB oracle) — unless ``gram_cap`` skips a hot block, which
     is logged.
 
+    ``gram_order='rare'`` selects each string's prefix grams in
+    ascending corpus-frequency order instead of hash order (round 9;
+    see the module docstring): same completeness, one extra
+    gram-count aggregate + join + per-id window, and on template-heavy
+    corpora the hot full-corpus block the hash order degenerates to
+    disappears.  Results are identical pair SETS either way (pinned in
+    tests).
+
     ``id_col`` must be unique; NULL texts never match (SQL semantics:
     levenshtein(NULL, x) is NULL, not 0).
     """
@@ -105,14 +157,27 @@ def fuzzy_pairs(
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if gram_order not in ("hash", "rare"):
+        raise ValueError(
+            f"gram_order must be 'hash' or 'rare' (got {gram_order!r})"
+        )
     base = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__s")
     ).filter(F.col("__s").isNotNull())
-    grams = base.select(
-        "__id",
-        "__s",
-        F.explode(_prefix_grams(F.col("__s"), k, max_dist)).alias("__g"),
-    )
+    if gram_order == "hash":
+        grams = base.select(
+            "__id",
+            "__s",
+            F.explode(_prefix_grams(F.col("__s"), k, max_dist)).alias("__g"),
+        )
+    else:
+        exploded = base.select(
+            "__id",
+            "__s",
+            F.explode(_padded_qgrams(F.col("__s"), k)).alias("__g"),
+        )
+        freq = exploded.groupBy("__g").agg(F.count("*").alias("__df"))
+        grams = _rare_prefix_grams(exploded, freq, ["__id"], k, max_dist)
     if gram_cap is not None:
         sizes = grams.groupBy("__g").agg(F.count("*").alias("__gsz"))
         # referenced twice (count + anti-join) — persist so the gram
@@ -192,26 +257,59 @@ def fuzzy_join(
     k: int = 2,
     gram_cap: int | None = None,
     short_cap: int = 100_000,
+    gram_order: str = "hash",
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Two-table edit-distance join: every (left row, right row) pair
     with levenshtein(left_on, right_on) <= max_dist, carrying all
     columns of both sides plus ``dist``.  Same blocking scheme and
-    completeness contract as :func:`fuzzy_pairs`.  Column name
-    collisions follow Spark join semantics — alias beforehand.  Rows
-    that are FULLY identical on a side collapse to one output pair
-    (the block dedup keys on all columns); keep a unique id column
-    when multiplicity matters."""
+    completeness contract as :func:`fuzzy_pairs` (incl.
+    ``gram_order='rare'`` — frequencies are counted over the UNION of
+    both sides, so the order both sides truncate their gram sets by is
+    one consistent global order, which is what the prefix-filter proof
+    needs).  Column name collisions follow Spark join semantics —
+    alias beforehand.  Rows that are FULLY identical on a side
+    collapse to one output pair (the block dedup keys on all columns);
+    keep a unique id column when multiplicity matters."""
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    lg = left.filter(F.col(left_on).isNotNull()).withColumn(
-        "__g", F.explode(_prefix_grams(F.col(left_on), k, max_dist))
-    )
-    rg = right.filter(F.col(right_on).isNotNull()).withColumn(
-        "__g", F.explode(_prefix_grams(F.col(right_on), k, max_dist))
-    )
+    if gram_order not in ("hash", "rare"):
+        raise ValueError(
+            f"gram_order must be 'hash' or 'rare' (got {gram_order!r})"
+        )
+    if gram_order == "hash":
+        lg = left.filter(F.col(left_on).isNotNull()).withColumn(
+            "__g", F.explode(_prefix_grams(F.col(left_on), k, max_dist))
+        )
+        rg = right.filter(F.col(right_on).isNotNull()).withColumn(
+            "__g", F.explode(_prefix_grams(F.col(right_on), k, max_dist))
+        )
+    else:
+        # fully-duplicate rows must collapse BEFORE the per-row window:
+        # copies sharing a partition would split the rn sequence and
+        # each keep only part of the k*d+1 prefix (a completeness hole
+        # the hash path doesn't have).  The output collapses them
+        # anyway (dropDuplicates(out_cols) below).
+        lx = (
+            left.filter(F.col(left_on).isNotNull())
+            .withColumn("__g", F.explode(_padded_qgrams(F.col(left_on), k)))
+            .dropDuplicates()
+        )
+        rx = (
+            right.filter(F.col(right_on).isNotNull())
+            .withColumn("__g", F.explode(_padded_qgrams(F.col(right_on), k)))
+            .dropDuplicates()
+        )
+        freq = (
+            lx.select("__g")
+            .unionAll(rx.select("__g"))
+            .groupBy("__g")
+            .agg(F.count("*").alias("__df"))
+        )
+        lg = _rare_prefix_grams(lx, freq, left.columns, k, max_dist)
+        rg = _rare_prefix_grams(rx, freq, right.columns, k, max_dist)
     if gram_cap is not None:
         # a block's join cost is |left block| x |right block| — count
         # BOTH sides so a right-heavy gram can't slip under the cap

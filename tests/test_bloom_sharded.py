@@ -287,3 +287,30 @@ def test_append_then_probe_matches_one_shot_build(spark, tmp_path):
         if r["shard"] >= 0
     }
     assert inc_bits == one_bits
+
+
+def test_sharded_bloom_health_signal(spark, tmp_path):
+    """sharded_bloom_health: load_ratio tracks live shard_items against
+    the per-shard design load — ~0.5 at half fill, >1 once appends
+    outgrow the build sizing (the rebuild cue)."""
+    from covid19i2b2_spark.operators.bloom_sharded import (
+        append_sharded_bloom,
+        sharded_bloom_health,
+    )
+
+    path = str(tmp_path / "health")
+    build_sharded_bloom(
+        _keys(spark, 0, 4_000), "k", path, n_shards=4, expected_items=8_000
+    )
+    h = sharded_bloom_health(spark, path)
+    assert h["n_shards"] == 4 and h["total_items"] == 4_000
+    assert h["design_items_per_shard"] == 2_000
+    assert 0.3 < h["load_ratio"] < 0.8  # ~half the design load
+    append_sharded_bloom(_keys(spark, 4_000, 16_000), "k", path)
+    h2 = sharded_bloom_health(spark, path)
+    assert h2["total_items"] == 16_000
+    assert h2["load_ratio"] > 1.5  # outgrew the sizing: rebuild cue
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        sharded_bloom_health(spark, str(tmp_path / "missing"))

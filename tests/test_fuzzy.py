@@ -126,3 +126,104 @@ def test_fuzzy_pairs_deterministic(spark):
         map(tuple, fuzzy_pairs(df.repartition(13), "id", "s", 2).collect())
     )
     assert a == b
+
+
+@pytest.mark.parametrize("max_dist,k", [(1, 2), (2, 2), (2, 3)])
+def test_fuzzy_pairs_rare_order_equals_brute_force(spark, max_dist, k):
+    """gram_order='rare' (round 9): the idf-ascending prefix is a
+    different global gram order — completeness must hold identically
+    (any consistent total order satisfies the prefix-filter proof)."""
+    from covid19i2b2_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(_WORDS)), "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(
+            df, "id", "s", max_dist=max_dist, k=k, gram_order="rare"
+        ).collect()
+    }
+    assert got == _brute(df, max_dist)
+    with pytest.raises(ValueError, match="gram_order"):
+        fuzzy_pairs(df, "id", "s", gram_order="nope")
+
+
+def test_rare_order_bounds_template_blocks(spark):
+    """The reason 'rare' exists: template-heavy names
+    ('Customer#000000NNN') share their lowest-HASH grams, so the hash
+    order degenerates to one whole-corpus block (~C(n,2) candidates);
+    the frequency order picks each name's discriminative digit grams.
+    Pins (a) identical pair sets, (b) a materially smaller max block."""
+    from covid19i2b2_spark.operators.fuzzy import (
+        _padded_qgrams,
+        _prefix_grams,
+        _rare_prefix_grams,
+    )
+
+    n = 400
+    df = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(n)], "id long, s string"
+    )
+    hash_pairs = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "s", max_dist=1, k=2).collect()
+    }
+    rare_pairs = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(
+            df, "id", "s", max_dist=1, k=2, gram_order="rare"
+        ).collect()
+    }
+    assert rare_pairs == hash_pairs == _brute(df, 1)
+
+    def _max_block(grams):
+        return (
+            grams.groupBy("__g").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    base = df.select(F.col("id").alias("__id"), F.col("s").alias("__s"))
+    hash_grams = base.select(
+        "__id", F.explode(_prefix_grams(F.col("__s"), 2, 1)).alias("__g")
+    )
+    exploded = base.select(
+        "__id", "__s", F.explode(_padded_qgrams(F.col("__s"), 2)).alias("__g")
+    )
+    freq = exploded.groupBy("__g").agg(F.count("*").alias("__df"))
+    rare_grams = _rare_prefix_grams(exploded, freq, ["__id"], 2, 1)
+    mb_hash = _max_block(hash_grams)
+    mb_rare = _max_block(rare_grams.select("__g"))
+    # hash order: every name's 3 lowest-hash grams come from the shared
+    # 'Customer#0' template -> one block holds (nearly) all n names;
+    # rare order: blocks bounded by digit-gram frequencies
+    assert mb_hash >= n * 0.9, (mb_hash, mb_rare)
+    assert mb_rare <= mb_hash / 2, (mb_hash, mb_rare)
+
+
+def test_fuzzy_join_rare_order_two_tables(spark):
+    """Two-table form with gram_order='rare': frequencies counted over
+    the UNION keep the truncation order consistent across sides —
+    pairs must equal the brute-force cross join, including duplicate
+    full rows collapsing (the pre-window dropDuplicates)."""
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "apple"), (3, "ab"), (3, "ab"), (4, "naïve")],
+        "lid long, ls string",
+    )
+    right = spark.createDataFrame(
+        [(10, "sitten"), (11, "appl"), (12, "cd"), (13, "naive")],
+        "rid long, rs string",
+    )
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in fuzzy_join(
+            left, right, "ls", "rs", max_dist=2, gram_order="rare"
+        ).collect()
+    }
+    brute = {
+        (r.lid, r.rid, r.d)
+        for r in left.crossJoin(right)
+        .select("lid", "rid", F.levenshtein("ls", "rs").alias("d"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == brute
