@@ -11,3 +11,6 @@ from covid19i2b2_spark.streaming.daily_counts import (  # noqa: F401
     sliding_counts,
     stream_events,
 )
+from covid19i2b2_spark.streaming.entities import (  # noqa: F401
+    run_streaming_entity_resolution,
+)

@@ -741,3 +741,120 @@ def test_durable_store_requires_checkpoint_location(spark, tmp_path):
     q2.awaitTermination()
     assert sorted(map(tuple, store2.df.collect())) == state
     assert store2._epochs == epochs
+
+
+def test_streaming_entity_resolution_restart_recovery(spark, tmp_path):
+    """Round 9 (X51 streaming form): the resolve loop across a real
+    stop/restart — wave 1 resolves typos against the seed index and
+    appends its new entities; wave 2 (after restart over the same
+    checkpoint) must resolve against wave 1's appended entities; a
+    third restart with nothing new is a no-op.  checkpoint_dir is a
+    hard requirement (epoch ids restart at 0 without one)."""
+    from covid19i2b2_spark.operators.fuzzy_incremental import FuzzyIndex
+    from covid19i2b2_spark.streaming.entities import (
+        run_streaming_entity_resolution,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "resolved")
+    schema = "id long, name string"
+
+    idx = FuzzyIndex(str(tmp_path / "fidx"), max_dist=1, k=2)
+    idx.build(
+        spark.createDataFrame(
+            [(1, "anthropic"), (2, "google"), (3, "microsoft")], schema
+        ),
+        "id",
+        "name",
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        run_streaming_entity_resolution(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing)),
+            idx,
+            out,
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing))
+        )
+        return run_streaming_entity_resolution(
+            stream, idx, out, checkpoint_dir=ckpt
+        )
+
+    # wave 1: a 1-deletion typo of a canonical entry + two spellings
+    # of a NEW entity
+    spark.createDataFrame(
+        [(100, "googl"), (101, "amazonia"), (102, "amazonja")], schema
+    ).coalesce(1).write.parquet(str(landing / "wave1"))
+    q1 = start()
+    q1.awaitTermination()
+    asn1 = {
+        r.batch_id: (r.canonical_id, r.dist)
+        for r in spark.read.parquet(f"{out}/assignments").collect()
+    }
+    assert asn1[100] == (2, 1)  # googl -> google
+    assert asn1[101] == (101, 0)  # new entity, survivor maps to itself
+    assert asn1[102][0] == 101  # within-batch collapse to the survivor
+    new1 = {
+        r.id for r in spark.read.parquet(f"{out}/new_entities").collect()
+    }
+    assert new1 == {101}
+
+    # wave 2 after restart: an exact copy of the APPENDED entity (must
+    # resolve against wave 1's index state) + one genuinely new name
+    spark.createDataFrame(
+        [(200, "amazonia"), (201, "netflix")], schema
+    ).coalesce(1).write.parquet(str(landing / "wave2"))
+    q2 = start()
+    q2.awaitTermination()
+    spark.catalog.refreshByPath(f"{out}/assignments")
+    spark.catalog.refreshByPath(f"{out}/new_entities")
+    asn2 = {
+        r.batch_id: (r.canonical_id, r.dist)
+        for r in spark.read.parquet(f"{out}/assignments").collect()
+    }
+    assert asn2[200] == (101, 0)  # matched the wave-1 appended entity
+    assert asn2[201] == (201, 0)  # new
+    new2 = {
+        r.id for r in spark.read.parquet(f"{out}/new_entities").collect()
+    }
+    assert new2 == {101, 201}
+    # wave-1 rows appear exactly once (no re-delivery across restart)
+    counts = (
+        spark.read.parquet(f"{out}/assignments")
+        .groupBy("batch_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert counts == 0
+
+    # third restart, nothing new: strict no-op
+    q3 = start()
+    q3.awaitTermination()
+    spark.catalog.refreshByPath(f"{out}/assignments")
+    assert {
+        r.batch_id
+        for r in spark.read.parquet(f"{out}/assignments").collect()
+    } == {100, 101, 102, 200, 201}
+    # the index resolves every canonical name at distance 0 now
+    probe = spark.createDataFrame(
+        [(900, "amazonia"), (901, "netflix"), (902, "google")], schema
+    )
+    m = {
+        r["batch_id"]: r["index_id"]
+        for r in idx.match_batch(spark, probe, "id", "name")
+        .filter(F.col("dist") == 0)
+        .collect()
+    }
+    assert m == {900: 101, 901: 201, 902: 2}
