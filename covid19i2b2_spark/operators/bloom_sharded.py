@@ -332,15 +332,38 @@ def _current_version(spark: SparkSession, path: str) -> int:
     build_sharded_bloom writes); n>0 = ``{path}/_v<n>``.
 
     An unparseable/empty pointer (torn write, reader racing the tiny
-    rename window) falls back to the HIGHEST fully-written ``_v`` dir —
-    one carrying parquet's ``_SUCCESS`` marker — instead of raising
-    (ADVICE r8 #1): a crash mid-flip must cost availability of the NEW
-    version at worst, never make an intact index unreadable."""
+    rename window) AND a MISSING pointer both fall back to the HIGHEST
+    fully-written ``_v`` dir — one carrying parquet's ``_SUCCESS``
+    marker — instead of raising/returning-0 (ADVICE r8 #1 + review r9):
+    a crash mid-flip must cost availability of the NEW version at
+    worst, never make an intact index unreadable.  The missing case
+    matters because ``_flip_version`` deletes the old pointer before
+    renaming the new one over it — a crash in that gap leaves NO
+    pointer while the root shard= layout was already pruned by an
+    earlier flip, so "missing means version 0" would point readers at
+    an empty root.  A fresh build (version 0, root layout intact) has
+    no marked ``_v`` dirs, so the fallback still returns 0 there."""
     from covid19i2b2_spark.fsutil import hadoop_fs
+
+    def _fallback() -> int:
+        best = 0
+        fs2, root = hadoop_fs(spark, path)
+        jvm = spark._jvm  # noqa: SLF001
+        if not fs2.exists(root):
+            return 0
+        for st in fs2.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("_v") and name[2:].isdigit():
+                marker = jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "_SUCCESS"
+                )
+                if fs2.exists(marker):
+                    best = max(best, int(name[2:]))
+        return best
 
     fs, p = hadoop_fs(spark, _pointer_path(path))
     if not fs.exists(p):
-        return 0
+        return _fallback()
     stream = fs.open(p)
     try:
         data = []
@@ -351,18 +374,7 @@ def _current_version(spark: SparkSession, path: str) -> int:
             data.append(b)
         return int(bytes(data).decode())
     except (ValueError, UnicodeDecodeError):
-        best = 0
-        _, root = hadoop_fs(spark, path)
-        jvm = spark._jvm  # noqa: SLF001
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("_v") and name[2:].isdigit():
-                marker = jvm.org.apache.hadoop.fs.Path(
-                    st.getPath(), "_SUCCESS"
-                )
-                if fs.exists(marker):
-                    best = max(best, int(name[2:]))
-        return best
+        return _fallback()
     finally:
         stream.close()
 

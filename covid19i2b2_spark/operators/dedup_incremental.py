@@ -547,23 +547,35 @@ class DedupIndex:
             def _sharded_gate(path, keys_df, key_name):
                 """True iff the X50 sharded index at ``path`` should
                 gate this batch (round 9, VERDICT r8 #2).  A torn
-                sharded table is rebuilt from the current index AND
-                persisted (same write-back rationale as
-                _healthy_bloom), with n_shards derived so each shard
-                bitmap stays <= 256 MiB — any shard count is CORRECT
-                (per-shard params ride the chunk rows); the original
-                count is simply not recoverable from a torn table."""
+                sharded table — or one whose appends have OUTGROWN its
+                design load (load_ratio > 1.5: fpp degraded well past
+                target, the gate would stop pruning; review r9, the
+                sharded analog of _healthy_bloom's fill > 0.6 heal) —
+                is rebuilt from the current index AND persisted (same
+                write-back rationale), with n_shards derived so each
+                shard bitmap stays <= 256 MiB — any shard count is
+                CORRECT (per-shard params ride the chunk rows); the
+                original count is simply not recoverable from a torn
+                table, and a rebuild should resize to the live
+                population anyway."""
                 from covid19i2b2_spark.fsutil import hadoop_fs
                 from covid19i2b2_spark.operators.bloom import bloom_params
                 from covid19i2b2_spark.operators.bloom_sharded import (
                     build_sharded_bloom,
                     read_sharded_meta,
+                    sharded_bloom_health,
                 )
 
                 fs, jp = hadoop_fs(spark, path)
                 if not fs.exists(jp):
                     return False
-                if read_sharded_meta(spark, path) is None:
+                needs_rebuild = read_sharded_meta(spark, path) is None
+                if not needs_rebuild:
+                    needs_rebuild = (
+                        sharded_bloom_health(spark, path)["load_ratio"]
+                        > 1.5
+                    )
+                if needs_rebuild:
                     fs.delete(jp, True)
                     n = keys_df.count()
                     n_bits, _ = bloom_params(max(n, 1), bloom_fpp)

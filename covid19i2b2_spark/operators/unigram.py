@@ -256,7 +256,11 @@ def _em_pass_distributed(
         )
         .collect()
     )
-    b_logp.unpersist()
+    # destroy, not unpersist (review r9): the collect() above fully
+    # consumed the pass, nothing recomputes against this broadcast —
+    # unpersist would keep the driver copy alive per pass and a
+    # training run makes dozens of vocab-sized broadcasts
+    b_logp.destroy()
     counts: dict[str, float] = {}
     total_ll = 0.0
     for r in agg:

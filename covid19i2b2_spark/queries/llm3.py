@@ -716,14 +716,25 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r8 #8; slot ceded by q_embedding_centroids, whose
     centroid semantics stay green via q_semantic_dedup + q_ann_ivf +
     UNREGISTERED parity): the brute-force oracle pins completeness —
-    blocking must find every pair the cross join finds."""
+    blocking must find every pair the cross join finds.
+
+    gram_order='rare' (review r9): these template names are the
+    documented degenerate case for the hash order — every name shares
+    its lowest-HASH grams (the 'Customer#0' frame), collapsing a whole
+    scale factor into ONE ~C(n,2) block — while the frequency order
+    blocks on the discriminative digit grams.  The pair set is
+    order-independent (pinned in tests), so the oracle is unchanged;
+    registering the rare path puts it under the driver gate."""
     from covid19i2b2_spark.operators.fuzzy import fuzzy_pairs
 
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
     return (
-        fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1, k=2)
+        fuzzy_pairs(
+            cust, "c_custkey", "c_name", max_dist=1, k=2,
+            gram_order="rare",
+        )
         .select(
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),

@@ -20,10 +20,16 @@ single marker, needed because resolve output depends on index state):
    new_entities with the (now-empty) re-resolution — silently erasing
    entities from the output record while they live on in the index;
 3. append new_entities to the index and mark ``entity_<id>`` LAST.  A
-   replay of step 3 (crash inside/after append) re-appends whatever
-   the re-resolution still finds new — duplicated gram/short rows at
-   worst, which FuzzyIndex documents as storage-only (candidates are
-   dropDuplicates'd; ``compact()`` reclaims).
+   replay whose output marker exists appends FROM THE DURABLE
+   new_entities parquet written in step 2, never from a re-resolution
+   (review r9): FuzzyIndex.append writes grams/ then shorts/ as two
+   jobs, and after a crash between them a short survivor's gram rows
+   make it match itself at dist 0 — a re-resolution would drop it from
+   the survivor set and its shorts/ row would be missing FOREVER,
+   silently losing every future zero-shared-gram match against it.
+   Re-appending the durable record instead costs duplicated gram rows
+   at worst, which FuzzyIndex documents as storage-only (candidates
+   are dropDuplicates'd; ``compact()`` reclaims).
 
 ``checkpoint_dir`` is REQUIRED: epoch ids restart at 0 for a query
 without a checkpointLocation, so a restarted stream would collide with
@@ -34,6 +40,62 @@ the durable sketch stores enforce (streaming/incremental.py, round 8).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def resolve_epoch(
+    index,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+) -> None:
+    """One epoch of the resolve loop — the foreachBatch body, exposed
+    so the replay protocol (marker states, durable-record append) is
+    unit-testable without staging a mid-batch crash inside a real
+    stream.  See the module docstring for the two-marker protocol."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    from covid19i2b2_spark.fsutil import hadoop_fs
+
+    fs, done = hadoop_fs(spark, f"{index.path}/_epochs/entity_{epoch_id}")
+    if fs.exists(done):
+        return  # epoch fully committed before — replayed batch
+    _, out_marker = hadoop_fs(
+        spark, f"{index.path}/_epochs/entity_out_{epoch_id}"
+    )
+    handles: list = []
+    if fs.exists(out_marker):
+        # replayed epoch whose outputs committed: append from the
+        # DURABLE record, never a re-resolution (see the module
+        # docstring's step 3 — a partial earlier append would bias
+        # the re-resolution and lose shorts rows forever).
+        # Explicit schema: an all-resolved epoch's new_entities
+        # write can be empty, which plain read can't infer.
+        survivors = spark.read.schema(batch_df.schema).parquet(
+            f"{out_path}/new_entities/epoch={epoch_id}"
+        )
+    else:
+        survivors, assignments = index.resolve_batch(
+            spark,
+            batch_df,
+            id_col,
+            text_col,
+            append_new=False,
+            cache_handles=handles,
+        )
+        assignments.write.mode("overwrite").parquet(
+            f"{out_path}/assignments/epoch={epoch_id}"
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/new_entities/epoch={epoch_id}"
+        )
+        fs.create(out_marker, True).close()
+    index.append(survivors, id_col, text_col)
+    fs.create(done, True).close()
+    for h in handles:
+        h.unpersist()
 
 
 def run_streaming_entity_resolution(
@@ -64,40 +126,7 @@ def run_streaming_entity_resolution(
         )
 
     def _resolve(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        from covid19i2b2_spark.fsutil import hadoop_fs
-
-        fs, done = hadoop_fs(
-            spark, f"{index.path}/_epochs/entity_{epoch_id}"
-        )
-        if fs.exists(done):
-            return  # epoch fully committed before — replayed batch
-        _, out_marker = hadoop_fs(
-            spark, f"{index.path}/_epochs/entity_out_{epoch_id}"
-        )
-        handles: list = []
-        survivors, assignments = index.resolve_batch(
-            spark,
-            batch_df,
-            id_col,
-            text_col,
-            append_new=False,
-            cache_handles=handles,
-        )
-        if not fs.exists(out_marker):
-            assignments.write.mode("overwrite").parquet(
-                f"{out_path}/assignments/epoch={epoch_id}"
-            )
-            survivors.write.mode("overwrite").parquet(
-                f"{out_path}/new_entities/epoch={epoch_id}"
-            )
-            fs.create(out_marker, True).close()
-        index.append(survivors, id_col, text_col)
-        fs.create(done, True).close()
-        for h in handles:
-            h.unpersist()
+        resolve_epoch(index, out_path, id_col, text_col, batch_df, epoch_id)
 
     writer = batch_stream.writeStream.foreachBatch(_resolve).trigger(
         availableNow=True

@@ -556,3 +556,62 @@ def test_sharded_blooms_lifecycle(spark, tmp_path):
     assert not fs.exists(jp)
     assert read_bloom_table(spark, idx.bloom_fp_path) is not None
     idx.release()
+
+
+def test_sharded_gate_over_fill_self_heals(spark, tmp_path):
+    """Review r9: appends that outgrow the sharded blooms' design load
+    (load_ratio > 1.5 — fpp degraded toward 1, the gate stops pruning)
+    must trigger a rebuild sized to the live index AND persist it —
+    the sharded analog of the flat path's fill > 0.6 heal."""
+    from covid19i2b2_spark.operators.bloom_sharded import (
+        read_sharded_meta,
+        sharded_bloom_health,
+    )
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    def _fresh(tag: str, i: int) -> str:
+        return f"{tag} document {i} " + " ".join(
+            f"{tag}token{i}x{j}" for j in range(12)
+        )
+
+    corpus = spark.createDataFrame(
+        [(i, _fresh("seed", i)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "ofidx"))
+    idx.build(corpus, "doc_id", "text")
+    idx.write_blooms(spark, fpp=0.01, sharded=4)
+    m0 = read_sharded_meta(spark, idx.sharded_fp_path)
+    total_bits0 = m0.n_bits * m0.n_shards
+    # three direct appends quadruple the population vs the design load
+    for w, tag in enumerate(["alpha", "beta", "gamma"]):
+        idx.append(
+            spark.createDataFrame(
+                [(1000 * (w + 1) + i, _fresh(tag, i)) for i in range(60)],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+            "text",
+        )
+    pre_ratio = sharded_bloom_health(spark, idx.sharded_fp_path)[
+        "load_ratio"
+    ]
+    assert pre_ratio > 1.5
+    batch = spark.createDataFrame(
+        [(9000, _fresh("delta", 0)),
+         (9001, _fresh("seed", 3))],  # dup of an indexed doc
+        "doc_id long, text string",
+    )
+    s, d = idx.filter_batch(spark, batch, "doc_id", "text", bloom_fpp=0.01)
+    assert {r["doc_id"] for r in s.collect()} == {9000}
+    # the gate rebuilt + persisted, sized to the live 240-key index
+    # (n_bits is PER SHARD — compare total capacity across the reshard;
+    # post-rebuild load_ratio is design ~1 plus small-sample shard skew
+    # at 240 keys, so assert the DROP rather than an absolute bound)
+    healed = read_sharded_meta(spark, idx.sharded_fp_path)
+    assert healed.n_items == 240
+    assert healed.n_bits * healed.n_shards > total_bits0
+    assert sharded_bloom_health(spark, idx.sharded_fp_path)[
+        "load_ratio"
+    ] < pre_ratio / 2
+    idx.release()

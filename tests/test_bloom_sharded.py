@@ -257,6 +257,20 @@ def test_torn_version_pointer_falls_back(spark, tmp_path):
         assert meta is not None
         flags = sharded_bloom_flags(_keys(spark, 0, 4_000), "k", path)
         assert flags.filter(~F.col("might_contain")).count() == 0
+    # MISSING pointer (review r9): _flip_version deletes the old
+    # pointer before renaming the new one over it — a crash in that
+    # gap leaves NO pointer while the root layout was already pruned;
+    # readers must still find the highest marked _v dir, not "0"
+    import os as _os
+
+    _os.remove(f"{path}/_CURRENT")
+    crc2 = f"{path}/._CURRENT.crc"
+    if _os.path.exists(crc2):
+        _os.remove(crc2)
+    assert _current_version(spark, path) == 1
+    assert read_sharded_meta(spark, path) is not None
+    flags = sharded_bloom_flags(_keys(spark, 0, 4_000), "k", path)
+    assert flags.filter(~F.col("might_contain")).count() == 0
 
 
 def test_append_then_probe_matches_one_shot_build(spark, tmp_path):

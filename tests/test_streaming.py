@@ -858,3 +858,52 @@ def test_streaming_entity_resolution_restart_recovery(spark, tmp_path):
         .collect()
     }
     assert m == {900: 101, 901: 201, 902: 2}
+
+
+def test_entity_epoch_replay_after_partial_append(spark, tmp_path, monkeypatch):
+    """Review r9: a crash BETWEEN FuzzyIndex.append's two parquet
+    writes (grams landed, shorts didn't) must not lose the short
+    survivor's shorts/ row on replay — the replay appends from the
+    epoch's DURABLE new_entities record, never a re-resolution (which
+    would see the partial gram rows, match the survivor to itself at
+    dist 0, and drop it from the survivor set forever)."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators.fuzzy_incremental import FuzzyIndex
+    from covid19i2b2_spark.streaming.entities import resolve_epoch
+
+    schema = "id long, name string"
+    idx = FuzzyIndex(str(tmp_path / "pidx"), max_dist=2, k=2)
+    idx.build(spark.createDataFrame([(1, "anthropic")], schema), "id", "name")
+    out = str(tmp_path / "pout")
+    # 'ab' sits below the cutoff (k*(d-1)+2 = 4): its only route to a
+    # zero-shared-gram match like 'cd' is the shorts/ pool
+    batch = spark.createDataFrame([(100, "ab")], schema)
+
+    orig_append = FuzzyIndex.append
+
+    def partial_append(self, df, id_col, text_col):
+        grams, _shorts = self._entries(df, id_col, text_col)
+        grams.write.mode("append").parquet(self.grams_path)
+        raise RuntimeError("simulated crash between grams and shorts")
+
+    monkeypatch.setattr(FuzzyIndex, "append", partial_append)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        resolve_epoch(idx, out, "id", "name", batch, 0)
+    monkeypatch.setattr(FuzzyIndex, "append", orig_append)
+
+    # the foreachBatch retry: outputs committed, so the append must
+    # come from the durable record
+    resolve_epoch(idx, out, "id", "name", batch, 0)
+    probe = spark.createDataFrame([(900, "cd")], schema)
+    got = {
+        (r.batch_id, r.index_id, r.dist)
+        for r in idx.match_batch(spark, probe, "id", "name").collect()
+    }
+    assert got == {(900, 100, 2)}  # the shorts-pool pair survived
+    asn = spark.read.parquet(f"{out}/assignments").collect()
+    assert {r.batch_id for r in asn} == {100}
+    # fully committed now: a further replay is a strict no-op
+    st = idx.stats(spark)
+    resolve_epoch(idx, out, "id", "name", batch, 0)
+    assert idx.stats(spark) == st
