@@ -750,6 +750,21 @@ def _bench_embedding_scaled(spark) -> dict:
             "build_sec": t_build,
             "query_sec": t_query,
         }
+        # X52 kNN JOIN (round 9): 50 queries x whole corpus through the
+        # trained IVF partition — the batch-retrieval cost per factor
+        # (candidates ~ 50 * n_probe * n/nlist, so near-flat per query
+        # as nlist grows with sqrt(n))
+        from covid19i2b2_spark.operators.knn import knn_join_ivf
+
+        q50 = emb.filter(F.col("vec_id") < 50)
+        t0 = time.perf_counter()
+        knn_join_ivf(
+            q50, emb, "vec_id", "vec_id", "embedding", "embedding",
+            cents, k=10, n_probe=8,
+        ).write.format("noop").mode("overwrite").save()
+        out[f"x{factor}"]["knn_join_50q_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
         spark.catalog.clearCache()
     largest = factors[-1][0]
     if largest > 1:

@@ -1,0 +1,301 @@
+"""X52: distributed k-nearest-neighbor JOIN over embedding columns —
+for EVERY row of a query table, its k max-cosine rows from a corpus
+table (SURVEY §2.11 extension; no reference counterpart).  This is the
+batch retrieval primitive a training-data pipeline runs for label
+propagation, dedup-adjacent mining, retrieval-augmented eval set
+construction — the all-queries generalization of similarity.cosine_topk
+(one broadcast query) and ivf_topk (one probed query).
+
+Two paths, one contract (output: query_id, neighbor_id, rank,
+cosine_sim — rank 1..k by (cosine desc, neighbor id asc)):
+
+- :func:`knn_join_brute` — exact.  |L| x |R| candidate pairs through a
+  per-query top-k window: the small-side baseline AND the oracle the
+  approximate path is measured against.  O(|L|·|R|) by construction;
+  at scale it exists to be called on SAMPLES.
+- :func:`knn_join_ivf` — the scale path.  The corpus is assigned to
+  centroids ONCE (similarity.ivf_assign — map-only Arrow kernel);
+  each query probes only its ``n_probe`` max-cosine clusters, so
+  candidate volume is |L| · n_probe · (|R|/nlist) instead of |L|·|R|.
+  Approximate exactly like IVF search: a true neighbor living outside
+  the probed clusters is missed (recall pinned in tests; grow
+  ``n_probe`` / nlist like any IVF deployment).  With
+  ``exact_decimal=True`` and frozen centroids the whole pipeline is
+  deterministic and DuckDB-reproducible (the q_ann_ivf /
+  q_semantic_pairs_frozen precedent) — q_knn_join carries the parity.
+
+100 TB shape: centroids are driver-sized by contract (the IVF
+invariant); the corpus assignment is one map-only pass (persist it
+partitioned by centroid_id via similarity.write_ivf_index for repeated
+query batches); the probe selection is map-only (Arrow kernel) or a
+broadcast join + per-query window (expr); the candidate join is one
+shuffle on centroid_id and the final top-k one shuffle on query id —
+both keyed on high-cardinality columns.  Nothing collects but the
+centroid table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from covid19i2b2_spark.operators.aggregates import round6
+from covid19i2b2_spark.operators.similarity import (
+    _c_sim,
+    dot,
+    ivf_assign,
+    norm,
+)
+
+
+def _safe_cosine(a: str, b: str, exact_decimal: bool) -> Column:
+    """cosine() with a NULL (not ANSI DIVIDE_BY_ZERO) answer for
+    zero-norm operands — a kNN join must SKIP degenerate vectors, not
+    fail the stage; identical to similarity.cosine for valid ones."""
+    return F.try_divide(
+        dot(a, b, exact_decimal),
+        norm(a, exact_decimal) * norm(b, exact_decimal),
+    )
+
+
+def _knn_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, __sim) -> top-k per query with rank.
+    Ties break to the LOWER neighbor id — deterministic across runs,
+    partitionings, and engines (the oracle sorts the same way)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__rank").cast("int").alias("rank"),
+            round6(F.col("__sim")).alias("cosine_sim"),
+        )
+    )
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    k: int = 10,
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """Exact kNN join — every left row's k max-cosine right rows.
+    O(|L|·|R|): the baseline and the recall oracle for the IVF path.
+    NULL-cosine pairs (degenerate vectors) sort below every real
+    neighbor and fall out of the top-k naturally."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lhs = left.select(
+        F.col(left_id).alias("query_id"), F.col(left_vec).alias("__lv")
+    )
+    rhs = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("__rv")
+    )
+    scored = lhs.crossJoin(rhs).select(
+        "query_id",
+        "neighbor_id",
+        _safe_cosine("__lv", "__rv", exact_decimal).alias("__sim"),
+    )
+    return _knn_topk(scored.filter(F.col("__sim").isNotNull()), k)
+
+
+def centroid_topp_kernel(
+    vec_col: str | Column,
+    cents: list[tuple[int, list[float]]],
+    p: int,
+    exact_decimal: bool = False,
+) -> Column:
+    """Arrow-batched top-p centroid selection: per input vector, the p
+    max-cosine centroid ids ordered (sim desc, centroid_id desc) — the
+    multi-winner sibling of similarity.centroid_argmax_kernel, same
+    tie rule (highest id wins), same fixed-point arithmetic under
+    ``exact_decimal`` so the expression path reproduces it bit-for-bit
+    for valid vectors (pinned by test).  Degenerate vectors (NULL /
+    wrong dim / NULL elements / zero norm) return NULL; degenerate
+    centroids can never win.  Returns array<long>."""
+    from pyspark.sql.functions import pandas_udf
+
+    if not cents:
+        raise ValueError("centroid_topp_kernel needs at least one centroid")
+    if p < 1:
+        raise ValueError(f"p must be >= 1, got {p}")
+    ids = np.asarray([int(c) for c, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, C = ids[order], C[order]
+    dim = C.shape[1] if C.ndim == 2 else 0
+    bad_cent = np.isnan(C).any(axis=1) if dim else np.zeros(0, dtype=bool)
+    if exact_decimal:
+        with np.errstate(invalid="ignore"):
+            cnorm = np.sqrt(
+                np.floor(np.nan_to_num(C) * np.nan_to_num(C) * 1e12 + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+                / 1e12
+            )
+        bad_cent = bad_cent | (cnorm == 0)
+        cnorm = np.where(cnorm == 0, 1.0, cnorm)
+    else:
+        cn = np.sqrt(np.nan_to_num(C * C).sum(axis=1))
+        bad_cent = bad_cent | (cn == 0)
+        cn = np.where(cn == 0, 1.0, cn)
+        Cu = np.nan_to_num(C) / cn[:, None]
+
+    @pandas_udf("array<long>")
+    def _topp(xs: pd.Series) -> pd.Series:
+        n = len(xs)
+        out: list = [None] * n
+        good = [
+            i
+            for i in range(n)
+            if xs.iloc[i] is not None and len(xs.iloc[i]) == dim
+        ]
+        if good:
+            V = np.stack(
+                [np.asarray(xs.iloc[i], dtype=np.float64) for i in good]
+            )
+            ok = ~np.isnan(V).any(axis=1)
+            good = [i for i, keep in zip(good, ok) if keep]
+            V = V[ok]
+        if len(good):
+            if exact_decimal:
+                vnorm = np.sqrt(
+                    np.floor(V * V * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+                    / 1e12
+                )
+                zero_v = vnorm == 0
+                vnorm = np.where(zero_v, 1.0, vnorm)
+                sims = np.empty((len(V), len(ids)))
+                # chunked like centroid_argmax_kernel: the per-element
+                # floor inflates the intermediate to rows x cents x dim
+                for r0 in range(0, len(V), 1024):
+                    Vb = V[r0 : r0 + 1024]
+                    for c0 in range(0, len(ids), 64):
+                        Cb = np.nan_to_num(C[c0 : c0 + 64])
+                        prods = Vb[:, None, :] * Cb[None, :, :]
+                        d = (
+                            np.floor(prods * 1e12 + 0.5)
+                            .astype(np.int64)
+                            .sum(axis=2)
+                            / 1e12
+                        )
+                        sims[r0 : r0 + 1024, c0 : c0 + 64] = d / (
+                            vnorm[r0 : r0 + 1024, None]
+                            * cnorm[None, c0 : c0 + 64]
+                        )
+                sims[zero_v, :] = -np.inf
+            else:
+                vn = np.sqrt((V * V).sum(axis=1))
+                zero_v = vn == 0
+                vn = np.where(zero_v, 1.0, vn)
+                sims = (V / vn[:, None]) @ Cu.T
+                sims[zero_v, :] = -np.inf
+            if bad_cent.any():
+                sims[:, bad_cent] = -np.inf
+            # (sim desc, id desc): ids are cid-ascending, so sort by
+            # (-sim asc, -id asc) via lexsort(last key primary)
+            neg_ids = -ids
+            for j, i in enumerate(good):
+                row = sims[j]
+                if np.isneginf(row).all():
+                    continue  # every candidate degenerate -> NULL
+                sel = np.lexsort((neg_ids, -row))[:p]
+                sel = sel[~np.isneginf(row[sel])]
+                out[i] = [int(ids[s]) for s in sel]
+        return pd.Series(out)
+
+    return _topp(_c_sim(vec_col))
+
+
+def knn_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    exact_decimal: bool = False,
+    impl: str = "kernel",
+) -> DataFrame:
+    """Approximate kNN join through an IVF partition of the corpus —
+    see the module docstring for shape and contract.  ``centroids`` is
+    the small (centroid_id, cvec) table (similarity.train_centroids /
+    deterministic_centroids, or frozen rows for oracle parity).
+
+    ``impl='kernel'`` selects each query's probes in one map-only
+    Arrow pass (:func:`centroid_topp_kernel`); ``'expr'`` uses a
+    broadcast join + per-query window — same results under
+    exact_decimal for valid vectors (pinned by test), but the
+    interpreted HOF cosine goes O(|L| x nlist) in expression
+    evaluations (the 277 s lesson behind centroid_argmax_kernel).
+    Probe ordering ties break to the HIGHEST centroid id, mirroring
+    ivf_assign."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if impl not in ("expr", "kernel"):
+        raise ValueError(f"impl must be 'expr' or 'kernel', got {impl!r}")
+    lhs = left.select(
+        F.col(left_id).alias("query_id"), F.col(left_vec).alias("__lv")
+    )
+    cid_type = centroids.schema["centroid_id"].dataType
+    assigned = ivf_assign(
+        right, right_id, right_vec, centroids, exact_decimal
+    ).select(
+        F.col(right_id).alias("neighbor_id"),
+        F.col(right_vec).alias("__rv"),
+        "centroid_id",
+    )
+    if impl == "kernel":
+        cents = [
+            (r["centroid_id"], list(r["cvec"])) for r in centroids.collect()
+        ]
+        probes = lhs.select(
+            "query_id",
+            F.explode(
+                centroid_topp_kernel("__lv", cents, n_probe, exact_decimal)
+            ).alias("__cid"),
+        ).select(
+            "query_id",
+            # the kernel emits long; cast back to the caller's
+            # centroid_id type (generators can't nest under the cast)
+            F.col("__cid").cast(cid_type).alias("centroid_id"),
+        )
+    else:
+        # NARROW window input (query_id, centroid_id, sim) — the query
+        # vectors rejoin below rather than riding the window exchange
+        scored_c = lhs.join(F.broadcast(centroids)).select(
+            "query_id",
+            "centroid_id",
+            _safe_cosine("__lv", "cvec", exact_decimal).alias("__csim"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("__csim").desc(), F.col("centroid_id").desc()
+        )
+        probes = (
+            scored_c.filter(F.col("__csim").isNotNull())
+            .withColumn("__rn", F.row_number().over(wp))
+            .filter(F.col("__rn") <= n_probe)
+            .select("query_id", "centroid_id")
+        )
+    cand = probes.join(lhs, "query_id").join(assigned, "centroid_id")
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _safe_cosine("__lv", "__rv", exact_decimal).alias("__sim"),
+    )
+    return _knn_topk(scored.filter(F.col("__sim").isNotNull()), k)

@@ -744,6 +744,37 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 X52: distributed kNN JOIN (operators/knn.py
+    knn_join_ivf) — every query vector's top-5 max-cosine corpus
+    neighbors through an IVF partition: frozen centroids (vec_id < 16,
+    the q_semantic_pairs_frozen convention), 4-of-16 probed clusters,
+    fixed-point cosine, Arrow top-p probe kernel.  Deterministic end
+    to end, so DuckDB replays assignment + probing + ranking exactly.
+    UNREGISTERED; parity in tests/test_oracle_parity.py; the
+    brute-force recall bound lives in tests/test_knn.py."""
+    from covid19i2b2_spark.operators.knn import knn_join_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_join_ivf(
+        queries,
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        cents,
+        k=5,
+        n_probe=4,
+        exact_decimal=True,
+    ).orderBy("query_id", "rank")
+
+
 def q_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-8 X49: the unigram tokenizer's seed-vocab statistic
     (operators/unigram.py seed_piece_counts) — corpus frequencies of
