@@ -426,3 +426,44 @@ def test_ivf_assign_kernel_plan_is_map_only(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_sharded_filter_batch_cogroup_carries_no_payload(spark, tmp_path):
+    """Integration form of the X50 narrow-probe pin (VERDICT r8 #1):
+    the sharded-gated filter_batch plan must route ONLY (hash, shard)
+    pairs through its Arrow cogroups — the batch's text payload joins
+    the flags back JVM-side and never crosses the Python boundary."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    corpus = spark.createDataFrame(
+        [(i, f"seed doc {i} " + " ".join(f"t{i}x{j}" for j in range(10)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "planidx"))
+    idx.build(corpus, "doc_id", "text")
+    idx.write_blooms(spark, fpp=0.01, sharded=4)
+    batch = spark.createDataFrame(
+        [(100 + i, f"new doc {i} " + " ".join(f"n{i}x{j}" for j in range(10)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    survivors, _ = idx.filter_batch(
+        spark, batch, "doc_id", "text", bloom_fpp=0.01
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        survivors.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapCoGroupsInPandas" in plan
+    left_lines = [
+        ln for ln in plan.splitlines() if ln.startswith("Left output")
+    ]
+    assert left_lines, plan
+    assert all("text#" not in ln for ln in left_lines), left_lines
+    idx.release()

@@ -400,3 +400,68 @@ def test_bloom_bitmap_math_no_false_negatives(keys, probes, fpp):
 
         bound = fpp + 6 * _m.sqrt(fpp * (1 - fpp) / nonmembers.size)
         assert fp / nonmembers.size <= bound, (fp, nonmembers.size, fpp)
+
+
+def _ref_fuzzy_pairs(strings: list[str], max_dist: int):
+    """Brute-force Levenshtein pairs (classic DP), the Python reference."""
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            d = lev(strings[i], strings[j])
+            if d <= max_dist:
+                out.add((i, j, d))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    strings=st.lists(
+        st.text(
+            # tight alphabet on purpose: maximizes near-miss pairs and
+            # shared-gram collisions; includes the padding char '\x01'
+            # (fuzzy.py frames grams with it — data containing it must
+            # still be correct) and a non-ASCII char
+            alphabet=st.sampled_from(list("ab1\x01é")),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=14,
+        unique=True,
+    ),
+    max_dist=st.integers(min_value=1, max_value=3),
+    k=st.integers(min_value=2, max_value=3),
+    order=st.sampled_from(["hash", "rare"]),
+)
+def test_fuzzy_pairs_completeness_property(spark, strings, max_dist, k, order):
+    """X48 blocking completeness over hypothesis-adversarial strings
+    (boundary lengths around every cutoff, padding-char collisions,
+    empty strings, unicode) for BOTH gram orders: the q-gram prefix
+    blocks + short pool must find exactly the brute-force pair set."""
+    from covid19i2b2_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(
+            df, "id", "s", max_dist=max_dist, k=k, gram_order=order
+        ).collect()
+    }
+    assert got == _ref_fuzzy_pairs(strings, max_dist)
