@@ -229,11 +229,21 @@ def knn_join_ivf(
     n_probe: int = 8,
     exact_decimal: bool = False,
     impl: str = "kernel",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate kNN join through an IVF partition of the corpus —
     see the module docstring for shape and contract.  ``centroids`` is
     the small (centroid_id, cvec) table (similarity.train_centroids /
     deterministic_centroids, or frozen rows for oracle parity).
+
+    ``assigned`` skips the per-call corpus assignment: pass the
+    (right_id, right_vec, centroid_id) frame a previous call or
+    similarity.write_ivf_index produced — the steady-state shape for
+    repeated query batches over one corpus (assign once, probe many;
+    a centroid_id-partitioned layout additionally prunes the candidate
+    scan to the probed clusters).  It MUST have been assigned under
+    the same centroids/exact_decimal or probes will look in the wrong
+    clusters.
 
     ``impl='kernel'`` selects each query's probes in one map-only
     Arrow pass (:func:`centroid_topp_kernel`); ``'expr'`` uses a
@@ -253,9 +263,11 @@ def knn_join_ivf(
         F.col(left_id).alias("query_id"), F.col(left_vec).alias("__lv")
     )
     cid_type = centroids.schema["centroid_id"].dataType
-    assigned = ivf_assign(
-        right, right_id, right_vec, centroids, exact_decimal
-    ).select(
+    if assigned is None:
+        assigned = ivf_assign(
+            right, right_id, right_vec, centroids, exact_decimal
+        )
+    assigned = assigned.select(
         F.col(right_id).alias("neighbor_id"),
         F.col(right_vec).alias("__rv"),
         "centroid_id",

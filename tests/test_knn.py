@@ -142,3 +142,26 @@ def test_knn_deterministic_across_partitionings(spark):
         "embedding", "embedding", cents, k=4, n_probe=3,
         exact_decimal=True).collect()))
     assert a == b
+
+
+def test_preassigned_corpus_equals_per_call_assignment(spark):
+    """Passing a pre-assigned corpus (the assign-once, probe-many
+    steady state) must produce identical results to the per-call
+    assignment path."""
+    from covid19i2b2_spark.operators.similarity import ivf_assign
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    pre = ivf_assign(emb, "vec_id", "embedding", cents, exact_decimal=True)
+    kw = dict(k=4, n_probe=3, exact_decimal=True)
+    a = sorted(map(tuple, knn_join_ivf(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        cents, **kw).collect()))
+    b = sorted(map(tuple, knn_join_ivf(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        cents, assigned=pre, **kw).collect()))
+    assert a == b
