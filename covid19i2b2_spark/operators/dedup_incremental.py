@@ -314,6 +314,65 @@ class DedupIndex:
             return False
         return True
 
+    def stats(self, spark: SparkSession) -> dict:
+        """Health signals (round 9 — the FuzzyIndex.stats symmetry):
+        persisted row counts vs the distinct counts a clean history
+        would hold, plus the duplication ratio.  Row duplication comes
+        only from the crash window between a streaming epoch's append
+        and its marker (documented benign: the index is read through
+        anti-joins / DISTINCT candidates) — a ratio creeping above 1
+        is the cue to :meth:`compact`.  Two aggregate jobs over
+        index-sized tables; a maintenance call, not per batch."""
+        fp = spark.read.parquet(self.fp_path)
+        bands = spark.read.parquet(self.bands_path)
+        f = fp.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.struct("fingerprint", "doc_id")).alias("d"),
+        ).collect()[0]
+        b = bands.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.struct("band", "bucket", "doc_id")).alias(
+                "d"
+            ),
+        ).collect()[0]
+        return {
+            "fingerprint_rows": f["n"],
+            "fingerprint_distinct": f["d"],
+            "band_rows": b["n"],
+            "band_distinct": b["d"],
+            "duplication_ratio": (
+                round((f["n"] + b["n"]) / (f["d"] + b["d"]), 4)
+                if (f["d"] + b["d"])
+                else 1.0
+            ),
+        }
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rebuild the fingerprint and band tables dropping replayed
+        duplicate rows (round 9): storage and join volume shrink,
+        results never change (both tables are consumed through
+        anti-joins / DISTINCT candidate sets).  Blooms are untouched —
+        their bits are a superset-idempotent function of the SAME keys,
+        so deduplicating rows cannot invalidate them.  Frames are
+        pinned (eager localCheckpoint) before overwriting the paths
+        they were read from, then released."""
+        from covid19i2b2_spark.caching import release_local_checkpoint
+
+        fp = (
+            spark.read.parquet(self.fp_path)
+            .dropDuplicates(["fingerprint", "doc_id"])
+            .localCheckpoint(eager=True)
+        )
+        bands = (
+            spark.read.parquet(self.bands_path)
+            .dropDuplicates(["band", "bucket", "doc_id"])
+            .localCheckpoint(eager=True)
+        )
+        fp.write.mode("overwrite").parquet(self.fp_path)
+        bands.write.mode("overwrite").parquet(self.bands_path)
+        release_local_checkpoint(fp)
+        release_local_checkpoint(bands)
+
     def append(self, survivors: DataFrame, id_col: str, text_col: str) -> None:
         """Fold a batch's surviving documents into the index — a
         batch-sized parquet append, no index rewrite.

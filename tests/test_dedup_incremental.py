@@ -85,3 +85,55 @@ def test_within_batch_near_dup_keeps_lowest_id(spark, index):
     assert {r["doc_id"]: r["reason"] for r in dropped.collect()} == {
         41: "near_dup"
     }
+
+
+def test_stats_and_compact_restore_one_shot_counts(spark, tmp_path):
+    """Round 9 (FuzzyIndex symmetry): a replayed append duplicates
+    index rows (the documented benign crash window) — stats() must
+    surface it and compact() must restore one-shot row counts with
+    identical filter_batch results."""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+
+    def _doc(tag, i):
+        return f"{tag} doc {i} " + " ".join(
+            f"{tag}w{i}x{j}" for j in range(10)
+        )
+
+    corpus = spark.createDataFrame(
+        [(i, _doc("base", i)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "cidx"))
+    idx.build(corpus, "doc_id", "text")
+    delta = spark.createDataFrame(
+        [(100 + i, _doc("new", i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx.append(delta, "doc_id", "text")
+    for _ in range(2):  # the at-least-once replay
+        idx.append(delta, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(500, _doc("base", 3)), (501, _doc("new", 7)),
+         (502, _doc("fresh", 0))],
+        "doc_id long, text string",
+    )
+    s0, d0 = idx.filter_batch(spark, batch, "doc_id", "text")
+    before = {r["doc_id"] for r in s0.collect()}
+    assert before == {502}
+    st = idx.stats(spark)
+    assert st["fingerprint_rows"] > st["fingerprint_distinct"]
+    assert st["duplication_ratio"] > 1.0
+    idx.compact(spark)
+    st2 = idx.stats(spark)
+    assert st2["fingerprint_rows"] == st2["fingerprint_distinct"]
+    assert st2["band_rows"] == st2["band_distinct"]
+    assert st2["duplication_ratio"] == 1.0
+    # one-shot reference
+    ref = DedupIndex(str(tmp_path / "ref"))
+    ref.build(corpus.unionByName(delta), "doc_id", "text")
+    rst = ref.stats(spark)
+    assert st2["fingerprint_rows"] == rst["fingerprint_rows"]
+    assert st2["band_rows"] == rst["band_rows"]
+    s1, _ = idx.filter_batch(spark, batch, "doc_id", "text")
+    assert {r["doc_id"] for r in s1.collect()} == before
+    idx.release()
