@@ -394,7 +394,12 @@ def _bench_fuzzy_scaled(spark) -> dict:
         # candidates per replica; rare order blocks on digit grams)
         for order, suffix in (("hash", ""), ("rare", "_rare")):
             runs = []
-            for _ in range(2):  # min-of-2: the scaled-section method
+            # min-of-3 at the SMALL factors: the x10 reading is the
+            # denominator of the x100 linear ratio, and its ±50% noise
+            # (2.0 vs 3.1 s across round-9 runs) swings the ratio
+            # through the 1.3 bar on its own; the x100 term is long
+            # enough that min-of-2 suffices
+            for _ in range(3 if factor < 100 else 2):
                 t0 = time.perf_counter()
                 fuzzy_pairs(
                     cust, "c_custkey", "c_name", max_dist=1, k=2,
