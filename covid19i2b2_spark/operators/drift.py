@@ -68,6 +68,22 @@ def corpus_divergence(
     g = list(group_cols)
     ca = _token_counts(df_a, text_col, g, "a")
     cb = _token_counts(df_b, text_col, g, "b")
+    return divergence_from_counts(ca, cb, g)
+
+
+def divergence_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`corpus_divergence`'s core over PRE-COMPUTED token-count
+    frames ((*group_cols, token, c_a) / (..., c_b) — the
+    :func:`_token_counts` shape).  Exposed (round 9) so callers that
+    compare MANY snapshots against one frozen reference — the
+    streaming drift monitor — aggregate the reference once and reuse
+    its (vocabulary-bounded) counts per comparison instead of
+    re-scanning the reference corpus every time."""
+    g = list(group_cols)
     tot_a = ca.groupBy(*g).agg(F.sum("c_a").alias("n_tokens_a"))
     tot_b = cb.groupBy(*g).agg(F.sum("c_b").alias("n_tokens_b"))
 

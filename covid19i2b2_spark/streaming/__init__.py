@@ -14,3 +14,6 @@ from covid19i2b2_spark.streaming.daily_counts import (  # noqa: F401
 from covid19i2b2_spark.streaming.entities import (  # noqa: F401
     run_streaming_entity_resolution,
 )
+from covid19i2b2_spark.streaming.drift import (  # noqa: F401
+    run_streaming_drift_monitor,
+)

@@ -907,3 +907,69 @@ def test_entity_epoch_replay_after_partial_append(spark, tmp_path, monkeypatch):
     st = idx.stats(spark)
     resolve_epoch(idx, out, "id", "name", batch, 0)
     assert idx.stats(spark) == st
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
+    """Round 9 (X45 streaming form): draining the bounded document
+    stream through the drift monitor produces EXACTLY the batch
+    operator's JS rows (same fixed-point arithmetic, frozen reference
+    counts reused per epoch), with the epoch id and alert column
+    attached; checkpoint_dir is a hard requirement."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators.drift import corpus_divergence
+    from covid19i2b2_spark.streaming.curation import stream_documents
+    from covid19i2b2_spark.streaming.drift import (
+        run_streaming_drift_monitor,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    # per-source halves: doc_id %% 20 IS the source in the synthetic
+    # corpus, so split on floor(doc_id/20) %% 2 (memory/TESTDATA trap)
+    reference = docs.filter(
+        F.pmod(F.floor(F.col("doc_id") / 20), F.lit(2)) == 0
+    )
+    out = str(tmp_path / "drift")
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        run_streaming_drift_monitor(
+            stream_documents(spark, SF_DIR), reference, out
+        )
+    q = run_streaming_drift_monitor(
+        stream_documents(spark, SF_DIR),
+        reference,
+        out,
+        group_cols=("source",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        alert_threshold=0.05,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    rows = {r["source"]: r for r in got.collect()}
+    exp = {
+        r["source"]: r
+        for r in corpus_divergence(
+            reference, docs, "text", ["source"]
+        ).collect()
+    }
+    assert set(rows) == set(exp) and len(rows) > 0
+    for src, r in rows.items():
+        e = exp[src]
+        assert r["js_divergence"] == e["js_divergence"], src
+        assert r["n_tokens_a"] == e["n_tokens_a"]
+        assert r["n_tokens_b"] == e["n_tokens_b"]
+        assert r["n_types_shared"] == e["n_types_shared"]
+        assert r["alert"] == (r["js_divergence"] > 0.05)
+    # the whole-corpus-vs-half comparison should NOT alarm at 0.05
+    # (same generator); a deliberately alien batch must
+    alien = spark.createDataFrame(
+        [(i, rows_src, "zzz qqq xxx " * 30)
+         for i, rows_src in enumerate(sorted(rows))],
+        "doc_id long, source string, text string",
+    )
+    from covid19i2b2_spark.operators.drift import corpus_divergence as cd
+
+    alien_js = {
+        r["source"]: r["js_divergence"]
+        for r in cd(reference, alien, "text", ["source"]).collect()
+    }
+    assert all(v > 0.5 for v in alien_js.values())
