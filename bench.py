@@ -136,8 +136,14 @@ def _fn(name: str):
         return REGISTRY[name].fn
     # unregistered engine-surface queries (driver 50-query window)
     from covid19i2b2_spark.queries.core import q_events_daily
+    from covid19i2b2_spark.queries.llm import q_cosine_topk
 
-    return {"q_events_daily": q_events_daily}[name]
+    return {
+        "q_events_daily": q_events_daily,
+        # deregistered round 10 (slot ceded to q_knn_join, VERDICT r9
+        # #1) but kept in the suite for round-over-round continuity
+        "q_cosine_topk": q_cosine_topk,
+    }[name]
 
 
 def _scaled_dir(spark, factor: int, n_files: int = 32) -> str:

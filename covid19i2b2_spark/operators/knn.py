@@ -29,9 +29,11 @@ invariant); the corpus assignment is one map-only pass (persist it
 partitioned by centroid_id via similarity.write_ivf_index for repeated
 query batches); the probe selection is map-only (Arrow kernel) or a
 broadcast join + per-query window (expr); the candidate join is one
-shuffle on centroid_id and the final top-k one shuffle on query id —
-both keyed on high-cardinality columns.  Nothing collects but the
-centroid table.
+shuffle on centroid_id, the stage-one partial top-k sorts within that
+same partitioning (HashPartitioning(centroid_id) already clusters
+(query_id, centroid_id) — no extra exchange), and the final top-k
+shuffles only the ≤ n_probe·k survivors per query.  Nothing collects
+but the centroid table.
 """
 
 from __future__ import annotations
@@ -230,6 +232,7 @@ def knn_join_ivf(
     exact_decimal: bool = False,
     impl: str = "kernel",
     assigned: DataFrame | None = None,
+    two_stage: bool = True,
 ) -> DataFrame:
     """Approximate kNN join through an IVF partition of the corpus —
     see the module docstring for shape and contract.  ``centroids`` is
@@ -252,7 +255,19 @@ def knn_join_ivf(
     interpreted HOF cosine goes O(|L| x nlist) in expression
     evaluations (the 277 s lesson behind centroid_argmax_kernel).
     Probe ordering ties break to the HIGHEST centroid id, mirroring
-    ivf_assign."""
+    ivf_assign.
+
+    ``two_stage`` (default on) reduces top-k per (query_id,
+    centroid_id) BEFORE the global per-query rank — the standard IVF
+    two-stage reduce.  The single-stage window puts ALL of a query's
+    candidates (n_probe·|R|/nlist rank rows; ~800 k at the 10^10-corpus
+    design point) into one task's sort; stage one splits that work
+    across the query's n_probe clusters and bounds the final exchange
+    and per-task sort to ≤ n_probe·k survivors per query.  Results are
+    IDENTICAL by construction: each neighbor lives in exactly one
+    cluster, and any global top-k member is necessarily within its own
+    cluster's top-k under the same (sim desc, neighbor_id asc) order —
+    pinned by the two_stage≡single-stage equality test."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_probe < 1:
@@ -307,7 +322,20 @@ def knn_join_ivf(
     cand = probes.join(lhs, "query_id").join(assigned, "centroid_id")
     scored = cand.select(
         "query_id",
+        "centroid_id",
         "neighbor_id",
         _safe_cosine("__lv", "__rv", exact_decimal).alias("__sim"),
-    )
-    return _knn_topk(scored.filter(F.col("__sim").isNotNull()), k)
+    ).filter(F.col("__sim").isNotNull())
+    if two_stage:
+        # stage 1: per-(query, probed-cluster) partial top-k — each of a
+        # query's n_probe clusters ranks its own candidates in its own
+        # task, so only ≤ n_probe·k narrow rows reach the final window
+        w1 = Window.partitionBy("query_id", "centroid_id").orderBy(
+            F.col("__sim").desc(), F.col("neighbor_id")
+        )
+        scored = (
+            scored.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .drop("__r1")
+        )
+    return _knn_topk(scored.drop("centroid_id"), k)

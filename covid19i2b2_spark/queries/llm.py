@@ -271,46 +271,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_cosine_topk",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    prods AS (
-        SELECT e.vec_id,
-               unnest(e.embedding) AS a,
-               unnest(q.qv) AS b
-        FROM embeddings e, q
-        WHERE e.vec_id != 0
-    ),
-    sums AS (
-        -- fixed-point picounit longs: floor(x*y*1e12 + 0.5) summed exactly,
-        -- back to double at the end — order/engine independent (mirrors
-        -- operators/similarity._dot_decimal)
-        SELECT vec_id,
-               CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
-                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / 1e12 AS dot,
-               CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
-                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / 1e12 AS na2,
-               CAST(SUM(CAST(FLOOR(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
-                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / 1e12 AS nb2
-        FROM prods GROUP BY vec_id
-    )
-    SELECT vec_id,
-           FLOOR((dot / (SQRT(na2) * SQRT(nb2))) * 1000000 + 0.5) / 1000000
-               AS cosine_sim
-    FROM sums
-    ORDER BY dot / (SQRT(na2) * SQRT(nb2)) DESC, vec_id
-    LIMIT 10
-    """,
-)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 baseline: brute-force cosine top-10 against the vec_id=0 query
     vector.  The exact-decimal dot path makes the score independent of
     summation order, so Spark and DuckDB rank identically (DuckDB's own
-    list_cosine_similarity computes in float32 — not comparable)."""
+    list_cosine_similarity computes in float32 — not comparable).
+    UNREGISTERED since round 10 (slot ceded to q_knn_join per VERDICT
+    r9 #1 — this is the single-query special case the kNN join
+    subsumes); full DuckDB parity continues in
+    tests/test_oracle_parity.py (UNREGISTERED_ORACLES), and the
+    TakeOrderedAndProject top-k plan stays pinned via q_bm25_rank."""
     emb = read_table(spark, sf_dir, "embeddings")
     query_vec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")

@@ -165,3 +165,27 @@ def test_preassigned_corpus_equals_per_call_assignment(spark):
         q, emb, "vec_id", "vec_id", "embedding", "embedding",
         cents, assigned=pre, **kw).collect()))
     assert a == b
+
+
+def test_two_stage_equals_single_stage(spark):
+    """The per-(query, probed-cluster) partial top-k (two_stage=True,
+    the default) must reproduce the single global per-query window
+    exactly — each neighbor lives in one cluster and every global
+    top-k member is within its own cluster's top-k under the same
+    (sim desc, neighbor_id asc) order.  Pinned on both impl paths."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 12)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    for impl in ("kernel", "expr"):
+        kw = dict(k=5, n_probe=4, exact_decimal=True, impl=impl)
+        two = sorted(map(tuple, knn_join_ivf(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            cents, two_stage=True, **kw).collect()))
+        one = sorted(map(tuple, knn_join_ivf(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            cents, two_stage=False, **kw).collect()))
+        assert two == one, f"two-stage != single-stage under impl={impl}"
+        assert len(two) == 12 * 5

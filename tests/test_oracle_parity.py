@@ -473,77 +473,40 @@ def _topk_sketch_oracle(k: int = 12) -> str:
     """
 
 
-def _knn_join_oracle() -> str:
-    """X52 kNN join through frozen IVF: right assignment (max sim,
-    tie -> highest centroid_id — ivf_assign's max_by), per-query
-    top-4-of-16 probe (same tie rule), candidate join on centroid_id,
-    per-query top-5 by (sim desc, neighbor_id asc) — every stage the
-    deterministic fixed-point arithmetic knn_join_ivf runs."""
-    sim_ec = (
-        f"{_fixdot('e.embedding', 'c.cvec')}"
-        f" / (sqrt({_fixdot('e.embedding', 'e.embedding')})"
-        f" * sqrt({_fixdot('c.cvec', 'c.cvec')}))"
-    )
-    sim_qc = (
-        f"{_fixdot('q.qv', 'c.cvec')}"
-        f" / (sqrt({_fixdot('q.qv', 'q.qv')})"
-        f" * sqrt({_fixdot('c.cvec', 'c.cvec')}))"
-    )
-    sim_qa = (
-        f"{_fixdot('q.qv', 'a.embedding')}"
-        f" / (sqrt({_fixdot('q.qv', 'q.qv')})"
-        f" * sqrt({_fixdot('a.embedding', 'a.embedding')}))"
-    )
-    return f"""
-    WITH cents AS (
-        SELECT vec_id AS centroid_id, embedding AS cvec
-        FROM embeddings WHERE vec_id < 16
-    ),
-    assigned AS (
-        SELECT vec_id AS neighbor_id, embedding, centroid_id FROM (
-            SELECT e.vec_id, e.embedding, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {sim_ec} DESC, c.centroid_id DESC
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ),
-    queries AS (
-        SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < 10
-    ),
-    probes AS (
-        SELECT query_id, centroid_id FROM (
-            SELECT q.query_id, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY {sim_qc} DESC, c.centroid_id DESC
-                   ) AS rn
-            FROM queries q CROSS JOIN cents c
-        ) WHERE rn <= 4
-    ),
-    cand AS (
-        SELECT p.query_id, a.neighbor_id, {sim_qa} AS sim
-        FROM probes p
-        JOIN queries q USING (query_id)
-        JOIN assigned a USING (centroid_id)
-    ),
-    ranked AS (
-        SELECT query_id, neighbor_id, sim,
-               row_number() OVER (
-                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
-               ) AS rn
-        FROM cand
-    )
-    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
-           FLOOR(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
-    FROM ranked WHERE rn <= 5
-    ORDER BY query_id, rank
-    """
-
-
 UNREGISTERED_ORACLES = {
+
+    # X3 brute-force cosine top-10: REGISTERED rounds 2-9, slot ceded to
+    # q_knn_join in round 10 (VERDICT r9 #1) — the fixed-point parity
+    # continues here (mirrors operators/similarity._dot_decimal)
+    "q_cosine_topk": """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    prods AS (
+        SELECT e.vec_id,
+               unnest(e.embedding) AS a,
+               unnest(q.qv) AS b
+        FROM embeddings e, q
+        WHERE e.vec_id != 0
+    ),
+    sums AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS dot,
+               CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS na2,
+               CAST(SUM(CAST(FLOOR(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+                                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS nb2
+        FROM prods GROUP BY vec_id
+    )
+    SELECT vec_id,
+           FLOOR((dot / (SQRT(na2) * SQRT(nb2))) * 1000000 + 0.5) / 1000000
+               AS cosine_sim
+    FROM sums
+    ORDER BY dot / (SQRT(na2) * SQRT(nb2)) DESC, vec_id
+    LIMIT 10
+    """,
 
     # X49 unigram tokenizer seed statistic: substring frequencies of
     # the word dict, weighted by word count — the distributed half of
@@ -722,7 +685,6 @@ UNREGISTERED_ORACLES = {
     "q_bigram_logprob": _bigram_logprob_oracle(),
     "q_remove_dup_spans": _remove_dup_spans_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
-    "q_knn_join": _knn_join_oracle(),
     "q_literal_map_join": """
     SELECT m.segment_class, COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
@@ -1017,6 +979,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         core,
         filters,
         joins,
+        llm,
         llm2,
         llm3,
         reshape,
@@ -1047,7 +1010,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_unicode_normalize": llm3.q_unicode_normalize,
         "q_resample_fill": reshape.q_resample_fill,
         "q_semantic_pairs_frozen": llm3.q_semantic_pairs_frozen,
-        "q_knn_join": llm3.q_knn_join,
+        "q_cosine_topk": llm.q_cosine_topk,
         "q_minhash_poly": llm3.q_minhash_poly,
         "q_chunk_documents": llm3.q_chunk_documents,
         "q_quality_classifier": llm3.q_quality_classifier,

@@ -84,7 +84,9 @@ def test_cosine_topk_single_evaluation(spark):
     zip_with expressions in the plan (dot(v,q) + the two norms).  The
     round-1 version projected round6(cosine) and cosine separately,
     doubling the aggregate work per row (VERDICT r1 #4)."""
-    plan = physical_plan(REGISTRY["q_cosine_topk"].fn(spark, SF_DIR))
+    from covid19i2b2_spark.queries.llm import q_cosine_topk
+
+    plan = physical_plan(q_cosine_topk(spark, SF_DIR))
     assert plan.count("zip_with") <= 3, plan.count("zip_with")
 
 
