@@ -837,6 +837,62 @@ def _isolated_minhash_x100(nd100: str, nd1: str) -> float | None:
     return None
 
 
+def _bench_ivf_maintenance(spark) -> dict:
+    """X53 IvfIndex lifecycle at the x10 embedding corpus (VERDICT r9
+    #2): the round-over-round receipt that incremental maintenance
+    beats re-indexing.  build = train(sqrt(n) centroids, 3 iters) +
+    assign + partitioned write of 90% of the corpus; append folds the
+    remaining 10% in under the frozen centroids; health is the one-scan
+    staleness/skew report; rebuild retrains + re-assigns + rewrites the
+    full corpus (the cost append avoids, paid only on a stale signal).
+    knn_50q runs the kNN join THROUGH the maintained layout
+    (assigned=index.assigned()) — the assign-once steady state."""
+    import math
+    import shutil
+    import tempfile
+
+    from covid19i2b2_spark.operators.ivf_index import IvfIndex
+    from covid19i2b2_spark.operators.knn import knn_join_ivf
+    from covid19i2b2_spark.sources.tables import read_table
+
+    d = _embedding_scaled_dir(spark, SCALE_X, n_files=32)
+    emb = read_table(spark, d, "embeddings")
+    n = emb.count()
+    nlist = round(math.sqrt(n))
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfidx_")
+    idx = IvfIndex(root)
+    out: dict = {"n_vectors": n, "nlist": nlist}
+    try:
+        base = emb.filter(F.pmod("vec_id", F.lit(10)) != 0)
+        batch = emb.filter(F.pmod("vec_id", F.lit(10)) == 0)
+        t0 = time.perf_counter()
+        idx.build(base, "vec_id", "embedding", n_centroids=nlist, n_iter=3)
+        out["build_90pct_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        idx.append(batch)
+        out["append_10pct_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        h = idx.health(spark)
+        out["health_sec"] = round(time.perf_counter() - t0, 3)
+        out["health_drift"] = h["cosine_drift"]
+        out["health_skew"] = h["cluster_skew"]
+        t0 = time.perf_counter()
+        cents = idx.centroids(spark).localCheckpoint(eager=True)
+        knn_join_ivf(
+            emb.filter(F.col("vec_id") < 50), emb, "vec_id", "vec_id",
+            "embedding", "embedding", cents, k=10, n_probe=8,
+            assigned=idx.assigned(spark),
+        ).write.format("noop").mode("overwrite").save()
+        out["knn_50q_via_index_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        idx.rebuild(spark, n_iter=3)
+        out["rebuild_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.clearCache()
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -898,6 +954,7 @@ def main() -> None:
         result["bloom_scaled"] = _bench_bloom_scaled(spark)
         result["embedding_scaled"] = _bench_embedding_scaled(spark)
         result["fuzzy_scaled"] = _bench_fuzzy_scaled(spark)
+        result["ivf_maintenance"] = _bench_ivf_maintenance(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
