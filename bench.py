@@ -120,6 +120,9 @@ HEADLINE = [
     # this round — a distinctive plan shape (pinned localCheckpoint +
     # boundary-partition window) worth tracking per-round
     "q_token_budget_select",
+    # round 10: the registered kNN join (two-stage IVF top-k) — the
+    # batch-retrieval primitive, tracked per-round under its new slot
+    "q_knn_join",
 ]
 
 
@@ -414,6 +417,40 @@ def _bench_fuzzy_scaled(spark) -> dict:
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             out[f"x{factor}{suffix}"] = round(min(runs), 3)
+    # RECORDED hash-order metrics are fresh-process min-of-3 (VERDICT
+    # r9 #4): the x10 in-suite reading is the denominator of the x100
+    # linear ratio and its ±50% late-suite noise swung the ratio
+    # through the 1.3 bar on its own in r9.  In-suite numbers stay as
+    # the drift diagnostic; the rare-order A/B stays in-suite (both of
+    # its sides share the suite state, so the comparison is fair).
+    iso_ok = True
+    for factor, nf in factors:
+        d = _fuzzy_scaled_dir(spark, factor, n_files=nf)
+        setup = (
+            "from covid19i2b2_spark.operators.fuzzy import fuzzy_pairs\n"
+            "from covid19i2b2_spark.sources.tables import read_table\n"
+            f"cust = read_table(spark, {d!r}, 'customer')"
+            ".select('c_custkey', 'c_name')"
+        )
+        warm = (
+            "fuzzy_pairs(cust.limit(500), 'c_custkey', 'c_name',"
+            " max_dist=1, k=2)"
+            ".write.format('noop').mode('overwrite').save()"
+        )
+        timed = (
+            "fuzzy_pairs(cust, 'c_custkey', 'c_name', max_dist=1, k=2)"
+            ".write.format('noop').mode('overwrite').save()"
+        )
+        iso = _isolated_seconds(
+            f"fuzzy-x{factor}", setup, warm, timed,
+            runs=3 if factor < 100 else 2,
+        )
+        out[f"x{factor}_insuite"] = out[f"x{factor}"]
+        if iso is not None:
+            out[f"x{factor}"] = iso
+        else:
+            iso_ok = False
+    out["isolated_probe_ok"] = iso_ok
     if len(factors) >= 2:
         f1 = factors[1][0]
         out[f"linear_ratio_x{f1}_vs_x1"] = round(
@@ -790,14 +827,43 @@ def _bench_embedding_scaled(spark) -> dict:
     return out
 
 
-def _isolated_minhash_x100(nd100: str, nd1: str) -> float | None:
-    """VERDICT r8 #7: the RECORDED minhash-x100 metric is measured in
-    a FRESH process, min-of-3 — two consecutive rounds saw the
-    in-suite reading drift ~2x from late-suite GC/page-cache state on
-    unchanged code and needed a manual isolated probe to adjudicate;
-    this folds that probe into bench.py.  The in-suite number stays as
-    a secondary column.  Returns None (caller falls back to the
-    in-suite reading) if the subprocess fails."""
+def _previous_round_queries() -> dict:
+    """Per-query suite timings from the most recent driver-recorded
+    BENCH_r*.json next to this file (the driver wraps bench's stdout in
+    {"parsed": {...}}), or {} when none parses — the comparison base
+    for the drift-adjudication probes (VERDICT r9 #3)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), f)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as fh:
+            doc = json.load(fh)
+        return (doc.get("parsed") or {}).get("queries") or {}
+    except Exception:
+        return {}
+
+
+def _isolated_seconds(
+    tag: str, setup: str, warm: str, timed: str, runs: int = 3,
+    timeout: int = 1800,
+) -> float | None:
+    """Fresh-process min-of-N timing harness (VERDICT r8 #7, extended
+    r10 per VERDICT r9 #3/#4): the in-suite readings of late sections
+    drift up to ~2x from accumulated GC/page-cache state on UNCHANGED
+    code — minhash suffered it twice, q_embedding_near_dup in r9.  A
+    subprocess pays JVM startup once (outside the timing, via ``warm``)
+    and measures the PLAN, which is what round-over-round comparison
+    grades.  ``setup`` binds whatever names ``warm``/``timed`` use;
+    ``timed`` is one measured iteration.  Returns None on any failure
+    (caller falls back to the in-suite reading and flags it)."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -805,36 +871,60 @@ def _isolated_minhash_x100(nd100: str, nd1: str) -> float | None:
     code = (
         "import sys, time\n"
         f"sys.path.insert(0, {here!r})\n"
-        "from covid19i2b2_spark.registry import REGISTRY, all_queries\n"
         "from covid19i2b2_spark.session import get_spark\n"
-        "all_queries()\n"
-        f"spark = get_spark(app_name='minhash-isolated', driver_memory={mem!r})\n"
-        "fn = REGISTRY['q_minhash_pairs'].fn\n"
-        "# warm-up at x1: JVM/codegen startup outside the timing\n"
-        f"fn(spark, {nd1!r}).write.format('noop').mode('overwrite').save()\n"
+        f"spark = get_spark(app_name='isolated-{tag}', driver_memory={mem!r})\n"
+        + setup + "\n"
+        + warm + "\n"
         "best = None\n"
-        "for _ in range(3):\n"
+        f"for _ in range({runs}):\n"
         "    t0 = time.perf_counter()\n"
-        f"    fn(spark, {nd100!r}).write.format('noop').mode('overwrite').save()\n"
-        "    dt = time.perf_counter() - t0\n"
+        + "".join("    " + ln + "\n" for ln in timed.splitlines())
+        + "    dt = time.perf_counter() - t0\n"
         "    best = dt if best is None else min(best, dt)\n"
         "    spark.catalog.clearCache()\n"
-        "print('ISOLATED_MINHASH_SEC', round(best, 3))\n"
+        "print('ISOLATED_SEC', round(best, 3))\n"
     )
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=timeout,
             cwd=here,
         )
         for line in proc.stdout.splitlines():
-            if line.startswith("ISOLATED_MINHASH_SEC"):
+            if line.startswith("ISOLATED_SEC"):
                 return float(line.split()[1])
     except Exception:
         pass
     return None
+
+
+def _isolated_registry_query(
+    name: str, time_dir: str, warm_dir: str, runs: int = 3
+) -> float | None:
+    """Isolated min-of-N of one registry query: warm at ``warm_dir``
+    (startup outside the timing), time at ``time_dir``."""
+    setup = (
+        "from covid19i2b2_spark.registry import REGISTRY, all_queries\n"
+        "all_queries()\n"
+        f"fn = REGISTRY[{name!r}].fn"
+    )
+    warm = (
+        f"fn(spark, {warm_dir!r})"
+        ".write.format('noop').mode('overwrite').save()"
+    )
+    timed = (
+        f"fn(spark, {time_dir!r})"
+        ".write.format('noop').mode('overwrite').save()"
+    )
+    return _isolated_seconds(name, setup, warm, timed, runs=runs)
+
+
+def _isolated_minhash_x100(nd100: str, nd1: str) -> float | None:
+    """VERDICT r8 #7: the RECORDED minhash-x100 metric — see
+    _isolated_seconds for why fresh-process."""
+    return _isolated_registry_query("q_minhash_pairs", nd100, nd1, runs=3)
 
 
 def _bench_ivf_maintenance(spark) -> dict:
@@ -948,6 +1038,37 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+
+    # VERDICT r9 #3: drift adjudication — the RECORDED reading for any
+    # suite query that looks inflated comes from a fresh-process
+    # isolated min-of-3; the in-suite number stays as the diagnostic.
+    # q_embedding_near_dup is always probed (its r9 in-suite reading
+    # ran 1.77x on untouched code — the same late-suite signature the
+    # minhash section had before r9's isolated protocol); additionally,
+    # up to 2 queries whose reading exceeds 1.5x their previous-round
+    # value (read from the newest driver-recorded BENCH_r*.json) are
+    # probed, worst inflation first.
+    prev = _previous_round_queries()
+    iso: dict = {}
+    probe = ["q_embedding_near_dup"] + sorted(
+        (
+            n
+            for n, t in timings.items()
+            if n != "q_embedding_near_dup"
+            and prev.get(n)
+            and t > 1.5 * prev[n]
+        ),
+        key=lambda n: timings[n] / prev[n],
+        reverse=True,
+    )[:2]
+    for name in probe:
+        val = _isolated_registry_query(name, SF_DIR, SF_DIR)
+        iso[name] = {
+            "isolated_sec": val,
+            "insuite_sec": timings[name],
+            **({"prev_round_sec": prev[name]} if prev.get(name) else {}),
+        }
+    result["isolated"] = iso
 
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
     if SCALE_X > 1:
