@@ -35,6 +35,7 @@ from covid19i2b2_spark.operators.quality import blocklist_filter, gopher_signals
 from covid19i2b2_spark.operators.sampling import hash_split
 from covid19i2b2_spark.operators.text import fingerprint, redact_pii
 from covid19i2b2_spark.session import ensure_runtime_conf
+from covid19i2b2_spark.streaming.maintenance import log_index_health
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,6 +123,7 @@ def run_streaming_ingest(
     sim_threshold: float = 0.7,
     checkpoint_dir: str | None = None,
     bloom_fpp: float | None = None,
+    stats_every: int | None = 16,
 ):
     """The production crawl-ingest loop end-to-end: each micro-batch is
     deduped within itself AND against everything previously ingested via
@@ -155,6 +157,13 @@ def run_streaming_ingest(
     steady state (corpus >> micro-batch, mostly-new rows) the Bloom
     membership gate prunes the vs-index join inputs map-side; results
     are byte-identical with it on or off (tests/test_bloom.py).
+
+    ``stats_every`` (round 10, VERDICT r9 #5): every N completed
+    epochs the loop logs ``index.stats()`` — plus the sharded-bloom
+    load when that gate is active — at WARNING once duplication_ratio
+    crosses streaming.maintenance.COMPACT_RATIO (1.5), the documented
+    cue to schedule ``index.compact()`` during a quiet window.  None
+    opts out; the probe never kills the ingest.
     """
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
@@ -173,6 +182,9 @@ def run_streaming_ingest(
         index.append(survivors, id_col, text_col)
         fs.create(marker, True).close()
         index.release()  # free this epoch's caches/broadcasts (review r7)
+        log_index_health(
+            index, spark, epoch_id, stats_every, "run_streaming_ingest"
+        )
 
     writer = docs_stream.writeStream.foreachBatch(_ingest).trigger(
         availableNow=True
@@ -201,6 +213,7 @@ def run_streaming_crawl_ingest(
     sim_threshold: float = 0.7,
     checkpoint_dir: str | None = None,
     bloom_fpp: float | None = None,
+    stats_every: int | None = 16,
 ):
     """:func:`run_streaming_ingest` fed from RAW crawl JSONL: each
     micro-batch of lines parses with the quarantine split
@@ -212,7 +225,8 @@ def run_streaming_crawl_ingest(
     Same replay discipline as run_streaming_ingest, extended to the
     quarantine: all three side effects are epoch-keyed OVERWRITE writes
     behind one commit marker, so a replayed micro-batch converges to
-    identical corpus AND quarantine contents."""
+    identical corpus AND quarantine contents.  ``stats_every``: the
+    same periodic index-health log as run_streaming_ingest."""
     from pyspark.sql import functions as F
 
     from covid19i2b2_spark.sources.files import _parse_and_route
@@ -247,6 +261,10 @@ def run_streaming_crawl_ingest(
         index.append(survivors, id_col, text_col)
         fs.create(marker, True).close()
         index.release()  # free this epoch's caches/broadcasts (review r7)
+        log_index_health(
+            index, spark, epoch_id, stats_every,
+            "run_streaming_crawl_ingest",
+        )
 
     writer = lines_stream.writeStream.foreachBatch(_ingest).trigger(
         availableNow=True

