@@ -224,3 +224,67 @@ def remove_duplicate_spans(
             n_removed.alias("n_removed_tokens"),
         )
     )
+
+
+def remove_duplicate_spans_cascade(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    k_min: int = 2,
+    min_docs: int = 2,
+    hash_impl: str = "xxhash64",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """The k-cascade closing of :func:`remove_duplicate_spans`' sub-k
+    blind spot (VERDICT r9 #6): a single fixed-k pass cannot see a
+    shared run SHORTER than k by construction (no k-window fits inside
+    it).  The cascade re-runs the pass at halving window sizes —
+    k, k/2, ..., down to and always including ``k_min`` — so every
+    cross-document run of length >= k_min is excised in at most
+    ceil(log2(k / k_min)) + 1 bounded passes, each the same
+    token-bounded single-shuffle pipeline.
+
+    What this is and is not: runs of length < k_min still survive
+    (pinned with a planted-residual test — at the k=8, k_min=2
+    default that residual is single shared TOKENS, which no substring
+    dedup should remove); and like any pass-over-rewritten-text
+    scheme, excising a span can stitch its neighbors into a NEW
+    k'-gram an exact suffix-array method (which matches against the
+    ORIGINAL text) would not form — later passes may therefore remove
+    slightly more than the suffix-array answer.  Both edges are the
+    documented trade for staying inside the one-shuffle window plan
+    (PLANS.md has the derivation); corpora needing the exact semantics
+    want a true suffix-array pass, which Spark expresses poorly.
+
+    ``n_removed_tokens`` accumulates across passes, counted in each
+    pass's own normalized stream (a pass-2 token count of text pass 1
+    already reflowed — additive and monotone, but not a substring
+    count of the original)."""
+    if k_min < 1:
+        raise ValueError(f"k_min must be >= 1, got {k_min}")
+    if k_min > k:
+        raise ValueError(f"k_min ({k_min}) must be <= k ({k})")
+    sizes = []
+    cur = k
+    while cur > k_min:
+        sizes.append(cur)
+        cur //= 2
+    sizes.append(k_min)
+    out = df
+    total = F.lit(0).cast("long")
+    src = text_col
+    for i, size in enumerate(sizes):
+        step_col = f"__cascade_{i}"
+        out = remove_duplicate_spans(
+            out, id_col, src, k=size, min_docs=min_docs,
+            hash_impl=hash_impl, out_col=step_col,
+        ).withColumnRenamed("n_removed_tokens", f"__nrem_{i}")
+        total = total + F.col(f"__nrem_{i}")
+        src = step_col
+    keep = [c for c in df.columns]
+    return out.select(
+        *keep,
+        F.col(src).alias(out_col),
+        total.alias("n_removed_tokens"),
+    )

@@ -1324,6 +1324,75 @@ def test_remove_duplicate_spans_excises_shared_runs(spark):
     assert out[6] == ("", 0)
 
 
+def test_cascade_closes_sub_k_span_gap_with_measured_residual(spark):
+    """VERDICT r9 #6: the fixed-k pass is BLIND to shared runs shorter
+    than k by construction — quantified here, then closed by the
+    k-cascade down to k_min, with the residual BELOW k_min pinned as
+    the honest remaining trade.  Planted runs: 10 tokens (>= k), 7
+    tokens (sub-k, k=8), 2 tokens (== k_min), 1 token (< k_min)."""
+    from covid19i2b2_spark.operators.passages import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_cascade,
+    )
+
+    run10 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    run7 = "b1 b2 b3 b4 b5 b6 b7"
+    run2 = "c1 c2"
+    rows = [
+        (1, f"{run10} unique1 {run7} unique2 {run2} unique3"),
+        (2, f"other start {run10} mid {run7} tail {run2}"),
+        (3, "shared zzz only"),
+        (4, "completely disjoint text zzz"),  # 1 shared token: 'zzz'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # single fixed-k pass: 100% of the planted sub-k duplication
+    # survives (7+2 = 9 of 19 planted duplicated tokens per doc)
+    single = {
+        r["doc_id"]: (r["text_deduped"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", k=8, min_docs=2
+        ).collect()
+    }
+    assert single[1] == (
+        f"unique1 {run7} unique2 {run2} unique3", 10
+    )
+    sub_k_planted = 7 + 2
+    sub_k_survived = sum(
+        tok in single[1][0].split() for tok in (run7 + " " + run2).split()
+    )
+    assert sub_k_survived == sub_k_planted  # the gap, measured: 9/9
+
+    # cascade k=8 -> 4 -> 2: every shared run >= k_min excised; the
+    # single shared token ('zzz', < k_min) is the asserted residual
+    casc = {
+        r["doc_id"]: (r["text_deduped"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans_cascade(
+            df, "doc_id", "text", k=8, k_min=2, min_docs=2
+        ).collect()
+    }
+    assert casc[1] == ("unique1 unique2 unique3", 19)
+    assert casc[2] == ("other start mid tail", 19)
+    assert casc[3][0] == "shared zzz only"  # sub-k_min share survives
+    assert casc[4] == ("completely disjoint text zzz", 0)
+
+    # no sub-k duplication -> cascade degenerates to the single pass
+    clean = spark.createDataFrame(
+        [(1, f"{run10} unique one"), (2, f"two unique {run10}"),
+         (3, "third doc no overlap here")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, remove_duplicate_spans(
+        clean, "doc_id", "text", k=8, min_docs=2).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans_cascade(
+        clean, "doc_id", "text", k=8, k_min=2, min_docs=2).collect()))
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k_min"):
+        remove_duplicate_spans_cascade(df, "doc_id", "text", k=4, k_min=5)
+
+
 def test_dedup_cluster_stats_audit(spark):
     """Cluster audit: planted 3-clique + 2-chain + singletons must report
     exact per-size component counts, kept/dropped, and a grand-total row
