@@ -17,3 +17,6 @@ from covid19i2b2_spark.streaming.entities import (  # noqa: F401
 from covid19i2b2_spark.streaming.drift import (  # noqa: F401
     run_streaming_drift_monitor,
 )
+from covid19i2b2_spark.streaming.embeddings import (  # noqa: F401
+    run_streaming_embedding_ingest,
+)

@@ -39,17 +39,28 @@ def log_index_health(
     stats_every: int | None,
     loop: str,
 ) -> dict | None:
-    """Log ``index.stats()`` (plus the sharded-bloom load when that
-    gate is present) on the cadence; returns the stats dict when it
+    """Log ``index.stats()`` — or ``index.health()`` for indexes built
+    on that contract (IvfIndex) — plus the sharded-bloom load when that
+    gate is present, on the cadence; returns the stats dict when it
     fired (None otherwise) so loop tests can assert on content.  Fires
     on epochs stats_every-1, 2*stats_every-1, ... so ``stats_every=1``
     fires every epoch and the default 16 first fires once a restart-
     free stream has actually done some work.  Never raises: a health
-    probe must not kill the ingest it watches."""
+    probe must not kill the ingest it watches.
+
+    Severity semantics differ by report shape: a report carrying
+    ``stale`` (IvfIndex.health) warns on ANY duplication (>1.0 — there
+    duplicates occupy extra kNN ranks, a correctness cue) and on the
+    staleness flag itself (the rebuild cue); a stats() report warns
+    only past COMPACT_RATIO (duplication is storage/shuffle cost,
+    results stay correct through the anti-join / DISTINCT reads)."""
     if not stats_every or (epoch_id + 1) % stats_every != 0:
         return None
     try:
-        st = dict(index.stats(spark))
+        if hasattr(index, "stats"):
+            st = dict(index.stats(spark))
+        else:
+            st = dict(index.health(spark))
         blooms = getattr(index, "sharded_fp_path", None)
         if blooms is not None:
             from covid19i2b2_spark.fsutil import hadoop_fs
@@ -64,7 +75,24 @@ def log_index_health(
                     spark, index.sharded_fp_path
                 )["load_ratio"]
         ratio = st.get("duplication_ratio", 1.0)
-        if ratio > COMPACT_RATIO:
+        if "stale" in st and (ratio > 1.0 or st["stale"]):
+            _LOG.warning(
+                "%s epoch %d: IVF index needs maintenance — %s: %s",
+                loop,
+                epoch_id,
+                " and ".join(
+                    ([f"duplication_ratio {ratio:.4f} > 1 (replayed "
+                      "appends occupy extra kNN ranks — compact() or "
+                      "query through assigned(dedup=True))"]
+                     if ratio > 1.0 else [])
+                    + ([f"cosine_drift {st.get('cosine_drift')} is "
+                        "past the staleness bar — rebuild() to "
+                        "retrain centroids"]
+                       if st["stale"] else [])
+                ),
+                st,
+            )
+        elif "stale" not in st and ratio > COMPACT_RATIO:
             _LOG.warning(
                 "%s epoch %d: index duplication_ratio %.3f exceeds the "
                 "compact threshold %.1f — schedule index.compact() "

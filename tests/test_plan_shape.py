@@ -469,3 +469,20 @@ def test_sharded_filter_batch_cogroup_carries_no_payload(spark, tmp_path):
     assert left_lines, plan
     assert all("text#" not in ln for ln in left_lines), left_lines
     idx.release()
+
+
+def test_knn_join_two_stage_bounds_both_exchanges(spark):
+    """q_knn_join (round 10 two-stage top-k): both rank stages must
+    carry a map-side WindowGroupLimit 'Partial' BEFORE their exchange —
+    Spark's rank-limit pushdown bounding what shuffles to <= k rows per
+    (query, cluster) group resp. <= n_probe*k per query — and the
+    stage-1 window must partition on (query_id, centroid_id) so that a
+    shuffled candidate join's centroid_id partitioning satisfies it at
+    scale without a new exchange."""
+    plan = physical_plan(REGISTRY["q_knn_join"].fn(spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") >= 4, plan  # 2 stages x P+F
+    assert "Partial" in plan and "Final" in plan, plan
+    # stage-1 grouping key present in a window spec
+    assert "query_id" in plan and "centroid_id" in plan
+    # no cartesian anywhere in the candidate chain
+    assert "CartesianProduct" not in plan, plan

@@ -1071,3 +1071,137 @@ def test_ingest_loop_logs_dedup_index_health(spark, tmp_path, caplog):
         "run_streaming_ingest" in m and "duplication_ratio" in m
         for m in msgs
     )
+
+
+def test_streaming_embedding_ingest_restart_recovery(spark, tmp_path):
+    """Round 10 (X53 streaming form): embedding batches stream into an
+    IvfIndex across a real stop/restart — wave 1 appends under the
+    frozen centroids, wave 2 (restart, same checkpoint) appends only
+    the new wave, a third restart is a no-op, and the final index
+    equals the one-shot build over everything.  checkpoint_dir is a
+    hard requirement."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators.ivf_index import IvfIndex
+    from covid19i2b2_spark.streaming.embeddings import (
+        run_streaming_embedding_ingest,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < 16)
+        .selectExpr("vec_id AS centroid_id", "embedding AS cvec")
+        .localCheckpoint(eager=True)
+    )
+    seed = emb.filter(F.col("vec_id") < 100)
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(seed, "vec_id", "embedding", centroids=cents,
+              exact_decimal=True)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = emb.schema
+
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        run_streaming_embedding_ingest(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing)),
+            idx,
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing))
+        )
+        return run_streaming_embedding_ingest(
+            stream, idx, checkpoint_dir=ckpt
+        )
+
+    wave1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300))
+    wave1.coalesce(1).write.parquet(str(landing / "wave1"))
+    start().awaitTermination()
+    wave2 = emb.filter(F.col("vec_id") >= 300)
+    wave2.coalesce(1).write.parquet(str(landing / "wave2"))
+    start().awaitTermination()
+    start().awaitTermination()  # third restart: no new files, no-op
+
+    one_shot = IvfIndex(str(tmp_path / "oneshot"))
+    one_shot.build(emb, "vec_id", "embedding", centroids=cents,
+                   exact_decimal=True)
+
+    def rows(i):
+        return sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in i.assigned(spark)
+            .select("vec_id", "centroid_id").collect()
+        )
+
+    assert rows(idx) == rows(one_shot)
+    assert idx.health(spark)["duplication_ratio"] == 1.0
+
+
+def test_embedding_ingest_replay_warns_and_compacts(spark, tmp_path, caplog):
+    """A crash between IvfIndex.append and the epoch marker replays
+    the append — the health log must WARN at ANY duplication (>1.0:
+    replayed vectors occupy extra kNN ranks, unlike the storage-only
+    dedup/fuzzy indexes) and name both remediations; compact()
+    restores clean ranked output."""
+    import logging
+
+    from covid19i2b2_spark.operators.ivf_index import IvfIndex
+    from covid19i2b2_spark.streaming.embeddings import ingest_epoch
+
+    emb = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 16).selectExpr(
+        "vec_id AS centroid_id", "embedding AS cvec"
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(
+        emb.filter(F.col("vec_id") < 200), "vec_id", "embedding",
+        centroids=cents, exact_decimal=True,
+    )
+    batch = emb.filter(F.col("vec_id") >= 200)
+    logger = "covid19i2b2_spark.streaming.maintenance"
+
+    with caplog.at_level(logging.INFO, logger=logger):
+        c = ingest_epoch(idx, batch, 0, stats_every=1)
+    assert c["appended"] > 0
+    # the health line fired (INFO while clean; appending most of a
+    # random corpus can legitimately trip the staleness WARNING —
+    # either way the report with its ratio surfaced)
+    assert any(
+        "duplication_ratio" in r.getMessage() for r in caplog.records
+    )
+    assert not any(
+        "extra kNN ranks" in r.getMessage() for r in caplog.records
+    )
+
+    # replay the crash window: marker never landed, epoch re-runs
+    from covid19i2b2_spark.fsutil import hadoop_fs
+
+    fs, marker = hadoop_fs(spark, f"{idx.path}/_epochs/embed_0")
+    fs.delete(marker, False)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger=logger):
+        ingest_epoch(idx, batch, 0, stats_every=1)
+    warns = [
+        r.getMessage()
+        for r in caplog.records
+        if r.levelno >= logging.WARNING
+    ]
+    assert warns and "extra kNN ranks" in warns[-1]
+    assert "dedup=True" in warns[-1]
+    h = idx.health(spark)
+    assert h["duplication_ratio"] > 1.0
+    idx.compact(spark)
+    assert idx.health(spark)["duplication_ratio"] == 1.0
+    # a marked replay is a strict no-op (returns None, no growth)
+    assert ingest_epoch(idx, batch, 0, stats_every=1) is None
