@@ -983,6 +983,74 @@ def _bench_ivf_maintenance(spark) -> dict:
     return out
 
 
+def _bench_inverted_index(spark) -> dict:
+    """X54 InvertedIndex at the x10 corpus: build once (the corpus
+    pass bm25_rank pays per query), then each search reads only its
+    own terms' postings.  Two workloads, both vs the one-shot scan:
+
+    - common terms: the synthetic documents' ~30-word vocabulary puts
+      EVERY term in ~all docs, so the probe reads ~the whole postings
+      table — the index's honest worst case (expect ~tie or loss at
+      toy scale; an inverted index buys nothing when every term is a
+      stopword).
+    - rare terms: a deterministic long-tail tag (1 of 1000, derived
+      from doc_id) appended to each doc — each query term's postings
+      are ~0.1% of the corpus, the shape real vocabularies have past
+      the stopword head, and the reason the layout exists.  The scan
+      side derives the same tagged corpus, so both sides score the
+      same documents."""
+    import shutil
+    import tempfile
+
+    from covid19i2b2_spark.operators.inverted_index import InvertedIndex
+    from covid19i2b2_spark.operators.ranking import bm25_rank
+    from covid19i2b2_spark.sources.tables import read_table
+
+    sdir = _scaled_dir(spark, SCALE_X)
+    docs = read_table(spark, sdir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" tag"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(1000)).cast("string"),
+        ).alias("text"),
+    )
+    common = [
+        ["spark", "filter", "vector"],
+        ["merge", "window", "hash"],
+        ["customer", "join", "batch"],
+    ]
+    rare = [["tag7"], ["tag123", "tag8"], ["tag500", "tag501", "tag502"]]
+    root = tempfile.mkdtemp(prefix="spark_graft_invidx_")
+    out: dict = {}
+
+    def _time_qsets(fn):
+        total = 0.0
+        for terms in qsets:
+            t0 = time.perf_counter()
+            fn(terms).write.format("noop").mode("overwrite").save()
+            total += time.perf_counter() - t0
+        return round(total, 3)
+
+    try:
+        idx = InvertedIndex(root)
+        t0 = time.perf_counter()
+        idx.build(docs, "doc_id", "text")
+        out["build_sec"] = round(time.perf_counter() - t0, 3)
+        for label, qs in (("common", common), ("rare", rare)):
+            qsets = qs
+            out[f"search_{label}_3q_sec"] = _time_qsets(
+                lambda t: idx.search(spark, t, k=10)
+            )
+            out[f"scan_{label}_3q_sec"] = _time_qsets(
+                lambda t: bm25_rank(docs, "doc_id", "text", t, k=10)
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.clearCache()
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -1076,6 +1144,7 @@ def main() -> None:
         result["embedding_scaled"] = _bench_embedding_scaled(spark)
         result["fuzzy_scaled"] = _bench_fuzzy_scaled(spark)
         result["ivf_maintenance"] = _bench_ivf_maintenance(spark)
+        result["inverted_index"] = _bench_inverted_index(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
