@@ -1324,6 +1324,8 @@ def main() -> None:
         "bloom_scaled",
         "embedding_scaled",
         "fuzzy_scaled",
+        "ivf_maintenance",
+        "inverted_index",
         "sketch_stores",
         "scaled",
         "llm_scaled",
@@ -1358,6 +1360,17 @@ def main() -> None:
         for k, v in detail["fuzzy_scaled"].items():
             if k.startswith("linear_ratio"):
                 summary[f"fuzzy_{k}"] = v
+    if "ivf_maintenance" in detail:
+        summary["ivf_append_sec"] = detail["ivf_maintenance"].get(
+            "append_10pct_sec"
+        )
+        summary["ivf_rebuild_sec"] = detail["ivf_maintenance"].get(
+            "rebuild_sec"
+        )
+    if "inverted_index" in detail:
+        summary["invidx_search_rare_3q_sec"] = detail[
+            "inverted_index"
+        ].get("search_rare_3q_sec")
     if summary:
         result["scaled_summary"] = summary
     print(json.dumps(result))

@@ -465,3 +465,67 @@ def test_fuzzy_pairs_completeness_property(spark, strings, max_dist, k, order):
         ).collect()
     }
     assert got == _ref_fuzzy_pairs(strings, max_dist)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=6),  # tiny alphabet ->
+            min_size=0,                             # overlapping postings
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    terms=st.lists(
+        st.integers(min_value=0, max_value=6), min_size=1, max_size=3,
+        unique=True,
+    ),
+)
+def test_inverted_index_matches_brute_bm25(spark, docs, terms, tmp_path_factory):
+    """X54 search vs a pure-python BM25 reference for arbitrary tiny
+    corpora: postings, df, idf, dl normalization and the top-k ordering
+    (score desc, doc_id) must agree at round6 — including docs with no
+    matching term (absent from search output), empty docs (count
+    toward N/avgdl only), and query terms absent from the corpus."""
+    import math
+
+    from covid19i2b2_spark.operators.inverted_index import InvertedIndex
+
+    texts = [" ".join(f"w{c}" for c in d) for d in docs]
+    df_in = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idx = InvertedIndex(str(tmp_path_factory.mktemp("inv")))
+    idx.build(df_in, "doc_id", "text")
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in idx.search(
+            spark, [f"w{t}" for t in terms], k=len(docs)
+        ).collect()
+    ]
+    # reference
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    k1, b = 1.2, 0.75
+    ref = []
+    for i, d in enumerate(docs):
+        score = 0.0
+        hit = False
+        for t in sorted(terms):  # the fold sums in sorted term order
+            tf = sum(1 for c in d if c == t)
+            if tf == 0:
+                continue
+            hit = True
+            dfreq = sum(1 for dd in docs if t in dd)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            score += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(d) / avgdl)
+            )
+        if hit:
+            ref.append((i, math.floor(score * 1e6 + 0.5) / 1e6))
+    ref.sort(key=lambda x: (-x[1], x[0]))
+    assert [g[0] for g in got] == [r[0] for r in ref]
+    for (_, gs), (_, rs) in zip(got, ref):
+        assert abs(gs - rs) <= 2e-6, (gs, rs)
