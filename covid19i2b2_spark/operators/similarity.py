@@ -443,7 +443,13 @@ def append_to_ivf_index(
     clusters.  The embedding-side counterpart of DedupIndex.append;
     retrain centroids only on drift, then rebuild with write_ivf_index.
     NULL-centroid rows (degenerate vectors) are dropped like
-    write_ivf_index does."""
+    write_ivf_index does.
+
+    Round 10: operators/ivf_index.IvfIndex is the MAINTAINED form of
+    this pair — versioned layout, frozen-centroid appends, the
+    staleness/skew/duplication health report, compact/rebuild — and is
+    what the streaming embedding ingest loop runs; these two functions
+    remain the unmanaged primitives underneath it."""
     assigned = ivf_assign(new_vectors, id_col, vec_col, centroids)
     assigned.filter(F.col("centroid_id").isNotNull()).write.mode(
         "append"
