@@ -124,6 +124,7 @@ def run_streaming_ingest(
     checkpoint_dir: str | None = None,
     bloom_fpp: float | None = None,
     stats_every: int | None = 16,
+    search_index=None,
 ):
     """The production crawl-ingest loop end-to-end: each micro-batch is
     deduped within itself AND against everything previously ingested via
@@ -164,6 +165,18 @@ def run_streaming_ingest(
     crosses streaming.maintenance.COMPACT_RATIO (1.5), the documented
     cue to schedule ``index.compact()`` during a quiet window.  None
     opts out; the probe never kills the ingest.
+
+    ``search_index`` (round 10, X54): an
+    :class:`~covid19i2b2_spark.operators.inverted_index.InvertedIndex`
+    whose ``build`` has run — each epoch's SURVIVORS (the rows that
+    passed dedup, i.e. exactly the corpus appends) also append to it,
+    so the lake stays keyword-searchable as it grows.  The append sits
+    INSIDE the same epoch marker as the corpus write: a replay of a
+    marked epoch skips all three side effects, and the one crash
+    window (between the appends and the marker) duplicates postings
+    consistently with their stats delta — surfaced by the SAME
+    periodic health log, remediated by search(dedup=True)/compact()
+    (the correctness-cue semantics X54 documents).
     """
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
@@ -177,14 +190,21 @@ def run_streaming_ingest(
             spark, batch_df, id_col, text_col, sim_threshold,
             bloom_fpp=bloom_fpp,
         )
-        survivors = survivors.localCheckpoint(eager=True)  # pin before 2 writes
+        survivors = survivors.localCheckpoint(eager=True)  # pin before writes
         survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
         index.append(survivors, id_col, text_col)
+        if search_index is not None:
+            search_index.append(survivors, id_col, text_col)
         fs.create(marker, True).close()
         index.release()  # free this epoch's caches/broadcasts (review r7)
         log_index_health(
             index, spark, epoch_id, stats_every, "run_streaming_ingest"
         )
+        if search_index is not None:
+            log_index_health(
+                search_index, spark, epoch_id, stats_every,
+                "run_streaming_ingest[search]",
+            )
 
     writer = docs_stream.writeStream.foreachBatch(_ingest).trigger(
         availableNow=True

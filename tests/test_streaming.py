@@ -1205,3 +1205,71 @@ def test_embedding_ingest_replay_warns_and_compacts(spark, tmp_path, caplog):
     assert idx.health(spark)["duplication_ratio"] == 1.0
     # a marked replay is a strict no-op (returns None, no growth)
     assert ingest_epoch(idx, batch, 0, stats_every=1) is None
+
+
+def test_ingest_loop_comaintains_search_index(spark, tmp_path):
+    """run_streaming_ingest(search_index=...): each epoch's dedup
+    SURVIVORS append to the X54 inverted index inside the same epoch
+    marker, so the lake stays keyword-searchable as it grows — the
+    final index must equal a one-shot build over the ingested corpus,
+    across a real restart, including duplicates REJECTED by dedup
+    (they must not enter the search index either)."""
+    from covid19i2b2_spark.operators.dedup_incremental import DedupIndex
+    from covid19i2b2_spark.operators.inverted_index import InvertedIndex
+    from covid19i2b2_spark.streaming.curation import run_streaming_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_path = str(tmp_path / "corpus")
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    schema = docs.schema
+    idx = DedupIndex(str(tmp_path / "dedup"))
+    idx.build(spark.createDataFrame([], schema), "doc_id", "text")
+    sidx = InvertedIndex(str(tmp_path / "search"))
+    sidx.build(spark.createDataFrame([], schema), "doc_id", "text")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing))
+        )
+        return run_streaming_ingest(
+            stream, idx, out_path, checkpoint_dir=ckpt,
+            search_index=sidx,
+        )
+
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(
+        str(landing / "wave1")
+    )
+    start().awaitTermination()
+    # wave 2 re-lands 50 already-ingested docs (exact dups the dedup
+    # index must reject from corpus AND search) plus 100 new ones
+    docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 200)
+    ).coalesce(1).write.parquet(str(landing / "wave2"))
+    start().awaitTermination()
+
+    corpus_ids = {
+        r.doc_id for r in spark.read.parquet(out_path).collect()
+    }
+    one_shot = InvertedIndex(str(tmp_path / "oneshot"))
+    one_shot.build(
+        docs.filter(F.col("doc_id").isin(list(corpus_ids))),
+        "doc_id", "text",
+    )
+    terms = ["spark", "filter", "vector"]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in sidx.search(spark, terms, k=20).collect()
+    ]
+    want = [
+        (r["doc_id"], r["bm25"])
+        for r in one_shot.search(spark, terms, k=20).collect()
+    ]
+    assert got == want
+    st = sidx.stats(spark)
+    assert st["n_docs"] == len(corpus_ids)
+    assert st["duplication_ratio"] == 1.0
