@@ -70,7 +70,8 @@ from covid19i2b2_spark.operators.similarity import cosine, ivf_assign
 
 _META_SCHEMA = (
     "id_col string, vec_col string, exact_decimal boolean, impl string,"
-    " n_centroids int, base_mean_cosine double, seed long"
+    " n_centroids int, base_mean_cosine double, seed long,"
+    " vectors_schema string"
 )
 
 
@@ -154,6 +155,22 @@ class IvfIndex:
         v = self._require_version(spark)
         return spark.read.parquet(f"{self._vdir(v)}/centroids")
 
+    def _vectors(self, spark: SparkSession, meta: dict) -> DataFrame:
+        """The version's vectors under the EXPLICIT schema stored in
+        meta — never inference: an empty index (streaming loops build
+        on empty seeds) has a file-less vectors dir that inference
+        cannot read, and the stored schema also keeps centroid_id at
+        the centroid table's key type instead of the partition-dir
+        narrowing."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(_json.loads(meta["vectors_schema"]))
+        return spark.read.schema(schema).parquet(
+            f"{self._vdir(meta['version'])}/vectors"
+        )
+
     def assigned(
         self, spark: SparkSession, dedup: bool = False
     ) -> DataFrame:
@@ -162,14 +179,8 @@ class IvfIndex:
         pruned on centroid_id filters.  ``dedup=True`` drops replayed-
         append duplicates on the way out (one extra shuffle) — use it
         when ranked output matters and health() shows
-        duplication_ratio > 1 but a compact() hasn't run yet.
-        centroid_id is cast back to the centroid table's key type
-        (partition-dir inference narrows it to int)."""
-        v = self._require_version(spark)
-        cid_type = self.centroids(spark).schema["centroid_id"].dataType
-        df = spark.read.parquet(f"{self._vdir(v)}/vectors").withColumn(
-            "centroid_id", F.col("centroid_id").cast(cid_type)
-        )
+        duplication_ratio > 1 but a compact() hasn't run yet."""
+        df = self._vectors(spark, self.meta(spark))
         return df.dropDuplicates() if dedup else df
 
     # ---- writes ------------------------------------------------------
@@ -186,20 +197,38 @@ class IvfIndex:
         then flip.  The baseline mean assigned-cosine is measured from
         the WRITTEN vectors — the exact bytes later healths compare
         against, not a pre-write plan that could diverge."""
+        import json as _json
+
+        from pyspark.sql.types import StructField, StructType
+
         vdir = self._vdir(version)
         cents.write.mode("overwrite").parquet(f"{vdir}/centroids")
         assigned.filter(F.col("centroid_id").isNotNull()).write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(f"{vdir}/vectors")
+        # the read-back schema, pinned into meta: data columns in file
+        # order, centroid_id (the partition column) last, at the
+        # centroid table's key type — explicit-schema reads then work
+        # on EMPTY indexes too (no files to infer from)
+        fields = [
+            assigned.schema[meta["id_col"]],
+            assigned.schema[meta["vec_col"]],
+            StructField(
+                "centroid_id", cents.schema["centroid_id"].dataType
+            ),
+        ]
+        vec_schema = _json.dumps(StructType(fields).jsonValue())
         base = self._mean_assigned_cosine(
-            spark, vdir, meta["id_col"], meta["vec_col"],
-            meta["exact_decimal"],
+            spark, vdir, {**meta, "version": version,
+                          "vectors_schema": vec_schema},
         )
-        row = {**meta, "base_mean_cosine": base}
+        row = {**meta, "base_mean_cosine": base,
+               "vectors_schema": vec_schema}
         spark.createDataFrame([tuple(
             row[k] for k in (
                 "id_col", "vec_col", "exact_decimal", "impl",
                 "n_centroids", "base_mean_cosine", "seed",
+                "vectors_schema",
             )
         )], _META_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
             f"{vdir}/meta"
@@ -207,28 +236,19 @@ class IvfIndex:
         self._flip(spark, version)
 
     def _mean_assigned_cosine(
-        self,
-        spark: SparkSession,
-        vdir: str,
-        id_col: str,
-        vec_col: str,
-        exact_decimal: bool,
+        self, spark: SparkSession, vdir: str, meta: dict
     ) -> float:
         """Mean cosine(vector, its assigned centroid) over a version's
         vectors — one broadcast join + one aggregate row.  Degenerate
-        rows can't appear (NULL assignments are dropped at write)."""
+        rows can't appear (NULL assignments are dropped at write);
+        an EMPTY index reads 0.0."""
         cents = spark.read.parquet(f"{vdir}/centroids")
-        vecs = spark.read.parquet(f"{vdir}/vectors").withColumn(
-            "centroid_id",
-            F.col("centroid_id").cast(
-                cents.schema["centroid_id"].dataType
-            ),
-        )
+        vecs = self._vectors(spark, meta)
         row = (
             vecs.join(F.broadcast(cents), "centroid_id")
             .agg(
                 F.avg(
-                    cosine(vec_col, "cvec", exact_decimal)
+                    cosine(meta["vec_col"], "cvec", meta["exact_decimal"])
                 ).alias("m")
             )
             .collect()[0]
@@ -352,12 +372,7 @@ class IvfIndex:
         m = self.meta(spark)
         vdir = self._vdir(m["version"])
         cents = spark.read.parquet(f"{vdir}/centroids")
-        vecs = spark.read.parquet(f"{vdir}/vectors").withColumn(
-            "centroid_id",
-            F.col("centroid_id").cast(
-                cents.schema["centroid_id"].dataType
-            ),
-        )
+        vecs = self._vectors(spark, m)
         per = (
             vecs.join(F.broadcast(cents), "centroid_id")
             .groupBy("centroid_id")
@@ -413,7 +428,7 @@ class IvfIndex:
         m = self.meta(spark)
         vdir = self._vdir(m["version"])
         cents = spark.read.parquet(f"{vdir}/centroids")
-        vecs = spark.read.parquet(f"{vdir}/vectors").dropDuplicates()
+        vecs = self._vectors(spark, m).dropDuplicates()
         new_v = m["version"] + 1
         ndir = self._vdir(new_v)
         cents.write.mode("overwrite").parquet(f"{ndir}/centroids")
@@ -423,6 +438,7 @@ class IvfIndex:
         spark.createDataFrame([(
             m["id_col"], m["vec_col"], m["exact_decimal"], m["impl"],
             m["n_centroids"], m["base_mean_cosine"], m["seed"],
+            m["vectors_schema"],
         )], _META_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
             f"{ndir}/meta"
         )

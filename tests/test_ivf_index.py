@@ -191,3 +191,28 @@ def test_knn_join_through_maintained_index(spark, tmp_path):
         q, emb, "vec_id", "vec_id", "embedding", "embedding", cents,
         **kw).collect()))
     assert via_index == per_call
+
+
+def test_empty_seed_build_then_append(spark, tmp_path):
+    """Streaming loops build on empty seeds — a file-less vectors dir
+    must read back (explicit schema from meta, never inference), and
+    the first append must populate it under the frozen centroids."""
+    emb = _emb(spark)
+    cents = _frozen_cents(emb)
+    idx = IvfIndex(str(tmp_path / "idx"))
+    idx.build(
+        emb.filter(F.lit(False)), "vec_id", "embedding",
+        centroids=cents, exact_decimal=True,
+    )
+    h0 = idx.health(spark)
+    assert h0["n_rows"] == 0 and h0["duplication_ratio"] == 1.0
+    assert h0["empty_clusters"] == 16 and not h0["stale"]
+    assert idx.assigned(spark).count() == 0
+    res = idx.append(emb.filter(F.col("vec_id") < 50))
+    assert res["appended"] == 50
+    one = IvfIndex(str(tmp_path / "one"))
+    one.build(
+        emb.filter(F.col("vec_id") < 50), "vec_id", "embedding",
+        centroids=cents, exact_decimal=True,
+    )
+    assert _rows(idx, spark) == _rows(one, spark)
