@@ -880,3 +880,54 @@ def q_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "piece")
         .limit(200)
     )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 X55: URL canonicalization + URL-keyed dedup
+    (operators/urls.py) over a DETERMINISTIC synthetic URL zoo — the
+    documents table carries no URL column, so each doc derives one
+    from (source, doc_id % 50): 50 distinct resources per source, each
+    spelled four ways by doc_id % 4 (uppercase host, www. prefix +
+    tracking param, explicit :80 port + trailing slash, plain).
+    Canonicalization must fold the spellings so the dedup groups by
+    resource; the DuckDB oracle replays the construction AND the
+    folding rules.  UNREGISTERED; parity in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.urls import url_dedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.pmod("doc_id", F.lit(50)).cast("long")
+    spelling = F.pmod("doc_id", F.lit(4))
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/Doc/"), key)
+    url = (
+        # host case folds, PATH case is kept — only the host uppercases
+        F.when(
+            spelling == 0,
+            F.concat(F.lit("http://"), F.upper(host), path),
+        )
+        .when(
+            spelling == 1,
+            F.concat(
+                F.lit("http://www."), host, path,
+                F.lit("?utm_source=x&b=2"),
+            ),
+        )
+        .when(
+            spelling == 2,
+            F.concat(F.lit("http://"), host, F.lit(":80"), path, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("http://"), host, path, F.lit("?b=2")))
+    )
+    # two canonical groups per (source, key): {0, 2} bare and {1, 3}
+    # ?b=2 — the www/utm/port/slash/case rules all fold, the surviving
+    # real param deliberately does not
+    with_urls = docs.select("doc_id", url.alias("url"))
+    return (
+        url_dedup(with_urls, "doc_id", "url")
+        .select(
+            F.col("canonical_url"),
+            F.col("doc_id").cast("long").alias("survivor_id"),
+            F.col("n_duplicates").cast("long").alias("n_duplicates"),
+        )
+        .orderBy("canonical_url")
+    )

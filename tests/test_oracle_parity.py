@@ -475,6 +475,26 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 UNREGISTERED_ORACLES = {
 
+    # X55 URL dedup over the deterministic synthetic zoo: the oracle
+    # derives each doc's EXPECTED canonical URL from the construction
+    # rules directly (ground truth by construction — independent of
+    # the operator's regexes), then groups
+    "q_url_dedup": """
+    WITH urls AS (
+        SELECT doc_id,
+               'http://' || source || '.example.com/Doc/'
+                 || CAST(doc_id % 50 AS BIGINT)
+                 || CASE WHEN doc_id % 4 IN (1, 3) THEN '?b=2' ELSE '' END
+                   AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_duplicates
+    FROM urls GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+
     # X3 brute-force cosine top-10: REGISTERED rounds 2-9, slot ceded to
     # q_knn_join in round 10 (VERDICT r9 #1) — the fixed-point parity
     # continues here (mirrors operators/similarity._dot_decimal)
@@ -1011,6 +1031,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_resample_fill": reshape.q_resample_fill,
         "q_semantic_pairs_frozen": llm3.q_semantic_pairs_frozen,
         "q_cosine_topk": llm.q_cosine_topk,
+        "q_url_dedup": llm3.q_url_dedup,
         "q_minhash_poly": llm3.q_minhash_poly,
         "q_chunk_documents": llm3.q_chunk_documents,
         "q_quality_classifier": llm3.q_quality_classifier,
