@@ -1,0 +1,136 @@
+"""X56: link-graph centrality — distributed PageRank (SURVEY §2.11
+extension; round 10).  A crawl pipeline prioritizes its frontier and
+weights its quality priors by link centrality (the original use of the
+algorithm); a training-data pipeline reuses the same scores as a
+document-level quality signal.  This is also the engine's one operator
+family that is ITERATIVE with distributed state — k-means keeps its
+state driver-sized (train_centroids collects k·dim centroids per
+pass), while ranks here stay a DataFrame end to end.
+
+Power iteration, standard damping form with uniform dangling-mass
+redistribution:
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/out_deg(u)
+                              + dangling_mass/N)
+
+Plan shape per iteration (the part that must survive 100 TB):
+
+- contributions = ranks ⋈ edges on src (one shuffle), groupBy dst sum
+  (map-side combined, second shuffle) — both keyed on node ids,
+  high-cardinality by construction.  Degrees are computed ONCE and
+  persisted; at scale, pre-partition edges and ranks on the same key
+  (bucketed layout) and the per-iteration join co-locates.
+- dangling_mass = one scalar aggregate (nodes with no out-edges hold
+  mass that must redistribute or total rank leaks below 1 — pinned by
+  the mass-conservation test).
+- the new ranks frame is eagerly localCheckpoint'ed EVERY iteration:
+  iterative DataFrames otherwise stack a lineage of 2 shuffles per
+  pass, and iteration i would replay all i-1 predecessors on every
+  action (the classic exploding-plan trap; the checkpoint/persist
+  lifecycle note in PLANS.md round 8).  Previous checkpoints are
+  released as soon as their successor is pinned.
+
+No oracle: iterative fixpoints aren't SQL-expressible (the driver
+contract's documented carve-out) — correctness is pinned against
+closed forms (cycle, complete graph) and a pure-python reference
+implementation of the same iteration, plus mass conservation,
+dangling handling, early stop, and determinism-across-partitionings
+tests in tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from covid19i2b2_spark.caching import release_local_checkpoint
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 20,
+    tol: float | None = 1e-6,
+) -> DataFrame:
+    """(node, rank) over the directed edge list; ranks sum to 1.
+
+    ``tol`` stops early once the L1 delta between iterations falls
+    below it (None = always run ``n_iter`` passes).  Duplicate edges
+    are kept — a page linking twice contributes twice, matching the
+    multigraph reading; dedup upstream for the simple-graph reading.
+    Node ids may be any equality-comparable type."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    degrees = (
+        e.groupBy("__src").agg(F.count("*").alias("__deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        with_deg = ranks.join(
+            degrees, ranks["node"] == degrees["__src"], "left"
+        ).select("node", "rank", "__deg")
+        # dangling nodes (no out-edges) leak their mass unless it is
+        # redistributed uniformly — one scalar aggregate per pass
+        dangling = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]["m"]
+            or 0.0
+        )
+        contribs = (
+            with_deg.filter(F.col("__deg").isNotNull())
+            .join(e, F.col("node") == F.col("__src"))
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # cut the 2-shuffle/iter lineage
+        )
+        if tol is not None:
+            delta = (
+                ranks.select("node", F.col("rank").alias("__old"))
+                .join(new_ranks, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        else:
+            delta = None
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    release_local_checkpoint(nodes)
+    release_local_checkpoint(degrees)
+    return ranks
