@@ -118,7 +118,23 @@ class InvertedIndex:
         append ≡ one-shot build over the union (pinned by test).  Doc
         ids must be NEW (re-appending an id double-counts it exactly
         like every other index here — the caller dedups first; that is
-        what DedupIndex is for)."""
+        what DedupIndex is for).  The doc-id TYPE is index identity:
+        appending a different type would corrupt the postings schema
+        mid-table, so it is validated loudly against the persisted
+        footer (one metadata read, no data scan)."""
+        new_type = docs.schema[id_col].dataType
+        try:
+            existing = docs.sparkSession.read.parquet(
+                self.postings_path
+            ).schema["doc_id"].dataType
+        except Exception:
+            existing = None  # nothing persisted yet (or torn) — build path
+        if existing is not None and existing != new_type:
+            raise ValueError(
+                f"append id type {new_type.simpleString()} != the index's "
+                f"{existing.simpleString()} — the doc-id type is index "
+                "identity (a mixed-type postings table is unreadable)"
+            )
         self._write(docs, id_col, text_col, "append")
 
     def _corpus_stats(self, spark: SparkSession) -> tuple[int, float]:

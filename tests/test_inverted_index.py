@@ -114,3 +114,29 @@ def test_search_deterministic_across_partitionings(spark, tmp_path):
     assert _ranked(a_idx.search(spark, TERMS, k=20)) == _ranked(
         b_idx.search(spark, TERMS, k=20)
     )
+
+
+def test_empty_build_and_id_type_identity(spark, tmp_path):
+    """An empty-seed build must read back (stats/search over zero
+    postings); appending a different doc-id TYPE than the index holds
+    raises loudly instead of corrupting the postings schema."""
+    idx = InvertedIndex(str(tmp_path / "idx"))
+    idx.build(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    st = idx.stats(spark)
+    assert st["n_docs"] == 0 and st["posting_rows"] == 0
+    assert idx.search(spark, ["anything"], k=3).collect() == []
+    idx.append(
+        spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    assert idx.search(spark, ["alpha"], k=3).count() == 1
+    with pytest.raises(ValueError, match="index identity"):
+        idx.append(
+            spark.createDataFrame(
+                [("x", "gamma")], "doc_id string, text string"
+            ),
+            "doc_id", "text",
+        )
