@@ -159,3 +159,56 @@ def dedup_cluster_stats(decision: DataFrame) -> DataFrame:
         F.sum("n_dropped").cast("long").alias("n_dropped"),
     )
     return by_size.unionByName(grand).orderBy(F.col("size").asc_nulls_last())
+
+
+def dedup_decision_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    descending: bool = True,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """:func:`dedup_decision` with a QUALITY-AWARE survivor: within
+    each component the row with the best ``order_col`` wins (max when
+    ``descending``, else min), ties break to the LOWEST id so the
+    choice stays deterministic under retries (the house survivor
+    discipline).  This is what a curation pipeline actually wants —
+    keep the longest / highest-quality-score duplicate, not whichever
+    copy happened to get the smallest id (Lee et al. 2022 keep the
+    longest member of each duplicate cluster for exactly this reason).
+
+    Shape: the component labels come from the same edge-bounded
+    min-label propagation; the survivor pick is ONE window over the
+    decision frame partitioned by component — components are tiny by
+    construction (the cluster-size audit alarms otherwise), so the
+    window never concentrates meaningful data in one task.  A NULL
+    ``order_col`` sorts worst (NULL quality never beats a scored row).
+    Output: (id, component, keep) — drop-in for dedup_decision."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(
+        pairs, id_a, id_b, max_iter, cache_handles=cache_handles
+    ).withColumnRenamed("node", id_col)
+    labeled = df.join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("component"),
+        F.col(order_col).alias("__q"),
+    )
+    order = (
+        F.col("__q").desc_nulls_last()
+        if descending
+        else F.col("__q").asc_nulls_last()
+    )
+    w = Window.partitionBy("component").orderBy(order, F.col(id_col))
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "component",
+            (F.col("__rn") == 1).alias("keep"),
+        )
+    )

@@ -1848,3 +1848,49 @@ def test_centroid_argmax_kernel_degenerate_centroids(spark):
         assert not glob.glob(f"{root}/idx/*HIVE_DEFAULT*")
         n = spark.read.parquet(f"{root}/idx").count()
         assert n == 2  # vec 3 (NULL centroid) dropped
+
+
+def test_dedup_decision_by_quality_survivor(spark):
+    """Quality-aware survivor: the best order_col wins its component
+    (ties -> lowest id), NULL quality never wins against a scored row,
+    singletons keep themselves, and the keep-count per component is
+    exactly one — plus parity with dedup_decision's components."""
+    from covid19i2b2_spark.operators.dedup_clusters import (
+        dedup_decision,
+        dedup_decision_by,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),   # clique {1,2,3}: 2 wins tie vs 3
+            (4, None), (5, 0.1),            # chain {4,5}: NULL never wins
+            (6, 0.5),                        # singleton
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup_decision_by(
+            docs, pairs, "doc_id", "quality"
+        ).collect()
+    }
+    assert out[2][1] and not out[1][1] and not out[3][1]
+    assert out[5][1] and not out[4][1]
+    assert out[6][1]
+    # same component labels as the id-survivor form
+    base = {
+        r["doc_id"]: r["component"]
+        for r in dedup_decision(docs, pairs, "doc_id").collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == base
+    # ascending mode flips the winner (lowest quality kept)
+    asc = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_decision_by(
+            docs, pairs, "doc_id", "quality", descending=False
+        ).collect()
+    }
+    assert asc[1] and not asc[2] and not asc[3]
