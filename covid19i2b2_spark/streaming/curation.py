@@ -234,6 +234,7 @@ def run_streaming_crawl_ingest(
     checkpoint_dir: str | None = None,
     bloom_fpp: float | None = None,
     stats_every: int | None = 16,
+    search_index=None,
 ):
     """:func:`run_streaming_ingest` fed from RAW crawl JSONL: each
     micro-batch of lines parses with the quarantine split
@@ -245,8 +246,10 @@ def run_streaming_crawl_ingest(
     Same replay discipline as run_streaming_ingest, extended to the
     quarantine: all three side effects are epoch-keyed OVERWRITE writes
     behind one commit marker, so a replayed micro-batch converges to
-    identical corpus AND quarantine contents.  ``stats_every``: the
-    same periodic index-health log as run_streaming_ingest."""
+    identical corpus AND quarantine contents.  ``stats_every`` and
+    ``search_index``: the same periodic index-health log and X54
+    co-maintenance as run_streaming_ingest (survivors append to the
+    search index inside the same marker)."""
     from pyspark.sql import functions as F
 
     from covid19i2b2_spark.sources.files import _parse_and_route
@@ -279,12 +282,19 @@ def run_streaming_crawl_ingest(
             f"{out_path}/epoch={epoch_id}"
         )
         index.append(survivors, id_col, text_col)
+        if search_index is not None:
+            search_index.append(survivors, id_col, text_col)
         fs.create(marker, True).close()
         index.release()  # free this epoch's caches/broadcasts (review r7)
         log_index_health(
             index, spark, epoch_id, stats_every,
             "run_streaming_crawl_ingest",
         )
+        if search_index is not None:
+            log_index_health(
+                search_index, spark, epoch_id, stats_every,
+                "run_streaming_crawl_ingest[search]",
+            )
 
     writer = lines_stream.writeStream.foreachBatch(_ingest).trigger(
         availableNow=True
