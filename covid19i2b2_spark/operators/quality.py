@@ -370,6 +370,7 @@ def unigram_logprob_score(
     text_col: str,
     top_n_vocab: int = 1000,
     out_col: str = "unigram_logprob",
+    lm_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Statistical language-model quality scoring (the CCNet-style
     perplexity filter, unigram form): per document, the mean add-one-
@@ -381,16 +382,23 @@ def unigram_logprob_score(
     (everything below the cut is one OOV bucket with count 0), N = total
     corpus token count, V = top_n_vocab + 1.
 
+    ``lm_corpus`` (round 10, the DSIR building block): fit the LM on a
+    DIFFERENT corpus than the one being scored — vocab and N come from
+    ``lm_corpus`` while every row of ``df`` gets a score.  Default None
+    keeps the self-scored CCNet form (LM fit on df itself).
+
     Scale shape: the vocab is the already-bounded top-N table
     (build_vocab — one explode + one token-keyed aggregate), broadcast
     into the per-token left join; N comes from the same pass's corpus
     count.  Tokenless documents keep their row with NULL (no evidence),
     like linear_text_classifier."""
+    lm = lm_corpus if lm_corpus is not None else df
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    vocab = build_vocab(df, text_col, top_n=top_n_vocab, lowercase=False)
-    n_total = toks.count()  # one scalar: total corpus tokens
+    vocab = build_vocab(lm, text_col, top_n=top_n_vocab, lowercase=False)
+    # one scalar: total LM-corpus tokens
+    n_total = lm.select(F.explode(tokens(F.col(text_col)))).count()
     v = top_n_vocab + 1
     logp = F.log(
         (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")

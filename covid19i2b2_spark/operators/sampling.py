@@ -595,3 +595,77 @@ def filter_top_fraction(
         else df.crossJoin(F.broadcast(thr))
     )
     return joined.filter(score >= F.col("__thr")).drop("__thr")
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    top_n_vocab: int = 1000,
+    seed: int = 42,
+    length_normalized: bool = False,
+) -> DataFrame:
+    """X57: Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR) — pick the k raw documents whose token distribution most
+    resembles a small TARGET corpus, by importance weight under two
+    unigram LMs:
+
+        log w(x) = log p_target(x) - log p_raw(x)
+
+    both add-one-smoothed over their own top-N vocab (the
+    unigram_logprob_score arithmetic, fit via ``lm_corpus``), summed
+    over the document's tokens (``length_normalized=True`` uses the
+    per-token mean instead — damps the long-document preference the
+    raw sum has; the paper's hashed-feature form is the sum).
+    Selection is GUMBEL TOP-K on the log weights — sampling WITHOUT
+    replacement proportionally to w(x), the paper's resampling step —
+    with the Gumbel noise a pure function of (id, seed) via the
+    engine-portable md5 hash (obfuscation.portable_hash, the F13
+    never-rand() rule): deterministic across runs, partitionings, and
+    engines, so the whole selection carries DuckDB parity.
+
+    Shape: two broadcast-vocab scoring passes over the raw corpus
+    (each one explode + token-keyed join + map-side-combined groupBy),
+    the target corpus touched only for its vocab/N (small by
+    invariant — it is the thing you DON'T have enough of), then
+    TakeOrderedAndProject for the top-k.  Docs with no tokens carry no
+    evidence and are excluded (NULL scores can't rank).
+
+    Output: raw's columns + log_weight + the selection key, top-k by
+    (gumbel_key desc, id asc)."""
+    from covid19i2b2_spark.operators.obfuscation import portable_hash
+    from covid19i2b2_spark.operators.quality import unigram_logprob_score
+    from covid19i2b2_spark.operators.text import token_count
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scored_t = unigram_logprob_score(
+        raw, id_col, text_col, top_n_vocab, "__lp_target",
+        lm_corpus=target,
+    )
+    scored = unigram_logprob_score(
+        scored_t, id_col, text_col, top_n_vocab, "__lp_raw",
+    )
+    diff = F.col("__lp_target") - F.col("__lp_raw")
+    if not length_normalized:
+        diff = diff * token_count(F.col(text_col))
+    # u in (0,1) from the portable 32-bit hash; gumbel = -ln(-ln(u))
+    u = (portable_hash([F.col(id_col)], seed).cast("double") + 0.5) / (
+        2.0**32
+    )
+    key = diff - F.log(-F.log(u))
+    from covid19i2b2_spark.operators.aggregates import round6
+
+    return (
+        scored.filter(F.col("__lp_target").isNotNull())
+        .select(
+            "*",
+            round6(diff).alias("log_weight"),
+            round6(key).alias("gumbel_key"),
+        )
+        .drop("__lp_target", "__lp_raw")
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -931,3 +931,29 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 X57: DSIR data selection (operators/sampling.py
+    dsir_select) — every 10th document plays the small target corpus,
+    the rest are the raw pool; the 50 raw docs most target-like by
+    unigram importance weight are Gumbel-top-k selected (seeded md5
+    noise — the F13 never-rand() rule, so DuckDB replays vocabularies,
+    fixed-point logprob means, weights, noise, and the final ranking
+    exactly).  UNREGISTERED; parity in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.sampling import dsir_select
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    return (
+        dsir_select(
+            raw, target, "doc_id", "text", k=50, top_n_vocab=100, seed=7
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "log_weight",
+            "gumbel_key",
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+    )

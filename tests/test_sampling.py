@@ -525,3 +525,48 @@ def test_checkpoint_handle_releases_storage(spark):
     assert len(handles2) == 1
     handles2[0].unpersist()
     assert _persisted_rdd_ids(spark) - initial == set()
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """X57 planted selection: raw pool = 30 target-vocabulary docs +
+    30 gibberish docs; the importance weight (sum form) must put every
+    selected doc in the target-like half despite the Gumbel noise
+    (each doc is long enough that the log-weight gap dwarfs the noise
+    scale), deterministically for a fixed seed; length_normalized mode
+    and validation pinned too."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators.sampling import dsir_select
+
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    junk_words = ["zz1", "zz2", "zz3", "zz4"]
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join(tgt_words * 10)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = [
+        (i, " ".join((tgt_words if i < 30 else junk_words) * 10))
+        for i in range(60)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sel = dsir_select(raw, target, "doc_id", "text", k=20, seed=11)
+    picked = [r["doc_id"] for r in sel.collect()]
+    assert len(picked) == 20
+    assert all(d < 30 for d in picked), picked
+    # deterministic for a fixed seed, across partitionings
+    again = [
+        r["doc_id"]
+        for r in dsir_select(
+            raw.repartition(7), target, "doc_id", "text", k=20, seed=11
+        ).collect()
+    ]
+    assert picked == again
+    # length-normalized mode also separates the planted halves
+    norm = dsir_select(
+        raw, target, "doc_id", "text", k=20, seed=11,
+        length_normalized=True,
+    )
+    assert all(r["doc_id"] < 30 for r in norm.collect())
+    with _pytest.raises(ValueError, match="k must be"):
+        dsir_select(raw, target, "doc_id", "text", k=0)
