@@ -52,6 +52,8 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 20,
     tol: float | None = 1e-6,
+    weight: str | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) over the directed edge list; ranks sum to 1.
 
@@ -59,12 +61,36 @@ def pagerank(
     below it (None = always run ``n_iter`` passes).  Duplicate edges
     are kept — a page linking twice contributes twice, matching the
     multigraph reading; dedup upstream for the simple-graph reading.
-    Node ids may be any equality-comparable type."""
+    Node ids may be any equality-comparable type.
+
+    ``weight`` names an edge-weight column: each source splits its
+    rank proportionally to weight instead of uniformly (contrib =
+    rank * w / sum_w(src)); non-positive weights are rejected loudly
+    (a zero-weight edge is no edge, and a negative one makes the walk
+    ill-defined).
+
+    ``reset`` personalizes the teleport: a (node, reset_prob) frame —
+    the (1-d) restart and the dangling mass land on THIS distribution
+    instead of uniform (normalized internally; nodes absent from it
+    get zero teleport).  Personalized PageRank from trusted seed hosts
+    is the standard crawl-frontier prioritization; the reset table is
+    seed-sized and rides the iteration as one extra broadcast-shaped
+    left join."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    cols = [F.col(src).alias("__src"), F.col(dst).alias("__dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("double").alias("__w"))
+    e = edges.select(*cols)
+    if weight is None:
+        e = e.withColumn("__w", F.lit(1.0))
+    elif e.filter((F.col("__w").isNull()) | (F.col("__w") <= 0)).take(1):
+        raise ValueError(
+            "edge weights must be positive and non-NULL (a zero-weight "
+            "edge is no edge; a negative one makes the walk ill-defined)"
+        )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
@@ -75,9 +101,26 @@ def pagerank(
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
     degrees = (
-        e.groupBy("__src").agg(F.count("*").alias("__deg"))
+        e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
         .localCheckpoint(eager=True)
     )
+    if reset is not None:
+        r_total = reset.agg(F.sum("reset_prob").alias("s")).collect()[0]["s"]
+        if not r_total or r_total <= 0:
+            raise ValueError("reset distribution must have positive mass")
+        resets = (
+            nodes.join(reset, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("reset_prob"), F.lit(0.0))
+                    / F.lit(float(r_total))
+                ).alias("__reset"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        resets = None
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     base = (1.0 - damping) / n
@@ -98,24 +141,30 @@ def pagerank(
             .join(e, F.col("node") == F.col("__src"))
             .select(
                 F.col("__dst").alias("node"),
-                (F.col("rank") / F.col("__deg")).alias("__c"),
+                (F.col("rank") * F.col("__w") / F.col("__deg")).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.lit(dangling / n)
-                    )
-                ).alias("rank"),
+        joined = nodes.join(contribs, "node", "left")
+        if resets is None:
+            rank_expr = (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n))
             )
+        else:
+            joined = joined.join(resets, "node")
+            rank_expr = (
+                F.lit(1.0 - damping) * F.col("__reset")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__in"), F.lit(0.0))
+                    + F.lit(dangling) * F.col("__reset")
+                )
+            )
+        new_ranks = (
+            joined.select("node", rank_expr.alias("rank"))
             .localCheckpoint(eager=True)  # cut the 2-shuffle/iter lineage
         )
         if tol is not None:
@@ -133,4 +182,6 @@ def pagerank(
             break
     release_local_checkpoint(nodes)
     release_local_checkpoint(degrees)
+    if resets is not None:
+        release_local_checkpoint(resets)
     return ranks

@@ -94,3 +94,78 @@ def test_deterministic_across_partitionings(spark):
     assert set(a) == set(b)
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12), v
+
+
+def _ref_weighted(edge_list, damping=0.85, n_iter=20, reset=None):
+    """Weighted/personalized power iteration in pure python (weights
+    per edge; reset = {node: prob} normalized, None = uniform)."""
+    nodes = sorted({x for s, d, _ in edge_list for x in (s, d)})
+    n = len(nodes)
+    out: dict = {}
+    for s, _, w in edge_list:
+        out[s] = out.get(s, 0.0) + w
+    if reset is None:
+        rp = {v: 1.0 / n for v in nodes}
+    else:
+        tot = sum(reset.values())
+        rp = {v: reset.get(v, 0.0) / tot for v in nodes}
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        new = {
+            v: (1.0 - damping) * rp[v] + damping * dangling * rp[v]
+            for v in nodes
+        }
+        for s, d, w in edge_list:
+            new[d] += damping * rank[s] * w / out[s]
+        rank = new
+    return rank
+
+
+def test_weighted_pagerank_matches_reference(spark):
+    """Edge weights split a source's rank proportionally; pinned
+    against the python reference, with the heavier edge's target
+    out-ranking the lighter's; non-positive weights rejected."""
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight="w", n_iter=25, tol=None).collect()
+    }
+    want = _ref_weighted(edges, n_iter=25)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert got[2] > got[3]
+    bad = spark.createDataFrame(
+        [(1, 2, 0.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(bad, weight="w")
+
+
+def test_personalized_reset_localizes_rank(spark):
+    """Personalized teleport: all restart mass on node 1 — rank must
+    concentrate around 1's neighborhood vs the uniform run, dangling
+    mass follows the reset distribution, total stays 1; python
+    reference at 1e-9; empty reset mass is loud."""
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 1, 1.0),
+             (5, 6, 1.0)]  # a 4-cycle + a disconnected dangling tail
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    reset = spark.createDataFrame([(1, 1.0)], "node long, reset_prob double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=30, tol=None, reset=reset).collect()
+    }
+    want = _ref_weighted(edges, n_iter=30, reset={1: 1.0})
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    uniform = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=30, tol=None).collect()
+    }
+    assert got[1] > uniform[1]          # mass concentrates at the seed
+    assert got[6] < uniform[6]          # the disconnected tail starves
+    with pytest.raises(ValueError, match="positive mass"):
+        pagerank(e, reset=spark.createDataFrame(
+            [(9, 0.0)], "node long, reset_prob double"))
