@@ -688,3 +688,60 @@ def line_dedup(
             "\n",
         ).alias(text_col)
     )
+
+
+def lsh_tuning(
+    n_hashes: int,
+    threshold: float,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> dict:
+    """Pick the (n_bands, rows_per_band) for a MinHash LSH deployment —
+    driver-side planning math, no Spark (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets §3.4; the datasketch library exposes the
+    same integral-minimizing tuner).  The banding S-curve
+
+        P(candidate | jaccard = s) = 1 - (1 - s^rows)^bands
+
+    should step near ``threshold``: pairs above it become candidates
+    (missed ones are FALSE NEGATIVES — lost dedup), pairs below cost
+    verify work (FALSE POSITIVES).  For every divisor split
+    bands*rows = n_hashes this weighs the two error integrals
+    (rectangle rule, the standard approximation) and returns the
+    minimizer; ``fn_weight``/``fp_weight`` skew the trade (a dedup
+    pipeline usually prices a miss above a wasted verify).
+
+    Returns {n_bands, rows_per_band, threshold_est, fn_area, fp_area}
+    where threshold_est = (1/bands)^(1/rows), the S-curve midpoint the
+    chosen split actually lands on.  Feed n_bands to
+    minhash_dedup_pairs / DedupIndex (which require bands | hashes —
+    exactly the splits enumerated here)."""
+    if n_hashes < 2:
+        raise ValueError(f"n_hashes must be >= 2, got {n_hashes}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    steps = 500
+    for bands in range(1, n_hashes + 1):
+        if n_hashes % bands:
+            continue
+        rows = n_hashes // bands
+        fn_area = fp_area = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s >= threshold:
+                fn_area += (1.0 - p) / steps
+            else:
+                fp_area += p / steps
+        cost = fn_weight * fn_area + fp_weight * fp_area
+        cand = {
+            "n_bands": bands,
+            "rows_per_band": rows,
+            "threshold_est": (1.0 / bands) ** (1.0 / rows),
+            "fn_area": round(fn_area, 6),
+            "fp_area": round(fp_area, 6),
+        }
+        if best is None or cost < best[0]:
+            best = (cost, cand)
+    return best[1]

@@ -1894,3 +1894,31 @@ def test_dedup_decision_by_quality_survivor(spark):
         ).collect()
     }
     assert asc[1] and not asc[2] and not asc[3]
+
+
+def test_lsh_tuning_picks_threshold_matched_banding(spark):
+    """The tuner's S-curve midpoint must track the requested threshold
+    (MMDS §3.4): low thresholds pick many bands / few rows, high
+    thresholds the reverse; weighting false negatives harder never
+    RAISES the FN area; validation is loud; and the chosen n_bands is
+    always a legal divisor the dedup entry points accept."""
+    from covid19i2b2_spark.operators.dedup import lsh_tuning
+
+    lo = lsh_tuning(128, 0.3)
+    hi = lsh_tuning(128, 0.9)
+    assert lo["n_bands"] > hi["n_bands"]
+    assert lo["rows_per_band"] < hi["rows_per_band"]
+    for cfg, t in ((lo, 0.3), (hi, 0.9)):
+        assert 128 % cfg["n_bands"] == 0
+        assert cfg["n_bands"] * cfg["rows_per_band"] == 128
+        assert abs(cfg["threshold_est"] - t) < 0.25, (cfg, t)
+    # pricing misses higher shifts the curve left (fn_area can only
+    # shrink or hold at the optimum)
+    fn_heavy = lsh_tuning(128, 0.7, fn_weight=10.0)
+    balanced = lsh_tuning(128, 0.7)
+    assert fn_heavy["fn_area"] <= balanced["fn_area"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_tuning(128, 1.5)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        lsh_tuning(1, 0.5)
