@@ -480,3 +480,82 @@ def incremental_cm_tokens(
         )
 
     return _start_store_stream(stream, _merge, target, checkpoint_location)
+
+
+class DecayedTopkStore(RunningTopkStore):
+    """X58: EWMA ("trending") frequent items — the top-k store with an
+    exponential decay applied to the ACCUMULATED summary before each
+    new epoch folds in, so an item's effective count is
+    sum_t alpha^(epochs_since_t) * count_t: yesterday's boilerplate
+    token stops outranking today's breakout.  ``decay=1.0`` degenerates
+    to RunningTopkStore exactly (pinned by test).
+
+    Bound discipline: scaling by alpha redefines the true quantity as
+    the decayed count, and the SpaceSaving sandwich survives the
+    scaling only with ONE-SIDED rounding — count_lo/n_rows floor (a
+    lower bound may only shrink), count_hi/bound ceil (an upper bound
+    may only grow relative to alpha*true).  floor on the hi side would
+    VIOLATE the bound whenever hi was exact (floor(0.5*3)=1 < 1.5) —
+    the reason this is a store subclass and not a caller-side
+    multiply.
+
+    Decay applies exactly once per FOLDED epoch: replayed
+    (already-marked) epochs skip the decay together with the merge —
+    otherwise an at-least-once source would decay the store once per
+    delivery attempt.  Durable/restart semantics are inherited
+    unchanged (the decayed fold is committed under the same
+    marker-after-state protocol, so a restart resumes from the decayed
+    summary)."""
+
+    def __init__(
+        self,
+        spark,
+        group_cols: list[str],
+        k: int = 64,
+        decay: float = 0.9,
+        path: str | None = None,
+    ):
+        if not 0.0 < decay <= 1.0:
+            raise ValueError(f"decay must be in (0, 1], got {decay}")
+        self.decay = decay
+        super().__init__(spark, group_cols, k=k, path=path)
+
+    def _decayed(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        a = self.decay
+        # field order matches _truncate_items' structs (count_hi,
+        # count_lo, item) — array<struct> unions match by position —
+        # and the array RE-SORTS: ceil/floor can flip a strict
+        # (hi, lo) order into a tie with the wrong lo order, and
+        # topk_estimates ranks by array position
+        return df.withColumn(
+            "items",
+            F.sort_array(
+                F.transform(
+                    "items",
+                    lambda it: F.struct(
+                        F.ceil(it["count_hi"] * a)
+                        .cast("long")
+                        .alias("count_hi"),
+                        F.floor(it["count_lo"] * a)
+                        .cast("long")
+                        .alias("count_lo"),
+                        it["item"].alias("item"),
+                    ),
+                ),
+                asc=False,
+            ),
+        ).withColumn(
+            "bound", F.ceil(F.col("bound") * a).cast("long")
+        ).withColumn(
+            "n_rows", F.floor(F.col("n_rows") * a).cast("long")
+        )
+
+    def merge(
+        self, batch_sketches: DataFrame, epoch_id: int | None = None
+    ) -> None:
+        replayed = epoch_id is not None and epoch_id in self._epochs
+        if not replayed and self.df is not None and self.decay < 1.0:
+            self.df = self._decayed(self.df)
+        super().merge(batch_sketches, epoch_id)

@@ -431,3 +431,78 @@ def test_cm_sketch_non_ascii_keys_exact(spark):
     assert est["日本語テスト"] == 7
     assert est["ascii"] == 3
     assert est["héllo→y"] == 0  # absent key, distinct cells from its near-twins
+
+
+def test_decayed_topk_store_trending_semantics(spark, tmp_path):
+    """X58 EWMA heavy hitters: token 'old' dominates epochs 0-3, 'new'
+    dominates 4-5 — undecayed totals keep 'old' on top, the decayed
+    store flips to 'new'; per-item bounds sandwich the exact EWMA
+    count; a replayed epoch neither re-decays nor re-counts; decay=1.0
+    reproduces RunningTopkStore bit-for-bit; restart restores the
+    decayed summary."""
+    from covid19i2b2_spark.operators.sketches import (
+        build_topk_sketches,
+        topk_estimates,
+    )
+    from covid19i2b2_spark.streaming.incremental import (
+        DecayedTopkStore,
+        RunningTopkStore,
+    )
+
+    def batch(epoch):
+        tok, n = ("old", 100) if epoch < 4 else ("new", 60)
+        rows = [(tok,)] * n + [("base",)] * 5
+        return build_topk_sketches(
+            spark.createDataFrame(rows, "token string"), [], "token", k=8
+        )
+
+    alpha = 0.5
+    plain = RunningTopkStore(spark, [], k=8)
+    decayed = DecayedTopkStore(
+        spark, [], k=8, decay=alpha, path=str(tmp_path / "store")
+    )
+    for ep in range(6):
+        b = batch(ep)
+        plain.merge(b, epoch_id=ep)
+        decayed.merge(b, epoch_id=ep)
+
+    def top(store):
+        return {
+            r["item"]: (r["rank"], r["count_lo"], r["count_hi"])
+            for r in topk_estimates(store.df).collect()
+        }
+
+    p, d = top(plain), top(decayed)
+    assert p["old"][0] == 1 and p["old"][1] == 400  # raw total wins
+    assert d["new"][0] == 1 and d["old"][0] == 2    # trend wins decayed
+    # exact EWMA counts (weights alpha^(5-t)); lo <= true <= hi
+    true_old = sum(100 * alpha ** (5 - t) for t in range(4))
+    true_new = sum(60 * alpha ** (5 - t) for t in (4, 5))
+    assert d["old"][1] <= true_old <= d["old"][2]
+    assert d["new"][1] <= true_new <= d["new"][2]
+    # floors/ceils stay within 1 of the exact value per fold (6 folds)
+    assert d["new"][2] - d["new"][1] <= 6
+
+    # replayed epoch: no re-decay, no re-count
+    before = top(decayed)
+    decayed.merge(batch(5), epoch_id=5)
+    assert top(decayed) == before
+
+    # decay=1.0 degenerates to the plain store exactly
+    ident = DecayedTopkStore(spark, [], k=8, decay=1.0)
+    for ep in range(6):
+        ident.merge(batch(ep), epoch_id=ep)
+    assert top(ident) == p
+
+    # restart: a fresh instance over the same path restores the
+    # decayed summary and skips all marked epochs
+    resumed = DecayedTopkStore(
+        spark, [], k=8, decay=alpha, path=str(tmp_path / "store")
+    )
+    assert top(resumed) == before
+    resumed.merge(batch(3), epoch_id=3)  # replay across restart
+    assert top(resumed) == before
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="decay"):
+        DecayedTopkStore(spark, [], decay=0.0)
