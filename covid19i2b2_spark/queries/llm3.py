@@ -957,3 +957,29 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
     )
+
+
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 X59: snapshot schema/statistics drift report
+    (operators/validation.py) between the even-doc_id and odd-doc_id
+    halves of the documents table, with a planted schema drift on the
+    b side (n_chars dropped, an extra_col added, lang retyped to int's
+    length) — exercises presence, dtype, null-rate, distinct and range
+    comparison in one report.  UNREGISTERED; DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.validation import snapshot_drift_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .drop("n_chars")
+        .withColumn("lang", F.length("lang").cast("int"))
+        .withColumn(
+            "extra_col",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.pmod("doc_id", F.lit(3))
+            ).cast("long"),
+        )
+    )
+    return snapshot_drift_report(a, b).orderBy("column")

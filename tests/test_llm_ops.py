@@ -1922,3 +1922,40 @@ def test_lsh_tuning_picks_threshold_matched_banding(spark):
         lsh_tuning(128, 1.5)
     with _pytest.raises(ValueError, match="n_hashes"):
         lsh_tuning(1, 0.5)
+
+
+def test_snapshot_drift_report_flags(spark):
+    """X59 planted drift: dropped column, added column, dtype change,
+    null-rate jump, and range shift each surface in the right field;
+    identical snapshots report zero drift rows."""
+    from covid19i2b2_spark.operators.validation import snapshot_drift_report
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, None, 30)],
+        "id long, name string, v long",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.5), (2, None, 2.5), (4, None, 99.0)],
+        "id long, name string, v double",
+    ).withColumn("extra", F.lit(7).cast("long"))
+    rep = {
+        r["column"]: r
+        for r in snapshot_drift_report(a, b).collect()
+    }
+    assert set(rep) == {"id", "name", "v", "extra"}
+    assert not rep["id"]["schema_drift"]
+    assert rep["v"]["schema_drift"]  # long -> double
+    assert rep["extra"]["schema_drift"] and rep["extra"]["type_a"] is None
+    assert rep["name"]["null_frac_a"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rep["name"]["null_frac_b"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rep["id"]["n_distinct_a"] == 3 and rep["id"]["max_b"] == "4"
+    assert rep["v"]["min_a"] == "10" and rep["v"]["max_b"] == "99.0"
+
+    same = snapshot_drift_report(a, a)
+    assert same.filter(F.col("schema_drift")).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no columns"):
+        snapshot_drift_report(
+            a.select(F.lit(1).alias("z")).drop("z"),
+            b.select(F.lit(1).alias("z")).drop("z"),
+        )

@@ -475,6 +475,25 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 UNREGISTERED_ORACLES = {
 
+    # X59 snapshot drift report: per-column stats of the even half vs
+    # the odd half with planted schema drift (n_chars dropped, lang
+    # retyped, extra_col added) — each metric independently derived
+    "q_snapshot_drift": """
+    SELECT * FROM (
+    SELECT 'doc_id' AS "column", 'bigint' AS type_a, 'bigint' AS type_b, (SELECT FLOOR(CAST(SUM(CASE WHEN (doc_id) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 0) AS null_frac_a, (SELECT CAST(COUNT(DISTINCT (doc_id)) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_distinct_a, (SELECT CAST(MIN(doc_id) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS min_a, (SELECT CAST(MAX(doc_id) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS max_a, (SELECT FLOOR(CAST(SUM(CASE WHEN (doc_id) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 1) AS null_frac_b, (SELECT CAST(COUNT(DISTINCT (doc_id)) AS BIGINT) FROM documents WHERE doc_id % 2 = 1) AS n_distinct_b, (SELECT CAST(MIN(doc_id) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS min_b, (SELECT CAST(MAX(doc_id) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS max_b, FALSE AS schema_drift
+    UNION ALL
+    SELECT 'extra_col' AS "column", CAST(NULL AS VARCHAR) AS type_a, 'bigint' AS type_b, CAST(NULL AS DOUBLE) AS null_frac_a, CAST(NULL AS BIGINT) AS n_distinct_a, CAST(NULL AS VARCHAR) AS min_a, CAST(NULL AS VARCHAR) AS max_a, (SELECT FLOOR(CAST(SUM(CASE WHEN (CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 3 END) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 1) AS null_frac_b, (SELECT CAST(COUNT(DISTINCT (CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 3 END)) AS BIGINT) FROM documents WHERE doc_id % 2 = 1) AS n_distinct_b, (SELECT CAST(MIN(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 3 END) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS min_b, (SELECT CAST(MAX(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 3 END) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS max_b, TRUE AS schema_drift
+    UNION ALL
+    SELECT 'lang' AS "column", 'string' AS type_a, 'int' AS type_b, (SELECT FLOOR(CAST(SUM(CASE WHEN (lang) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 0) AS null_frac_a, (SELECT CAST(COUNT(DISTINCT (lang)) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_distinct_a, (SELECT CAST(MIN(lang) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS min_a, (SELECT CAST(MAX(lang) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS max_a, (SELECT FLOOR(CAST(SUM(CASE WHEN (length(lang)) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 1) AS null_frac_b, (SELECT CAST(COUNT(DISTINCT (length(lang))) AS BIGINT) FROM documents WHERE doc_id % 2 = 1) AS n_distinct_b, (SELECT CAST(MIN(length(lang)) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS min_b, (SELECT CAST(MAX(length(lang)) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS max_b, TRUE AS schema_drift
+    UNION ALL
+    SELECT 'n_chars' AS "column", 'bigint' AS type_a, CAST(NULL AS VARCHAR) AS type_b, (SELECT FLOOR(CAST(SUM(CASE WHEN (n_chars) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 0) AS null_frac_a, (SELECT CAST(COUNT(DISTINCT (n_chars)) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_distinct_a, (SELECT CAST(MIN(n_chars) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS min_a, (SELECT CAST(MAX(n_chars) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS max_a, CAST(NULL AS DOUBLE) AS null_frac_b, CAST(NULL AS BIGINT) AS n_distinct_b, CAST(NULL AS VARCHAR) AS min_b, CAST(NULL AS VARCHAR) AS max_b, TRUE AS schema_drift
+    UNION ALL
+    SELECT 'source' AS "column", 'string' AS type_a, 'string' AS type_b, (SELECT FLOOR(CAST(SUM(CASE WHEN (source) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 0) AS null_frac_a, (SELECT CAST(COUNT(DISTINCT (source)) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_distinct_a, (SELECT CAST(MIN(source) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS min_a, (SELECT CAST(MAX(source) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS max_a, (SELECT FLOOR(CAST(SUM(CASE WHEN (source) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 1) AS null_frac_b, (SELECT CAST(COUNT(DISTINCT (source)) AS BIGINT) FROM documents WHERE doc_id % 2 = 1) AS n_distinct_b, (SELECT CAST(MIN(source) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS min_b, (SELECT CAST(MAX(source) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS max_b, FALSE AS schema_drift
+    UNION ALL
+    SELECT 'text' AS "column", 'string' AS type_a, 'string' AS type_b, (SELECT FLOOR(CAST(SUM(CASE WHEN (text) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 0) AS null_frac_a, (SELECT CAST(COUNT(DISTINCT (text)) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_distinct_a, (SELECT CAST(MIN(text) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS min_a, (SELECT CAST(MAX(text) AS VARCHAR) FROM documents WHERE doc_id % 2 = 0) AS max_a, (SELECT FLOOR(CAST(SUM(CASE WHEN (text) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 FROM documents WHERE doc_id % 2 = 1) AS null_frac_b, (SELECT CAST(COUNT(DISTINCT (text)) AS BIGINT) FROM documents WHERE doc_id % 2 = 1) AS n_distinct_b, (SELECT CAST(MIN(text) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS min_b, (SELECT CAST(MAX(text) AS VARCHAR) FROM documents WHERE doc_id % 2 = 1) AS max_b, FALSE AS schema_drift
+    ) ORDER BY "column"
+    """,
+
     # X57 DSIR selection: both unigram LMs (target split / raw pool),
     # fixed-point logprob means, sum-form importance weights, seeded
     # md5 Gumbel noise, rounded-key ranking — the full selection
@@ -1098,6 +1117,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_cosine_topk": llm.q_cosine_topk,
         "q_url_dedup": llm3.q_url_dedup,
         "q_dsir_select": llm3.q_dsir_select,
+        "q_snapshot_drift": llm3.q_snapshot_drift,
         "q_minhash_poly": llm3.q_minhash_poly,
         "q_chunk_documents": llm3.q_chunk_documents,
         "q_quality_classifier": llm3.q_quality_classifier,
