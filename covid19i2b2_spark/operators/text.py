@@ -8,6 +8,8 @@ everything is per-row or a single groupBy.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, functions as F
 
 from covid19i2b2_spark.operators.aggregates import round6
@@ -389,3 +391,45 @@ def strip_html(col: str | Column) -> Column:
     for ent, repl in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(repl))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def compression_ratio_kernel(col: str | Column, level: int = 6) -> Column:
+    """X60: zlib compression ratio per document —
+    len(compress(utf8)) / len(utf8) — the classic cheap detector for
+    machine-generated repetition: boilerplate, keyword stuffing, and
+    template spam compress far below fluent prose (the FineWeb /
+    RefinedWeb-era quality heuristic that complements the Gopher
+    token-shape rules; repetition_ratios catches n-gram loops, this
+    catches LONG-RANGE redundancy those windows can't see).
+
+    Arrow-batched pandas_udf (zlib is stdlib — one C call per doc, no
+    row-at-a-time Python expression path exists for this), determinism
+    guaranteed by zlib's bit-exact output at a fixed level.  NULL text
+    -> NULL; empty text -> NULL (no bytes, no evidence — a 0/0 ratio
+    is not a quality signal).  Ratios round6 for oracle-grade
+    comparisons in tests; values near 0 mean redundant, ~1+ means
+    high-entropy (already-compressed or random) content."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in 1..9, got {level}")
+
+    def _ratio_series(xs):
+        out = []
+        for t in xs:
+            if t is None or t == "":
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            r = len(zlib.compress(raw, level)) / len(raw)
+            out.append(math.floor(r * 1e6 + 0.5) / 1e6)
+        return pd.Series(out, dtype="float64")
+
+    # function-style registration (the normalize_unicode pattern):
+    # stringized annotations + a locally-imported pandas break the
+    # decorator's type-hint inference under future-annotations
+    _ratio = pandas_udf(_ratio_series, "double")
+    return _ratio(_c(col))

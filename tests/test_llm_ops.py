@@ -1959,3 +1959,39 @@ def test_snapshot_drift_report_flags(spark):
             a.select(F.lit(1).alias("z")).drop("z"),
             b.select(F.lit(1).alias("z")).drop("z"),
         )
+
+
+def test_compression_ratio_separates_repetition(spark):
+    """X60: templated repetition compresses far below varied prose; a
+    python-zlib reference reproduces the values exactly (bit-exact C
+    zlib both sides); NULL/empty -> NULL; bad level is loud."""
+    import math as _math
+    import zlib as _zlib
+
+    from covid19i2b2_spark.operators.text import compression_ratio_kernel
+
+    spam = "buy now " * 200
+    prose = (
+        "the quick brown fox jumps over a lazy dog while seventeen "
+        "wildly different clauses discuss entropy, parquet footers, "
+        "watermarks, centroids, and the price of tea"
+    )
+    rows = [(1, spam), (2, prose), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cr"]
+        for r in df.select(
+            "doc_id", compression_ratio_kernel("text").alias("cr")
+        ).collect()
+    }
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.05 < got[2] < 1.2
+    for i, t in ((1, spam), (2, prose)):
+        raw = t.encode()
+        want = _math.floor(
+            len(_zlib.compress(raw, 6)) / len(raw) * 1e6 + 0.5
+        ) / 1e6
+        assert got[i] == want, (i, got[i], want)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="level"):
+        df.select(compression_ratio_kernel("text", level=0))
