@@ -83,6 +83,12 @@ class InvertedIndex:
     ``tokens()``) is the index identity — there are no per-build
     tokenizer knobs to mismatch; k1/b are QUERY-time parameters."""
 
+    # the streaming health log reads this: duplicated postings double
+    # their score contribution, so ANY duplication warrants the
+    # correctness-cue WARNING (the IvfIndex severity), not the
+    # storage-only COMPACT_RATIO wording the anti-join indexes get
+    DUPLICATION_IS_CORRECTNESS = True
+
     def __init__(self, path: str):
         self.path = path.rstrip("/")
 

@@ -75,7 +75,18 @@ def log_index_health(
                     spark, index.sharded_fp_path
                 )["load_ratio"]
         ratio = st.get("duplication_ratio", 1.0)
-        if "stale" in st and (ratio > 1.0 or st["stale"]):
+        dup_is_correctness = getattr(
+            index, "DUPLICATION_IS_CORRECTNESS", False
+        )
+        if dup_is_correctness and "stale" not in st and ratio > 1.0:
+            _LOG.warning(
+                "%s epoch %d: index duplication_ratio %.4f > 1 — "
+                "replayed postings double their ranked-score "
+                "contribution; search(dedup=True) or compact() before "
+                "trusting ranked output: %s",
+                loop, epoch_id, ratio, st,
+            )
+        elif "stale" in st and (ratio > 1.0 or st["stale"]):
             _LOG.warning(
                 "%s epoch %d: IVF index needs maintenance — %s: %s",
                 loop,
