@@ -1273,3 +1273,37 @@ def test_ingest_loop_comaintains_search_index(spark, tmp_path):
     st = sidx.stats(spark)
     assert st["n_docs"] == len(corpus_ids)
     assert st["duplication_ratio"] == 1.0
+
+
+def test_search_index_duplication_gets_correctness_warning(spark, tmp_path, caplog):
+    """log_index_health over a replay-duplicated InvertedIndex must
+    warn at ANY duplication with the ranked-score remediation wording
+    (not the storage-only COMPACT_RATIO path the anti-join indexes
+    get), and go back to INFO after compact()."""
+    import logging
+
+    from covid19i2b2_spark.operators.inverted_index import InvertedIndex
+    from covid19i2b2_spark.streaming.maintenance import log_index_health
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = InvertedIndex(str(tmp_path / "inv"))
+    idx.build(docs.filter(F.col("doc_id") < 400), "doc_id", "text")
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx.append(batch, "doc_id", "text")
+    idx.append(batch, "doc_id", "text")  # replay
+    logger = "covid19i2b2_spark.streaming.maintenance"
+    with caplog.at_level(logging.INFO, logger=logger):
+        st = log_index_health(idx, spark, 0, 1, "test-loop")
+    assert st["duplication_ratio"] > 1.0
+    warns = [
+        r.getMessage() for r in caplog.records
+        if r.levelno >= logging.WARNING
+    ]
+    assert warns and "ranked-score" in warns[-1]
+    assert "dedup=True" in warns[-1]
+    idx.compact(spark)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger=logger):
+        log_index_health(idx, spark, 0, 1, "test-loop")
+    assert all(r.levelno < logging.WARNING for r in caplog.records)
+    assert any("index health" in r.getMessage() for r in caplog.records)
