@@ -486,3 +486,29 @@ def test_knn_join_two_stage_bounds_both_exchanges(spark):
     assert "query_id" in plan and "centroid_id" in plan
     # no cartesian anywhere in the candidate chain
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_plan_is_expression_only(spark):
+    """q_dsir_select: the whole selection (two LM scorings, weights,
+    seeded Gumbel noise, top-k) must stay JVM-side — no Python
+    evaluation of any kind, no cartesian, and the bounded vocab tables
+    enter through broadcast joins."""
+    from covid19i2b2_spark.queries.llm3 import q_dsir_select
+
+    df = q_dsir_select(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_url_dedup_plan_is_expression_only(spark):
+    """q_url_dedup: canonicalization is pure regexp/array expressions
+    (map-only) and the dedup is one hash aggregate — no Python, no
+    join at all in the plan."""
+    from covid19i2b2_spark.queries.llm3 import q_url_dedup
+
+    plan = physical_plan(q_url_dedup(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
