@@ -11,9 +11,13 @@ build/append/stats/compact lifecycle.
 
 Two parquet tables under one root:
 
-- ``postings/``: (term, doc_id, dl, tf) — one row per (term, document)
-  with the term frequency and the document's token length denormalized
-  in (8 bytes/posting buys probes freedom from any doc-length join).
+- ``postings/``: (term, doc_id, dl, tf, positions) — one row per
+  (term, document) with the term frequency, the document's token
+  length denormalized in (8 bytes/posting buys probes freedom from
+  any doc-length join), and the sorted 0-based position list (4
+  bytes/occurrence — what makes :meth:`InvertedIndex.phrase_search`
+  possible; BM25 probes never project it, so column pruning keeps it
+  off their scans).
   Written range-partitioned AND sorted by term, so each file and row
   group covers a tight term range: a query's ``term IN (...)`` filter
   pushes into the parquet scan and skips everything else — the
@@ -60,9 +64,19 @@ def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     ).withColumn("dl", F.size("__toks").cast("long"))
     return (
-        toked.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        toked.select(
+            "doc_id", "dl", F.posexplode("__toks").alias("__pos", "term")
+        )
         .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            # 0-based, sorted: the phrase-search adjacency fold walks
+            # these; plain BM25 probes never project the column
+            # (parquet column pruning keeps it off their scans)
+            F.sort_array(
+                F.collect_list(F.col("__pos").cast("int"))
+            ).alias("positions"),
+        )
     )
 
 
@@ -206,6 +220,67 @@ class InvertedIndex:
         return (
             folded.select("doc_id", round6(F.col("__score")).alias("bm25"))
             .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(k)
+        )
+
+    def phrase_search(
+        self,
+        spark: SparkSession,
+        phrase_terms: list[str],
+        k: int = 10,
+        dedup: bool = False,
+    ) -> DataFrame:
+        """Exact-phrase retrieval: top-k (doc_id, n_occurrences) for a
+        consecutive token sequence, OVERLAPPING occurrences counted
+        ("batch batch batch" contains "batch batch" twice).  The
+        adjacency fold is pure array expressions: start from the first
+        term's position list and intersect each next term's list with
+        the previous survivors shifted by one —
+
+            S_1 = positions(t_1);  S_i = (S_{i-1} + 1) ∩ positions(t_i)
+
+        |S_m| is the occurrence count.  Plan: the probe reads ONLY the
+        phrase terms' postings (same IN-filter pushdown as search),
+        then m-1 doc_id equi-joins each filtered to one term — every
+        stage shrinks (a doc missing ANY term drops at its join;
+        emptied survivor sets drop immediately), and nothing leaves
+        the JVM.  Repeated terms in the phrase are handled by the same
+        fold (the shift makes self-adjacency count correctly).
+        ``dedup=True`` drops replayed posting rows first (replays
+        duplicate join ROWS here rather than doubling a score)."""
+        if len(phrase_terms) < 2:
+            raise ValueError(
+                "phrase_search needs >= 2 terms (use search() for one)"
+            )
+        post = spark.read.parquet(self.postings_path).filter(
+            F.col("term").isin(list(set(phrase_terms)))
+        )
+        if dedup:
+            post = post.dropDuplicates(["term", "doc_id"])
+        cur = post.filter(F.col("term") == phrase_terms[0]).select(
+            "doc_id", F.col("positions").alias("__surv")
+        )
+        for i, t in enumerate(phrase_terms[1:], 1):
+            nxt = post.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"__p{i}")
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    F.array_intersect(
+                        F.transform("__surv", lambda x: x + 1),
+                        F.col(f"__p{i}"),
+                    ).alias("__surv"),
+                )
+                .filter(F.size("__surv") > 0)
+            )
+        return (
+            cur.select(
+                "doc_id",
+                F.size("__surv").cast("long").alias("n_occurrences"),
+            )
+            .orderBy(F.col("n_occurrences").desc(), "doc_id")
             .limit(k)
         )
 

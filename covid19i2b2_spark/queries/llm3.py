@@ -983,3 +983,26 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_drift_report(a, b).orderBy("column")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 X54 phrase form: exact-phrase retrieval through the
+    positional inverted index — top-25 docs containing the consecutive
+    bigram "the fast", OVERLAPPING occurrences counted.  The DuckDB
+    oracle derives counts straight from the token arrays (ground truth
+    by construction — adjacency scan, independent of the index's
+    positional fold).  UNREGISTERED; parity in
+    tests/test_oracle_parity.py."""
+    import tempfile
+
+    from covid19i2b2_spark.operators.inverted_index import InvertedIndex
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = InvertedIndex(tempfile.mkdtemp(prefix="q_phrase_idx_"))
+    idx.build(docs, "doc_id", "text")
+    return (
+        idx.phrase_search(spark, ["the", "fast"], k=25)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "n_occurrences")
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+    )

@@ -140,3 +140,56 @@ def test_empty_build_and_id_type_identity(spark, tmp_path):
             ),
             "doc_id", "text",
         )
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark, tmp_path):
+    """Planted phrases: consecutive-run overlap counted ('b b b' holds
+    'b b' twice), repeated-term phrases fold correctly, docs missing
+    any term drop, 3-term phrases chain, absent terms give empty,
+    single-term phrase is loud."""
+    rows = [
+        (1, "a b c d"),            # 'b c' once; 'b c d' once
+        (2, "b b b"),              # 'b b' twice (overlap)
+        (3, "b c b c"),            # 'b c' twice
+        (4, "c b"),                # reversed: no 'b c'
+        (5, "x y z"),
+    ]
+    idx = InvertedIndex(str(tmp_path / "idx"))
+    idx.build(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+
+    def hits(terms):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in idx.phrase_search(spark, terms, k=10).collect()
+        }
+
+    assert hits(["b", "c"]) == {1: 1, 3: 2}
+    assert hits(["b", "b"]) == {2: 2}
+    assert hits(["b", "c", "d"]) == {1: 1}
+    assert hits(["b", "q"]) == {}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="2 terms"):
+        idx.phrase_search(spark, ["b"])
+
+
+def test_phrase_search_append_and_pushdown(spark, tmp_path):
+    """Phrase search over an appended index equals the one-shot build,
+    and the probe's IN-filter reaches the postings scan."""
+    docs = _docs(spark)
+    inc = InvertedIndex(str(tmp_path / "inc"))
+    inc.build(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    inc.append(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+    one = InvertedIndex(str(tmp_path / "one"))
+    one.build(docs, "doc_id", "text")
+    phrase = ["the", "fast"]
+    a = sorted(map(tuple, inc.phrase_search(spark, phrase, k=50).collect()))
+    b = sorted(map(tuple, one.phrase_search(spark, phrase, k=50).collect()))
+    assert a == b
+    plan = (
+        inc.phrase_search(spark, phrase, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "In(term" in plan, plan

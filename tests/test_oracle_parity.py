@@ -475,6 +475,30 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 UNREGISTERED_ORACLES = {
 
+    # X54 phrase retrieval: overlapping consecutive-bigram counts
+    # derived straight from the token arrays (adjacency scan — ground
+    # truth by construction, independent of the index's positional
+    # intersect fold)
+    "q_phrase_search": """
+    WITH toked AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(toks)),
+                    i -> toks[i] = 'the' AND toks[i+1] = 'fast'))
+                    AS BIGINT) AS n_occurrences
+        FROM toked
+    )
+    SELECT doc_id, n_occurrences FROM counts
+    WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT 25
+    """,
+
     # X59 snapshot drift report: per-column stats of the even half vs
     # the odd half with planted schema drift (n_chars dropped, lang
     # retyped, extra_col added) — each metric independently derived
@@ -1118,6 +1142,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_url_dedup": llm3.q_url_dedup,
         "q_dsir_select": llm3.q_dsir_select,
         "q_snapshot_drift": llm3.q_snapshot_drift,
+        "q_phrase_search": llm3.q_phrase_search,
         "q_minhash_poly": llm3.q_minhash_poly,
         "q_chunk_documents": llm3.q_chunk_documents,
         "q_quality_classifier": llm3.q_quality_classifier,
