@@ -157,9 +157,22 @@ class InvertedIndex:
             )
         self._write(docs, id_col, text_col, "append")
 
-    def _corpus_stats(self, spark: SparkSession) -> tuple[int, float]:
+    def _corpus_stats(
+        self, spark: SparkSession, dedup: bool = False
+    ) -> tuple[int, float]:
+        """(N, avgdl) from the delta table.  ``dedup=True`` collapses
+        replayed delta rows first — replays write an IDENTICAL row (the
+        content-derived batch_key), so dropDuplicates on the key
+        restores one-shot-build N/avgdl exactly; without it a replayed
+        append inflates N and shifts every idf and length norm
+        (non-uniformly across terms), so dedup'd posting reads MUST
+        pair with dedup'd stats for search(dedup=True) to reproduce
+        the clean index's scores (ADVICE r10 #1)."""
+        deltas = spark.read.parquet(self.stats_path)
+        if dedup:
+            deltas = deltas.dropDuplicates(["batch_key"])
         row = (
-            spark.read.parquet(self.stats_path)
+            deltas
             .agg(
                 F.sum("n_docs").alias("n"),
                 F.sum("sum_dl").alias("s"),
@@ -183,10 +196,12 @@ class InvertedIndex:
         the term-sorted layout) plus the tiny stats table; ties break
         to the lower doc_id (the bm25_rank contract).  ``dedup=True``
         drops replayed posting rows on the way in (one extra shuffle)
-        — use when stats() shows duplication and compact() hasn't run."""
+        AND collapses replayed stats deltas (identical batch_key rows),
+        so it reproduces the clean index's scores EXACTLY — use when
+        stats() shows duplication and compact() hasn't run."""
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
-        n, avgdl = self._corpus_stats(spark)
+        n, avgdl = self._corpus_stats(spark, dedup=dedup)
         post = spark.read.parquet(self.postings_path).filter(
             F.col("term").isin(list(query_terms))
         )

@@ -84,9 +84,10 @@ def test_replay_dedup_read_and_compact(spark, tmp_path):
     # consistency: the replayed delta inflates n_docs together with
     # the postings (identical batch_key row appended twice)
     assert st["batches"] == 3
-    assert _ranked(idx.search(spark, TERMS, k=10, dedup=True))[0][0] == clean[0][0]
-    # dedup-on-read reproduces the clean scores except for n/avgdl,
-    # which the replayed delta inflates -> compare ids only here
+    # dedup-on-read collapses BOTH the posting rows and the replayed
+    # stats delta (identical batch_key), so it reproduces the clean
+    # index's ranking AND scores exactly (ADVICE r10 #1)
+    assert _ranked(idx.search(spark, TERMS, k=10, dedup=True)) == clean
     idx.compact(spark)
     st2 = idx.stats(spark)
     assert st2["duplication_ratio"] == 1.0
