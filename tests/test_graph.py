@@ -169,3 +169,34 @@ def test_personalized_reset_localizes_rank(spark):
     with pytest.raises(ValueError, match="positive mass"):
         pagerank(e, reset=spark.createDataFrame(
             [(9, 0.0)], "node long, reset_prob double"))
+
+
+def test_reset_mass_outside_graph_is_renormalized(spark):
+    """ADVICE r10 #2: reset rows naming nodes the graph doesn't contain
+    must not leak teleport mass — normalization happens over the
+    IN-GRAPH nodes, so {1: 1.0, 99: 3.0} behaves exactly like {1: 1.0}
+    and total rank stays 1; a reset that is positive ONLY outside the
+    graph is loud."""
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    with_ghost = spark.createDataFrame(
+        [(1, 1.0), (99, 3.0)], "node long, reset_prob double"
+    )
+    clean = spark.createDataFrame([(1, 1.0)], "node long, reset_prob double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=15, tol=None, reset=with_ghost).collect()
+    }
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=15, tol=None, reset=clean).collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3}
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    only_ghost = spark.createDataFrame(
+        [(99, 5.0)], "node long, reset_prob double"
+    )
+    with pytest.raises(ValueError, match="positive mass on the"):
+        pagerank(e, reset=only_ghost)
