@@ -131,15 +131,40 @@ class IvfIndex:
 
     def _flip(self, spark: SparkSession, version: int) -> None:
         """Point the index at a fully-written version (the LAST step),
-        then prune superseded version dirs — a crash mid-prune only
-        leaves garbage the pointer never references."""
+        then prune superseded version dirs EXCEPT the immediately-
+        previous one — a lazy DataFrame handle captured from the
+        previous version (an assigned()/centroids() a kNN consumer is
+        still holding while compact()/rebuild() runs in its quiet
+        window) evaluates against files that must still exist, so the
+        flip leaves version-1 as a reader grace window (ADVICE r10 #3)
+        and :meth:`vacuum` reclaims it explicitly once no reader can
+        hold a handle that old.  A crash mid-prune only leaves garbage
+        the pointer never references."""
         write_text_file_atomic(spark, self._pointer(), f"v{version:04d}")
         fs, root = hadoop_fs(spark, self.path)
         jvm = spark._jvm  # noqa: SLF001
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if name.startswith("v") and name[1:].isdigit():
-                if int(name[1:]) < version:
+                if int(name[1:]) < version - 1:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(root, name), True
+                    )
+
+    def vacuum(self, spark: SparkSession) -> None:
+        """Delete every version directory except the current one —
+        including the grace-window predecessor :meth:`_flip` retains
+        for in-flight readers.  Run it AFTER the maintenance quiet
+        window closes (when no consumer can still hold a lazy handle
+        on the previous version); until then the predecessor costs one
+        superseded copy of disk and nothing else."""
+        v = self._require_version(spark)
+        fs, root = hadoop_fs(spark, self.path)
+        jvm = spark._jvm  # noqa: SLF001
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) != v:
                     fs.delete(
                         jvm.org.apache.hadoop.fs.Path(root, name), True
                     )

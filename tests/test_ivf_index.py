@@ -169,6 +169,42 @@ def test_torn_pointer_falls_back_to_marked_version(spark, tmp_path):
     assert _rows(idx, spark) == want
 
 
+def test_flip_retains_previous_version_until_vacuum(spark, tmp_path):
+    """ADVICE r10 #3: a lazy handle captured from the previous version
+    (a kNN consumer holding assigned() while compact() runs in its
+    quiet window) must still evaluate after the flip — the flip keeps
+    version-1 as a reader grace window; vacuum() reclaims it once the
+    window closes."""
+    emb = _emb(spark)
+    root = tmp_path / "idx"
+    idx = IvfIndex(str(root))
+    idx.build(emb, "vec_id", "embedding", centroids=_frozen_cents(emb))
+
+    stale_handle = idx.assigned(spark)      # lazy plan over v0001
+    idx.compact(spark)                       # -> v0002, v0001 retained
+    versions = sorted(p.name for p in root.iterdir()
+                      if p.name.startswith("v"))
+    assert versions == ["v0001", "v0002"]
+    # the pre-flip handle evaluates against the retained files
+    assert stale_handle.count() == emb.count()
+
+    idx.compact(spark)                       # -> v0003; prunes v0001
+    versions = sorted(p.name for p in root.iterdir()
+                      if p.name.startswith("v"))
+    assert versions == ["v0002", "v0003"]
+
+    idx.vacuum(spark)                        # grace window closed
+    versions = sorted(p.name for p in root.iterdir()
+                      if p.name.startswith("v"))
+    assert versions == ["v0003"]
+    assert idx.current_version(spark) == 3
+    assert _rows(idx, spark) == sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in idx.assigned(spark).select(
+            "vec_id", "centroid_id").collect()
+    )
+
+
 def test_knn_join_through_maintained_index(spark, tmp_path):
     """knn_join_ivf(assigned=index.assigned(...)) over a built+appended
     index must equal the per-call assignment path — the assign-once,
