@@ -985,6 +985,10 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_drift_report(a, b).orderBy("column")
 
 
+# sf_dirs whose q_phrase_search index is already built this process
+_PHRASE_IDX_BUILT: set[str] = set()
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 X54 phrase form: exact-phrase retrieval through the
     positional inverted index — top-25 docs containing the consecutive
@@ -992,14 +996,27 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives counts straight from the token arrays (ground truth
     by construction — adjacency scan, independent of the index's
     positional fold).  UNREGISTERED; parity in
-    tests/test_oracle_parity.py."""
+    tests/test_oracle_parity.py.
+
+    The index lives at ONE deterministic temp path per sf_dir, built at
+    most once per process (ADVICE r10 #4: a fresh mkdtemp per invocation
+    leaked a populated index dir every parity/bench run; the returned
+    DataFrame reads the index lazily, so the dir cannot be removed
+    before the caller collects — caching is the fix, and build()
+    overwrites, so a stale dir from a crashed prior process is replaced,
+    never accumulated)."""
+    import hashlib
     import tempfile
 
     from covid19i2b2_spark.operators.inverted_index import InvertedIndex
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = InvertedIndex(tempfile.mkdtemp(prefix="q_phrase_idx_"))
-    idx.build(docs, "doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/q_phrase_idx_{tag}"
+    idx = InvertedIndex(path)
+    if path not in _PHRASE_IDX_BUILT:
+        idx.build(docs, "doc_id", "text")
+        _PHRASE_IDX_BUILT.add(path)
     return (
         idx.phrase_search(spark, ["the", "fast"], k=25)
         .select(F.col("doc_id").cast("long").alias("doc_id"),
