@@ -1054,6 +1054,107 @@ def _bench_inverted_index(spark) -> dict:
     return out
 
 
+def _bench_pagerank_scaled(spark) -> dict:
+    """X56 scale story (VERDICT r10 #1): PageRank over a deterministic
+    synthetic link graph derived from the replicated orders table at
+    x1/x{SCALE_X}/x{SCALE100_X} — |E| = orders rows (key offsets make
+    every replica's keys distinct, so the graph grows linearly),
+    |V| ≈ |E|/10 (avg out-degree ~10 via modular src/dst).  4 damped
+    passes, tol=None (fixed work per factor); reports wall + per-pass
+    seconds and linear_ratio_x100_vs_x10 (bar ~1.3 — 2 node-keyed
+    shuffles/pass all O(|E|)).  The x{SCALE_X} factor also runs the
+    NAIVE per-pass-reshuffle plan (pre_partition=False) next to the
+    default pre-partitioned one — the measured receipt for the
+    edges-pinned-once design, not just the plan pin."""
+    from covid19i2b2_spark.caching import release_local_checkpoint
+    from covid19i2b2_spark.operators.graph import pagerank
+    from covid19i2b2_spark.sources.tables import read_table
+
+    n_it = 4
+    out: dict = {"n_iter": n_it}
+
+    def _edges(d):
+        orders = read_table(spark, d, "orders")
+        v = max(orders.count() // 10, 10)
+        return orders.select(
+            F.pmod(F.col("o_orderkey"), F.lit(v)).alias("src"),
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(v)).alias("dst"),
+        )
+
+    factors = [(1, 32), (SCALE_X, 32)]
+    if SCALE100_X > 1:
+        factors.append((SCALE100_X, 128))
+    for factor, nf in factors:
+        d = SF_DIR if factor == 1 else _scaled_dir(spark, factor, n_files=nf)
+        e = _edges(d)
+        t0 = time.perf_counter()
+        ranks = pagerank(e, n_iter=n_it, tol=None)
+        ranks.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        release_local_checkpoint(ranks)
+        out[f"x{factor}_sec"] = round(wall, 3)
+        out[f"x{factor}_per_pass_sec"] = round(wall / n_it, 3)
+        if factor == SCALE_X:
+            t0 = time.perf_counter()
+            ranks = pagerank(e, n_iter=n_it, tol=None, pre_partition=False)
+            ranks.write.format("noop").mode("overwrite").save()
+            out[f"x{factor}_naive_sec"] = round(time.perf_counter() - t0, 3)
+            release_local_checkpoint(ranks)
+        spark.catalog.clearCache()
+    if SCALE100_X > 1:
+        out["linear_ratio_x100_vs_x10"] = round(
+            out[f"x{SCALE100_X}_sec"]
+            / ((SCALE100_X / SCALE_X) * out[f"x{SCALE_X}_sec"]),
+            3,
+        )
+    return out
+
+
+def _bench_dsir_scaled(spark) -> dict:
+    """X57 (VERDICT r10 #2): dsir_select over the scaled documents.
+    The fused one-pass scoring runs next to the legacy two-pass
+    composition at x{SCALE_X} — the halved-raw-scan claim, measured
+    (fusion_speedup = two_pass / one_pass) — and the one-pass plan
+    runs again at x{SCALE100_X} for linear_ratio_x100_vs_x10 (the
+    plan is one explode + broadcast-map join + aggregate: O(tokens))."""
+    from covid19i2b2_spark.operators.sampling import dsir_select
+    from covid19i2b2_spark.sources.tables import read_table
+
+    out: dict = {}
+
+    def _run(d, one_pass):
+        docs = read_table(spark, d, "documents").select("doc_id", "text")
+        target = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
+        raw = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+        runs = []
+        for _ in range(2):  # min-of-2: the scaled sections' protocol
+            t0 = time.perf_counter()
+            dsir_select(
+                raw, target, "doc_id", "text", k=50, top_n_vocab=100,
+                seed=7, one_pass=one_pass,
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(min(runs), 3)
+
+    d10 = _scaled_dir(spark, SCALE_X)
+    out[f"one_pass_x{SCALE_X}_sec"] = _run(d10, True)
+    out[f"two_pass_x{SCALE_X}_sec"] = _run(d10, False)
+    out["fusion_speedup"] = round(
+        out[f"two_pass_x{SCALE_X}_sec"] / out[f"one_pass_x{SCALE_X}_sec"],
+        3,
+    )
+    if SCALE100_X > 1:
+        d100 = _scaled_dir(spark, SCALE100_X, n_files=128)
+        out[f"one_pass_x{SCALE100_X}_sec"] = _run(d100, True)
+        out["linear_ratio_x100_vs_x10"] = round(
+            out[f"one_pass_x{SCALE100_X}_sec"]
+            / ((SCALE100_X / SCALE_X) * out[f"one_pass_x{SCALE_X}_sec"]),
+            3,
+        )
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -1152,6 +1253,8 @@ def main() -> None:
         result["fuzzy_scaled"] = _bench_fuzzy_scaled(spark)
         result["ivf_maintenance"] = _bench_ivf_maintenance(spark)
         result["inverted_index"] = _bench_inverted_index(spark)
+        result["pagerank_scaled"] = _bench_pagerank_scaled(spark)
+        result["dsir_scaled"] = _bench_dsir_scaled(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
@@ -1341,6 +1444,8 @@ def main() -> None:
         "fuzzy_scaled",
         "ivf_maintenance",
         "inverted_index",
+        "pagerank_scaled",
+        "dsir_scaled",
         "sketch_stores",
         "scaled",
         "llm_scaled",
@@ -1386,6 +1491,20 @@ def main() -> None:
         summary["invidx_search_rare_3q_sec"] = detail[
             "inverted_index"
         ].get("search_rare_3q_sec")
+    if "pagerank_scaled" in detail:
+        summary["pagerank_x100_linear_ratio_vs_x10"] = detail[
+            "pagerank_scaled"
+        ].get("linear_ratio_x100_vs_x10")
+        summary["pagerank_x10_per_pass_sec"] = detail[
+            "pagerank_scaled"
+        ].get(f"x{SCALE_X}_per_pass_sec")
+    if "dsir_scaled" in detail:
+        summary["dsir_fusion_speedup"] = detail["dsir_scaled"].get(
+            "fusion_speedup"
+        )
+        summary["dsir_x100_linear_ratio_vs_x10"] = detail[
+            "dsir_scaled"
+        ].get("linear_ratio_x100_vs_x10")
     if summary:
         result["scaled_summary"] = summary
     print(json.dumps(result))

@@ -597,6 +597,68 @@ def filter_top_fraction(
     return joined.filter(score >= F.col("__thr")).drop("__thr")
 
 
+def _dsir_scores_one_pass(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n_vocab: int,
+) -> DataFrame:
+    """raw + (__lp_target, __lp_raw): both unigram LM scores from ONE
+    tokenize->explode->broadcast-join->groupBy chain over the raw
+    corpus.  Replays unigram_logprob_score's arithmetic exactly —
+    add-one smoothing over the top-N vocab, fixed-point picounit sums
+    (order-independent), round6 per mean — for BOTH LMs against one
+    merged (token -> count_target, count_raw) broadcast map, so
+    one_pass ≡ two_pass bit-for-bit."""
+    from covid19i2b2_spark.operators.aggregates import round6
+    from covid19i2b2_spark.operators.quality import build_vocab
+    from covid19i2b2_spark.operators.text import tokens
+
+    vocab_t = build_vocab(
+        target, text_col, top_n=top_n_vocab, lowercase=False
+    ).select("token", F.col("n").alias("__nt"))
+    vocab_r = build_vocab(
+        raw, text_col, top_n=top_n_vocab, lowercase=False
+    ).select("token", F.col("n").alias("__nr"))
+    # both sides are driver-bounded at top_n_vocab rows — the merged
+    # map stays broadcast-sized by construction
+    lm_map = vocab_t.join(vocab_r, "token", "full_outer")
+    n_t = target.select(F.explode(tokens(F.col(text_col)))).count()
+    n_r = raw.select(F.explode(tokens(F.col(text_col)))).count()
+    v = top_n_vocab + 1
+    toks = raw.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+
+    def _fix(cnt_col: str, n_total: int):
+        logp = F.log(
+            (F.coalesce(F.col(cnt_col), F.lit(0)) + 1).cast("double")
+            / F.lit(float(n_total + v))
+        )
+        return F.floor(logp * F.lit(1e12) + F.lit(0.5)).cast("long")
+
+    per_doc = (
+        toks.join(F.broadcast(lm_map), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            round6(
+                F.sum(_fix("__nt", n_t)).cast("double")
+                / F.count("*")
+                / F.lit(1e12)
+            ).alias("__lp_target"),
+            round6(
+                F.sum(_fix("__nr", n_r)).cast("double")
+                / F.count("*")
+                / F.lit(1e12)
+            ).alias("__lp_raw"),
+        )
+    )
+    return raw.join(per_doc, id_col, "left").select(
+        raw["*"], F.col("__lp_target"), F.col("__lp_raw")
+    )
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,
@@ -606,6 +668,7 @@ def dsir_select(
     top_n_vocab: int = 1000,
     seed: int = 42,
     length_normalized: bool = False,
+    one_pass: bool = True,
 ) -> DataFrame:
     """X57: Data Selection via Importance Resampling (Xie et al. 2023,
     DSIR) — pick the k raw documents whose token distribution most
@@ -626,12 +689,23 @@ def dsir_select(
     never-rand() rule): deterministic across runs, partitionings, and
     engines, so the whole selection carries DuckDB parity.
 
-    Shape: two broadcast-vocab scoring passes over the raw corpus
-    (each one explode + token-keyed join + map-side-combined groupBy),
-    the target corpus touched only for its vocab/N (small by
-    invariant — it is the thing you DON'T have enough of), then
-    TakeOrderedAndProject for the top-k.  Docs with no tokens carry no
-    evidence and are excluded (NULL scores can't rank).
+    Shape (``one_pass=True``, the default — VERDICT r10 #1): both LMs
+    are add-one-smoothed lookups over bounded vocabularies, so ONE
+    explode over the raw corpus joined against ONE broadcast map
+    carrying (token -> count_target, count_raw) (a full-outer join of
+    the two top-N vocab tables, both driver-bounded) computes both
+    per-doc log-prob sums in a single map-side-combined aggregate —
+    the raw corpus is tokenized once for scoring instead of twice,
+    halving the dominant cost.  The target corpus is touched only for
+    its vocab/N (small by invariant — it is the thing you DON'T have
+    enough of); the raw LM fit (vocab + token count) still needs its
+    own pass, as it would under any plan.  TakeOrderedAndProject takes
+    the top-k.  ``one_pass=False`` keeps the original two-pass
+    composition of unigram_logprob_score — bit-identical output
+    (pinned by test; the fixed-point picounit sums make both plans
+    order-independent), kept for the equality pin and the bench
+    comparison.  Docs with no tokens carry no evidence and are
+    excluded (NULL scores can't rank).
 
     Output: raw's columns + log_weight + the selection key, top-k by
     (gumbel_key desc, id asc)."""
@@ -641,13 +715,18 @@ def dsir_select(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    scored_t = unigram_logprob_score(
-        raw, id_col, text_col, top_n_vocab, "__lp_target",
-        lm_corpus=target,
-    )
-    scored = unigram_logprob_score(
-        scored_t, id_col, text_col, top_n_vocab, "__lp_raw",
-    )
+    if one_pass:
+        scored = _dsir_scores_one_pass(
+            raw, target, id_col, text_col, top_n_vocab
+        )
+    else:
+        scored_t = unigram_logprob_score(
+            raw, id_col, text_col, top_n_vocab, "__lp_target",
+            lm_corpus=target,
+        )
+        scored = unigram_logprob_score(
+            scored_t, id_col, text_col, top_n_vocab, "__lp_raw",
+        )
     diff = F.col("__lp_target") - F.col("__lp_raw")
     if not length_normalized:
         diff = diff * token_count(F.col(text_col))

@@ -16,31 +16,14 @@ from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
 
 
-@query(
-    "q_ngram_jaccard",
-    oracle="""
-    WITH grams AS (
-        SELECT doc_id,
-               list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 2
-                    THEN []
-                    ELSE [array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+1], ' ')
-                          FOR i IN range(1, len(regexp_split_to_array(trim(text), '\\s+')))]
-               END) AS gset
-        FROM documents
-        WHERE doc_id < 100
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           FLOOR((CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.gset, b.gset)))) * 1000000 + 0.5)
-               / 1000000 AS jaccard
-    FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
-    ORDER BY id_a
-    """,
-)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: word-bigram Jaccard similarity between consecutive documents —
     the n-gram near-dup measure standalone (MinHash approximates exactly
-    this; here it is computed exactly on a bounded slice)."""
+    this; here it is computed exactly on a bounded slice).
+    UNREGISTERED since round 11 (slot ceded to q_dsir_select per
+    VERDICT r10 #2 — the jaccard-verify arithmetic stays oracle-checked
+    inside q_minhash_pairs' verify stage, and this query's full DuckDB
+    parity continues in tests/test_oracle_parity.py)."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     grams = docs.select(
         "doc_id", F.trim(F.col("text")).alias("__t")

@@ -933,6 +933,68 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dsir_select",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents
+    ),
+    raw_tok AS (
+        SELECT doc_id, unnest(toks) AS token FROM toked
+        WHERE doc_id % 10 <> 0
+    ),
+    tgt_tok AS (
+        SELECT doc_id, unnest(toks) AS token FROM toked
+        WHERE doc_id % 10 = 0
+    ),
+    vocab_t AS (
+        SELECT token, COUNT(*) AS n FROM tgt_tok GROUP BY token
+        ORDER BY n DESC, token LIMIT 100
+    ),
+    vocab_r AS (
+        SELECT token, COUNT(*) AS n FROM raw_tok GROUP BY token
+        ORDER BY n DESC, token LIMIT 100
+    ),
+    nt AS (SELECT COUNT(*) AS n FROM tgt_tok),
+    nr AS (SELECT COUNT(*) AS n FROM raw_tok),
+    lp AS (
+        SELECT t.doc_id,
+               COUNT(*) AS dl,
+               FLOOR((CAST(SUM(CAST(FLOOR(ln((COALESCE(vt.n, 0) + 1)
+                       / (CAST(nt.n AS DOUBLE) + 101))
+                       * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) / 1000000000000) * 1000000 + 0.5)
+                   / 1000000 AS lp_t,
+               FLOOR((CAST(SUM(CAST(FLOOR(ln((COALESCE(vr.n, 0) + 1)
+                       / (CAST(nr.n AS DOUBLE) + 101))
+                       * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) / 1000000000000) * 1000000 + 0.5)
+                   / 1000000 AS lp_r
+        FROM raw_tok t
+        LEFT JOIN vocab_t vt USING (token)
+        LEFT JOIN vocab_r vr USING (token), nt, nr
+        GROUP BY t.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id,
+               (lp_t - lp_r) * dl AS diff,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'),
+                                     1, 8)) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS u
+        FROM lp
+    )
+    SELECT doc_id,
+           FLOOR(diff * 1000000 + 0.5) / 1000000 AS log_weight,
+           FLOOR((diff - ln(-ln(u))) * 1000000 + 0.5) / 1000000
+               AS gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 50
+    """,
+)
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 X57: DSIR data selection (operators/sampling.py
     dsir_select) — every 10th document plays the small target corpus,
@@ -940,7 +1002,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram importance weight are Gumbel-top-k selected (seeded md5
     noise — the F13 never-rand() rule, so DuckDB replays vocabularies,
     fixed-point logprob means, weights, noise, and the final ranking
-    exactly).  UNREGISTERED; parity in tests/test_oracle_parity.py."""
+    exactly).  REGISTERED round 11 (VERDICT r10 #2 — slot ceded by
+    q_ngram_jaccard; the fused one-pass scoring carries the same
+    oracle because it replays arithmetic, not plan shape)."""
     from covid19i2b2_spark.operators.sampling import dsir_select
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

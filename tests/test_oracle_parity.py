@@ -518,69 +518,27 @@ UNREGISTERED_ORACLES = {
     ) ORDER BY "column"
     """,
 
-    # X57 DSIR selection: both unigram LMs (target split / raw pool),
-    # fixed-point logprob means, sum-form importance weights, seeded
-    # md5 Gumbel noise, rounded-key ranking — the full selection
-    # replayed (mirrors operators/sampling.dsir_select at
-    # top_n_vocab=100, seed=7, k=50)
-    "q_dsir_select": """
-    WITH toked AS (
+    # X2 word-bigram Jaccard: REGISTERED rounds 2-10, slot ceded to
+    # q_dsir_select in round 11 (VERDICT r10 #2) — full parity
+    # continues here; the jaccard-verify arithmetic also stays under
+    # the driver gate inside q_minhash_pairs' verify stage
+    "q_ngram_jaccard": """
+    WITH grams AS (
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN []
-                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+               list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 2
+                    THEN []
+                    ELSE [array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+1], ' ')
+                          FOR i IN range(1, len(regexp_split_to_array(trim(text), '\\s+')))]
+               END) AS gset
         FROM documents
-    ),
-    raw_tok AS (
-        SELECT doc_id, unnest(toks) AS token FROM toked
-        WHERE doc_id % 10 <> 0
-    ),
-    tgt_tok AS (
-        SELECT doc_id, unnest(toks) AS token FROM toked
-        WHERE doc_id % 10 = 0
-    ),
-    vocab_t AS (
-        SELECT token, COUNT(*) AS n FROM tgt_tok GROUP BY token
-        ORDER BY n DESC, token LIMIT 100
-    ),
-    vocab_r AS (
-        SELECT token, COUNT(*) AS n FROM raw_tok GROUP BY token
-        ORDER BY n DESC, token LIMIT 100
-    ),
-    nt AS (SELECT COUNT(*) AS n FROM tgt_tok),
-    nr AS (SELECT COUNT(*) AS n FROM raw_tok),
-    lp AS (
-        SELECT t.doc_id,
-               COUNT(*) AS dl,
-               FLOOR((CAST(SUM(CAST(FLOOR(ln((COALESCE(vt.n, 0) + 1)
-                       / (CAST(nt.n AS DOUBLE) + 101))
-                       * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
-                      / COUNT(*) / 1000000000000) * 1000000 + 0.5)
-                   / 1000000 AS lp_t,
-               FLOOR((CAST(SUM(CAST(FLOOR(ln((COALESCE(vr.n, 0) + 1)
-                       / (CAST(nr.n AS DOUBLE) + 101))
-                       * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
-                      / COUNT(*) / 1000000000000) * 1000000 + 0.5)
-                   / 1000000 AS lp_r
-        FROM raw_tok t
-        LEFT JOIN vocab_t vt USING (token)
-        LEFT JOIN vocab_r vr USING (token), nt, nr
-        GROUP BY t.doc_id
-    ),
-    keyed AS (
-        SELECT doc_id,
-               (lp_t - lp_r) * dl AS diff,
-               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'),
-                                     1, 8)) AS BIGINT) + 0.5)
-                   / 4294967296.0 AS u
-        FROM lp
+        WHERE doc_id < 100
     )
-    SELECT doc_id,
-           FLOOR(diff * 1000000 + 0.5) / 1000000 AS log_weight,
-           FLOOR((diff - ln(-ln(u))) * 1000000 + 0.5) / 1000000
-               AS gumbel_key
-    FROM keyed
-    ORDER BY gumbel_key DESC, doc_id
-    LIMIT 50
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR((CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gset, b.gset)))) * 1000000 + 0.5)
+               / 1000000 AS jaccard
+    FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
     """,
 
     # X55 URL dedup over the deterministic synthetic zoo: the oracle
@@ -1140,7 +1098,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_semantic_pairs_frozen": llm3.q_semantic_pairs_frozen,
         "q_cosine_topk": llm.q_cosine_topk,
         "q_url_dedup": llm3.q_url_dedup,
-        "q_dsir_select": llm3.q_dsir_select,
+        "q_ngram_jaccard": llm2.q_ngram_jaccard,
         "q_snapshot_drift": llm3.q_snapshot_drift,
         "q_phrase_search": llm3.q_phrase_search,
         "q_minhash_poly": llm3.q_minhash_poly,

@@ -489,10 +489,10 @@ def test_knn_join_two_stage_bounds_both_exchanges(spark):
 
 
 def test_dsir_plan_is_expression_only(spark):
-    """q_dsir_select: the whole selection (two LM scorings, weights,
-    seeded Gumbel noise, top-k) must stay JVM-side — no Python
-    evaluation of any kind, no cartesian, and the bounded vocab tables
-    enter through broadcast joins."""
+    """q_dsir_select: the whole selection (fused one-pass LM scoring,
+    weights, seeded Gumbel noise, top-k) must stay JVM-side — no
+    Python evaluation of any kind, no cartesian, and the merged
+    bounded vocab map enters through a broadcast join."""
     from covid19i2b2_spark.queries.llm3 import q_dsir_select
 
     df = q_dsir_select(spark, SF_DIR)
@@ -500,6 +500,62 @@ def test_dsir_plan_is_expression_only(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_pre_partition_cuts_per_pass_exchanges(spark):
+    """VERDICT r10 #1: with the edges pinned on their source key
+    (pre_partition=True, the default) a PageRank pass must plan
+    STRICTLY fewer exchanges than the naive per-pass re-shuffle —
+    and an edges table bucketed on the source key
+    (layout.write_bucketed) must co-locate the same join with
+    pre_partition=False.  Results are identical either way."""
+    import pytest as _pytest
+
+    from covid19i2b2_spark.operators.graph import pagerank
+    from covid19i2b2_spark.sources.layout import read_table as read_bucketed
+    from covid19i2b2_spark.sources.layout import write_bucketed
+    from covid19i2b2_spark.sources.tables import read_table
+
+    orders = read_table(spark, SF_DIR, "orders").limit(500)
+    edges = orders.select(
+        (F.col("o_orderkey") % 97).alias("src"),
+        (F.xxhash64("o_orderkey") % 97).alias("dst"),
+    )
+    kw = dict(n_iter=3, tol=None)
+    naive_probe: dict = {}
+    naive = pagerank(edges, pre_partition=False, plan_probe=naive_probe,
+                     **kw)
+    pre_probe: dict = {}
+    pre = pagerank(edges, pre_partition=True, plan_probe=pre_probe, **kw)
+    # steady-state pass = the SECOND iteration (the first reads the
+    # uniform init ranks, whose partitioning differs)
+    n_naive = naive_probe["iteration_plans"][1].count("Exchange")
+    n_pre = pre_probe["iteration_plans"][1].count("Exchange")
+    assert n_pre < n_naive, (n_pre, n_naive)
+    got_n = {r["node"]: r["rank"] for r in naive.collect()}
+    got_p = {r["node"]: r["rank"] for r in pre.collect()}
+    assert set(got_n) == set(got_p)
+    for v in got_n:
+        assert got_p[v] == _pytest.approx(got_n[v], abs=1e-12), v
+
+    # bucketed-table path: the scan itself reports the bucket
+    # partitioning, so even pre_partition=False co-locates
+    spark.sql("DROP TABLE IF EXISTS pagerank_edges_bucketed")
+    write_bucketed(edges, "pagerank_edges_bucketed", ["src"],
+                   n_buckets=8, sort_cols=["src"])
+    try:
+        b_probe: dict = {}
+        b = pagerank(
+            read_bucketed(spark, "pagerank_edges_bucketed"),
+            pre_partition=False, plan_probe=b_probe, **kw,
+        )
+        n_bucketed = b_probe["iteration_plans"][1].count("Exchange")
+        assert n_bucketed < n_naive, (n_bucketed, n_naive)
+        got_b = {r["node"]: r["rank"] for r in b.collect()}
+        for v in got_n:
+            assert got_b[v] == _pytest.approx(got_n[v], abs=1e-12), v
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pagerank_edges_bucketed")
 
 
 def test_url_dedup_plan_is_expression_only(spark):

@@ -570,3 +570,34 @@ def test_dsir_selects_target_like_documents(spark):
     assert all(r["doc_id"] < 30 for r in norm.collect())
     with _pytest.raises(ValueError, match="k must be"):
         dsir_select(raw, target, "doc_id", "text", k=0)
+
+
+def test_dsir_one_pass_equals_two_pass(spark):
+    """VERDICT r10 #2: the fused single-scan scoring (one explode +
+    one broadcast token->(count_target, count_raw) map) must be
+    bit-identical to the original two-pass unigram_logprob_score
+    composition — the fixed-point picounit sums make both plans
+    order-independent, so this is exact equality on weights and keys,
+    not a tolerance check."""
+    from covid19i2b2_spark.operators.sampling import dsir_select
+    from covid19i2b2_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    kw = dict(k=40, top_n_vocab=100, seed=7)
+    one = [
+        (r["doc_id"], r["log_weight"], r["gumbel_key"])
+        for r in dsir_select(
+            raw, target, "doc_id", "text", one_pass=True, **kw
+        ).collect()
+    ]
+    two = [
+        (r["doc_id"], r["log_weight"], r["gumbel_key"])
+        for r in dsir_select(
+            raw, target, "doc_id", "text", one_pass=False, **kw
+        ).collect()
+    ]
+    assert one == two
+    assert len(one) == 40
