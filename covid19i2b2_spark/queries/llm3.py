@@ -887,11 +887,14 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/urls.py) over a DETERMINISTIC synthetic URL zoo — the
     documents table carries no URL column, so each doc derives one
     from (source, doc_id % 50): 50 distinct resources per source, each
-    spelled four ways by doc_id % 4 (uppercase host, www. prefix +
-    tracking param, explicit :80 port + trailing slash, plain).
-    Canonicalization must fold the spellings so the dedup groups by
-    resource; the DuckDB oracle replays the construction AND the
-    folding rules.  UNREGISTERED; parity in tests/test_oracle_parity.py."""
+    spelled four ways by doc_id % 4 (uppercase host + percent-encoded
+    unreserved path chars, www. prefix + tracking param, explicit :80
+    port + trailing slash, plain).  Canonicalization must fold the
+    spellings so the dedup groups by resource; the DuckDB oracle
+    replays the construction AND the folding rules (round 11: the
+    expected canonical is derived from the construction, so the
+    %44/%6Fc spelling passing parity IS the RFC 3986 unreserved-decode
+    proof).  UNREGISTERED; parity in tests/test_oracle_parity.py."""
     from covid19i2b2_spark.operators.urls import url_dedup
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -900,10 +903,15 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = F.concat(F.col("source"), F.lit(".example.com"))
     path = F.concat(F.lit("/Doc/"), key)
     url = (
-        # host case folds, PATH case is kept — only the host uppercases
+        # host case folds, PATH case is kept — only the host uppercases;
+        # the percent-encoded spelling decodes to the same "/Doc/" path
+        # (%44 = D uppercase-hex, %6f = o lowercase-hex — both rules)
         F.when(
             spelling == 0,
-            F.concat(F.lit("http://"), F.upper(host), path),
+            F.concat(
+                F.lit("http://"), F.upper(host),
+                F.lit("/%44%6fc/"), key,
+            ),
         )
         .when(
             spelling == 1,

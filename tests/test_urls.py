@@ -31,6 +31,14 @@ ZOO = [
     ("http://example.com/p?utm_campaign=x", "http://example.com/p"),
     ("http://example.com/p?z=1&y=2&z=0", "http://example.com/p?y=2&z=0&z=1"),
     ("  http://example.com/p  ", "http://example.com/p"),
+    # RFC 3986 percent-encoding normalization (round 11):
+    # unreserved escapes decode, other hex uppercases, bare % kept
+    ("http://example.com/%7Ea/%41b", "http://example.com/~a/Ab"),
+    ("http://example.com/%7e", "http://example.com/~"),
+    ("http://example.com/p?x=%3a%2f", "http://example.com/p?x=%3A%2F"),
+    ("http://ex%61mple.com/p", "http://example.com/p"),
+    ("http://example.com/100%", "http://example.com/100%"),
+    ("http://example.com/a%zzb", "http://example.com/a%zzb"),
     ("ftp://example.com/file", None),
     ("example.com/no-scheme", None),
     ("http://", None),
@@ -68,7 +76,7 @@ def test_strip_www_opt_out_and_host(spark):
 @settings(max_examples=25, deadline=None)
 @given(
     url=st.text(
-        alphabet="abcXYZ019:/?&=#._-@ ", min_size=0, max_size=40
+        alphabet="abcXYZ019:/?&=#._-@% ", min_size=0, max_size=40
     ).map(lambda s: "http://" + s)
 )
 def test_canonicalization_idempotent(spark, url):
@@ -80,6 +88,97 @@ def test_canonicalization_idempotent(spark, url):
         canonicalize_url(canonicalize_url("url")).alias("c2"),
     ).collect()[0]
     assert r["c1"] == r["c2"], (url, r["c1"], r["c2"])
+
+
+def test_idn_fold_to_punycode(spark):
+    """fold_idn=True: non-ASCII hosts fold to their xn-- punycode form
+    (stdlib idna codec), ASCII hosts are untouched, rejected hosts are
+    loudly NULL, and folding is idempotent (punycode is ASCII)."""
+    rows = [
+        (1, "http://BÜCHER.example/p"),
+        (2, "http://example.com/p"),
+        (3, "http://ü..example/x"),       # empty label -> codec reject
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            canonicalize_url("url", fold_idn=True).alias("c"),
+            extract_host("url", fold_idn=True).alias("h"),
+        ).collect()
+    }
+    assert got[1] == (
+        "http://xn--bcher-kva.example/p", "xn--bcher-kva.example"
+    )
+    assert got[2] == ("http://example.com/p", "example.com")
+    assert got[3] == (None, None)
+    # idempotence through the fold: re-canonicalizing the folded form
+    # is a no-op (ASCII fast path)
+    r = df.filter(F.col("i") == 1).select(
+        canonicalize_url(
+            canonicalize_url("url", fold_idn=True), fold_idn=True
+        ).alias("c2")
+    ).collect()[0]
+    assert r["c2"] == got[1][0]
+
+
+PSL_FIXTURE = [
+    "// a publicsuffix.org-format snapshot (spec-example rules)",
+    "",
+    "com",
+    "uk",
+    "co.uk",
+    "jp",
+    "*.kawasaki.jp",
+    "!city.kawasaki.jp",
+    "*.ck",
+    "!www.ck",
+]
+
+
+def test_registered_domain_psl(spark):
+    """extract_registered_domain over the PSL fixture: normal rules,
+    most-labels precedence, wildcards (consume one extra label),
+    exceptions (win outright), hosts that ARE their public suffix ->
+    NULL, unlisted TLDs -> loud NULL (the documented deviation from
+    the spec's implicit-* fallback)."""
+    from covid19i2b2_spark.operators.urls import (
+        extract_registered_domain,
+        parse_psl_rules,
+    )
+
+    rules = parse_psl_rules(spark, PSL_FIXTURE)
+    assert rules.count() == 8  # comments/blank lines dropped
+    cases = [
+        ("example.com", "example.com"),
+        ("a.b.example.com", "example.com"),
+        ("example.co.uk", "example.co.uk"),          # co.uk beats uk
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("co.uk", None),                             # is its own suffix
+        ("kawasaki.jp", "kawasaki.jp"),              # * needs a label
+        ("other.kawasaki.jp", None),                 # ps = whole host
+        ("a.other.kawasaki.jp", "a.other.kawasaki.jp"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),    # exception
+        ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("foo.ck", None),
+        ("bar.foo.ck", "bar.foo.ck"),
+        ("www.ck", "www.ck"),                        # exception
+        ("foo.www.ck", "www.ck"),
+        ("something.unknown", None),                 # unlisted TLD
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, host string"
+    )
+    got = {
+        r["i"]: r["registered_domain"]
+        for r in extract_registered_domain(df, "host", rules).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+    # shape: df rows are preserved 1:1 (left join back, no fan-out)
+    assert extract_registered_domain(df, "host", rules).count() == len(cases)
 
 
 def test_url_dedup_survivor_contract(spark):
