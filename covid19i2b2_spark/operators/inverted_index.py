@@ -103,6 +103,17 @@ class InvertedIndex:
     # storage-only COMPACT_RATIO wording the anti-join indexes get
     DUPLICATION_IS_CORRECTNESS = True
 
+    # fragmentation trip point (VERDICT r10 #4): every append writes
+    # its own repartitionByRange file set, so a term's probe touches
+    # ~one file/row-group per appended batch even with ZERO replay —
+    # past this many files per term the probe cost is
+    # fragmentation-bound, not postings-bound, and compact() (which
+    # rewrites ONE tight term-sorted file set) is the remedy.  4 =
+    # the point where footer/seek overhead rivals a term's actual
+    # posting bytes at typical batch sizes; the streaming health log
+    # reads this constant.
+    COMPACT_FILES_PER_TERM = 4
+
     def __init__(self, path: str):
         self.path = path.rstrip("/")
 
@@ -304,13 +315,37 @@ class InvertedIndex:
         row counts and the duplication ratio (replayed appends).  Here
         the ratio is a CORRECTNESS cue (duplicated postings double
         their (term, doc) score contribution) — search(dedup=True) or
-        compact() before trusting ranked output, the IvfIndex rule."""
+        compact() before trusting ranked output, the IvfIndex rule.
+
+        Fragmentation (VERDICT r10 #4): ``posting_files`` and the
+        per-term file spread (``files_per_term_max`` / ``_avg``) from
+        one (term, input_file_name) aggregate pass — every append
+        writes its own file set, so probe cost degrades with APPEND
+        COUNT even at duplication_ratio 1.0; past
+        COMPACT_FILES_PER_TERM the health log cues compact() for
+        fragmentation, the compact_parquet (X38) counter pattern."""
         post = spark.read.parquet(self.postings_path)
         deltas = spark.read.parquet(self.stats_path)
         p = post.agg(
             F.count("*").alias("n"),
             F.count_distinct(F.struct("term", "doc_id")).alias("d"),
         ).collect()[0]
+        frag = (
+            post.select("term", F.input_file_name().alias("__f"))
+            .groupBy("term")
+            .agg(F.count_distinct("__f").alias("__nf"))
+            .agg(
+                F.max("__nf").alias("mx"),
+                F.avg("__nf").alias("av"),
+                F.count("*").alias("terms"),
+            )
+            .collect()[0]
+        )
+        n_files = (
+            post.select(F.input_file_name().alias("__f"))
+            .agg(F.count_distinct("__f").alias("f"))
+            .collect()[0]["f"]
+        )
         n_docs, avgdl = self._corpus_stats(spark)
         n_batches = deltas.count()
         n_distinct_batches = deltas.dropDuplicates(["batch_key"]).count()
@@ -320,6 +355,10 @@ class InvertedIndex:
             "n_docs": n_docs,
             "avgdl": round(avgdl, 4),
             "batches": n_batches,
+            "n_terms": frag["terms"],
+            "posting_files": n_files,
+            "files_per_term_max": int(frag["mx"] or 0),
+            "files_per_term_avg": round(float(frag["av"] or 0.0), 4),
             "duplication_ratio": (
                 round(p["n"] / p["d"], 4) if p["d"]
                 else (1.0 if n_distinct_batches == n_batches else

@@ -113,6 +113,22 @@ def log_index_health(
             )
         else:
             _LOG.info("%s epoch %d: index health %s", loop, epoch_id, st)
+        # fragmentation is orthogonal to replay duplication (VERDICT
+        # r10 #4): many CLEAN appends still leave a term's postings
+        # smeared across one file set per batch, so the probe pays
+        # footers/seeks instead of postings — its own WARNING with
+        # compact() as the named remedy
+        frag_bar = getattr(index, "COMPACT_FILES_PER_TERM", None)
+        if frag_bar and st.get("files_per_term_max", 0) > frag_bar:
+            _LOG.warning(
+                "%s epoch %d: index postings are fragmentation-bound — "
+                "files_per_term_max %d > %d (each append writes its own "
+                "file set, so a term's probe touches ~one file per "
+                "appended batch even with zero replay); schedule "
+                "index.compact() to rewrite one tight term-sorted file "
+                "set: %s",
+                loop, epoch_id, st["files_per_term_max"], frag_bar, st,
+            )
         return st
     except Exception:
         _LOG.exception(

@@ -96,6 +96,55 @@ def test_replay_dedup_read_and_compact(spark, tmp_path):
     assert _ranked(idx.search(spark, TERMS, k=10)) == clean
 
 
+def test_fragmentation_signal_fires_without_replay(spark, tmp_path):
+    """VERDICT r10 #4: many CLEAN appends (zero replay —
+    duplication_ratio stays 1.0) must still surface as fragmentation:
+    stats() reports per-term file spread, the maintenance log WARNs
+    past COMPACT_FILES_PER_TERM naming compact() as the remedy, and
+    compact() actually restores a tight file set."""
+    import logging
+
+    from covid19i2b2_spark.streaming.maintenance import log_index_health
+
+    docs = _docs(spark)
+    idx = InvertedIndex(str(tmp_path / "frag"))
+    # 6 disjoint batches -> 6 append file sets; the corpus vocabulary
+    # is common enough that frequent terms land in every batch
+    idx.build(docs.filter(F.col("doc_id") % 6 == 0), "doc_id", "text")
+    for m in range(1, 6):
+        idx.append(docs.filter(F.col("doc_id") % 6 == m), "doc_id", "text")
+    st = idx.stats(spark)
+    assert st["duplication_ratio"] == 1.0          # no replay anywhere
+    assert st["files_per_term_max"] > InvertedIndex.COMPACT_FILES_PER_TERM
+    assert st["posting_files"] >= 6
+    assert st["files_per_term_avg"] >= 1.0
+
+    logger = logging.getLogger("covid19i2b2_spark.streaming.maintenance")
+    records: list = []
+
+    class _Cap(logging.Handler):
+        def emit(self, r):
+            records.append(r)
+
+    h = _Cap()
+    logger.addHandler(h)
+    try:
+        out = log_index_health(idx, spark, epoch_id=0, stats_every=1,
+                               loop="frag-test")
+    finally:
+        logger.removeHandler(h)
+    assert out is not None
+    warns = [r.getMessage() for r in records
+             if r.levelno == logging.WARNING]
+    assert any("fragmentation-bound" in w and "compact()" in w
+               for w in warns), warns
+
+    idx.compact(spark)
+    st2 = idx.stats(spark)
+    assert st2["files_per_term_max"] <= InvertedIndex.COMPACT_FILES_PER_TERM
+    assert st2["duplication_ratio"] == 1.0
+
+
 def test_probe_reads_only_query_term_postings(spark, tmp_path):
     """The IN-filter must reach the postings scan (PushedFilters: In on
     term) over the term-sorted layout — the O(query postings) probe."""
