@@ -212,3 +212,54 @@ def dedup_decision_by(
             (F.col("__rn") == 1).alias("keep"),
         )
     )
+
+
+def survivor_provenance(
+    df: DataFrame,
+    decision: DataFrame,
+    id_col: str,
+    collect_cols: list[str] | None = None,
+    range_col: str | None = None,
+) -> DataFrame:
+    """X63 (round 11): per-component provenance rollup — what dedup
+    must NOT silently discard.  Collapsing a near-dup cluster to one
+    survivor is a data decision; licensing, takedown, and attribution
+    are corpus-level obligations that attach to EVERY member, so the
+    survivor needs the union of its cluster's provenance, not just its
+    own row (the reason curation pipelines carry a "merged sources"
+    column next to the kept text).
+
+    Inputs: the corpus frame and a ``dedup_decision[_by]`` frame
+    (id, component, keep).  Output: one row per component —
+
+    - ``survivor_<id_col>``: the keep row's id;
+    - ``n_members``: cluster size;
+    - for each name in ``collect_cols``: ``<name>_set``, the sorted
+      distinct values across ALL members (array — deterministic order,
+      so downstream hashes/joins are stable);
+    - for ``range_col``: ``first_<name>`` / ``last_<name>`` (min/max)
+      — crawl-date spans, version ranges.
+
+    Shape: one id-keyed join + one component-keyed aggregate.  The
+    collected sets are cluster-bounded: near-dup components are tiny
+    by construction (the cluster-size audit alarms otherwise), so no
+    array grows past a cluster's distinct values."""
+    joined = df.join(
+        decision.select(id_col, "component", "keep"), id_col
+    )
+    aggs = [
+        F.min(F.when(F.col("keep"), F.col(id_col))).alias(
+            f"survivor_{id_col}"
+        ),
+        F.count("*").cast("long").alias("n_members"),
+    ]
+    for c in collect_cols or []:
+        aggs.append(
+            F.array_sort(F.array_distinct(F.collect_list(c))).alias(
+                f"{c}_set"
+            )
+        )
+    if range_col is not None:
+        aggs.append(F.min(range_col).alias(f"first_{range_col}"))
+        aggs.append(F.max(range_col).alias(f"last_{range_col}"))
+    return joined.groupBy("component").agg(*aggs)

@@ -1057,6 +1057,70 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_drift_report(a, b).orderBy("column")
 
 
+def q_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 X63: survivor provenance rollup
+    (operators/dedup_clusters.py survivor_provenance) over a planted
+    pair graph — doc i pairs with doc i+250 (components of exactly
+    two), the rollup unions each cluster's sources and spans its
+    n_chars.  The DuckDB oracle derives components straight from the
+    construction (doc_id % 250 — ground truth, independent of the
+    label-propagation code).  UNREGISTERED; parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.dedup_clusters import (
+        dedup_decision,
+        survivor_provenance,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).filter(F.col("doc_id") < 500)
+    pairs = docs.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 250).alias("id_b"),
+    )
+    decision = dedup_decision(docs, pairs, "doc_id")
+    prov = survivor_provenance(
+        docs, decision, "doc_id",
+        collect_cols=["source"], range_col="n_chars",
+    )
+    return prov.select(
+        F.col("component").cast("long").alias("component"),
+        F.col("survivor_doc_id").cast("long").alias("survivor_doc_id"),
+        "n_members",
+        F.array_join("source_set", ",").alias("source_set"),
+        F.col("first_n_chars").cast("long").alias("first_n_chars"),
+        F.col("last_n_chars").cast("long").alias("last_n_chars"),
+    ).orderBy("component")
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 X61: politeness-aware crawl-frontier scheduling
+    (operators/frontier.py) — each source plays a host, n_chars plays
+    the priority, at most 20 URLs per host per round, a 3-round
+    horizon (beyond it: loud NULL).  UNREGISTERED; the DuckDB oracle
+    replays the whole schedule via ROW_NUMBER in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.frontier import frontier_schedule
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.col("n_chars").cast("double").alias("priority"),
+    )
+    return (
+        frontier_schedule(
+            docs, "host", "priority", "doc_id",
+            per_host_per_round=20, max_rounds=3,
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "host",
+            "crawl_round",
+        )
+        .orderBy("host", "crawl_round", "doc_id")
+    )
+
+
 # sf_dirs whose q_phrase_search index is already built this process
 _PHRASE_IDX_BUILT: set[str] = set()
 

@@ -1995,3 +1995,55 @@ def test_compression_ratio_separates_repetition(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="level"):
         df.select(compression_ratio_kernel("text", level=0))
+
+
+def test_survivor_provenance_rollup(spark):
+    """X63 (round 11): the rollup unions EVERY member's provenance —
+    sorted-distinct source set, min/max range col, the keep row's id
+    as survivor (including under the quality-aware decision where the
+    survivor is NOT the min id), singletons roll up to themselves."""
+    from covid19i2b2_spark.operators.dedup_clusters import (
+        dedup_decision_by,
+        survivor_provenance,
+    )
+
+    rows = [
+        # component {1,2,3}: chain 1-2, 2-3; best quality on id 2
+        (1, "web", 10.0, 100),
+        (2, "books", 99.0, 300),
+        (3, "web", 50.0, 200),
+        # singleton
+        (7, "wiki", 1.0, 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, quality double, crawl_ts long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    decision = dedup_decision_by(df, pairs, "doc_id", "quality")
+    out = {
+        r["component"]: r
+        for r in survivor_provenance(
+            df, decision, "doc_id",
+            collect_cols=["source"], range_col="crawl_ts",
+        ).collect()
+    }
+    assert set(out) == {1, 7}
+    big = out[1]
+    assert big["survivor_doc_id"] == 2        # best quality, not min id
+    assert big["n_members"] == 3
+    assert big["source_set"] == ["books", "web"]   # sorted distinct
+    assert big["first_crawl_ts"] == 100 and big["last_crawl_ts"] == 300
+    single = out[7]
+    assert single["survivor_doc_id"] == 7
+    assert single["n_members"] == 1
+    assert single["source_set"] == ["wiki"]
+    # determinism across partitionings (array order is pinned by sort)
+    again = {
+        r["component"]: r["source_set"]
+        for r in survivor_provenance(
+            df.repartition(5), decision, "doc_id", collect_cols=["source"]
+        ).collect()
+    }
+    assert again[1] == ["books", "web"]

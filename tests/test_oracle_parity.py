@@ -475,6 +475,43 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 UNREGISTERED_ORACLES = {
 
+    # X63 provenance rollup: components derived straight from the
+    # planted construction (doc i ~ doc i+250 -> component doc_id%250),
+    # sources unioned sorted-distinct, n_chars spanned
+    "q_dedup_provenance": """
+    SELECT CAST(doc_id % 250 AS BIGINT) AS component,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list_distinct(list(source))), ',')
+               AS source_set,
+           CAST(MIN(n_chars) AS BIGINT) AS first_n_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS last_n_chars
+    FROM documents
+    WHERE doc_id < 500
+    GROUP BY doc_id % 250
+    ORDER BY component
+    """,
+
+    # X61 frontier scheduling: the whole politeness schedule replayed
+    # via ROW_NUMBER (per-host priority order, 20/round cap, 3-round
+    # horizon -> NULL beyond)
+    "q_frontier_schedule": """
+    WITH ranked AS (
+        SELECT doc_id,
+               source || '.example.com' AS host,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
+           CASE WHEN FLOOR((rn - 1) / 20) + 1 <= 3
+                THEN CAST(FLOOR((rn - 1) / 20) + 1 AS BIGINT) END
+               AS crawl_round
+    FROM ranked
+    ORDER BY host, crawl_round, doc_id
+    """,
+
     # X54 phrase retrieval: overlapping consecutive-bigram counts
     # derived straight from the token arrays (adjacency scan — ground
     # truth by construction, independent of the index's positional
@@ -1098,6 +1135,8 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_semantic_pairs_frozen": llm3.q_semantic_pairs_frozen,
         "q_cosine_topk": llm.q_cosine_topk,
         "q_url_dedup": llm3.q_url_dedup,
+        "q_frontier_schedule": llm3.q_frontier_schedule,
+        "q_dedup_provenance": llm3.q_dedup_provenance,
         "q_ngram_jaccard": llm2.q_ngram_jaccard,
         "q_snapshot_drift": llm3.q_snapshot_drift,
         "q_phrase_search": llm3.q_phrase_search,
