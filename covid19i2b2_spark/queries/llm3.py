@@ -1057,6 +1057,35 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_drift_report(a, b).orderBy("column")
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 X62: asymmetric containment join
+    (operators/containment.py) — corpus = 60 documents plus 20 planted
+    snippets (each the first 8 tokens of its source doc, id + 10000),
+    every ordered pair with bigram-set containment ≥ 0.75.  The DuckDB
+    oracle is BRUTE-FORCE all-pairs over the same construction, so
+    parity proves the prefix-filtered plan lossless on real data.
+    UNREGISTERED; parity in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.containment import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.filter(F.col("doc_id") < 60)
+    snippets = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("text"),
+    )
+    corpus = base.unionByName(snippets)
+    return (
+        containment_pairs(corpus, "doc_id", "text", 0.75, n=2)
+        .select(
+            F.col("containee_id").cast("long").alias("containee_id"),
+            F.col("container_id").cast("long").alias("container_id"),
+            "containment",
+        )
+        .orderBy("containee_id", "container_id")
+    )
+
+
 def q_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 X63: survivor provenance rollup
     (operators/dedup_clusters.py survivor_provenance) over a planted

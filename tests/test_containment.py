@@ -1,0 +1,106 @@
+"""X62 containment join (operators/containment.py): planted
+snippet-in-document detection, losslessness vs a brute-force
+all-pairs reference (the prefix filter must be exact, not
+approximate), threshold boundaries, asymmetry, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.containment import containment_pairs
+from covid19i2b2_spark.operators.text import word_ngrams
+
+
+def _brute(spark, df, threshold, n=2):
+    """All-pairs exact containment — the reference the blocked plan
+    must reproduce bit-for-bit."""
+    g = df.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_ngrams(F.col("text"), n)).alias("g"),
+    ).filter(F.size("g") > 0)
+    a = g.select(F.col("id").alias("ca"), F.col("g").alias("ga"))
+    b = g.select(F.col("id").alias("cb"), F.col("g").alias("gb"))
+    c = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size("ga")
+    return sorted(
+        (r["ca"], r["cb"], r["c"])
+        for r in a.crossJoin(b)
+        .filter(F.col("ca") != F.col("cb"))
+        .filter(c >= threshold)
+        .select("ca", "cb", F.floor(c * 1e6 + 0.5).alias("c"))
+        .collect()
+    )
+
+
+def _got(df, threshold, n=2):
+    return sorted(
+        (r["containee_id"], r["container_id"],
+         round(r["containment"] * 1e6))
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold, n=n
+        ).collect()
+    )
+
+
+def test_planted_snippet_found_asymmetrically(spark):
+    """A snippet cut from a long doc must surface as
+    (snippet contained-in doc) with containment 1.0 — and NOT the
+    reverse direction at a high threshold (asymmetry is the point)."""
+    long_text = " ".join(f"w{i}" for i in range(40))
+    snippet = " ".join(f"w{i}" for i in range(10, 20))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, snippet), (3, other)],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(df, "doc_id", "text", 0.9).collect()
+    pairs = {(r["containee_id"], r["container_id"]): r["containment"]
+             for r in got}
+    assert pairs == {(2, 1): 1.0}
+
+
+def test_blocked_equals_brute_force(spark):
+    """Losslessness: the prefix-filtered plan must equal all-pairs
+    exact containment on a real slice — at a high and a low threshold
+    (low thresholds shrink the prefix guarantee's slack, the regime
+    where an off-by-one in the prefix size would show)."""
+    from covid19i2b2_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 80)
+    for t in (0.9, 0.5):
+        assert _got(docs, t) == _brute(spark, docs, t), t
+
+
+def test_threshold_boundary_and_validation(spark):
+    """c exactly AT the threshold is kept (>=); the comparison runs on
+    the unrounded ratio.  Bad parameters are loud."""
+    # A has 4 bigrams; B holds exactly 2 of them -> c(A,B) = 0.5
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")],
+        "doc_id long, text string",
+    )
+    got = {(r["containee_id"], r["container_id"]): r["containment"]
+           for r in containment_pairs(df, "doc_id", "text", 0.5).collect()}
+    assert got[(1, 2)] == 0.5 and got[(2, 1)] == 0.5
+    assert _got(df, 0.51) == []
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, "doc_id", "text", 0.0)
+    with pytest.raises(ValueError, match="n must"):
+        containment_pairs(df, "doc_id", "text", 0.5, n=0)
+
+
+def test_short_docs_carry_no_evidence_and_determinism(spark):
+    """Docs with < n tokens have no n-grams and appear on neither
+    side; output is identical across partitionings."""
+    rows = [(1, "only"), (2, "a b c d"), (3, "a b c d e"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _got(df, 0.8)
+    ids = {x for p in got for x in p[:2]}
+    assert 1 not in ids and 4 not in ids
+    assert (2, 3, 1000000) in got          # "a b c d" inside "a b c d e"
+    a = _got(df.repartition(7), 0.8)
+    b = _got(df.repartition(2), 0.8)
+    assert a == b == got

@@ -475,6 +475,43 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 UNREGISTERED_ORACLES = {
 
+    # X62 containment join: BRUTE-FORCE all-pairs over the 60-doc +
+    # 20-snippet construction — parity proves the prefix-filtered plan
+    # lossless (threshold compared on the unrounded ratio, output
+    # rounded at 1e-6, both engines)
+    "q_containment": """
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 10000,
+               array_to_string(
+                   regexp_split_to_array(trim(text), '\\s+')[1:8], ' ')
+        FROM documents WHERE doc_id < 20
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 2
+                   THEN []
+                   ELSE [array_to_string(
+                            regexp_split_to_array(trim(text), '\\s+')[i:i+1],
+                            ' ')
+                         FOR i IN range(1, len(
+                            regexp_split_to_array(trim(text), '\\s+')))]
+               END) AS gset
+        FROM base
+    ),
+    g AS (SELECT * FROM grams WHERE len(gset) > 0)
+    SELECT a.doc_id AS containee_id, b.doc_id AS container_id,
+           FLOOR(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+                 / len(a.gset) * 1000000 + 0.5) / 1000000 AS containment
+    FROM g a, g b
+    WHERE a.doc_id != b.doc_id
+      AND CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+          / len(a.gset) >= 0.75
+    ORDER BY containee_id, container_id
+    """,
+
     # X63 provenance rollup: components derived straight from the
     # planted construction (doc i ~ doc i+250 -> component doc_id%250),
     # sources unioned sorted-distinct, n_chars spanned
@@ -1137,6 +1174,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_url_dedup": llm3.q_url_dedup,
         "q_frontier_schedule": llm3.q_frontier_schedule,
         "q_dedup_provenance": llm3.q_dedup_provenance,
+        "q_containment": llm3.q_containment,
         "q_ngram_jaccard": llm2.q_ngram_jaccard,
         "q_snapshot_drift": llm3.q_snapshot_drift,
         "q_phrase_search": llm3.q_phrase_search,

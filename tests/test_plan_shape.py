@@ -558,6 +558,18 @@ def test_pagerank_pre_partition_cuts_per_pass_exchanges(spark):
         spark.sql("DROP TABLE IF EXISTS pagerank_edges_bucketed")
 
 
+def test_containment_plan_is_blocked_not_all_pairs(spark):
+    """q_containment: the prefix-filtered candidate join must plan as
+    equi-joins — no cartesian, no nested-loop, nothing Python-side
+    (the brute-force all-pairs shape lives only in the test oracle)."""
+    from covid19i2b2_spark.queries.llm3 import q_containment
+
+    plan = physical_plan(q_containment(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_url_dedup_plan_is_expression_only(spark):
     """q_url_dedup: canonicalization is pure regexp/array expressions
     (map-only) and the dedup is one hash aggregate — no Python, no
