@@ -51,6 +51,7 @@ def containment_pairs(
     n: int = 2,
     out_a: str = "containee_id",
     out_b: str = "container_id",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """(containee_id, container_id, containment): every ordered pair
     with c(containee, container) ≥ threshold over word ``n``-gram
@@ -58,7 +59,12 @@ def containment_pairs(
     docstring).  Docs with no n-grams (< n tokens) carry no evidence
     and appear on neither side; a doc never pairs with itself.  Ties
     and order are deterministic: the result is a pure function of the
-    corpus (sorted-gram prefixes, exact arithmetic)."""
+    corpus (sorted-gram prefixes, exact arithmetic).
+
+    The per-doc gram table feeds four consumers (df-count, prefixes,
+    postings, verify); pass ``cache_handles`` to persist it once and
+    receive the handle for release after the action (the VERDICT r7 #6
+    lifecycle discipline) — without it each consumer re-tokenizes."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if n < 1:
@@ -67,6 +73,9 @@ def containment_pairs(
         F.col(id_col).alias("__id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__g"),
     ).withColumn("__glen", F.size("__g")).filter(F.col("__glen") > 0)
+    if cache_handles is not None:
+        grams = grams.persist()
+        cache_handles.append(grams)
     posting = grams.select(
         "__id", F.explode("__g").alias("__gram")
     )

@@ -104,3 +104,14 @@ def test_short_docs_carry_no_evidence_and_determinism(spark):
     a = _got(df.repartition(7), 0.8)
     b = _got(df.repartition(2), 0.8)
     assert a == b == got
+    # cache_handles path: same result, handle released by the caller
+    handles: list = []
+    cached = sorted(
+        (r["containee_id"], r["container_id"],
+         round(r["containment"] * 1e6))
+        for r in containment_pairs(
+            df, "doc_id", "text", 0.8, cache_handles=handles
+        ).collect()
+    )
+    assert cached == got and len(handles) == 1
+    handles[0].unpersist()
