@@ -1,0 +1,103 @@
+"""Crawl pipeline (pipelines/crawl.py): the X55→X56→X61 chain on a
+planted mini-web — dup spellings collapse, link endpoints resolve
+through canonicalization, the best-linked host schedules first,
+politeness caps hold, invalid URLs ride through unscheduled."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.pipelines.crawl import prioritize_and_schedule
+
+URLS = [
+    (1, "http://a.com/x"),
+    (2, "HTTP://A.COM/x"),        # duplicate spelling of 1
+    (3, "http://a.com/y"),
+    (4, "http://b.com/p"),
+    (5, "http://c.com/q"),
+    (6, "not a url"),
+]
+# a.com and c.com both endorse b.com (one link lands on the DUP
+# spelling — it must still credit b←a once resolved); b endorses c.
+# Intra-host link 1→3 must NOT create a self-edge.
+LINKS = [(1, 4), (3, 4), (5, 4), (4, 5), (1, 3)]
+
+
+def _run(spark, **kw):
+    urls = spark.createDataFrame(URLS, "url_id long, url string")
+    links = spark.createDataFrame(LINKS, "src_id long, dst_id long")
+    return prioritize_and_schedule(
+        urls, links, per_host_per_round=1, n_iter=10, **kw
+    )
+
+
+def test_chain_dedup_priority_and_schedule(spark):
+    rows = {r["url_id"]: r for r in _run(spark).collect()}
+    # survivors: 1 (absorbing 2), 3, 4, 5 + the invalid 6
+    assert set(rows) == {1, 3, 4, 5, 6}
+    assert rows[1]["n_duplicates"] == 2
+    assert rows[6]["host"] is None and rows[6]["crawl_round"] is None
+    pr = {i: rows[i]["priority"] for i in (1, 3, 4, 5)}
+    # endorsed hosts (b gets a+c's votes; c inherits ALL of b's rank —
+    # out-degree 1) both far outrank the unendorsed a; both a.com rows
+    # share a's rank
+    assert pr[4] > pr[1] and pr[5] > pr[1], pr
+    assert pr[1] == pr[3]
+    # politeness: one URL per host per round; a.com ties break to the
+    # lower id
+    assert rows[4]["crawl_round"] == 1 and rows[5]["crawl_round"] == 1
+    assert rows[1]["crawl_round"] == 1 and rows[3]["crawl_round"] == 2
+
+
+def test_psl_keying_folds_subdomains_into_one_site(spark):
+    from covid19i2b2_spark.operators.urls import parse_psl_rules
+
+    urls = spark.createDataFrame(
+        URLS + [(7, "http://sub.a.com/z")], "url_id long, url string"
+    )
+    links = spark.createDataFrame(LINKS, "src_id long, dst_id long")
+    rules = parse_psl_rules(spark, ["com"])
+    out = {
+        r["url_id"]: r
+        for r in prioritize_and_schedule(
+            urls, links, per_host_per_round=1, n_iter=5,
+            psl_rules=rules,
+        ).collect()
+    }
+    # sub.a.com folds into the a.com site: ONE politeness queue of
+    # three URLs -> rounds 1..3 by (priority, id)
+    site_rows = sorted(
+        (out[i]["crawl_round"], i) for i in (1, 3, 7)
+    )
+    assert [r for r, _ in site_rows] == [1, 2, 3]
+    assert {out[i]["host"] for i in (1, 3, 7)} == {"a.com"}
+
+
+def test_no_links_degenerates_to_flat_priority(spark):
+    urls = spark.createDataFrame(URLS, "url_id long, url string")
+    links = spark.createDataFrame([], "src_id long, dst_id long")
+    out = {
+        r["url_id"]: r
+        for r in prioritize_and_schedule(
+            urls, links, per_host_per_round=2
+        ).collect()
+    }
+    assert all(out[i]["priority"] == 0.0 for i in (1, 3, 4, 5))
+    assert out[1]["crawl_round"] == 1 and out[3]["crawl_round"] == 1
+
+
+def test_unlinked_host_floors_at_min_rank_not_null(spark):
+    urls = spark.createDataFrame(
+        URLS + [(8, "http://d.com/r")], "url_id long, url string"
+    )
+    links = spark.createDataFrame(LINKS, "src_id long, dst_id long")
+    out = {
+        r["url_id"]: r
+        for r in prioritize_and_schedule(
+            urls, links, per_host_per_round=1
+        ).collect()
+    }
+    assert out[8]["priority"] is not None
+    ranked = [out[i]["priority"] for i in (1, 4, 5)]
+    assert out[8]["priority"] <= min(ranked)
+    assert out[8]["crawl_round"] == 1      # its own host's queue
