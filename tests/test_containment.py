@@ -115,3 +115,28 @@ def test_short_docs_carry_no_evidence_and_determinism(spark):
     )
     assert cached == got and len(handles) == 1
     handles[0].unpersist()
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8)
+        .map(" ".join),
+        min_size=2, max_size=7,
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.75, 1.0]),
+)
+def test_blocked_equals_brute_force_property(spark, texts, threshold):
+    """Hypothesis: on ARBITRARY tiny shared-vocab corpora (the
+    worst case for prefix selectivity — every gram is common) the
+    blocked plan still equals brute force at every threshold,
+    including t=1.0 (prefix of exactly one gram)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert _got(df, threshold) == _brute(spark, df, threshold)
