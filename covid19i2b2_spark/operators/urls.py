@@ -357,3 +357,87 @@ def url_dedup(
         id_col, url_col, "canonical_url", F.lit(1).cast("long").alias("n_duplicates")
     )
     return valid.unionByName(invalid)
+
+
+class SeenUrlSet:
+    """X61'': persisted canonical-URL membership set — the crawl
+    frontier's cross-batch dedup ("have we EVER seen this resource?"),
+    joining the engine's index family (DedupIndex / FuzzyIndex /
+    IvfIndex / InvertedIndex) with the same
+    build/append/stats/compact lifecycle.  One parquet table of
+    canonical URLs under ``path/seen``; reads are ANTI-JOINS, so
+    replayed appends cost storage and shuffle volume, never
+    correctness (the DedupIndex severity, not the IVF one) — the
+    streaming health log applies the storage-only COMPACT_RATIO
+    wording.  The set stores CANONICAL spellings only (the caller
+    canonicalizes first — url_dedup's output), so two spellings of a
+    resource can never both look new."""
+
+    DUPLICATION_IS_CORRECTNESS = False
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+
+    @property
+    def seen_path(self) -> str:
+        return f"{self.path}/seen"
+
+    def _read(self, spark) -> DataFrame:
+        # explicit schema: an empty-seed build leaves a file-less dir
+        # that inference cannot read (the IvfIndex empty-seed rule)
+        return spark.read.schema("canonical_url string").parquet(
+            self.seen_path
+        )
+
+    def build(self, urls: DataFrame, url_col: str = "canonical_url") -> None:
+        """Create the set from an initial frontier snapshot (possibly
+        empty — streaming loops build on empty seeds)."""
+        urls.select(
+            F.col(url_col).alias("canonical_url")
+        ).filter(F.col("canonical_url").isNotNull()).distinct().write.mode(
+            "overwrite"
+        ).parquet(self.seen_path)
+
+    def append(self, urls: DataFrame, url_col: str = "canonical_url") -> None:
+        """Fold a batch of NEWLY-seen canonical URLs in (batch-sized
+        parquet append; the caller has already filtered against the
+        set, so rows here are new by construction — a replayed append
+        re-adds them, which the anti-join reads absorb)."""
+        urls.select(
+            F.col(url_col).alias("canonical_url")
+        ).filter(F.col("canonical_url").isNotNull()).distinct().write.mode(
+            "append"
+        ).parquet(self.seen_path)
+
+    def filter_new(
+        self, spark, batch: DataFrame, url_col: str = "canonical_url"
+    ) -> DataFrame:
+        """Rows of ``batch`` whose canonical URL the set has never
+        seen — one anti-join on the canonical key."""
+        seen = self._read(spark).withColumnRenamed(
+            "canonical_url", url_col
+        )
+        return batch.join(seen, url_col, "left_anti")
+
+    def stats(self, spark) -> dict:
+        """Replay-duplication health (rows vs distinct) — the
+        storage-cost cue the maintenance log reads."""
+        row = self._read(spark).agg(
+            F.count("*").alias("n"),
+            F.count_distinct("canonical_url").alias("d"),
+        ).collect()[0]
+        n, d = int(row["n"] or 0), int(row["d"] or 0)
+        return {
+            "seen_rows": n,
+            "seen_distinct": d,
+            "duplication_ratio": round(n / d, 4) if d else 1.0,
+        }
+
+    def compact(self, spark) -> None:
+        """Drop replayed-append duplicates (pin before overwriting the
+        path being read — the house compact pattern)."""
+        from covid19i2b2_spark.caching import release_local_checkpoint
+
+        seen = self._read(spark).distinct().localCheckpoint(eager=True)
+        seen.write.mode("overwrite").parquet(self.seen_path)
+        release_local_checkpoint(seen)

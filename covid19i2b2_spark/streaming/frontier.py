@@ -1,0 +1,90 @@
+"""X61'': streaming URL-frontier ingest (round 11) — discovered URLs
+arrive in micro-batches (link extraction emits them continuously);
+the frontier must admit each RESOURCE once, ever, across batches,
+restarts, and replays.  This is the crawl-side twin of
+streaming/curation.run_streaming_ingest: canonicalize (X55), dedup
+within the batch, anti-join against the persisted
+:class:`~covid19i2b2_spark.operators.urls.SeenUrlSet`, land the truly
+new URLs as the epoch's frontier increment, fold them into the seen
+set — so the NEXT batch dedups against this one too.
+
+Replay contract (the house at-least-once story, the curation loop's
+exact shape):
+
+- new URLs write to ``out_path/epoch=<epoch_id>/`` with OVERWRITE —
+  a replayed epoch replaces its own output (frontier increments are
+  exactly-once);
+- rows whose URL doesn't canonicalize route to
+  ``out_path/_quarantine/epoch=<epoch_id>/`` (the X33
+  quarantine-routing rule: garbage is preserved and visible, never
+  silently dropped, never admitted);
+- a per-epoch marker under the seen-set root commits all three side
+  effects; a replayed marked epoch is skipped entirely;
+- the one crash window (between ``seen.append`` and the marker)
+  duplicates seen ROWS, which anti-join reads absorb — storage cost
+  only, surfaced by the periodic health log at the storage-severity
+  COMPACT_RATIO wording (SeenUrlSet.DUPLICATION_IS_CORRECTNESS is
+  False), remediated by ``compact()``.
+
+Pass ``checkpoint_dir`` in production so epoch progress survives
+restarts.  Caller drives the returned query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from covid19i2b2_spark.caching import release_local_checkpoint
+from covid19i2b2_spark.fsutil import hadoop_fs
+from covid19i2b2_spark.operators.urls import url_dedup
+from covid19i2b2_spark.streaming.maintenance import log_index_health
+
+
+def run_streaming_frontier_ingest(
+    urls_stream: DataFrame,
+    seen,
+    out_path: str,
+    id_col: str = "url_id",
+    url_col: str = "url",
+    strip_www: bool = True,
+    checkpoint_dir: str | None = None,
+    stats_every: int | None = 16,
+):
+    """Start the frontier ingest over a streaming (id, url) frame.
+    ``seen`` is a :class:`SeenUrlSet` whose ``build`` has run
+    (possibly on an empty seed).  Each epoch's output rows carry
+    (id, url, canonical_url, n_duplicates) — url_dedup's survivor
+    shape, so downstream scheduling (pipelines/crawl.py) consumes
+    them directly."""
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fs, marker = hadoop_fs(spark, f"{seen.path}/_epochs/{epoch_id}")
+        if fs.exists(marker):
+            return  # epoch fully committed before — replayed batch
+        deduped = url_dedup(batch_df, id_col, url_col, strip_www)
+        valid = deduped.filter(F.col("canonical_url").isNotNull())
+        invalid = deduped.filter(F.col("canonical_url").isNull())
+        new = seen.filter_new(spark, valid).localCheckpoint(eager=True)
+        new.write.mode("overwrite").parquet(
+            f"{out_path}/epoch={epoch_id}"
+        )
+        invalid.write.mode("overwrite").parquet(
+            f"{out_path}/_quarantine/epoch={epoch_id}"
+        )
+        seen.append(new)
+        fs.create(marker, True).close()
+        release_local_checkpoint(new)
+        log_index_health(
+            seen, spark, epoch_id, stats_every,
+            "run_streaming_frontier_ingest",
+        )
+
+    writer = urls_stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,128 @@
+"""X61'' streaming frontier ingest (streaming/frontier.py +
+operators/urls.SeenUrlSet): cross-batch resource dedup, quarantine
+routing, marked-replay no-op, restart recovery, set health/compact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.urls import SeenUrlSet, url_dedup
+from covid19i2b2_spark.streaming.frontier import (
+    run_streaming_frontier_ingest,
+)
+
+WAVE1 = [
+    (1, "http://a.com/1"),
+    (2, "HTTP://A.COM/1"),          # dup spelling inside the batch
+    (3, "http://b.com/x"),
+    (4, "bad url"),
+]
+WAVE2 = [
+    (10, "http://a.com/1?utm_source=z"),   # dup of a wave-1 resource
+    (11, "http://c.com/new"),
+    (12, "%%% not a url"),
+]
+
+
+def _stream(spark, dirpath):
+    return (
+        spark.readStream.schema("url_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirpath)
+    )
+
+
+def test_frontier_ingest_cross_batch_dedup_and_replay(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "frontier")
+    for wave in (WAVE1, WAVE2):
+        spark.createDataFrame(
+            wave, "url_id long, url string"
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    seen = SeenUrlSet(str(tmp_path / "seen"))
+    seen.build(spark.createDataFrame([], "canonical_url string"))
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_frontier_ingest(
+        _stream(spark, inbox), seen, out, checkpoint_dir=ckpt,
+        stats_every=1,
+    )
+    q.awaitTermination()
+
+    got = spark.read.schema(
+        "url_id long, url string, canonical_url string,"
+        " n_duplicates long"
+    ).parquet(out).collect()
+    canon = sorted(r["canonical_url"] for r in got)
+    # each RESOURCE admitted exactly once across batches; the wave-2
+    # respelling of a.com/1 was rejected by the seen set
+    assert canon == [
+        "http://a.com/1", "http://b.com/x", "http://c.com/new"
+    ]
+    assert len(set(canon)) == len(canon)
+    # within-batch dedup happened before the set: a.com/1 absorbed its
+    # batch-mate (n_duplicates 2, survivor id 1)
+    a = {r["canonical_url"]: r for r in got}["http://a.com/1"]
+    assert a["url_id"] == 1 and a["n_duplicates"] == 2
+    # garbage routed to quarantine, not dropped, not admitted
+    quar = spark.read.schema(
+        "url_id long, url string, canonical_url string,"
+        " n_duplicates long"
+    ).parquet(f"{out}/_quarantine").collect()
+    assert sorted(r["url_id"] for r in quar) == [4, 12]
+    # the seen set equals the one-shot union dedup's canonical domain
+    batch = url_dedup(
+        spark.createDataFrame(WAVE1 + WAVE2, "url_id long, url string"),
+        "url_id", "url",
+    ).filter(F.col("canonical_url").isNotNull())
+    assert sorted(
+        r["canonical_url"] for r in seen._read(spark).collect()
+    ) == sorted(r["canonical_url"] for r in batch.collect())
+    st = seen.stats(spark)
+    assert st["duplication_ratio"] == 1.0 and st["seen_rows"] == 3
+
+    # restart on the same checkpoint: nothing new to process
+    q2 = run_streaming_frontier_ingest(
+        _stream(spark, inbox), seen, out, checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.schema(
+        "url_id long, url string, canonical_url string,"
+        " n_duplicates long"
+    ).parquet(out).count() == 3
+
+    # checkpoint-less rerun re-delivers the files as epochs 0/1 whose
+    # markers exist — the marked-replay no-op
+    q3 = run_streaming_frontier_ingest(
+        _stream(spark, inbox), seen, out,
+    )
+    q3.awaitTermination()
+    assert spark.read.schema(
+        "url_id long, url string, canonical_url string,"
+        " n_duplicates long"
+    ).parquet(out).count() == 3
+    assert seen.stats(spark)["duplication_ratio"] == 1.0
+
+
+def test_seen_set_replay_health_and_compact(spark, tmp_path):
+    """A crash-window replay duplicates seen rows (storage cost only:
+    anti-join reads absorb them); stats() surfaces the ratio and
+    compact() restores one-shot counts."""
+    seen = SeenUrlSet(str(tmp_path / "seen"))
+    urls = spark.createDataFrame(
+        [("http://a.com/1",), ("http://b.com/2",)], "canonical_url string"
+    )
+    seen.build(urls)
+    seen.append(urls)            # simulated crash-window replay
+    st = seen.stats(spark)
+    assert st["duplication_ratio"] == 2.0
+    # anti-join reads are unaffected by the duplication
+    probe = spark.createDataFrame(
+        [(1, "http://a.com/1"), (2, "http://new.com/x")],
+        "i long, canonical_url string",
+    )
+    new = seen.filter_new(spark, probe)
+    assert [r["i"] for r in new.collect()] == [2]
+    seen.compact(spark)
+    st2 = seen.stats(spark)
+    assert st2["duplication_ratio"] == 1.0 and st2["seen_rows"] == 2
