@@ -64,6 +64,7 @@ def pagerank(
     reset: DataFrame | None = None,
     pre_partition: bool = True,
     plan_probe: dict | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) over the directed edge list; ranks sum to 1.
 
@@ -109,10 +110,19 @@ def pagerank(
     (also pinned strictly cheaper than the naive plan).
 
     ``plan_probe``: pass a dict to receive
-    ``{"iteration_plans": [str, ...]}`` — the executed-plan text of
-    the first two iterations' rank updates (planning only, no extra
-    execution); the hook test_plan_shape pins exchange counts
-    through."""
+    ``{"iteration_plans": [str, ...], "n_iterations": int}`` — the
+    executed-plan text of the first two iterations' rank updates
+    (planning only, no extra execution) and how many passes actually
+    ran (tol may stop early); the hook test_plan_shape pins exchange
+    counts through.
+
+    ``init_ranks`` (round 11): warm-start the iteration from a
+    previous run's (node, rank) frame — the steady state of a crawl
+    that re-ranks a slowly-changing graph.  Uncovered (new) nodes
+    seed at 1/n, the vector renormalizes to sum 1, and the fixpoint
+    is UNCHANGED (power iteration converges to the same vector from
+    any positive start) — warm starting only buys fewer passes under
+    ``tol`` (pinned: seeding from a converged run stops after one)."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
@@ -177,9 +187,36 @@ def pagerank(
     else:
         node_frame = nodes.withColumn("__reset", F.lit(1.0 / n))
         ck_node_frame = nodes
-    ranks = node_frame.select("node", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is not None:
+        # warm start (round 11): a continuously-recomputed crawl graph
+        # changes a little between runs, so the previous run's ranks
+        # are a near-fixpoint — seed from them and let tol stop early.
+        # Nodes the init frame doesn't cover (newly discovered) seed at
+        # the cold 1/n; the whole vector renormalizes to sum 1 (the
+        # invariant every test pins), so any non-negative init is safe.
+        seeded = node_frame.join(
+            init_ranks.select("node", F.col("rank").alias("__r0")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("__r0"), F.lit(1.0 / n)).alias("__r0"),
+        )
+        z = seeded.agg(F.sum("__r0").alias("s")).collect()[0]["s"]
+        if not z or z <= 0:
+            raise ValueError(
+                "init_ranks must carry positive total mass over the "
+                "graph's nodes"
+            )
+        ranks = seeded.select(
+            "node", (F.col("__r0") / F.lit(float(z))).alias("rank")
+        )
+    else:
+        ranks = node_frame.select("node", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for it in range(n_iter):
+        if plan_probe is not None:
+            plan_probe["n_iterations"] = it + 1
         with_deg = ranks.join(
             degrees, ranks["node"] == degrees["__src"], "left"
         ).select("node", "rank", "__deg")
@@ -235,3 +272,50 @@ def pagerank(
     if ck_edges is not None:
         release_local_checkpoint(ck_edges)
     return ranks
+
+
+def top_anchor_texts(
+    links: DataFrame,
+    dst_col: str,
+    anchor_col: str,
+    k: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """X64 (round 11): per link TARGET, the top-``k`` anchor texts by
+    how many links carry them — the classic link-corpus signal (what
+    the web CALLS a page is evidence the page itself can't give: a
+    homepage titled "Home" is findable only through its anchors; the
+    signal feeds retrieval fields, title repair, and keyword priors
+    for training-data selection).
+
+    (dst, anchor_text, n_links, rank): anchors are trimmed (and
+    lowercased unless ``lowercase=False``); empty/NULL anchors carry
+    no evidence and are dropped; ties break by anchor text ascending
+    (deterministic across runs/partitionings).
+
+    Shape: one (dst, anchor) groupBy — high-cardinality by
+    construction — then a per-dst ``row_number() <= k`` that compiles
+    to WindowGroupLimit (per-partition rank pruning, no full sort of
+    any target's anchor list; the top-k-per-group plan shape this
+    engine pins elsewhere).  Nothing is collected."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = F.trim(F.col(anchor_col))
+    if lowercase:
+        a = F.lower(a)
+    counts = (
+        links.select(F.col(dst_col).alias("dst"), a.alias("anchor_text"))
+        .filter(F.col("anchor_text").isNotNull() & (F.col("anchor_text") != ""))
+        .groupBy("dst", "anchor_text")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor_text").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst", "anchor_text", "n_links", F.col("rank").cast("long").alias("rank"))
+    )

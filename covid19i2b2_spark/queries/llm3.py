@@ -1057,6 +1057,27 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_drift_report(a, b).orderBy("column")
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 X64: per-target top-k anchor texts
+    (operators/graph.py top_anchor_texts) over a synthetic link table
+    — every document "links" to target doc_id % 20 with its first two
+    tokens as the anchor; top-3 anchors per target by link count, ties
+    by text.  UNREGISTERED; the DuckDB oracle replays the count +
+    ROW_NUMBER in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.graph import top_anchor_texts
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    links = docs.select(
+        F.pmod("doc_id", F.lit(20)).cast("long").alias("dst"),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("anchor"),
+    )
+    return (
+        top_anchor_texts(links, "dst", "anchor", k=3)
+        .orderBy("dst", "rank")
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 X62: asymmetric containment join
     (operators/containment.py) — corpus = 60 documents plus 20 planted

@@ -5,6 +5,7 @@ conservation, early stop, determinism across partitionings."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from covid19i2b2_spark.operators.graph import pagerank
 
@@ -200,3 +201,92 @@ def test_reset_mass_outside_graph_is_renormalized(spark):
     )
     with pytest.raises(ValueError, match="positive mass on the"):
         pagerank(e, reset=only_ghost)
+
+
+def test_warm_start_converges_in_one_pass_same_fixpoint(spark):
+    """init_ranks (round 11): seeding from a converged run must stop
+    after ONE pass under tol and land on the same fixpoint; uncovered
+    (new) nodes seed at 1/n and the vector renormalizes, so any
+    positive init is safe; zero-mass init is loud."""
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0),
+             (4, 1, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    # damping 0.85 contracts ~0.85/pass: tol=1e-4 from an initial
+    # delta ~0.1 needs ~40 passes — reachable, unlike a 1e-10 tol
+    # (which needs ~140 and silently exhausts n_iter)
+    cold_probe: dict = {}
+    cold = pagerank(e, tol=1e-4, n_iter=100, plan_probe=cold_probe)
+    cold_rows = cold.collect()
+    cold_map = {r["node"]: r["rank"] for r in cold_rows}
+    assert 2 < cold_probe["n_iterations"] < 100
+
+    warm_probe: dict = {}
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            e, tol=1e-4, n_iter=100, init_ranks=cold,
+            plan_probe=warm_probe,
+        ).collect()
+    }
+    assert warm_probe["n_iterations"] == 1
+    # one extra contraction from cold's point: within tol of cold
+    for v in cold_map:
+        assert warm[v] == pytest.approx(cold_map[v], abs=1e-4), v
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # stale init missing a node (renormalized, still converges to the
+    # same fixpoint) — the evolving-graph case
+    stale = spark.createDataFrame(
+        [(r["node"], r["rank"]) for r in cold_rows if r["node"] != 4],
+        "node long, rank double",
+    )
+    warm2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, tol=1e-4, n_iter=100,
+                          init_ranks=stale).collect()
+    }
+    # both runs sit within ~tol/(1-d) of the one true fixpoint
+    for v in cold_map:
+        assert warm2[v] == pytest.approx(cold_map[v], abs=1e-3), v
+    assert sum(warm2.values()) == pytest.approx(1.0, abs=1e-9)
+    # the guard can only trip when EVERY node is covered (uncovered
+    # nodes seed at 1/n > 0 by design)
+    with pytest.raises(ValueError, match="positive total mass"):
+        pagerank(
+            e, init_ranks=spark.createDataFrame(
+                [(v, 0.0) for v in (1, 2, 3, 4)],
+                "node long, rank double",
+            ),
+        )
+
+
+def test_top_anchor_texts(spark):
+    """X64: per-target top-k anchors by link count — trimmed/lowered,
+    empty/NULL dropped, ties to anchor asc, k enforced per target; the
+    plan compiles the per-target top-k to WindowGroupLimit."""
+    from covid19i2b2_spark.operators.graph import top_anchor_texts
+
+    rows = [
+        (1, "Home"), (1, "home "), (1, "start page"), (1, "HOME"),
+        (1, "start page"), (1, "zzz"), (1, "aaa"),
+        (2, "docs"), (2, None), (2, "  "),
+    ]
+    links = spark.createDataFrame(rows, "dst long, anchor string")
+    out = top_anchor_texts(links, "dst", "anchor", k=2)
+    got = [(r["dst"], r["anchor_text"], r["n_links"], r["rank"])
+           for r in out.orderBy("dst", "rank").collect()]
+    assert got == [
+        (1, "home", 3, 1),
+        (1, "start page", 2, 2),
+        (2, "docs", 1, 1),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # case-preserving mode keeps spellings distinct
+    kept = top_anchor_texts(links, "dst", "anchor", k=3,
+                            lowercase=False)
+    names = {r["anchor_text"] for r in kept.filter(F.col("dst") == 1).collect()}
+    assert "Home" in names or "HOME" in names
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        top_anchor_texts(links, "dst", "anchor", k=0)

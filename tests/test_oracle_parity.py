@@ -475,6 +475,33 @@ def _topk_sketch_oracle(k: int = 12) -> str:
 
 UNREGISTERED_ORACLES = {
 
+    # X64 anchor texts: count + ROW_NUMBER replay of the per-target
+    # top-3 anchors over the synthetic doc_id%20 link table
+    "q_anchor_texts": """
+    WITH links AS (
+        SELECT doc_id % 20 AS dst,
+               lower(trim(array_to_string(
+                   regexp_split_to_array(trim(text), '\\s+')[1:2], ' ')))
+                   AS anchor_text
+        FROM documents
+    ),
+    counts AS (
+        SELECT dst, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_links
+        FROM links
+        WHERE anchor_text IS NOT NULL AND anchor_text <> ''
+        GROUP BY dst, anchor_text
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY dst ORDER BY n_links DESC, anchor_text
+        ) AS rank FROM counts
+    )
+    SELECT CAST(dst AS BIGINT) AS dst, anchor_text, n_links,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY dst, rank
+    """,
+
     # X62 containment join: BRUTE-FORCE all-pairs over the 60-doc +
     # 20-snippet construction — parity proves the prefix-filtered plan
     # lossless (threshold compared on the unrounded ratio, output
@@ -1175,6 +1202,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_frontier_schedule": llm3.q_frontier_schedule,
         "q_dedup_provenance": llm3.q_dedup_provenance,
         "q_containment": llm3.q_containment,
+        "q_anchor_texts": llm3.q_anchor_texts,
         "q_ngram_jaccard": llm2.q_ngram_jaccard,
         "q_snapshot_drift": llm3.q_snapshot_drift,
         "q_phrase_search": llm3.q_phrase_search,
