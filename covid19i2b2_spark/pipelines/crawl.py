@@ -112,19 +112,33 @@ def prioritize_and_schedule(
             F.col("__dst_host").alias("dst"),
         )
         .agg(F.count("*").cast("double").alias("n"))
+        # pin once: pagerank traverses its edge input several times
+        # (node set, degrees, the pre-partition shuffle) and the
+        # emptiness probe below is an action too — without the
+        # checkpoint each traversal re-runs the two endpoint joins
+        .localCheckpoint(eager=True)
     )
-    if edges.take(1):
-        ranks = pagerank(
-            edges, damping=damping, n_iter=n_iter, weight="n"
-        ).select(F.col("node").alias("host"), F.col("rank"))
-        # unlinked hosts crawl LAST, never not-at-all: floor at the
-        # minimum observed rank instead of a NULL priority
-        min_rank = ranks.agg(F.min("rank").alias("m")).collect()[0]["m"]
-        prioritized = keyed.join(ranks, "host", "left").withColumn(
-            "priority", F.coalesce("rank", F.lit(float(min_rank)))
-        ).drop("rank")
-    else:
-        prioritized = keyed.withColumn("priority", F.lit(0.0))
+    from covid19i2b2_spark.caching import release_local_checkpoint
+
+    try:
+        if edges.take(1):
+            ranks = pagerank(
+                edges, damping=damping, n_iter=n_iter, weight="n"
+            ).select(F.col("node").alias("host"), F.col("rank"))
+            # unlinked hosts crawl LAST, never not-at-all: floor at the
+            # minimum observed rank instead of a NULL priority
+            min_rank = ranks.agg(
+                F.min("rank").alias("m")
+            ).collect()[0]["m"]
+            prioritized = keyed.join(ranks, "host", "left").withColumn(
+                "priority", F.coalesce("rank", F.lit(float(min_rank)))
+            ).drop("rank")
+        else:
+            prioritized = keyed.withColumn("priority", F.lit(0.0))
+    finally:
+        # ranks is itself eagerly checkpointed by pagerank, so the
+        # returned lazy schedule never re-reads the edge blocks
+        release_local_checkpoint(edges)
     return frontier_schedule(
         prioritized,
         "host",
