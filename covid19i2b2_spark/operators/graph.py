@@ -319,3 +319,116 @@ def top_anchor_texts(
         .filter(F.col("rank") <= k)
         .select("dst", "anchor_text", "n_links", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 20,
+    tol: float | None = 1e-6,
+) -> DataFrame:
+    """X65 (round 11): HITS hubs-and-authorities (Kleinberg 1999) —
+    the complementary link prior to :func:`pagerank`: an AUTHORITY is
+    pointed at by good hubs (the pages worth keeping), a HUB points at
+    good authorities (the pages worth crawling for their outlinks).
+    PageRank mixes both notions through one random walk; training-data
+    selection often wants them apart (keep authorities, expand hubs).
+
+    Power iteration of the alternating updates
+
+        a(v) = Σ_{u→v} h(u)      h(u) = Σ_{u→v} a(v)
+
+    each followed by an L1 normalization (scores sum to 1 — scale-free
+    like pagerank's vector, so thresholds transfer across graphs).
+    Returns (node, authority, hub) for every node in the edge list.
+
+    Shape per pass — the pagerank discipline applied twice: the edge
+    frame is pinned ONCE in each orientation (eager localCheckpoint
+    after a shuffle onto the join key, so neither half-step re-scans
+    or re-shuffles raw edges), each half-step is one co-keyed join +
+    one map-side-combined groupBy + one scalar normalizer, and the
+    state frame is eagerly checkpointed every pass with predecessor
+    release (the exploding-lineage trap).  ``tol`` stops early on the
+    L1 delta of the authority vector.  No oracle — iterative fixpoint,
+    the documented non-SQL carve-out; correctness pins against a
+    pure-python same-iteration reference, closed forms, normalization
+    invariants, and determinism (tests/test_graph.py)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    by_src = e.repartition(F.col("__src")).localCheckpoint(eager=True)
+    by_dst = e.repartition(F.col("__dst")).localCheckpoint(eager=True)
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("h"))
+    hubs = hubs.localCheckpoint(eager=True)
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            hubs.join(by_src, hubs["node"] == by_src["__src"])
+            .select(F.col("__dst").alias("node"), F.col("h").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__a"))
+        )
+        a_tot = a_raw.agg(F.sum("__a").alias("s")).collect()[0]["s"] or 1.0
+        new_auths = (
+            nodes.join(a_raw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("__a"), F.lit(0.0)) / F.lit(float(a_tot))
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            new_auths.join(by_dst, new_auths["node"] == by_dst["__dst"])
+            .select(F.col("__src").alias("node"), F.col("a").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__h"))
+        )
+        h_tot = h_raw.agg(F.sum("__h").alias("s")).collect()[0]["s"] or 1.0
+        new_hubs = (
+            nodes.join(h_raw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("__h"), F.lit(0.0)) / F.lit(float(h_tot))
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None and auths is not None:
+            delta = (
+                auths.select("node", F.col("a").alias("__old"))
+                .join(new_auths, "node")
+                .agg(F.sum(F.abs(F.col("a") - F.col("__old"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        else:
+            delta = None
+        release_local_checkpoint(hubs)
+        if auths is not None:
+            release_local_checkpoint(auths)
+        hubs, auths = new_hubs, new_auths
+        if delta is not None and delta < tol:
+            break
+    out = auths.select("node", F.col("a").alias("authority")).join(
+        hubs.select("node", F.col("h").alias("hub")), "node"
+    ).localCheckpoint(eager=True)
+    release_local_checkpoint(auths)
+    release_local_checkpoint(hubs)
+    release_local_checkpoint(nodes)
+    release_local_checkpoint(by_src)
+    release_local_checkpoint(by_dst)
+    return out

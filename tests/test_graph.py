@@ -290,3 +290,65 @@ def test_top_anchor_texts(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         top_anchor_texts(links, "dst", "anchor", k=0)
+
+
+def _ref_hits(edge_list, n_iter=20):
+    """The same HITS iteration in pure python (L1-normalized)."""
+    nodes = sorted({x for e in edge_list for x in e})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(n_iter):
+        a = {v: 0.0 for v in nodes}
+        for s, d in edge_list:
+            a[d] += h[s]
+        z = sum(a.values()) or 1.0
+        a = {v: x / z for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for s, d in edge_list:
+            h[s] += a[d]
+        z = sum(h.values()) or 1.0
+        h = {v: x / z for v, x in h.items()}
+    return a, h
+
+
+def test_hits_matches_reference_and_separates_roles(spark):
+    """X65: a directory page (pure hub) and a cited page (pure
+    authority) must separate — python reference at 1e-9, both vectors
+    sum to 1, early stop converges to the same fixpoint, determinism
+    across partitionings."""
+    from covid19i2b2_spark.operators.graph import hits
+
+    # 1 and 2 are directories linking the cited pages 3,4,5; 3 also
+    # links 4 (a weak hub)
+    edges = [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits(e, n_iter=30, tol=None).collect()
+    }
+    a_ref, h_ref = _ref_hits(edges, n_iter=30)
+    for v in a_ref:
+        assert got[v][0] == pytest.approx(a_ref[v], abs=1e-9), v
+        assert got[v][1] == pytest.approx(h_ref[v], abs=1e-9), v
+    assert sum(x for x, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(x for _, x in got.values()) == pytest.approx(1.0, abs=1e-9)
+    # role separation: 1 is the best hub with zero authority; 4 is the
+    # best authority with little hub mass
+    assert got[1][1] > got[3][1] and got[1][0] == 0.0
+    assert got[4][0] > got[3][0] > 0.0
+
+    # tol early stop lands on the same fixpoint (within tol scale)
+    stopped = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits(e, n_iter=100, tol=1e-9).collect()
+    }
+    a_fix, h_fix = _ref_hits(edges, n_iter=100)
+    for v in a_fix:
+        assert stopped[v][0] == pytest.approx(a_fix[v], abs=1e-6), v
+
+    # determinism across partitionings
+    x = sorted(map(tuple, hits(e.repartition(7), n_iter=10, tol=None).collect()))
+    y = sorted(map(tuple, hits(e.repartition(2), n_iter=10, tol=None).collect()))
+    assert x == y
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(e, n_iter=0)
