@@ -84,9 +84,22 @@ def containment_pairs(
     )
     # per-doc prefix: rarest ⌊(1-t)|A|⌋+1 grams under the global
     # (df asc, gram asc) order — sort_array on (df, gram) structs is
-    # exactly that order, and slice takes the prefix
+    # exactly that order, and slice takes the prefix.  The bound is
+    # computed with a conservative epsilon: 1-t is not exact in double
+    # (1-0.8 = 0.19999999999999996), so a bare floor((1-t)*glen) comes
+    # out one short whenever t*glen is an exact integer (t=0.8 with
+    # glen a multiple of 5) — one gram short of the pigeonhole bound
+    # breaks the EXACT contract when the missing gram is the doc's
+    # rarest.  The relative (1+1e-12) + absolute 1e-9 slack strictly
+    # dominates double rounding error at any realistic glen and can
+    # only ever ENLARGE the prefix by one gram (more candidates, never
+    # a missed pair).
     pref_len = (
-        F.floor(F.lit(1.0 - threshold) * F.col("__glen")) + 1
+        F.floor(
+            F.lit((1.0 - threshold) * (1.0 + 1e-12)) * F.col("__glen")
+            + F.lit(1e-9)
+        )
+        + 1
     ).cast("int")
     prefixes = (
         posting.join(gdf, "__gram")

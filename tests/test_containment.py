@@ -92,6 +92,35 @@ def test_threshold_boundary_and_validation(spark):
         containment_pairs(df, "doc_id", "text", 0.5, n=0)
 
 
+def test_prefix_bound_exact_at_float_hostile_thresholds(spark):
+    """Regression (ADVICE r11 high): 1-0.8 = 0.19999999999999996 in
+    double, so a bare floor((1-t)*glen) undercounts the pigeonhole
+    bound by one whenever t*glen is an exact integer — t=0.8 with a
+    5-bigram doc got a prefix of ONE gram instead of two.  Plant the
+    worst case: A has exactly 5 bigrams, B holds 4 of them (c = 0.8,
+    exactly at threshold), and the single missing gram is A's GLOBALLY
+    RAREST — the one gram the too-short prefix would key on."""
+    # A's bigrams: (a b), (b c), (c d), (d e), (e f).  B holds all but
+    # (a b), which appears in no other doc — df 1, strictly rarest.
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f")],
+        "doc_id long, text string",
+    )
+    got = _got(df, 0.8)
+    assert (1, 2, 800000) in got            # the pair the bug dropped
+    assert got == _brute(spark, df, 0.8)
+    # the t=0.9 / multiple-of-10 variant of the same rounding family:
+    # A has 10 bigrams, B misses exactly the rarest one (c = 0.9)
+    a10 = " ".join(f"w{i}" for i in range(11))          # w0..w10
+    b10 = " ".join(f"w{i}" for i in range(1, 11))       # drops (w0 w1)
+    df10 = spark.createDataFrame(
+        [(1, a10), (2, b10)], "doc_id long, text string"
+    )
+    got10 = _got(df10, 0.9)
+    assert (1, 2, 900000) in got10
+    assert got10 == _brute(spark, df10, 0.9)
+
+
 def test_short_docs_carry_no_evidence_and_determinism(spark):
     """Docs with < n tokens have no n-grams and appear on neither
     side; output is identical across partitionings."""
