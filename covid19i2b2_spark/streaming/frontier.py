@@ -20,11 +20,21 @@ exact shape):
   silently dropped, never admitted);
 - a per-epoch marker under the seen-set root commits all three side
   effects; a replayed marked epoch is skipped entirely;
-- the one crash window (between ``seen.append`` and the marker)
-  duplicates seen ROWS, which anti-join reads absorb — storage cost
-  only, surfaced by the periodic health log at the storage-severity
-  COMPACT_RATIO wording (SeenUrlSet.DUPLICATION_IS_CORRECTNESS is
-  False), remediated by ``compact()``.
+- a replay of an UNMARKED epoch whose increment already committed
+  (``epoch=<id>/_SUCCESS`` present — the crash fell between the
+  increment write and the marker) RE-APPLIES from the durable
+  increment instead of recomputing: by then ``seen.append`` may have
+  run, so a recomputed ``filter_new`` would come back empty and the
+  overwrite would replace the committed increment with nothing —
+  URLs in the seen set but absent from every frontier, permanently
+  unscheduled (the round-9 multi-write-replay rule: re-apply from
+  the durable output record, never a re-computation);
+- with that, the surviving crash windows cost only duplicated seen
+  ROWS (a replayed ``seen.append``), which anti-join reads absorb —
+  storage cost only, surfaced by the periodic health log at the
+  storage-severity COMPACT_RATIO wording
+  (SeenUrlSet.DUPLICATION_IS_CORRECTNESS is False), remediated by
+  ``compact()``.
 
 Pass ``checkpoint_dir`` in production so epoch progress survives
 restarts.  Caller drives the returned query.
@@ -67,16 +77,30 @@ def run_streaming_frontier_ingest(
         deduped = url_dedup(batch_df, id_col, url_col, strip_www)
         valid = deduped.filter(F.col("canonical_url").isNotNull())
         invalid = deduped.filter(F.col("canonical_url").isNull())
-        new = seen.filter_new(spark, valid).localCheckpoint(eager=True)
-        new.write.mode("overwrite").parquet(
-            f"{out_path}/epoch={epoch_id}"
-        )
+        epoch_path = f"{out_path}/epoch={epoch_id}"
+        _, success = hadoop_fs(spark, f"{epoch_path}/_SUCCESS")
+        pinned = None
+        if fs.exists(success):
+            # prior attempt committed the increment but crashed before
+            # the marker — and possibly AFTER seen.append, so the batch
+            # may already be in the seen set and a recomputed
+            # filter_new would be empty.  Re-apply from the durable
+            # record (explicit schema: an all-seen batch commits an
+            # empty increment).
+            new = spark.read.schema(valid.schema).parquet(epoch_path)
+        else:
+            new = seen.filter_new(spark, valid).localCheckpoint(
+                eager=True
+            )
+            pinned = new
+            new.write.mode("overwrite").parquet(epoch_path)
         invalid.write.mode("overwrite").parquet(
             f"{out_path}/_quarantine/epoch={epoch_id}"
         )
         seen.append(new)
         fs.create(marker, True).close()
-        release_local_checkpoint(new)
+        if pinned is not None:
+            release_local_checkpoint(pinned)
         log_index_health(
             seen, spark, epoch_id, stats_every,
             "run_streaming_frontier_ingest",

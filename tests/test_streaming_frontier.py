@@ -104,6 +104,64 @@ def test_frontier_ingest_cross_batch_dedup_and_replay(spark, tmp_path):
     assert seen.stats(spark)["duplication_ratio"] == 1.0
 
 
+def test_unmarked_committed_epoch_replay_preserves_increment(
+    spark, tmp_path
+):
+    """ADVICE r11 #2 regression: crash between ``seen.append`` and the
+    epoch marker.  On replay the seen set already contains the batch,
+    so a recomputed filter_new comes back empty — and the old code's
+    overwrite then replaced the committed increment with an EMPTY
+    dataset: URLs in the seen set but in no frontier increment,
+    permanently unscheduled.  The replay must re-apply from the
+    durable increment instead."""
+    import os
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "frontier")
+    spark.createDataFrame(
+        WAVE1, "url_id long, url string"
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    seen = SeenUrlSet(str(tmp_path / "seen"))
+    seen.build(spark.createDataFrame([], "canonical_url string"))
+    q = run_streaming_frontier_ingest(_stream(spark, inbox), seen, out)
+    q.awaitTermination()
+    inc_schema = (
+        "url_id long, url string, canonical_url string,"
+        " n_duplicates long"
+    )
+    epoch0 = f"{out}/epoch=0"
+    before = sorted(
+        r["canonical_url"]
+        for r in spark.read.schema(inc_schema).parquet(epoch0).collect()
+    )
+    assert before == ["http://a.com/1", "http://b.com/x"]
+    # simulate the crash: increment committed AND seen.append ran, but
+    # the marker never landed
+    marker = str(tmp_path / "seen" / "_epochs" / "0")
+    os.remove(marker)
+    # checkpoint-less rerun re-delivers the file as epoch 0 — unmarked,
+    # increment committed: the exact replay the old code emptied
+    q2 = run_streaming_frontier_ingest(_stream(spark, inbox), seen, out)
+    q2.awaitTermination()
+    after = sorted(
+        r["canonical_url"]
+        for r in spark.read.schema(inc_schema).parquet(epoch0).collect()
+    )
+    assert after == before       # increment preserved, not emptied
+    assert os.path.exists(marker)
+    # the replayed append costs seen-set storage only; compact heals it
+    assert seen.stats(spark)["duplication_ratio"] == 2.0
+    new = seen.filter_new(
+        spark,
+        spark.createDataFrame(
+            [(99, "http://a.com/1")], "i long, canonical_url string"
+        ),
+    )
+    assert new.count() == 0
+    seen.compact(spark)
+    assert seen.stats(spark)["seen_rows"] == 2
+
+
 def test_seen_set_replay_health_and_compact(spark, tmp_path):
     """A crash-window replay duplicates seen rows (storage cost only:
     anti-join reads absorb them); stats() surfaces the ratio and
