@@ -330,22 +330,30 @@ class InvertedIndex:
             F.count("*").alias("n"),
             F.count_distinct(F.struct("term", "doc_id")).alias("d"),
         ).collect()[0]
-        frag = (
+        # ONE postings scan feeds both file metrics (ADVICE r11 #3 —
+        # this probe runs inside the streaming loop): the distinct
+        # (term, file) frame is tiny (n_terms × append count), so pin
+        # it and derive the per-term spread and the global file count
+        # from it instead of re-reading the whole index.
+        tf = (
             post.select("term", F.input_file_name().alias("__f"))
-            .groupBy("term")
-            .agg(F.count_distinct("__f").alias("__nf"))
-            .agg(
-                F.max("__nf").alias("mx"),
-                F.avg("__nf").alias("av"),
-                F.count("*").alias("terms"),
+            .distinct()
+            .persist()
+        )
+        try:
+            frag = (
+                tf.groupBy("term")
+                .agg(F.count("*").alias("__nf"))
+                .agg(
+                    F.max("__nf").alias("mx"),
+                    F.avg("__nf").alias("av"),
+                    F.count("*").alias("terms"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        n_files = (
-            post.select(F.input_file_name().alias("__f"))
-            .agg(F.count_distinct("__f").alias("f"))
-            .collect()[0]["f"]
-        )
+            n_files = tf.select("__f").distinct().count()
+        finally:
+            tf.unpersist()
         n_docs, avgdl = self._corpus_stats(spark)
         n_batches = deltas.count()
         n_distinct_batches = deltas.dropDuplicates(["batch_key"]).count()
