@@ -217,9 +217,17 @@ def pagerank(
     for it in range(n_iter):
         if plan_probe is not None:
             plan_probe["n_iterations"] = it + 1
-        with_deg = ranks.join(
-            degrees, ranks["node"] == degrees["__src"], "left"
-        ).select("node", "rank", "__deg")
+        # pin the ranks⋈degrees frame BEFORE the dangling scalar: it
+        # feeds two actions per pass (the dangling collect and the
+        # contribution join under new_ranks' checkpoint), and without
+        # the pin the node-sized join re-executes for each (VERDICT
+        # r11 #1 — the HITS discipline applied here too).  Released
+        # once new_ranks is pinned.
+        with_deg = (
+            ranks.join(degrees, ranks["node"] == degrees["__src"], "left")
+            .select("node", "rank", "__deg")
+            .localCheckpoint(eager=True)
+        )
         # dangling nodes (no out-edges) leak their mass unless it is
         # redistributed uniformly — one scalar aggregate per pass
         dangling = (
@@ -254,6 +262,7 @@ def pagerank(
             )
         # cut the 2-shuffle/iter lineage
         new_ranks = update.localCheckpoint(eager=True)
+        release_local_checkpoint(with_deg)
         if tol is not None:
             delta = (
                 ranks.select("node", F.col("rank").alias("__old"))
@@ -327,6 +336,7 @@ def hits(
     dst: str = "dst",
     n_iter: int = 20,
     tol: float | None = 1e-6,
+    plan_probe: dict | None = None,
 ) -> DataFrame:
     """X65 (round 11): HITS hubs-and-authorities (Kleinberg 1999) —
     the complementary link prior to :func:`pagerank`: an AUTHORITY is
@@ -349,11 +359,20 @@ def hits(
     or re-shuffles raw edges), each half-step is one co-keyed join +
     one map-side-combined groupBy + one scalar normalizer, and the
     state frame is eagerly checkpointed every pass with predecessor
-    release (the exploding-lineage trap).  ``tol`` stops early on the
-    L1 delta of the authority vector.  No oracle — iterative fixpoint,
-    the documented non-SQL carve-out; correctness pins against a
-    pure-python same-iteration reference, closed forms, normalization
-    invariants, and determinism (tests/test_graph.py)."""
+    release (the exploding-lineage trap).  Each half-step's raw
+    aggregate is itself pinned BEFORE its normalizer collect (VERDICT
+    r11 #1): it feeds two actions (the scalar total and the normalized
+    state's checkpoint), and without the pin the pass's dominant
+    edge-keyed join + groupBy would execute twice — a free 2× at
+    scale.  ``tol`` stops early on the L1 delta of the authority
+    vector.  ``plan_probe``: pass a dict to receive
+    ``{"half_step_plans": [str, str], "n_iterations": int}`` — the
+    executed-plan text of the FIRST pass's normalized-state updates
+    (the test pins that they read the pinned aggregate as an
+    ExistingRDD scan, not a re-derived join).  No oracle — iterative
+    fixpoint, the documented non-SQL carve-out; correctness pins
+    against a pure-python same-iteration reference, closed forms,
+    normalization invariants, and determinism (tests/test_graph.py)."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
@@ -373,41 +392,53 @@ def hits(
     hubs = nodes.select("node", F.lit(1.0 / n).alias("h"))
     hubs = hubs.localCheckpoint(eager=True)
     auths = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        if plan_probe is not None:
+            plan_probe["n_iterations"] = it + 1
+        # pin the edge-keyed aggregate BEFORE the normalizer collect:
+        # a_raw feeds two actions (the scalar total and new_auths'
+        # checkpoint), and the pin makes the pass's dominant join +
+        # groupBy execute exactly once (VERDICT r11 #1)
         a_raw = (
             hubs.join(by_src, hubs["node"] == by_src["__src"])
             .select(F.col("__dst").alias("node"), F.col("h").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__a"))
-        )
-        a_tot = a_raw.agg(F.sum("__a").alias("s")).collect()[0]["s"] or 1.0
-        new_auths = (
-            nodes.join(a_raw, "node", "left")
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("__a"), F.lit(0.0)) / F.lit(float(a_tot))
-                ).alias("a"),
-            )
             .localCheckpoint(eager=True)
         )
+        a_tot = a_raw.agg(F.sum("__a").alias("s")).collect()[0]["s"] or 1.0
+        upd_a = nodes.join(a_raw, "node", "left").select(
+            "node",
+            (
+                F.coalesce(F.col("__a"), F.lit(0.0)) / F.lit(float(a_tot))
+            ).alias("a"),
+        )
+        if plan_probe is not None and it == 0:
+            plan_probe.setdefault("half_step_plans", []).append(
+                upd_a._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            )
+        new_auths = upd_a.localCheckpoint(eager=True)
+        release_local_checkpoint(a_raw)
         h_raw = (
             new_auths.join(by_dst, new_auths["node"] == by_dst["__dst"])
             .select(F.col("__src").alias("node"), F.col("a").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__h"))
-        )
-        h_tot = h_raw.agg(F.sum("__h").alias("s")).collect()[0]["s"] or 1.0
-        new_hubs = (
-            nodes.join(h_raw, "node", "left")
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("__h"), F.lit(0.0)) / F.lit(float(h_tot))
-                ).alias("h"),
-            )
             .localCheckpoint(eager=True)
         )
+        h_tot = h_raw.agg(F.sum("__h").alias("s")).collect()[0]["s"] or 1.0
+        upd_h = nodes.join(h_raw, "node", "left").select(
+            "node",
+            (
+                F.coalesce(F.col("__h"), F.lit(0.0)) / F.lit(float(h_tot))
+            ).alias("h"),
+        )
+        if plan_probe is not None and it == 0:
+            plan_probe["half_step_plans"].append(
+                upd_h._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            )
+        new_hubs = upd_h.localCheckpoint(eager=True)
+        release_local_checkpoint(h_raw)
         if tol is not None and auths is not None:
             delta = (
                 auths.select("node", F.col("a").alias("__old"))

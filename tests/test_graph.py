@@ -352,3 +352,61 @@ def test_hits_matches_reference_and_separates_roles(spark):
     assert x == y
     with pytest.raises(ValueError, match="n_iter"):
         hits(e, n_iter=0)
+
+
+def test_pagerank_with_deg_join_executes_once(spark):
+    """VERDICT r11 #1 (pagerank half): ranks⋈degrees feeds two actions
+    per pass (the dangling scalar and the contribution join) — pinned,
+    the update plan reads it back as an ExistingRDD, leaving exactly
+    two joins (contributions ⋈ edges, node_frame ⋈ contribs) instead
+    of re-deriving the degree join a second time."""
+    from covid19i2b2_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    probe: dict = {}
+    pagerank(e, n_iter=3, tol=None, plan_probe=probe)
+    p = probe["iteration_plans"][1]     # steady-state pass
+    joins = sum(
+        p.count(j)
+        for j in (
+            "SortMergeJoin", "BroadcastHashJoin",
+            "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+        )
+    )
+    assert joins == 2, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_hits_half_step_aggregate_executes_once(spark):
+    """VERDICT r11 #1: each half-step's edge-keyed join + groupBy (the
+    pass's dominant work) must execute exactly ONCE — a_raw/h_raw are
+    pinned before their normalizer collects, so the normalized-state
+    update reads the aggregate back as an ExistingRDD scan instead of
+    re-deriving it.  The probe pins the plan shape: no aggregate and
+    no edge frame anywhere in either update's plan."""
+    from covid19i2b2_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (3, 4)], "src long, dst long"
+    )
+    probe: dict = {}
+    ref = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits(e, n_iter=3, tol=None).collect()
+    }
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits(e, n_iter=3, tol=None, plan_probe=probe).collect()
+    }
+    assert got == ref and probe["n_iterations"] == 3
+    plans = probe["half_step_plans"]
+    assert len(plans) == 2
+    for p in plans:
+        # the update is nodes ⋈ pinned-aggregate + project: the
+        # half-step's HashAggregate and the edge columns must NOT
+        # reappear in its plan
+        assert "HashAggregate" not in p, p
+        assert "__src" not in p and "__dst" not in p, p
+        assert "Scan ExistingRDD" in p, p
