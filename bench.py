@@ -1083,6 +1083,79 @@ def _bench_inverted_index(spark) -> dict:
     return out
 
 
+def _bench_seen_urlset(spark) -> dict:
+    """X61'' bloom gate (VERDICT r11 #3): steady-state frontier batch
+    cost vs seen-set size.  Seen sets of |orders|·{1, x10, x100}
+    synthetic canonical URLs; a FIXED 10k-row batch (~50% already
+    seen) filters against each — plain anti-join vs bloom-gated.
+    The receipt: the gated cost's growth ratio across seen sizes
+    stays far below the plain anti-join's (definitely-new rows never
+    touch the table; maybe-hits resolve via broadcast joins streamed
+    over the seen scan, which never shuffles)."""
+    import shutil
+    import tempfile
+
+    from covid19i2b2_spark.operators.urls import SeenUrlSet
+    from covid19i2b2_spark.sources.tables import read_table
+
+    out: dict = {}
+    base = read_table(spark, SF_DIR, "orders").count()
+    batch_n = 10_000
+
+    def _urls(ids):
+        return ids.select(
+            F.concat(
+                F.lit("http://h"), F.pmod("id", F.lit(1000)),
+                F.lit(".com/p"), F.col("id"),
+            ).alias("canonical_url")
+        )
+
+    root = tempfile.mkdtemp(prefix="seen_bench_")
+    factors = [1, SCALE_X] + ([SCALE100_X] if SCALE100_X > 1 else [])
+    try:
+        for factor in factors:
+            n = base * factor
+            seen = SeenUrlSet(f"{root}/x{factor}")
+            seen.build(_urls(spark.range(n).repartition(32)))
+            # even ids hit existing URLs, odd ids are brand new
+            batch = _urls(
+                spark.range(batch_n).select(
+                    F.when(F.col("id") % 2 == 0, F.col("id"))
+                    .otherwise(F.col("id") + n)
+                    .alias("id")
+                )
+            )
+
+            def _run():
+                t0 = time.perf_counter()
+                seen.filter_new(spark, batch).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return time.perf_counter() - t0
+
+            out[f"plain_x{factor}_sec"] = round(min(_run(), _run()), 3)
+            t0 = time.perf_counter()
+            seen.write_bloom(spark)
+            out[f"bloom_build_x{factor}_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out[f"gated_x{factor}_sec"] = round(min(_run(), _run()), 3)
+            seen.release()
+            spark.catalog.clearCache()
+        big = factors[-1]
+        if big > 1:
+            out[f"plain_x{big}_vs_x1"] = round(
+                out[f"plain_x{big}_sec"] / out["plain_x1_sec"], 3
+            )
+            out[f"gated_x{big}_vs_x1"] = round(
+                out[f"gated_x{big}_sec"] / out["gated_x1_sec"], 3
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.clearCache()
+    return out
+
+
 def _bench_pagerank_scaled(spark) -> dict:
     """X56 scale story (VERDICT r10 #1): PageRank over a deterministic
     synthetic link graph derived from the replicated orders table at
@@ -1418,6 +1491,7 @@ def main() -> None:
         result["inverted_index"] = _bench_inverted_index(spark)
         result["pagerank_scaled"] = _bench_pagerank_scaled(spark)
         result["hits_scaled"] = _bench_hits_scaled(spark)
+        result["seen_urlset"] = _bench_seen_urlset(spark)
         result["dsir_scaled"] = _bench_dsir_scaled(spark)
         result["containment_scaled"] = _bench_containment_scaled(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
@@ -1611,6 +1685,7 @@ def main() -> None:
         "inverted_index",
         "pagerank_scaled",
         "hits_scaled",
+        "seen_urlset",
         "dsir_scaled",
         "containment_scaled",
         "sketch_stores",
@@ -1672,6 +1747,11 @@ def main() -> None:
         summary["pagerank_x10_per_pass_sec"] = detail[
             "pagerank_scaled"
         ].get(f"x{SCALE_X}_per_pass_sec")
+    if "seen_urlset" in detail:
+        su = detail["seen_urlset"]
+        for k, v in su.items():
+            if k.endswith("_vs_x1"):
+                summary[f"seen_{k}"] = v
     if "hits_scaled" in detail:
         summary["hits_x100_linear_ratio_vs_x10"] = detail[
             "hits_scaled"

