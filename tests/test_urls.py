@@ -206,3 +206,67 @@ def test_url_dedup_survivor_contract(spark):
     a = sorted(map(tuple, url_dedup(df.repartition(7), "doc_id", "url").collect()))
     b = sorted(map(tuple, url_dedup(df.repartition(2), "doc_id", "url").collect()))
     assert a == b
+
+
+def test_filter_disallowed_zoo(spark):
+    """Round-12 robots/blocklist exclusion: exact-host block, per-host
+    path prefix, dot-anchored suffix rules (domain + subdomains, with
+    and without a path), comments, case-insensitive rule parse, deep
+    hosts past max_labels, NULL/invalid URLs allowed through on their
+    own loud path."""
+    import pytest
+
+    from covid19i2b2_spark.operators.urls import (
+        filter_disallowed,
+        parse_disallow_rules,
+    )
+
+    rules = parse_disallow_rules(spark, [
+        "# comment line",
+        "",
+        "Blocked.com",                 # whole host, case-folded
+        "partial.com/private",         # path prefix on one host
+        ".Tracker.net",                # domain + every subdomain
+        ".cdn.org/ads",                # suffix rule WITH a path prefix
+    ])
+    urls = [
+        (1, "http://blocked.com/anything", "blocked"),
+        (2, "http://sub.blocked.com/x", "allowed"),      # exact ≠ suffix
+        (3, "http://partial.com/private/x", "blocked"),
+        (4, "http://partial.com/public", "allowed"),
+        (5, "http://partial.com/privateer", "blocked"),  # PREFIX match
+        (6, "http://tracker.net/", "blocked"),           # suffix: itself
+        (7, "http://a.b.tracker.net/p", "blocked"),      # deep subdomain
+        (8, "http://nottracker.net/p", "allowed"),       # dot-anchored
+        (9, "http://x.cdn.org/ads/1", "blocked"),
+        (10, "http://x.cdn.org/content", "allowed"),
+        (11, "http://clean.com/", "allowed"),
+        (12, "not a url", "allowed"),                    # invalid: loud path
+        (13, None, "allowed"),
+        # 10 labels — past max_labels=8, exact rule must still match
+        (14, "http://" + ".".join("abcdefghij") + ".blocked2.com/x",
+         "allowed"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in urls], "i long, url string"
+    )
+    allowed, blocked = filter_disallowed(df, rules, url_col="url")
+    got_a = sorted(r["i"] for r in allowed.collect())
+    got_b = sorted(r["i"] for r in blocked.collect())
+    want_a = sorted(i for i, _, s in urls if s == "allowed")
+    want_b = sorted(i for i, _, s in urls if s == "blocked")
+    assert got_a == want_a and got_b == want_b
+    # every input row lands in exactly one split
+    assert sorted(got_a + got_b) == [i for i, _, _ in urls]
+    # deep-host EXACT rule past max_labels: full-host candidate kept
+    deep_host = ".".join("abcdefghij") + ".deep.com"
+    deep_rules = parse_disallow_rules(spark, [deep_host])
+    ddf = spark.createDataFrame(
+        [(1, f"http://{deep_host}/x"), (2, "http://deep.com/x")],
+        "i long, url string",
+    )
+    a2, b2 = filter_disallowed(ddf, deep_rules, url_col="url")
+    assert [r["i"] for r in b2.collect()] == [1]
+    assert [r["i"] for r in a2.collect()] == [2]
+    with pytest.raises(ValueError, match="no host"):
+        parse_disallow_rules(spark, ["/path-only"])
