@@ -37,6 +37,7 @@ def frontier_schedule(
     per_host_per_round: int,
     round_col: str = "crawl_round",
     max_rounds: int | None = None,
+    per_host_cap_col: str | None = None,
 ) -> DataFrame:
     """df + ``round_col``: 1-based round in which each URL is fetched.
 
@@ -47,18 +48,47 @@ def frontier_schedule(
     and keep a NULL round (loud, like every invalid row in this
     engine); with ``max_rounds``, rows beyond the horizon also get
     NULL (dropped from the schedule, kept in the frame so the caller
-    can count what politeness priced out)."""
+    can count what politeness priced out).
+
+    ``per_host_cap_col`` (round 12, the X67 Crawl-delay consumer):
+    names a host-constant long column overriding the cap for that
+    host — the standard derivation is
+    ``floor(round_seconds / crawl_delay)`` from robots_crawl_delays.
+    NULL falls back to ``per_host_per_round``; a cap below 1 is
+    raised loudly row-side (a zero cap would silently starve the
+    host — if a host must not be crawled, exclude it through
+    filter_disallowed, don't zero its quota)."""
     if per_host_per_round < 1:
         raise ValueError(
             f"per_host_per_round must be >= 1, got {per_host_per_round}"
         )
     if max_rounds is not None and max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if per_host_cap_col is None:
+        cap = F.lit(per_host_per_round)
+    else:
+        raw = F.col(per_host_cap_col).cast("long")
+        cap = F.coalesce(
+            F.when(
+                raw.isNotNull() & (raw < 1),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "frontier_schedule: per-host caps must be"
+                            " >= 1 (got "
+                        ),
+                        raw.cast("string"),
+                        F.lit(")"),
+                    )
+                ).cast("long"),
+            ).otherwise(raw),
+            F.lit(per_host_per_round),
+        )
     win = Window.partitionBy(host_col).orderBy(
         F.desc(priority_col), F.asc(id_col)
     )
     rnd = (
-        F.floor((F.row_number().over(win) - 1) / per_host_per_round) + 1
+        F.floor((F.row_number().over(win) - 1) / cap) + 1
     ).cast("long")
     if max_rounds is not None:
         rnd = F.when(rnd <= max_rounds, rnd)

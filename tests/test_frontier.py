@@ -88,3 +88,55 @@ def test_round_one_is_breadth_slice(spark):
         for r in sched.filter(F.col("crawl_round") == 1).collect()
     }
     assert r1_hosts == {"a.com", "b.com"}
+
+
+def test_per_host_cap_column_overrides_default(spark):
+    """Round-12 (X67 Crawl-delay consumer): a host-constant cap column
+    overrides per_host_per_round for that host; NULL falls back; a
+    cap below 1 raises loudly."""
+    df = _frame(spark).withColumn(
+        "cap",
+        F.when(F.col("host") == "a.com", F.lit(1)).otherwise(
+            F.lit(None).cast("long")
+        ),
+    )
+    out = {
+        r["url_id"]: r["crawl_round"]
+        for r in frontier_schedule(
+            df, "host", "priority", "url_id",
+            per_host_per_round=2, per_host_cap_col="cap",
+        ).collect()
+    }
+    # a.com throttled to 1/round: ids 0..4 -> rounds 1..5
+    assert [out[i] for i in range(5)] == [1, 2, 3, 4, 5]
+    # b.com keeps the default cap of 2: both in round 1
+    assert out[10] == 1 and out[11] == 1
+    assert out[12] is None
+    # deriving caps from crawl delays: floor(round_seconds / delay)
+    delays = spark.createDataFrame(
+        [("a.com", 30.0)], "host string, crawl_delay double"
+    )
+    capped = (
+        _frame(spark)
+        .join(delays, "host", "left")
+        .withColumn(
+            "cap",
+            F.floor(F.lit(60.0) / F.col("crawl_delay")).cast("long"),
+        )
+    )
+    out2 = {
+        r["url_id"]: r["crawl_round"]
+        for r in frontier_schedule(
+            capped, "host", "priority", "url_id",
+            per_host_per_round=3, per_host_cap_col="cap",
+        ).collect()
+    }
+    assert [out2[i] for i in range(5)] == [1, 1, 2, 2, 3]  # cap 2
+    assert out2[10] == 1 and out2[11] == 1                 # default 3
+    # cap < 1 is loud
+    bad = _frame(spark).withColumn("cap", F.lit(0))
+    with pytest.raises(Exception, match="per-host caps"):
+        frontier_schedule(
+            bad, "host", "priority", "url_id",
+            per_host_per_round=2, per_host_cap_col="cap",
+        ).collect()

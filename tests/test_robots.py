@@ -1,0 +1,211 @@
+"""X67 robots.txt parsing (operators/robots.py): planted group zoo,
+RFC group semantics (consecutive agents, most-specific group,
+empty-disallow allow-all), conservative wildcard/anchor truncation,
+crawl delays, end-to-end with filter_disallowed, and a hypothesis
+property against a pure-python reference parser."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.robots import (
+    parse_robots_txt,
+    robots_crawl_delays,
+)
+
+ZOO_BODY = """
+# global rules
+User-agent: *
+Disallow: /private
+Disallow:            # empty value = allow all, no rule
+Crawl-delay: 2
+
+User-Agent: mybot    # field names case-insensitive; agent group of 2
+user-agent: otherbot
+Disallow: /only-for-bots
+Allow: /only-for-bots/except   # Allow is ignored (conservative)
+Crawl-delay: 10
+
+noise line without a colon-field
+Disallow: /ignored-outside-any-group-is-fine
+"""
+
+WILD_BODY = (
+    "User-agent: *\r\n"        # CRLF tolerated
+    "Disallow: /a/*/c\r\n"     # truncates at the first *
+    "Disallow: /exact$\r\n"    # trailing anchor dropped (prefix)
+    "Disallow: *\r\n"          # pure wildcard = whole host
+    "Disallow: no-slash\r\n"   # lenient: leading / prepended
+)
+
+
+def _rules(spark, rows, ua="*"):
+    df = spark.createDataFrame(rows, "host string, body string")
+    return sorted(
+        (r["rule_host"], r["prefix"], r["is_suffix"])
+        for r in parse_robots_txt(df, user_agent=ua).collect()
+    )
+
+
+def test_group_zoo_star_agent(spark):
+    got = _rules(spark, [("a.com", ZOO_BODY)], ua="*")
+    # the '*' group's one real rule; the mybot group does not apply;
+    # the orphan Disallow after the noise line belongs to the mybot
+    # group (still within it — no new group started)
+    assert got == [("a.com", "/private", False)]
+
+
+def test_most_specific_group_wins(spark):
+    got = _rules(spark, [("a.com", ZOO_BODY)], ua="MyBot")
+    # named group applies; the '*' group must NOT (RFC most-specific);
+    # the post-noise Disallow still belongs to the named group
+    assert got == [
+        ("a.com", "/ignored-outside-any-group-is-fine", False),
+        ("a.com", "/only-for-bots", False),
+    ]
+    # an agent named nowhere falls back to '*'
+    got2 = _rules(spark, [("a.com", ZOO_BODY)], ua="strangerbot")
+    assert got2 == [("a.com", "/private", False)]
+
+
+def test_wildcards_anchors_and_leniency(spark):
+    got = _rules(spark, [("w.com", WILD_BODY)])
+    assert got == [
+        ("w.com", "/", False),           # '*' truncates to whole host
+        ("w.com", "/a/", False),         # prefix before the wildcard
+        ("w.com", "/exact", False),      # $ anchor dropped
+        ("w.com", "/no-slash", False),   # leading slash prepended
+    ]
+
+
+def test_rules_before_any_group_are_ignored(spark):
+    body = "Disallow: /orphan\nUser-agent: *\nDisallow: /real"
+    assert _rules(spark, [("x.com", body)]) == [("x.com", "/real", False)]
+
+
+def test_crawl_delays_group_scoped_max_and_garbage(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.com", ZOO_BODY),
+            ("b.com", "User-agent: *\nCrawl-delay: abc\nCrawl-delay: -1"),
+            ("c.com", "User-agent: *\nCrawl-delay: 1.5\nCrawl-delay: 3"),
+        ],
+        "host string, body string",
+    )
+    star = {r["host"]: r["crawl_delay"]
+            for r in robots_crawl_delays(df).collect()}
+    assert star == {"a.com": 2.0, "c.com": 3.0}   # garbage host absent
+    named = {r["host"]: r["crawl_delay"]
+             for r in robots_crawl_delays(df, user_agent="mybot").collect()}
+    assert named["a.com"] == 10.0
+
+
+def test_end_to_end_with_filter_disallowed(spark):
+    from covid19i2b2_spark.operators.urls import filter_disallowed
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private")],
+        "host string, body string",
+    )
+    rules = parse_robots_txt(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/x"),
+            (2, "http://a.com/public"),
+            (3, "http://b.com/private/x"),   # rule binds to a.com only
+        ],
+        "i long, url string",
+    )
+    allowed, blocked = filter_disallowed(urls, rules, url_col="url")
+    assert sorted(r["i"] for r in blocked.collect()) == [1]
+    assert sorted(r["i"] for r in allowed.collect()) == [2, 3]
+
+
+# --- hypothesis property vs a pure-python reference parser ----------
+
+def _ref_parse(body: str, ua: str):
+    """Same semantics, independently implemented: returns
+    (set[(prefix)], max crawl_delay or None)."""
+    groups: list[dict] = []
+    in_ua = False
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].replace("\r", "").strip()
+        m = re.match(r"^([A-Za-z-]+)\s*:(.*)$", line)
+        if not m:
+            continue
+        field, value = m.group(1).lower(), m.group(2).strip()
+        if field == "user-agent":
+            if not in_ua:
+                groups.append({"agents": set(), "rules": []})
+                in_ua = True
+            groups[-1]["agents"].add(value.lower())
+        else:
+            in_ua = False
+            if groups:
+                groups[-1]["rules"].append((field, value))
+    named = any(ua in g["agents"] for g in groups)
+    prefixes, delay = set(), None
+    for g in groups:
+        if not ((ua in g["agents"])
+                or (not named and "*" in g["agents"])):
+            continue
+        for field, value in g["rules"]:
+            if field == "disallow" and value != "":
+                p = value.split("*", 1)[0]
+                if p.endswith("$"):
+                    p = p[:-1]
+                if p == "":
+                    p = "/"
+                elif not p.startswith("/"):
+                    p = "/" + p
+                prefixes.add(p)
+            elif field == "crawl-delay":
+                try:
+                    v = float(value)
+                except ValueError:
+                    continue
+                if v > 0:
+                    delay = v if delay is None else max(delay, v)
+    return prefixes, delay
+
+
+_LINES = st.sampled_from([
+    "User-agent: *",
+    "User-agent: mybot",
+    "User-agent: other",
+    "Disallow: /a",
+    "Disallow: /a/*/b",
+    "Disallow: /c$",
+    "Disallow:",
+    "Allow: /a/x",
+    "Crawl-delay: 5",
+    "Crawl-delay: 2.5",
+    "Crawl-delay: nope",
+    "Sitemap: http://x/sitemap.xml",
+    "garbage no colon",
+    "# a comment",
+    "",
+])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    body_lines=st.lists(_LINES, min_size=0, max_size=14),
+    ua=st.sampled_from(["mybot", "*"]),
+)
+def test_matches_reference_parser(spark, body_lines, ua):
+    body = "\n".join(body_lines)
+    df = spark.createDataFrame([("h.com", body)], "host string, body string")
+    got_rules = {
+        r["prefix"] for r in parse_robots_txt(df, user_agent=ua).collect()
+    }
+    got_delay = {
+        r["host"]: r["crawl_delay"]
+        for r in robots_crawl_delays(df, user_agent=ua).collect()
+    }.get("h.com")
+    want_rules, want_delay = _ref_parse(body, ua)
+    assert got_rules == want_rules, body
+    assert got_delay == want_delay, body
