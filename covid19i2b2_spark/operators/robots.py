@@ -172,3 +172,83 @@ def robots_crawl_delays(
         .groupBy(F.col("__host").alias("host"))
         .agg(F.max(v).alias("crawl_delay"))
     )
+
+
+def _xml_unescape(col):
+    """The five predefined XML entities, innermost-first so
+    ``&amp;lt;`` round-trips to the literal ``&lt;`` (replacing
+    ``&amp;`` LAST is what makes the chain single-pass correct)."""
+    c = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def extract_sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """X68 (round 12): sitemap XML → frontier rows — the discovery
+    channel next to link extraction (sites advertise exactly the URLs
+    they want crawled, with freshness hints).  One row per ``<url>``
+    entry: (host, url, lastmod, priority, kind='url'); sitemap INDEX
+    files emit their child sitemaps as kind='sitemap' rows so the
+    caller can loop fetch→extract to a fixed point (the nesting depth
+    is bounded at 2 by the protocol, so the loop is, too).
+
+    Declarative parse (the X67 rationale — 10^6+ bodies arrive as
+    crawl results): regexp_extract_all over ``(?s)<url>…</url>`` /
+    ``<sitemap>…</sitemap>`` blocks, per-block field extracts, the
+    five XML entities unescaped (sitemap locs are XML-escaped by
+    spec — ``&amp;`` in query strings is the norm, not the edge
+    case).  lastmod stays the raw W3C datetime STRING (the protocol
+    allows 4 precisions; parse at the consumer with the precision it
+    needs); priority is try_cast — garbage is NULL, never a thrown
+    stage.  Blocks without a ``<loc>`` carry no evidence and are
+    dropped.  Full XML generality (namespaces beyond the default,
+    CDATA) is out of scope by the protocol's own fixed schema."""
+    def _blocks(kind: str, tag: str):
+        return (
+            sitemaps.select(
+                F.col(host_col).alias("host"),
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col(body_col),
+                        F.lit(f"(?s)<{tag}[^>]*>(.*?)</{tag}>"),
+                        F.lit(1),
+                    )
+                ).alias("__b"),
+            )
+            .select(
+                "host",
+                _xml_unescape(
+                    F.trim(
+                        F.regexp_extract(
+                            "__b", r"(?s)<loc[^>]*>\s*(.*?)\s*</loc>", 1
+                        )
+                    )
+                ).alias("url"),
+                F.trim(
+                    F.regexp_extract(
+                        "__b", r"(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>", 1
+                    )
+                ).alias("lastmod"),
+                F.regexp_extract(
+                    "__b", r"(?s)<priority[^>]*>\s*(.*?)\s*</priority>", 1
+                ).try_cast("double").alias("priority"),
+                F.lit(kind).alias("kind"),
+            )
+            .filter(F.col("url") != "")
+            .withColumn(
+                "lastmod",
+                F.when(F.col("lastmod") != "", F.col("lastmod")),
+            )
+        )
+
+    return _blocks("url", "url").unionByName(
+        _blocks("sitemap", "sitemap")
+    )

@@ -209,3 +209,107 @@ def test_matches_reference_parser(spark, body_lines, ua):
     want_rules, want_delay = _ref_parse(body, ua)
     assert got_rules == want_rules, body
     assert got_delay == want_delay, body
+
+
+# --- X68 sitemap extraction ------------------------------------------
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://a.com/page?x=1&amp;y=2</loc>
+    <lastmod>2024-01-15</lastmod>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>
+      http://a.com/plain
+  </loc></url>
+  <url><lastmod>2024-01-01</lastmod></url>
+  <url><loc>http://a.com/bad-priority</loc><priority>high</priority></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>http://a.com/sitemap1.xml</loc><lastmod>2024-02-02</lastmod></sitemap>
+  <sitemap><loc>http://a.com/sitemap2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_extraction_zoo(spark):
+    """X68: url entries with escaped locs, whitespace, optional and
+    garbage fields; loc-less blocks dropped; index files emit
+    kind='sitemap' children."""
+    from covid19i2b2_spark.operators.robots import extract_sitemap_urls
+
+    df = spark.createDataFrame(
+        [("a.com", SITEMAP), ("a.com", SITEMAP_INDEX)],
+        "host string, body string",
+    )
+    got = sorted(
+        (r["url"], r["lastmod"], r["priority"], r["kind"])
+        for r in extract_sitemap_urls(df).collect()
+    )
+    assert got == [
+        ("http://a.com/bad-priority", None, None, "url"),
+        ("http://a.com/page?x=1&y=2", "2024-01-15", 0.8, "url"),
+        ("http://a.com/plain", None, None, "url"),
+        ("http://a.com/sitemap1.xml", "2024-02-02", None, "sitemap"),
+        ("http://a.com/sitemap2.xml", None, None, "sitemap"),
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.sampled_from([
+                "http://h.com/a", "http://h.com/b?x=1&y=2",
+                "http://h.com/c d",          # space kept verbatim
+            ]),
+            st.one_of(st.none(), st.sampled_from(["2024-01-01", "x"])),
+            st.one_of(st.none(), st.sampled_from(["0.5", "junk"])),
+        ),
+        min_size=0, max_size=6,
+    )
+)
+def test_sitemap_matches_elementtree_reference(spark, entries):
+    """Hypothesis: the declarative parse equals xml.etree on arbitrary
+    well-formed sitemaps (locs escaped on write, entities round-trip
+    through the unescape chain)."""
+    import xml.etree.ElementTree as ET
+    from xml.sax.saxutils import escape
+
+    from covid19i2b2_spark.operators.robots import extract_sitemap_urls
+
+    parts = ["<urlset>"]
+    for loc, lastmod, prio in entries:
+        parts.append("<url>")
+        parts.append(f"<loc>{escape(loc)}</loc>")
+        if lastmod is not None:
+            parts.append(f"<lastmod>{lastmod}</lastmod>")
+        if prio is not None:
+            parts.append(f"<priority>{prio}</priority>")
+        parts.append("</url>")
+    parts.append("</urlset>")
+    body = "\n".join(parts)
+
+    ref = []
+    for u in ET.fromstring(body).iter("url"):
+        loc = u.findtext("loc")
+        if not loc or not loc.strip():
+            continue
+        prio_txt = u.findtext("priority")
+        try:
+            prio = float(prio_txt) if prio_txt is not None else None
+        except ValueError:
+            prio = None
+        ref.append((loc.strip(), u.findtext("lastmod"), prio, "url"))
+
+    df = spark.createDataFrame([("h.com", body)], "host string, body string")
+    key = lambda t: (t[0], str(t[1]), str(t[2]), t[3])  # None-safe sort
+    got = sorted(
+        (
+            (r["url"], r["lastmod"], r["priority"], r["kind"])
+            for r in extract_sitemap_urls(df).collect()
+        ),
+        key=key,
+    )
+    assert got == sorted(ref, key=key), body
