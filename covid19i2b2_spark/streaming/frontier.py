@@ -78,9 +78,11 @@ def run_streaming_frontier_ingest(
         valid = deduped.filter(F.col("canonical_url").isNotNull())
         invalid = deduped.filter(F.col("canonical_url").isNull())
         epoch_path = f"{out_path}/epoch={epoch_id}"
-        _, success = hadoop_fs(spark, f"{epoch_path}/_SUCCESS")
+        # resolve the OUTPUT path's own filesystem — out_path and the
+        # seen set may live on different stores
+        out_fs, success = hadoop_fs(spark, f"{epoch_path}/_SUCCESS")
         pinned = None
-        if fs.exists(success):
+        if out_fs.exists(success):
             # prior attempt committed the increment but crashed before
             # the marker — and possibly AFTER seen.append, so the batch
             # may already be in the seen set and a recomputed
