@@ -38,6 +38,7 @@ def frontier_schedule(
     round_col: str = "crawl_round",
     max_rounds: int | None = None,
     per_host_cap_col: str | None = None,
+    exclude_col: str | None = None,
 ) -> DataFrame:
     """df + ``round_col``: 1-based round in which each URL is fetched.
 
@@ -57,7 +58,16 @@ def frontier_schedule(
     NULL falls back to ``per_host_per_round``; a cap below 1 is
     raised loudly row-side (a zero cap would silently starve the
     host — if a host must not be crawled, exclude it through
-    filter_disallowed, don't zero its quota)."""
+    filter_disallowed, don't zero its quota).
+
+    ``exclude_col`` (round 12, the X66 consumer): names a boolean
+    column; True rows get a NULL round WITHOUT consuming a slot —
+    they sort after every schedulable row inside their host's window,
+    so allowed row numbers are unaffected, and the window stays
+    partitioned by the real host (routing excluded rows to a NULL
+    host instead would pile them all into ONE window partition — the
+    single-task skew this column exists to avoid).  NULL flags read
+    as False."""
     if per_host_per_round < 1:
         raise ValueError(
             f"per_host_per_round must be >= 1, got {per_host_per_round}"
@@ -84,13 +94,17 @@ def frontier_schedule(
             ).otherwise(raw),
             F.lit(per_host_per_round),
         )
-    win = Window.partitionBy(host_col).orderBy(
-        F.desc(priority_col), F.asc(id_col)
-    )
+    order = [F.desc(priority_col), F.asc(id_col)]
+    if exclude_col is not None:
+        excluded = F.coalesce(F.col(exclude_col), F.lit(False))
+        order = [F.asc(excluded.cast("int"))] + order
+    win = Window.partitionBy(host_col).orderBy(*order)
     rnd = (
         F.floor((F.row_number().over(win) - 1) / cap) + 1
     ).cast("long")
     if max_rounds is not None:
         rnd = F.when(rnd <= max_rounds, rnd)
     rnd = F.when(F.col(host_col).isNotNull(), rnd)
+    if exclude_col is not None:
+        rnd = F.when(~excluded, rnd)
     return df.withColumn(round_col, rnd)

@@ -218,7 +218,10 @@ def extract_sitemap_urls(
                 F.explode(
                     F.regexp_extract_all(
                         F.col(body_col),
-                        F.lit(f"(?s)<{tag}[^>]*>(.*?)</{tag}>"),
+                        # (?:\s[^>]*)? — the tag must end right after
+                        # its name or at whitespace, so <url> never
+                        # matches the <urlset> root (review r12)
+                        F.lit(f"(?s)<{tag}(?:\\s[^>]*)?>(.*?)</{tag}>"),
                         F.lit(1),
                     )
                 ).alias("__b"),

@@ -179,8 +179,16 @@ def canonicalize_url(
         default_port, F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
     canon = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    # host SHAPE guard (round 12): "http://::" used to leave ":" as the
+    # host — non-empty, so it canonicalized to "http://:/", whose
+    # re-canonicalization is NULL (hypothesis idempotence
+    # counterexample).  A registered-name host can't contain
+    # : / ? @ [ ] or whitespace; bracketed IPv6 literals are the one
+    # colon-bearing form and are allowed explicitly.  Anything else is
+    # loud NULL, which is idempotent by construction.
+    valid_host = host.rlike(r"^(\[[0-9a-f:.]+\]|[^\[\]:/?@\s]+)$")
     return F.when(
-        scheme.isin("http", "https") & (host != ""), canon
+        scheme.isin("http", "https") & valid_host, canon
     ).otherwise(F.lit(None).cast("string"))
 
 
@@ -341,6 +349,14 @@ def parse_disallow_rules(spark, lines: list[str]) -> DataFrame:
       SUBDOMAIN (``example.com`` itself and ``a.b.example.com``) — the
       conventional blocklist spelling for domain-level blocks.
 
+    Only the HOST is case-folded — paths are case-sensitive by spec
+    (review r12: lowercasing the whole line made any rule with an
+    uppercase path character silently never fire).  A leading ``www.``
+    is stripped from the rule host (review r12): URL hosts arrive
+    www-stripped from canonicalize_url/extract_host, so an unstripped
+    ``www.badsite.com`` rule could never match — and post-
+    canonicalization the two spellings are the same site anyway.
+
     Driver-side parse (blocklists are broadcast-sized by construction —
     robots.txt corpora distill to per-host prefix sets far smaller
     than the frontier).  -> (rule_host, is_suffix, prefix)."""
@@ -349,14 +365,16 @@ def parse_disallow_rules(spark, lines: list[str]) -> DataFrame:
         t = ln.strip()
         if not t or t.startswith("#"):
             continue
-        t = t.lower()
         slash = t.find("/")
         if slash == -1:
             host, prefix = t, "/"
         else:
             host, prefix = t[:slash], t[slash:]
+        host = host.lower()
         is_suffix = host.startswith(".")
         host = host.lstrip(".")
+        if host.startswith("www."):
+            host = host[4:]
         if not host:
             raise ValueError(f"disallow rule has no host: {ln!r}")
         rows.append((host, is_suffix, prefix or "/"))
@@ -365,42 +383,60 @@ def parse_disallow_rules(spark, lines: list[str]) -> DataFrame:
     )
 
 
-def filter_disallowed(
+def mark_disallowed(
     df: DataFrame,
     rules: DataFrame,
     url_col: str = "canonical_url",
+    out_col: str = "is_disallowed",
     max_labels: int = 8,
-) -> tuple[DataFrame, DataFrame]:
-    """(allowed, blocked): split ``df`` on the disallow ``rules``
-    (parse_disallow_rules) — a URL is blocked when its host matches a
-    rule (exactly, or as a dot-anchored suffix) AND its path starts
-    with the rule's prefix.  The X33 rule: blocked rows are returned,
-    visible, never silently dropped.  Rows whose URL is NULL or
-    hostless are ALLOWED through — exclusion is a policy on real
-    resources; invalid rows stay on their own loud path (NULL round
-    downstream).
+) -> DataFrame:
+    """df + boolean ``out_col``: True where the URL's host matches a
+    disallow rule (exactly, or as a dot-anchored suffix) and its
+    PATH+QUERY starts with the rule's prefix — the flag form the crawl
+    pipeline consumes in one plan (no allowed/blocked union, so the
+    corpus chain evaluates once; review r12 #7).  Rows with NULL or
+    hostless URLs flag False (exclusion is a policy on real resources;
+    invalid rows stay on their own loud path downstream).
+
+    Matching semantics (each a review-r12 under-blocking fix):
+
+    - the matched text is the path INCLUDING the query string —
+      RFC 9309 matching covers both, so ``Disallow: /search?`` must be
+      able to fire; a fragment never reaches the server and is
+      excluded;
+    - a trailing-slash directory prefix also matches the directory URL
+      itself (``/private/`` blocks canonical ``/private``, whose
+      trailing slash canonicalize_url strips) — exact match on the
+      slash-less spelling, so ``/privateer`` stays allowed;
+    - the per-host candidate-suffix cap self-sizes to the LONGEST rule
+      host (one tiny aggregate over the broadcast-sized rules), so
+      deep dot-anchored rules never silently stop matching at a fixed
+      ``max_labels``.
 
     Shape (nothing corpus-sized shuffles): candidate host suffixes are
-    a bounded per-row array (≤ ``max_labels``, plus the full host), the
-    rules join is a broadcast, and both output splits are broadcast
-    semi/anti joins of the per-host effective-prefix table streamed
-    over the corpus scan — the corpus is never hashed across the
-    cluster for a policy check."""
+    a bounded per-row array over the DISTINCT hosts, the rules join is
+    a broadcast, and the corpus sees ONE broadcast join against the
+    per-host effective-prefix lists + an array ``exists`` — a pure
+    policy column on the scan."""
+    # self-size the suffix cap to the rules (review r12 #8): a
+    # dot-anchored rule longer than the cap would otherwise silently
+    # never match deeper hosts; rules are broadcast-sized, so this is
+    # one tiny job
+    rmax = rules.agg(
+        F.max(F.size(F.split("rule_host", r"\."))).alias("m")
+    ).collect()[0]["m"]
+    max_labels = max(max_labels, int(rmax or 1))
+    # path + query, fragment excluded (RFC 9309 matches both); a
+    # query-only URL ("http://h.com?x") matches as "/?x"
+    rest = F.regexp_extract(F.col(url_col), r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    path = F.when(rest == "", F.lit("/")).otherwise(
+        F.when(rest.startswith("/"), rest).otherwise(
+            F.concat(F.lit("/"), rest)
+        )
+    )
     work = df.withColumn(
         "__fd_host", extract_host(F.col(url_col))
-    ).withColumn(
-        "__fd_path",
-        F.when(
-            F.regexp_extract(
-                F.col(url_col), r"^[^:/?#]+://[^/?#]*(/[^?#]*)?", 1
-            ) == "",
-            F.lit("/"),
-        ).otherwise(
-            F.regexp_extract(
-                F.col(url_col), r"^[^:/?#]+://[^/?#]*(/[^?#]*)?", 1
-            )
-        ),
-    )
+    ).withColumn("__fd_path", path)
     hosts = (
         work.select(F.col("__fd_host").alias("__h"))
         .filter(F.col("__h").isNotNull() & (F.col("__h") != ""))
@@ -415,7 +451,7 @@ def filter_disallowed(
             (k == n).alias("full"),
         ),
     )
-    # the full host is always a candidate, even past max_labels —
+    # the full host is always a candidate, even past the cap —
     # exact-host rules must never silently stop matching deep hosts
     cands = F.array_union(
         cands,
@@ -433,16 +469,42 @@ def filter_disallowed(
         .filter(F.col("is_suffix") | F.col("__full"))
         .select(F.col("__h").alias("__rh"), F.col("prefix").alias("__pfx"))
         .distinct()
+        .groupBy("__rh")
+        .agg(F.collect_list("__pfx").alias("__pfxs"))
     )
-    cond = (F.col("__fd_host") == F.col("__rh")) & F.col(
-        "__fd_path"
-    ).startswith(F.col("__pfx"))
-    blocked = work.join(F.broadcast(eff), cond, "left_semi").drop(
-        "__fd_host", "__fd_path"
+    hit = F.exists(
+        "__pfxs",
+        lambda p: F.col("__fd_path").startswith(p)
+        | (F.concat(F.col("__fd_path"), F.lit("/")) == p),
     )
-    allowed = work.join(F.broadcast(eff), cond, "left_anti").drop(
-        "__fd_host", "__fd_path"
+    return (
+        work.join(
+            F.broadcast(eff),
+            work["__fd_host"] == eff["__rh"],
+            "left",
+        )
+        .withColumn(out_col, F.coalesce(hit, F.lit(False)))
+        .drop("__fd_host", "__fd_path", "__rh", "__pfxs")
     )
+
+
+def filter_disallowed(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "canonical_url",
+    max_labels: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked): the two-frame split over
+    :func:`mark_disallowed`'s flag — the X33 rule: blocked rows are
+    returned, visible, never silently dropped.  Standalone callers get
+    the split contract; plan-sensitive compositions (the crawl
+    pipeline) consume mark_disallowed directly so the corpus chain
+    evaluates once."""
+    marked = mark_disallowed(
+        df, rules, url_col, out_col="__fd_blocked", max_labels=max_labels
+    )
+    allowed = marked.filter(~F.col("__fd_blocked")).drop("__fd_blocked")
+    blocked = marked.filter(F.col("__fd_blocked")).drop("__fd_blocked")
     return allowed, blocked
 
 
@@ -517,10 +579,18 @@ class SeenUrlSet:
         return f"{self.path}/seen"
 
     @property
-    def bloom_path(self) -> str:
-        """The persisted bitmap's table dir — its existence is the
-        write_bloom opt-in signal (the DedupIndex blooms/ rule)."""
+    def bloom_root(self) -> str:
+        """Parent dir of the bitmap table — its EXISTENCE is the
+        write_bloom opt-in signal (the DedupIndex blooms/ rule), and
+        it SURVIVES a torn-table delete or a crashed overwrite, so the
+        gate self-heals (rebuild + write-back) instead of silently
+        reverting to the full anti-join forever (review r12)."""
         return f"{self.path}/bloom"
+
+    @property
+    def bloom_path(self) -> str:
+        """The persisted bitmap table itself."""
+        return f"{self.path}/bloom/table"
 
     def release(self) -> None:
         """Unpersist the previous filter_new call's bitmap broadcast
@@ -636,7 +706,11 @@ class SeenUrlSet:
         spec = read_bloom_table(spark, self.bloom_path)
         if spec is not None and fill_ratio(spec) <= 0.6:
             return spec
-        if spec is None and not bloom_table_present(spark, self.bloom_path):
+        # opt-in is the ROOT dir, not the table: a torn-table delete
+        # (append) or a crashed overwrite leaves the root, so the gate
+        # heals here instead of silently degrading to the plain
+        # anti-join forever (review r12)
+        if spec is None and not bloom_table_present(spark, self.bloom_root):
             return None
         spec = build_bloom(self._read(spark).distinct(), "canonical_url",
                            fpp=fpp)

@@ -41,7 +41,7 @@ from covid19i2b2_spark.operators.urls import (
     canonicalize_url,
     extract_host,
     extract_registered_domain,
-    filter_disallowed,
+    mark_disallowed,
     url_dedup,
 )
 
@@ -74,7 +74,12 @@ def prioritize_and_schedule(
     stay in the output with a NULL crawl_round (visible, never
     silently dropped — the X33 rule); their hosts still contribute to
     the link graph (a blocked page's outlinks were still observed, and
-    priority is a property of the host, not of fetchability)."""
+    priority is a property of the host, not of fetchability).  The
+    exclusion rides as mark_disallowed's flag column through
+    frontier_schedule's ``exclude_col`` — ONE plan over the corpus
+    chain (no allowed/blocked union re-evaluating it per branch), and
+    the politeness window stays partitioned by the real host (review
+    r12)."""
     id_to_canon = urls.select(
         F.col(id_col).alias("__orig"),
         canonicalize_url(url_col).alias("canonical_url"),
@@ -151,20 +156,19 @@ def prioritize_and_schedule(
         # returned lazy schedule never re-reads the edge blocks
         release_local_checkpoint(edges)
     if disallow_rules is not None:
-        allowed, blocked = filter_disallowed(
-            prioritized, disallow_rules, url_col="canonical_url"
+        marked = mark_disallowed(
+            prioritized, disallow_rules, url_col="canonical_url",
+            out_col="__blocked",
         )
-        scheduled = frontier_schedule(
-            allowed,
+        return frontier_schedule(
+            marked,
             "host",
             "priority",
             id_col,
             per_host_per_round,
             max_rounds=max_rounds,
-        )
-        return scheduled.unionByName(
-            blocked.withColumn("crawl_round", F.lit(None).cast("long"))
-        )
+            exclude_col="__blocked",
+        ).drop("__blocked")
     return frontier_schedule(
         prioritized,
         "host",

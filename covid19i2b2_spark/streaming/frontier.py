@@ -36,8 +36,10 @@ exact shape):
   (SeenUrlSet.DUPLICATION_IS_CORRECTNESS is False), remediated by
   ``compact()``.
 
-Pass ``checkpoint_dir`` in production so epoch progress survives
-restarts.  Caller drives the returned query.
+``checkpoint_dir`` is REQUIRED — every durable side effect is keyed on
+epoch_id, and only a stable checkpoint makes epoch ids name the same
+batch content across restarts (the round-8 durable-store rule).
+Caller drives the returned query.
 """
 
 from __future__ import annotations
@@ -65,7 +67,24 @@ def run_streaming_frontier_ingest(
     (possibly on an empty seed).  Each epoch's output rows carry
     (id, url, canonical_url, n_duplicates) — url_dedup's survivor
     shape, so downstream scheduling (pipelines/crawl.py) consumes
-    them directly."""
+    them directly.
+
+    ``checkpoint_dir`` is REQUIRED (the round-8 durable-epoch-guard
+    rule, review r12): every durable side effect here — the epoch
+    markers AND the committed-increment re-apply — is keyed on
+    epoch_id, and only a stable checkpoint makes epoch ids name the
+    same batch content across restarts.  A checkpoint-less restart
+    renumbers from 0 with whatever the inbox holds NOW: a marked or
+    _SUCCESS-committed epoch 0 would then silently swallow a
+    DIFFERENT batch (skipped outright, or replaced by the stale
+    increment)."""
+    if checkpoint_dir is None:
+        raise ValueError(
+            "run_streaming_frontier_ingest requires checkpoint_dir: "
+            "epoch markers and committed-increment re-applies are "
+            "keyed on epoch_id, which only a stable checkpoint makes "
+            "durable across restarts"
+        )
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -108,9 +127,9 @@ def run_streaming_frontier_ingest(
             "run_streaming_frontier_ingest",
         )
 
-    writer = urls_stream.writeStream.foreachBatch(_ingest).trigger(
-        availableNow=True
+    return (
+        urls_stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()

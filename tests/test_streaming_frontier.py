@@ -91,10 +91,13 @@ def test_frontier_ingest_cross_batch_dedup_and_replay(spark, tmp_path):
         " n_duplicates long"
     ).parquet(out).count() == 3
 
-    # checkpoint-less rerun re-delivers the files as epochs 0/1 whose
-    # markers exist — the marked-replay no-op
+    # a FRESH-checkpoint rerun re-delivers the files as epochs 0/1
+    # whose markers exist — the marked-replay no-op (epoch-id keying
+    # holds because the inbox is unchanged; checkpoint_dir itself is
+    # required — review r12)
     q3 = run_streaming_frontier_ingest(
         _stream(spark, inbox), seen, out,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
     )
     q3.awaitTermination()
     assert spark.read.schema(
@@ -123,7 +126,10 @@ def test_unmarked_committed_epoch_replay_preserves_increment(
     ).coalesce(1).write.mode("append").parquet(inbox)
     seen = SeenUrlSet(str(tmp_path / "seen"))
     seen.build(spark.createDataFrame([], "canonical_url string"))
-    q = run_streaming_frontier_ingest(_stream(spark, inbox), seen, out)
+    q = run_streaming_frontier_ingest(
+        _stream(spark, inbox), seen, out,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
     q.awaitTermination()
     inc_schema = (
         "url_id long, url string, canonical_url string,"
@@ -139,9 +145,13 @@ def test_unmarked_committed_epoch_replay_preserves_increment(
     # the marker never landed
     marker = str(tmp_path / "seen" / "_epochs" / "0")
     os.remove(marker)
-    # checkpoint-less rerun re-delivers the file as epoch 0 — unmarked,
-    # increment committed: the exact replay the old code emptied
-    q2 = run_streaming_frontier_ingest(_stream(spark, inbox), seen, out)
+    # fresh-checkpoint rerun re-delivers the SAME file as epoch 0 —
+    # unmarked, increment committed: the exact replay the old code
+    # emptied (inbox unchanged, so epoch 0 names the same batch)
+    q2 = run_streaming_frontier_ingest(
+        _stream(spark, inbox), seen, out,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
     q2.awaitTermination()
     after = sorted(
         r["canonical_url"]
@@ -266,7 +276,10 @@ def test_frontier_loop_with_bloom_gate(spark, tmp_path):
     seen = SeenUrlSet(str(tmp_path / "seen"))
     seen.build(spark.createDataFrame([], "canonical_url string"))
     seen.write_bloom(spark)
-    q = run_streaming_frontier_ingest(_stream(spark, inbox), seen, out)
+    q = run_streaming_frontier_ingest(
+        _stream(spark, inbox), seen, out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
     q.awaitTermination()
     got = sorted(
         r["canonical_url"]
@@ -290,3 +303,21 @@ def test_frontier_loop_with_bloom_gate(spark, tmp_path):
     )
     assert seen.filter_new(spark, probe).count() == 0
     seen.release()
+
+
+def test_checkpoint_dir_is_required(spark, tmp_path):
+    """Review r12: every durable side effect is epoch-id-keyed, so a
+    checkpoint-less stream (whose epoch ids renumber per run) could
+    silently skip or stale-replace a NEW batch — required, loudly."""
+    import pytest
+
+    inbox = str(tmp_path / "inbox")
+    spark.createDataFrame(
+        WAVE1, "url_id long, url string"
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    seen = SeenUrlSet(str(tmp_path / "seen"))
+    seen.build(spark.createDataFrame([], "canonical_url string"))
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        run_streaming_frontier_ingest(
+            _stream(spark, inbox), seen, str(tmp_path / "out"),
+        )

@@ -270,3 +270,80 @@ def test_filter_disallowed_zoo(spark):
     assert [r["i"] for r in a2.collect()] == [2]
     with pytest.raises(ValueError, match="no host"):
         parse_disallow_rules(spark, ["/path-only"])
+
+
+def test_filter_disallowed_review_r12_matching_fixes(spark):
+    """Review-r12 under-blocking regressions: query-string prefixes can
+    fire (RFC 9309 matches path+query), rule paths keep their case,
+    trailing-slash directory rules match the canonicalized directory
+    URL itself (but not lexical cousins), www-spelled rule hosts match
+    www-stripped URL hosts, and dot-anchored rules deeper than the
+    default label cap still match (self-sizing cap)."""
+    from covid19i2b2_spark.operators.urls import (
+        filter_disallowed,
+        parse_disallow_rules,
+    )
+
+    deep = ".".join("abcdefghij") + ".ten.com"      # 12 labels with suffix
+    rules = parse_disallow_rules(spark, [
+        "search.com/find?",             # query-string prefix
+        "cased.com/Admin",              # path case preserved
+        "dir.com/private/",             # directory rule
+        "www.badsite.com",              # www-spelled host
+        f".{deep}",                     # suffix rule past max_labels=8
+    ])
+    urls = [
+        (1, "http://search.com/find?q=x", "blocked"),
+        (2, "http://search.com/find", "allowed"),       # no query
+        (3, "http://cased.com/Admin/panel", "blocked"),
+        (4, "http://cased.com/admin/panel", "allowed"),  # case-sensitive
+        (5, "http://dir.com/private/", "blocked"),       # canon: /private
+        (6, "http://dir.com/private/x", "blocked"),
+        (7, "http://dir.com/privateer", "allowed"),      # not the dir
+        (8, "http://badsite.com/p", "blocked"),
+        (9, "http://www.badsite.com/p", "blocked"),      # canon strips www
+        (10, f"http://x.{deep}/p", "blocked"),           # deep suffix
+        (11, f"http://{deep}/p", "blocked"),
+        (12, "http://ten.com/p", "allowed"),
+    ]
+    # run over CANONICAL urls, the pipeline's call shape
+    from covid19i2b2_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in urls], "i long, url string"
+    ).select("i", canonicalize_url("url").alias("canonical_url"))
+    allowed, blocked = filter_disallowed(df, rules)
+    got_b = sorted(r["i"] for r in blocked.collect())
+    want_b = sorted(i for i, _, s in urls if s == "blocked")
+    assert got_b == want_b
+    assert sorted(r["i"] for r in allowed.collect()) == sorted(
+        i for i, _, s in urls if s == "allowed"
+    )
+
+
+def test_seen_set_bloom_heals_after_lost_table(spark, tmp_path):
+    """Review r12: a torn/lost bitmap table must not silently disable
+    the gate forever — the bloom ROOT survives as the opt-in signal
+    and filter_new's health check rebuilds + writes back."""
+    import shutil
+
+    from covid19i2b2_spark.operators.bloom import read_bloom_table
+    from covid19i2b2_spark.operators.urls import SeenUrlSet
+
+    seen = SeenUrlSet(str(tmp_path / "seen"))
+    seen.build(spark.createDataFrame(
+        [("http://a.com/1",), ("http://b.com/2",)], "canonical_url string"
+    ))
+    seen.write_bloom(spark)
+    # simulate the crash: table dir lost, root (opt-in) survives
+    shutil.rmtree(seen.bloom_path)
+    assert read_bloom_table(spark, seen.bloom_path) is None
+    probe = spark.createDataFrame(
+        [(1, "http://a.com/1"), (2, "http://new.com/x")],
+        "i long, canonical_url string",
+    )
+    got = [r["i"] for r in seen.filter_new(spark, probe).collect()]
+    assert got == [2]
+    # the heal persisted: the table is back without another write_bloom
+    assert read_bloom_table(spark, seen.bloom_path) is not None
+    seen.release()
