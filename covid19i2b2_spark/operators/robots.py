@@ -49,6 +49,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 _FIELD_RE = r"^([A-Za-z-]+)\s*:"
 _VALUE_RE = r"^[A-Za-z-]+\s*:(.*)$"
 
+# emitted hosts are normalized the way extract_host normalizes URL
+# hosts (lowercase, leading www. stripped) — robots bodies arrive
+# keyed by whatever spelling the fetcher recorded, and an unnormalized
+# 'WWW.Example.com' rule_host would silently never match any
+# canonicalized URL host (review r12 #3)
+def _norm_rule_host():
+    return F.regexp_replace(F.lower(F.col("__host")), r"^www\.", "")
+
 
 def _robots_lines(
     robots: DataFrame, host_col: str, body_col: str, user_agent: str
@@ -141,7 +149,7 @@ def parse_robots_txt(
         F.when(pfx.startswith("/"), pfx).otherwise(F.concat(F.lit("/"), pfx))
     )
     return rules.select(
-        F.col("__host").alias("rule_host"),
+        _norm_rule_host().alias("rule_host"),
         F.lit(False).alias("is_suffix"),
         pfx.alias("prefix"),
     ).distinct()
@@ -169,7 +177,7 @@ def robots_crawl_delays(
     v = F.col("__value").try_cast("double")
     return (
         delays.filter(v.isNotNull() & (v > 0))
-        .groupBy(F.col("__host").alias("host"))
+        .groupBy(_norm_rule_host().alias("host"))
         .agg(F.max(v).alias("crawl_delay"))
     )
 
@@ -211,47 +219,43 @@ def extract_sitemap_urls(
     stage.  Blocks without a ``<loc>`` carry no evidence and are
     dropped.  Full XML generality (namespaces beyond the default,
     CDATA) is out of scope by the protocol's own fixed schema."""
-    def _blocks(kind: str, tag: str):
-        return (
-            sitemaps.select(
-                F.col(host_col).alias("host"),
-                F.explode(
-                    F.regexp_extract_all(
-                        F.col(body_col),
-                        # (?:\s[^>]*)? — the tag must end right after
-                        # its name or at whitespace, so <url> never
-                        # matches the <urlset> root (review r12)
-                        F.lit(f"(?s)<{tag}(?:\\s[^>]*)?>(.*?)</{tag}>"),
-                        F.lit(1),
-                    )
-                ).alias("__b"),
-            )
-            .select(
-                "host",
-                _xml_unescape(
-                    F.trim(
-                        F.regexp_extract(
-                            "__b", r"(?s)<loc[^>]*>\s*(.*?)\s*</loc>", 1
-                        )
-                    )
-                ).alias("url"),
+    # ONE body scan for both entry kinds (review r12 #5): an
+    # alternating pattern with a backreference matches <url>…</url>
+    # and <sitemap>…</sitemap> in a single regexp_extract_all pass
+    # (group 0 = the whole block; the kind is recovered from its open
+    # tag).  (?:\s[^>]*)? keeps <url> from matching the <urlset> root.
+    pat = r"(?s)<(url|sitemap)(?:\s[^>]*)?>.*?</\1>"
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit(pat), F.lit(0))
+        ).alias("__b"),
+    )
+    return (
+        blocks.select(
+            "host",
+            _xml_unescape(
                 F.trim(
                     F.regexp_extract(
-                        "__b", r"(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>", 1
+                        "__b", r"(?s)<loc[^>]*>\s*(.*?)\s*</loc>", 1
                     )
-                ).alias("lastmod"),
+                )
+            ).alias("url"),
+            F.trim(
                 F.regexp_extract(
-                    "__b", r"(?s)<priority[^>]*>\s*(.*?)\s*</priority>", 1
-                ).try_cast("double").alias("priority"),
-                F.lit(kind).alias("kind"),
-            )
-            .filter(F.col("url") != "")
-            .withColumn(
-                "lastmod",
-                F.when(F.col("lastmod") != "", F.col("lastmod")),
-            )
+                    "__b", r"(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>", 1
+                )
+            ).alias("lastmod"),
+            F.regexp_extract(
+                "__b", r"(?s)<priority[^>]*>\s*(.*?)\s*</priority>", 1
+            ).try_cast("double").alias("priority"),
+            F.when(F.col("__b").startswith("<url"), F.lit("url"))
+            .otherwise(F.lit("sitemap"))
+            .alias("kind"),
         )
-
-    return _blocks("url", "url").unionByName(
-        _blocks("sitemap", "sitemap")
+        .filter(F.col("url") != "")
+        .withColumn(
+            "lastmod",
+            F.when(F.col("lastmod") != "", F.col("lastmod")),
+        )
     )

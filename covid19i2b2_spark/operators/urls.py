@@ -373,11 +373,23 @@ def parse_disallow_rules(spark, lines: list[str]) -> DataFrame:
         host = host.lower()
         is_suffix = host.startswith(".")
         host = host.lstrip(".")
-        if host.startswith("www."):
-            host = host[4:]
         if not host:
             raise ValueError(f"disallow rule has no host: {ln!r}")
-        rows.append((host, is_suffix, prefix or "/"))
+        prefix = prefix or "/"
+        if host.startswith("www."):
+            if is_suffix:
+                # '.www.X': keep the suffix rule for deep subdomains
+                # (a.www.X is NOT www-stripped by canonicalization) and
+                # add the folded apex as an EXACT rule — a bare
+                # www-strip would broaden the rule to all of .X
+                # (review r12 #2).  Post-canonicalization www.X and X
+                # are the same resource set, so the apex rule covering
+                # both is inherent to strip_www, not added scope.
+                rows.append((host, True, prefix))
+                rows.append((host[4:], False, prefix))
+                continue
+            host = host[4:]
+        rows.append((host, is_suffix, prefix))
     return spark.createDataFrame(
         rows, "rule_host string, is_suffix boolean, prefix string"
     )
@@ -418,10 +430,18 @@ def mark_disallowed(
     a broadcast, and the corpus sees ONE broadcast join against the
     per-host effective-prefix lists + an array ``exists`` — a pure
     policy column on the scan."""
+    # pin the rules ONCE (review r12 #4): they feed the self-sizing
+    # aggregate below AND the broadcast join — without the checkpoint
+    # a robots-parse-derived rules plan (window pass over 10^6+
+    # bodies) would execute twice per call.  Rules are broadcast-sized
+    # by contract, so the materialization is bounded; the one upfront
+    # job is the price of self-sizing (documented at the pipeline).
+    rules = rules.select(
+        "rule_host", "is_suffix", "prefix"
+    ).localCheckpoint(eager=True)
     # self-size the suffix cap to the rules (review r12 #8): a
     # dot-anchored rule longer than the cap would otherwise silently
-    # never match deeper hosts; rules are broadcast-sized, so this is
-    # one tiny job
+    # never match deeper hosts
     rmax = rules.agg(
         F.max(F.size(F.split("rule_host", r"\."))).alias("m")
     ).collect()[0]["m"]
@@ -472,11 +492,22 @@ def mark_disallowed(
         .groupBy("__rh")
         .agg(F.collect_list("__pfx").alias("__pfxs"))
     )
-    hit = F.exists(
-        "__pfxs",
-        lambda p: F.col("__fd_path").startswith(p)
-        | (F.concat(F.col("__fd_path"), F.lit("/")) == p),
-    )
+    def _pfx_hit(p):
+        # a directory rule ('/x/') must also match the canonicalized
+        # directory URL, whose trailing slash canonicalize_url strips:
+        # exactly '/x', or '/x?query' (review r12 #1) — NOT '/xy'
+        stem = p.substr(F.lit(1), F.length(p) - F.lit(1))
+        return F.col("__fd_path").startswith(p) | (
+            p.endswith("/")
+            & (
+                (F.col("__fd_path") == stem)
+                | F.col("__fd_path").startswith(
+                    F.concat(stem, F.lit("?"))
+                )
+            )
+        )
+
+    hit = F.exists("__pfxs", _pfx_hit)
     return (
         work.join(
             F.broadcast(eff),

@@ -313,3 +313,27 @@ def test_sitemap_matches_elementtree_reference(spark, entries):
         key=key,
     )
     assert got == sorted(ref, key=key), body
+
+
+def test_rule_hosts_normalized_like_url_hosts(spark):
+    """Review-r12 pass 2: robots bodies arrive keyed by whatever
+    spelling the fetcher recorded; emitted rule hosts (and crawl-delay
+    hosts) must be lowercased + www-stripped so they actually match
+    extract_host's canonicalized URL hosts."""
+    from covid19i2b2_spark.operators.urls import filter_disallowed
+
+    robots = spark.createDataFrame(
+        [("WWW.Example.com", "User-agent: *\nDisallow: /x\nCrawl-delay: 4")],
+        "host string, body string",
+    )
+    rules = parse_robots_txt(robots)
+    assert [r["rule_host"] for r in rules.collect()] == ["example.com"]
+    urls = spark.createDataFrame(
+        [(1, "http://example.com/x/1"), (2, "http://example.com/y")],
+        "i long, url string",
+    )
+    _, blocked = filter_disallowed(urls, rules, url_col="url")
+    assert [r["i"] for r in blocked.collect()] == [1]
+    delays = {r["host"]: r["crawl_delay"]
+              for r in robots_crawl_delays(robots).collect()}
+    assert delays == {"example.com": 4.0}

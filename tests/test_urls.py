@@ -347,3 +347,39 @@ def test_seen_set_bloom_heals_after_lost_table(spark, tmp_path):
     # the heal persisted: the table is back without another write_bloom
     assert read_bloom_table(spark, seen.bloom_path) is not None
     seen.release()
+
+
+def test_filter_disallowed_second_review_fixes(spark):
+    """Review-r12 pass 2: a directory rule matches the canonicalized
+    directory URL even WITH a query string; a '.www.X' suffix rule
+    covers exactly {apex pair, deep www subdomains} — never the whole
+    parent domain."""
+    from covid19i2b2_spark.operators.urls import (
+        canonicalize_url,
+        filter_disallowed,
+        parse_disallow_rules,
+    )
+
+    rules = parse_disallow_rules(spark, [
+        "dir.com/private/",
+        ".www.example.com/",
+    ])
+    urls = [
+        (1, "http://dir.com/private/?page=2", "blocked"),   # canon: /private?page=2
+        (2, "http://dir.com/private2?x=1", "allowed"),      # not the dir
+        (3, "http://www.example.com/p", "blocked"),         # apex (folded)
+        (4, "http://example.com/p", "blocked"),             # same resource set
+        (5, "http://a.www.example.com/p", "blocked"),       # deep www subdomain
+        (6, "http://mail.example.com/p", "allowed"),        # NOT broadened
+        (7, "http://b.example.com/p", "allowed"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in urls], "i long, url string"
+    ).select("i", canonicalize_url("url").alias("canonical_url"))
+    allowed, blocked = filter_disallowed(df, rules)
+    assert sorted(r["i"] for r in blocked.collect()) == sorted(
+        i for i, _, s in urls if s == "blocked"
+    )
+    assert sorted(r["i"] for r in allowed.collect()) == sorted(
+        i for i, _, s in urls if s == "allowed"
+    )
