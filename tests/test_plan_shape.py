@@ -580,3 +580,30 @@ def test_url_dedup_plan_is_expression_only(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_mark_disallowed_plan_broadcasts_policy(spark):
+    """X66: the exclusion flag must reach the corpus as ONE broadcast
+    join + array exists — no cartesian, no nested-loop, no Python, and
+    the big side never hash-exchanges for the policy check."""
+    from covid19i2b2_spark.operators.urls import (
+        mark_disallowed,
+        parse_disallow_rules,
+    )
+    from covid19i2b2_spark.sources.tables import read_table
+
+    rules = parse_disallow_rules(
+        spark, ["src1.example.com", ".example.com/3"]
+    )
+    urls = read_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/p"),
+            F.col("doc_id"),
+        ).alias("u"),
+    )
+    plan = physical_plan(mark_disallowed(urls, rules, url_col="u"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
