@@ -1,0 +1,144 @@
+"""X69 link extraction + RFC 3986 resolution (operators/links.py):
+planted HTML zoo (quote styles, base href, entities, non-http
+schemes), resolution zoo incl. the documented urljoin divergence, and
+a hypothesis property against urllib.parse.urljoin on the agreed
+input space."""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.links import extract_links, resolve_url
+
+
+def _resolve(spark, pairs):
+    df = spark.createDataFrame(pairs, "base string, ref string")
+    return [
+        r["out"]
+        for r in df.select(resolve_url("base", "ref").alias("out")).collect()
+    ]
+
+
+def test_resolution_zoo(spark):
+    cases = [
+        ("http://h.com/a/b", "c", "http://h.com/a/c"),
+        ("http://h.com/a/b/", "c", "http://h.com/a/b/c"),
+        ("http://h.com/a/b", "../c", "http://h.com/c"),
+        ("http://h.com/a/b/", "../../../c", "http://h.com/c"),
+        ("http://h.com", "c", "http://h.com/c"),
+        ("http://h.com", "/x/./y", "http://h.com/x/y"),
+        ("http://h.com/a/b", "//other.com/p/../q",
+         "http://other.com/p/../q"),           # foreign authority verbatim
+        ("https://h.com/a/b", "//o.com/p", "https://o.com/p"),
+        ("http://h.com/a", "http://abs.com/a/../b?z",
+         "http://abs.com/a/../b?z"),            # own scheme: verbatim
+        ("http://h.com/a/b?x", "?y", "http://h.com/a/b?y"),
+        ("http://h.com", "?y", "http://h.com?y"),
+        ("http://h.com/a/b?q", "", "http://h.com/a/b?q"),
+        ("http://h.com/a/b#frag", "", "http://h.com/a/b"),
+        ("http://h.com/a/b", ".", "http://h.com/a/"),
+        ("http://h.com/a/b/", "..", "http://h.com/a/"),
+        ("http://h.com/a/b", "#f", "http://h.com/a/b"),
+        ("http://h.com/a/b", "x#f", "http://h.com/a/x"),
+        ("http://h.com/a/b", "/..", "http://h.com/"),
+        ("http://h.com/a/b", "c/d/../e", "http://h.com/a/c/e"),
+        ("http://h.com:8080/a", "b", "http://h.com:8080/b"),
+        ("http://h.com/a/b", "mailto:x@y", "mailto:x@y"),
+        ("http://h.com/a/b", "javascript:void(0)", "javascript:void(0)"),
+        # the documented urljoin divergence: empty segments preserved
+        # per RFC/WHATWG (python's urljoin collapses them)
+        ("http://h.com/a/b", "a//b", "http://h.com/a/a//b"),
+        ("http://h.com/a/b", None, None),
+    ]
+    got = _resolve(spark, [(b, r) for b, r, _ in cases])
+    for (b, r, want), g in zip(cases, got):
+        assert g == want, (b, r, g, want)
+
+
+_BASES = [
+    "http://h.com", "http://h.com/", "http://h.com/a/b",
+    "http://h.com/a/b/", "http://h.com/a/b?x=1",
+    "https://h.com:8080/a/b/c", "http://h.com/a/b#frag",
+]
+_REFS = [
+    "", "c", "./c", "../c", "../../../c", "c/d/../e", "/x/./y", "/..",
+    "//other.com/p/q", "http://abs.com/z?q=1", "?q=2", "c?d=1", ".",
+    "..", "x#f", "#f", "mailto:x@y", "c/", "../",
+]
+
+
+@settings(max_examples=25, deadline=None)
+@given(base=st.sampled_from(_BASES), ref=st.sampled_from(_REFS))
+def test_matches_urljoin(spark, base, ref):
+    """Hypothesis: resolve_url equals urllib.parse.urljoin (fragment
+    stripped from the result — ours never resolves fragments) on the
+    input space where RFC and the stdlib agree (no empty path
+    segments — the one documented divergence)."""
+    got = _resolve(spark, [(base, ref)])[0]
+    want = urljoin(base, ref).split("#")[0]
+    assert got == want, (base, ref, got, want)
+
+
+HTML = """<html><head><title>t</title></head><body>
+<a href="/abs/path">Absolute <b>path</b></a>
+<a href='rel/page.html'>single&amp;quoted</a>
+<a href=bare.html>bare attr</a>
+<a class="x" href="?q=2" id="y">query only</a>
+<a href="http://other.com/full?a=1&amp;b=2">entity href</a>
+<a href="mailto:x@y.com">mail</a>
+<a href="javascript:void(0)">js</a>
+<a name="anchor-without-href">no href</a>
+<a href="#frag">self</a>
+</body></html>"""
+
+HTML_BASED = """<html><head><base href="/deep/dir/"></head><body>
+<a href="leaf.html">based</a>
+</body></html>"""
+
+
+def test_extract_links_zoo(spark):
+    df = spark.createDataFrame(
+        [("http://h.com/a/b?x=1", HTML),
+         ("http://h.com/p/q", HTML_BASED)],
+        "url string, html string",
+    )
+    got = {
+        (r["src"], r["href"]): r["anchor_text"]
+        for r in extract_links(df).collect()
+    }
+    src = "http://h.com/a/b?x=1"
+    assert got[(src, "http://h.com/abs/path")] == "Absolute path"
+    assert got[(src, "http://h.com/a/rel/page.html")] == "single&quoted"
+    assert got[(src, "http://h.com/a/bare.html")] == "bare attr"
+    assert got[(src, "http://h.com/a/b?q=2")] == "query only"
+    assert got[(src, "http://other.com/full?a=1&b=2")] == "entity href"
+    # self link (fragment-only) resolves to the page itself
+    assert got[(src, "http://h.com/a/b?x=1")] == "self"
+    # mailto/javascript/no-href dropped
+    assert not any("mailto" in h or "javascript" in h for _, h in got)
+    # <base href> redirects relative resolution
+    assert got[("http://h.com/p/q", "http://h.com/deep/dir/leaf.html")] == (
+        "based"
+    )
+    assert len(got) == 7
+
+
+def test_extract_feeds_anchor_aggregation(spark):
+    """End-to-end: extract_links output is the exact shape
+    top_anchor_texts consumes."""
+    from covid19i2b2_spark.operators.graph import top_anchor_texts
+
+    pages = spark.createDataFrame(
+        [(f"http://s{i}.com/", '<a href="http://t.com/page">Great Page</a>')
+         for i in range(3)]
+        + [("http://s9.com/", '<a href="http://t.com/page">other</a>')],
+        "url string, html string",
+    )
+    links = extract_links(pages)
+    top = top_anchor_texts(links, "href", "anchor_text", k=1).collect()
+    assert [(r["dst"], r["anchor_text"], r["n_links"]) for r in top] == [
+        ("http://t.com/page", "great page", 3)
+    ]
