@@ -7,24 +7,29 @@ source: crawl results are HTML, and hrefs in HTML are mostly RELATIVE.
 A driver loop over 10^9 pages is the banned collect() shape, so both
 steps are pure column expressions.
 
-``resolve_url`` implements RFC 3986 §5 reference resolution with the
-common non-strict reading (matching urllib.parse.urljoin where the two
-agree, pinned by a hypothesis property):
+``resolve_url`` implements RFC 3986 §5 reference resolution (matching
+urllib.parse.urljoin where the RFC and the stdlib agree, pinned by a
+hypothesis property):
 
-- a ref carrying its own scheme is returned verbatim (non-strict: no
-  dot-segment rewrite of foreign URLs — the crawler canonicalizes
-  later anyway);
-- protocol-relative ``//host/p`` inherits the base scheme;
+- a ref with its own scheme AND authority is rebuilt with §5.2.4
+  remove-dot-segments on its path (RFC §5.2.2 runs it for EVERY
+  target — skipping it would hand the downstream canonicalizer two
+  spellings of one resource, since X55 never resolves ``/../``;
+  review r12 pass 3); a scheme-only opaque ref (``mailto:``) is
+  verbatim;
+- protocol-relative ``//host/p`` inherits the base scheme, same
+  dot-segment treatment;
 - root-relative, query-only, empty, and relative refs merge with the
-  base per §5.3, with §5.2.4 remove-dot-segments run as ONE
-  F.aggregate fold over the split path (``..`` pops, ``.`` skips,
-  ``..`` at root is a no-op, a trailing ``/.`` or ``/..`` keeps the
-  trailing slash);
-- ONE documented divergence from urllib.parse.urljoin: empty path
-  segments (``a//b``) are PRESERVED per RFC/WHATWG (python's urljoin
-  collapses them — a stdlib quirk, not the spec);
+  base per §5.3; remove-dot-segments runs as ONE F.aggregate fold
+  over the split path (``..`` pops, ``.`` skips, ``..`` at root is a
+  no-op, a trailing ``/.`` or ``/..`` keeps the trailing slash);
+- TWO documented divergences from urllib.parse.urljoin, both toward
+  the RFC: empty path segments (``a//b``) are PRESERVED per
+  RFC/WHATWG (the stdlib collapses them), and dot segments in
+  authority-bearing refs are removed (the stdlib keeps them);
 - the ref's fragment is dropped before resolution (never sent to the
-  server; the frontier keys on resources).
+  server; the frontier keys on resources), DOTALL so an embedded
+  newline can't smuggle one through.
 
 ``extract_links`` pulls ``<a ... href=...>anchor</a>`` blocks with one
 regexp_extract_all body pass (the X68 single-scan rule), decodes the
@@ -81,27 +86,45 @@ def resolve_url(base: Column | str, ref: Column | str) -> Column:
     RFC 3986 §5 semantics and the one documented urljoin divergence."""
     b = F.col(base) if isinstance(base, str) else base
     r0 = F.trim(F.col(ref) if isinstance(ref, str) else ref)
-    r = F.regexp_replace(r0, r"#.*$", "")          # fragment never resolves
-    b_nofrag = F.regexp_replace(b, r"#.*$", "")
+    # fragments never resolve; (?s) because an embedded newline must
+    # not smuggle one through (review r12 pass 3)
+    r = F.regexp_replace(r0, r"(?s)#.*", "")
+    b_nofrag = F.regexp_replace(b, r"(?s)#.*", "")
     b_scheme = F.lower(F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
     b_auth = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     b_path = F.regexp_extract(
         b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
     )
-    rp = F.regexp_extract(r, r"^([^?]*)", 1)
-    rq = F.regexp_extract(r, r"(\?.*)$", 1)
+    rp = F.regexp_extract(r, r"(?s)^([^?]*)", 1)
+    rq = F.regexp_extract(r, r"(?s)(\?.*)$", 1)
     prefix = F.concat(b_scheme, F.lit("://"), b_auth)
     # relative merge (§5.3): the base directory is the path up to its
     # last '/', or root when the base path is empty/slash-less
     b_dir = F.regexp_extract(b_path, r"^(.*/)", 1)
     b_dir = F.when(b_dir == "", F.lit("/")).otherwise(b_dir)
     merged = F.concat(b_dir, rp)
+    # authority-bearing refs (own scheme://, or protocol-relative):
+    # rebuilt with dot segments removed (§5.2.2 — an empty path stays
+    # empty, never "/")
+    r_netloc = r.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    r_scheme = F.regexp_extract(r, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    na = F.regexp_extract(r, r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#]*)", 1)
+    np_ = F.regexp_extract(
+        r, r"(?s)^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//[^/?#]*([^?#]*)", 1
+    )
+    np_clean = F.when(np_ == "", F.lit("")).otherwise(
+        _remove_dot_segments(np_)
+    )
     return F.when(
         r0.isNull() | b.isNull(), F.lit(None).cast("string")
     ).when(r == "", b_nofrag).when(
-        r.rlike(_SCHEME_RE), r
+        r_netloc,
+        F.concat(r_scheme, F.lit("://"), na, np_clean, rq),
     ).when(
-        r.startswith("//"), F.concat(b_scheme, F.lit(":"), r)
+        r.rlike(_SCHEME_RE), r                      # opaque (mailto:)
+    ).when(
+        r.startswith("//"),
+        F.concat(b_scheme, F.lit("://"), na, np_clean, rq),
     ).when(
         rp.startswith("/"),
         F.concat(prefix, _remove_dot_segments(rp), rq),
@@ -124,38 +147,66 @@ def extract_links(
     ``src`` is the page URL as given.  Output feeds url_dedup /
     SeenUrlSet (href), top_anchor_texts (anchor_text), and the
     prioritize_and_schedule links frame."""
+    # attribute-aware tag body: quoted values may contain '>' (a bare
+    # [^>]* would truncate at title="a>b" and corrupt everything after
+    # — review r12 pass 3)
+    attrs = r"""(?:[^>"']|"[^"]*"|'[^']*')*"""
+    # href must be preceded by whitespace or a quote — 'data-href' /
+    # 'xlink:href' must never shadow the real attribute
+    href_pat = r"""[\s"']href\s*=\s*"""
+    dq_pat = f"(?is){href_pat}\"([^\"]*)\""
+    sq_pat = f"(?is){href_pat}'([^']*)'"
+    bare_pat = f"""(?is){href_pat}([^\\s"'>][^\\s>]*)"""
+
+    def _href_from(tag_col):
+        dq = F.regexp_extract(tag_col, dq_pat, 1)
+        sq = F.regexp_extract(tag_col, sq_pat, 1)
+        bare = F.regexp_extract(tag_col, bare_pat, 1)
+        # presence is tested on the WHOLE match, not the captured
+        # value: href="" is a real (self-)reference, not a miss
+        raw = (
+            F.when(F.regexp_extract(tag_col, dq_pat, 0) != "", dq)
+            .when(F.regexp_extract(tag_col, sq_pat, 0) != "", sq)
+            .when(bare != "", bare)
+        )
+        # the HTML spec strips tab/CR/LF anywhere in URL attribute
+        # values (formatted markup wraps long hrefs across lines)
+        return _xml_unescape(F.regexp_replace(raw, r"[\t\r\n]", ""))
+
     # the effective base is computed PER PAGE before the explode, so
     # the full HTML never rides along one-copy-per-link
-    base_raw = F.regexp_extract(
-        F.col(html_col),
-        r"""(?is)<base\s[^>]*?href\s*=\s*["']?([^"'\s>]+)""",
-        1,
+    base_tag = F.regexp_extract(
+        F.col(html_col), f"(?is)(<base\\s{attrs}>)", 1
     )
+    base_raw = _href_from(base_tag)
     eff_base = F.when(
-        base_raw != "",
-        resolve_url(F.col(url_col), _xml_unescape(base_raw)),
+        base_raw.isNotNull() & (base_raw != ""),
+        resolve_url(F.col(url_col), base_raw),
     ).otherwise(F.col(url_col))
+    # block = open tag + inner text up to the nearest close, TEMPERED:
+    # the inner part must not contain another '<a' — an unclosed
+    # anchor then loses only itself, never its next valid sibling
+    block_pat = f"(?is)<a\\s{attrs}>(?:(?!<a[\\s>]).)*?</a>"
     blocks = pages.select(
         F.col(url_col).alias("src"),
         eff_base.alias("__base"),
         F.explode(
             F.regexp_extract_all(
-                F.col(html_col),
-                F.lit(r"(?is)<a\s[^>]*>.*?</a>"),
-                F.lit(0),
+                F.col(html_col), F.lit(block_pat), F.lit(0)
             )
         ).alias("__a"),
     )
-    dq = F.regexp_extract("__a", r'(?is)^<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)
-    sq = F.regexp_extract("__a", r"(?is)^<a\s[^>]*?href\s*=\s*'([^']*)'", 1)
-    bare = F.regexp_extract(
-        "__a", r"""(?is)^<a\s[^>]*?href\s*=\s*([^\s"'>][^\s>]*)""", 1
-    )
-    href_raw = F.when(dq != "", dq).when(sq != "", sq).when(
-        bare != "", bare
-    )
+    open_tag = F.regexp_extract("__a", f"(?is)^(<a\\s{attrs}>)", 1)
     anchor = F.regexp_replace(
-        F.regexp_extract("__a", r"(?is)^<a[^>]*>(.*)</a>$", 1),
+        # inner text = the block minus its open tag and closing </a>
+        F.regexp_replace(
+            F.col("__a").substr(
+                F.length(open_tag) + 1,
+                F.length("__a") - F.length(open_tag),
+            ),
+            r"(?is)</a>$",
+            "",
+        ),
         r"(?s)<[^>]*>",
         " ",
     )
@@ -163,9 +214,13 @@ def extract_links(
         F.regexp_replace(_xml_unescape(anchor), r"\s+", " ")
     )
     return (
-        blocks.withColumn(
-            "href", resolve_url(F.col("__base"), _xml_unescape(href_raw))
-        )
-        .filter(F.col("href").rlike(r"^https?://"))
-        .select("src", "href", anchor.alias("anchor_text"))
+        # __href materializes the cleaned value as a COLUMN first —
+        # resolve_url references its ref ~10x, and each reference
+        # would otherwise copy the whole extract/unescape tree into
+        # codegen (the round-11 duplication convention)
+        blocks.withColumn("__href", _href_from(open_tag))
+        .withColumn("__anchor", anchor)
+        .withColumn("href", resolve_url(F.col("__base"), F.col("__href")))
+        .filter(F.col("href").rlike(r"(?i)^https?://"))
+        .select("src", "href", F.col("__anchor").alias("anchor_text"))
     )

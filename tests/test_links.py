@@ -31,10 +31,10 @@ def test_resolution_zoo(spark):
         ("http://h.com", "c", "http://h.com/c"),
         ("http://h.com", "/x/./y", "http://h.com/x/y"),
         ("http://h.com/a/b", "//other.com/p/../q",
-         "http://other.com/p/../q"),           # foreign authority verbatim
+         "http://other.com/q"),     # RFC-strict: dots removed (urljoin keeps)
         ("https://h.com/a/b", "//o.com/p", "https://o.com/p"),
         ("http://h.com/a", "http://abs.com/a/../b?z",
-         "http://abs.com/a/../b?z"),            # own scheme: verbatim
+         "http://abs.com/b?z"),     # own scheme: rebuilt, dots removed
         ("http://h.com/a/b?x", "?y", "http://h.com/a/b?y"),
         ("http://h.com", "?y", "http://h.com?y"),
         ("http://h.com/a/b?q", "", "http://h.com/a/b?q"),
@@ -142,3 +142,34 @@ def test_extract_feeds_anchor_aggregation(spark):
     assert [(r["dst"], r["anchor_text"], r["n_links"]) for r in top] == [
         ("http://t.com/page", "great page", 3)
     ]
+
+
+def test_review_r12_pass3_regressions(spark):
+    """The 8 live-verified findings: attribute shadowing, unclosed
+    anchors, scheme case, embedded whitespace/fragments, empty hrefs,
+    quoted '>' in attributes, authority-ref dot removal."""
+    html = (
+        '<a data-href="/tracked" href="/real">shadow</a>'
+        "<a href=\"/one\">one <a href=\"/two\">two</a>"  # first unclosed
+        '<a href="HTTP://other.com/X">upper</a>'
+        '<a href="\n/about\t">wrapped</a>'
+        '<a href="/x#f\noo">nlfrag</a>'
+        '<a href="">empty self</a>'
+        '<a title="a>b" href="/titled">text</a>'
+        '<a href="//cdn.com/a/../b">netdots</a>'
+    )
+    df = spark.createDataFrame(
+        [("http://h.com/base/page?q=1", html)], "url string, html string"
+    )
+    got = {r["href"]: r["anchor_text"] for r in
+           __import__("covid19i2b2_spark.operators.links",
+                      fromlist=["extract_links"]).extract_links(df).collect()}
+    assert got.get("http://h.com/real") == "shadow"      # not /tracked
+    assert "http://h.com/tracked" not in got
+    assert got.get("http://h.com/two") == "two"          # sibling survives
+    assert got.get("HTTP://other.com/X") == "upper"      # case-insensitive keep
+    assert got.get("http://h.com/about") == "wrapped"    # ws stripped -> root-rel
+    assert got.get("http://h.com/x") == "nlfrag"         # fragment gone
+    assert got.get("http://h.com/base/page?q=1") == "empty self"
+    assert got.get("http://h.com/titled") == "text"      # '>' in title
+    assert got.get("http://cdn.com/b") == "netdots"      # authority dots removed
