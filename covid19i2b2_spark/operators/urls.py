@@ -187,8 +187,13 @@ def canonicalize_url(
     # colon-bearing form and are allowed explicitly.  Anything else is
     # loud NULL, which is idempotent by construction.
     valid_host = host.rlike(r"^(\[[0-9a-f:.]+\]|[^\[\]:/?@\s]+)$")
+    # raw whitespace anywhere in the (trimmed) URL is invalid per RFC
+    # 3986 (spaces must be percent-encoded) — and non-idempotent here:
+    # a surviving "?a " query would be re-trimmed on re-entry
+    # (hypothesis counterexample 'http://0? &').  Loud NULL.
+    no_ws = ~u.rlike(r"\s")
     return F.when(
-        scheme.isin("http", "https") & valid_host, canon
+        scheme.isin("http", "https") & valid_host & no_ws, canon
     ).otherwise(F.lit(None).cast("string"))
 
 
