@@ -59,6 +59,8 @@ def prioritize_and_schedule(
     damping: float = 0.85,
     n_iter: int = 10,
     disallow_rules: DataFrame | None = None,
+    exclude_traps: bool = False,
+    trap_thresholds: dict | None = None,
 ) -> DataFrame:
     """(id, url, canonical_url, host, priority, crawl_round): one row
     per SURVIVING canonical resource (plus the un-canonicalizable
@@ -79,7 +81,14 @@ def prioritize_and_schedule(
     frontier_schedule's ``exclude_col`` — ONE plan over the corpus
     chain (no allowed/blocked union re-evaluating it per branch), and
     the politeness window stays partitioned by the real host (review
-    r12)."""
+    r12).
+
+    ``exclude_traps`` (round 12, X70): additionally price spider-trap
+    URLs out of the schedule — mark_traps' shape heuristics (loop
+    segments, calendar runs, session-id params; operators/traps.py)
+    OR-fold into the same exclusion flag, so a trapped URL also keeps
+    its row (NULL crawl_round) and the corpus still evaluates once.
+    ``trap_thresholds`` forwards to trap_signals."""
     id_to_canon = urls.select(
         F.col(id_col).alias("__orig"),
         canonicalize_url(url_col).alias("canonical_url"),
@@ -155,25 +164,44 @@ def prioritize_and_schedule(
         # ranks is itself eagerly checkpointed by pagerank, so the
         # returned lazy schedule never re-reads the edge blocks
         release_local_checkpoint(edges)
+    frame, flags = prioritized, []
     if disallow_rules is not None:
-        marked = mark_disallowed(
-            prioritized, disallow_rules, url_col="canonical_url",
+        frame = mark_disallowed(
+            frame, disallow_rules, url_col="canonical_url",
             out_col="__blocked",
         )
+        flags.append("__blocked")
+    if exclude_traps:
+        from covid19i2b2_spark.operators.traps import mark_traps
+
+        frame = mark_traps(
+            frame, url_col="canonical_url", out_col="__trap_reasons",
+            flag_col="__trap", **(trap_thresholds or {}),
+        )
+        flags.append("__trap")
+    if not flags:
         return frontier_schedule(
-            marked,
+            frame,
             "host",
             "priority",
             id_col,
             per_host_per_round,
             max_rounds=max_rounds,
-            exclude_col="__blocked",
-        ).drop("__blocked")
+        )
+    exclude = flags[0]
+    if len(flags) > 1:
+        # OR-fold into one flag so frontier_schedule sees a single
+        # exclusion column (each flag is already NULL-safe False)
+        frame = frame.withColumn(
+            "__excluded", F.col(flags[0]) | F.col(flags[1])
+        )
+        exclude = "__excluded"
     return frontier_schedule(
-        prioritized,
+        frame,
         "host",
         "priority",
         id_col,
         per_host_per_round,
         max_rounds=max_rounds,
-    )
+        exclude_col=exclude,
+    ).drop("__blocked", "__trap", "__trap_reasons", "__excluded")

@@ -1243,3 +1243,39 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_occurrences")
         .orderBy(F.col("n_occurrences").desc(), "doc_id")
     )
+
+
+def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 X70 spider-trap detection (operators/traps.py):
+    synthetic per-doc URLs cycling through six shapes — clean, a
+    repeated-segment loop, a calendar run, a session-id query, a
+    repeated query key, and a 17-deep path — flagged by mark_traps.
+    UNREGISTERED (the 50-query window is full); the DuckDB oracle
+    RE-DERIVES every reason from the URL string with list functions
+    (not a constant replay) in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.traps import mark_traps
+
+    deep = "/".join(f"s{i}" for i in range(17))
+    shape = F.pmod("doc_id", F.lit(6)).cast("int")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com"),
+        F.when(shape == 0, F.concat(F.lit("/p"), F.col("doc_id")))
+        .when(shape == 1, F.lit("/a/b/a/b/a"))
+        .when(shape == 2, F.lit("/2026/08/16/2026/08/17/2026"))
+        .when(shape == 3,
+              F.concat(F.lit("/p?phpsessid="), F.col("doc_id")))
+        .when(shape == 4, F.lit("/p?x=1&x=2&x=3"))
+        .otherwise(F.lit("/" + deep)),
+    )
+    urls = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), url.alias("url")
+    )
+    return (
+        mark_traps(urls, "url")
+        .select(
+            "doc_id",
+            F.array_join("trap_reasons", ",").alias("reasons"),
+            "is_trap",
+        )
+        .orderBy("doc_id")
+    )

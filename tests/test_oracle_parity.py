@@ -1176,6 +1176,87 @@ UNREGISTERED_ORACLES = {
     WHERE rank <= 3
     ORDER BY doc_id, rank
     """,
+
+    # X70 spider-trap detection (round 12): the oracle RE-DERIVES every
+    # reason code from the URL string with DuckDB list functions — the
+    # same parse (authority stripped, fragment out, path vs query) and
+    # the same thresholds as operators/traps.py trap_signals, not a
+    # constant replay of the construction.
+    "q_trap_detection": """
+    WITH urls AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'http://' || source || '.example.com' ||
+               CASE CAST(doc_id % 6 AS INT)
+                 WHEN 0 THEN '/p' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/a/b/a/b/a'
+                 WHEN 2 THEN '/2026/08/16/2026/08/17/2026'
+                 WHEN 3 THEN '/p?phpsessid=' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN '/p?x=1&x=2&x=3'
+                 ELSE '/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13/s14/s15/s16'
+               END AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS rest
+        FROM urls
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               list_filter(string_split(
+                   regexp_extract(rest, '^([^?]*)', 1), '/'),
+                   s -> s <> '') AS segs,
+               list_filter(string_split(
+                   regexp_extract(rest, '\\?(.*)$', 1), '&'),
+                   p -> p <> '') AS params
+        FROM parsed
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(segs) > 16 AS f_depth,
+               length(url) > 2048 AS f_long_url,
+               COALESCE(list_aggregate(
+                   list_transform(segs, s -> length(s)), 'max'), 0)
+                   > 128 AS f_long_segment,
+               len(params) > 12 AS f_params,
+               len(list_filter(segs,
+                   s -> regexp_matches(s, '^[0-9]+$'))) >= 6
+                   AS f_numeric_run,
+               COALESCE(list_aggregate(list_transform(segs[1:64],
+                   s -> len(list_filter(segs[1:64], x -> x = s))),
+                   'max'), 0) >= 3 AS f_repeat_segment,
+               COALESCE(list_aggregate(list_transform(
+                   list_transform(params[1:64],
+                       p -> regexp_extract(p, '^([^=]*)', 1)),
+                   k -> len(list_filter(
+                       list_transform(params[1:64],
+                           p -> regexp_extract(p, '^([^=]*)', 1)),
+                       x -> x = k))), 'max'), 0) >= 3
+                   AS f_repeat_param_key,
+               len(list_filter(list_transform(params,
+                   p -> regexp_extract(p, '^([^=]*)', 1)),
+                   k -> regexp_matches(lower(k),
+                       '^(phpsessid|jsessionid|sessionid|session_id|sess_id|sid|s_id|cfid|cftoken|oscsid|zenid|aspsessionid[a-z0-9]*)$')))
+                   > 0 AS f_session_param
+        FROM parts
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(list_filter([
+               CASE WHEN f_depth THEN 'depth' END,
+               CASE WHEN f_long_url THEN 'long_url' END,
+               CASE WHEN f_long_segment THEN 'long_segment' END,
+               CASE WHEN f_params THEN 'params' END,
+               CASE WHEN f_numeric_run THEN 'numeric_run' END,
+               CASE WHEN f_repeat_segment THEN 'repeat_segment' END,
+               CASE WHEN f_repeat_param_key THEN 'repeat_param_key' END,
+               CASE WHEN f_session_param THEN 'session_param' END
+           ], x -> x IS NOT NULL)), ','), '') AS reasons,
+           (f_depth OR f_long_url OR f_long_segment OR f_params
+            OR f_numeric_run OR f_repeat_segment OR f_repeat_param_key
+            OR f_session_param) AS is_trap
+    FROM sig
+    ORDER BY doc_id
+    """,
 }
 
 
@@ -1243,6 +1324,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_corpus_divergence": llm3.q_corpus_divergence,
         "q_unigram_seed": llm3.q_unigram_seed,
         "q_embedding_centroids": llm2.q_embedding_centroids,
+        "q_trap_detection": llm3.q_trap_detection,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
