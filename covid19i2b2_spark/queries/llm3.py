@@ -1279,3 +1279,41 @@ def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 X71 re-crawl scheduling (operators/recrawl.py): a
+    fetch history derived from events (url = user_id % 40, fingerprint
+    = floor(value) % 3) through the Cho–Garcia-Molina change-rate
+    estimator and the -ln(1-p)/λ̂ revisit policy.  UNREGISTERED (the
+    50-query window is full); the DuckDB oracle replays the FULL
+    estimator — LAG window, null-safe change count, LN arithmetic,
+    clamps — in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.recrawl import estimate_change_rates
+
+    hist = read_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("http://h.example.com/p"),
+            F.pmod("user_id", F.lit(40)).cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("fetch_time"),
+        F.pmod(F.floor("value"), F.lit(3)).cast("string").alias("content_fp"),
+    )
+    out = estimate_change_rates(
+        hist,
+        change_prob=0.5,
+        min_interval_sec=3600.0,
+        max_interval_sec=30.0 * 86400.0,
+    )
+    return out.select(
+        "url",
+        "n_fetches",
+        "n_intervals",
+        "n_changes",
+        F.round("span_sec", 3).alias("span_sec"),
+        F.round(F.col("lambda_hat") * 86400.0, 6).alias("lambda_per_day"),
+        F.round("revisit_sec", 3).alias("revisit_sec"),
+        F.round(F.col("next_fetch_due").cast("double"), 3).alias(
+            "due_epoch"
+        ),
+    ).orderBy("url")

@@ -1257,6 +1257,67 @@ UNREGISTERED_ORACLES = {
     FROM sig
     ORDER BY doc_id
     """,
+
+    # X71 re-crawl scheduling (round 12): the oracle replays the FULL
+    # Cho–Garcia-Molina estimator — the url-keyed LAG window with the
+    # same (fetch_time, content_fp) tie order, the null-safe change
+    # count (IS DISTINCT FROM ≡ ~eqNullSafe), λ̂ = -ln((n-X+.5)/(n+.5))
+    # / (span/n), the -ln(1-p)/λ̂ revisit clamped to [1h, 30d], and the
+    # due-epoch arithmetic — not a constant replay of the construction.
+    "q_recrawl_schedule": """
+    WITH hist AS (
+        SELECT 'http://h.example.com/p' || CAST(user_id % 40 AS VARCHAR)
+                   AS url,
+               ts AS fetch_time,
+               CAST(CAST(FLOOR(value) AS BIGINT) % 3 AS VARCHAR)
+                   AS content_fp
+        FROM events
+    ),
+    lagged AS (
+        SELECT url, fetch_time, content_fp,
+               LAG(content_fp) OVER w AS prev_fp,
+               LAG(fetch_time) OVER w AS prev_ts
+        FROM hist
+        WINDOW w AS (PARTITION BY url ORDER BY fetch_time, content_fp)
+    ),
+    agg AS (
+        SELECT url,
+               COUNT(*) AS n_fetches,
+               COUNT(*) - 1 AS n_intervals,
+               COALESCE(SUM(CASE WHEN prev_ts IS NOT NULL
+                                  AND content_fp IS DISTINCT FROM prev_fp
+                                 THEN 1 ELSE 0 END), 0) AS n_changes,
+               epoch(MAX(fetch_time)) - epoch(MIN(fetch_time)) AS span_sec,
+               epoch(MAX(fetch_time)) AS last_epoch
+        FROM lagged
+        GROUP BY url
+    ),
+    est AS (
+        SELECT *,
+               CASE WHEN n_intervals >= 2 AND span_sec > 0 THEN
+                   -LN((n_intervals - n_changes + 0.5)
+                       / (n_intervals + 0.5))
+                   / (span_sec / n_intervals)
+               END AS lambda_hat
+        FROM agg
+    ),
+    sched AS (
+        SELECT *,
+               CASE WHEN lambda_hat > 0 THEN
+                        LEAST(GREATEST(-LN(0.5) / lambda_hat, 3600.0),
+                              2592000.0)
+                    WHEN lambda_hat IS NOT NULL THEN 2592000.0
+               END AS revisit_sec
+        FROM est
+    )
+    SELECT url, n_fetches, n_intervals, n_changes,
+           ROUND(span_sec, 3) AS span_sec,
+           ROUND(lambda_hat * 86400.0, 6) AS lambda_per_day,
+           ROUND(revisit_sec, 3) AS revisit_sec,
+           ROUND(last_epoch + revisit_sec, 3) AS due_epoch
+    FROM sched
+    ORDER BY url
+    """,
 }
 
 
@@ -1325,6 +1386,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_unigram_seed": llm3.q_unigram_seed,
         "q_embedding_centroids": llm2.q_embedding_centroids,
         "q_trap_detection": llm3.q_trap_detection,
+        "q_recrawl_schedule": llm3.q_recrawl_schedule,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
