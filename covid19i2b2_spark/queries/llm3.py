@@ -1317,3 +1317,52 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "due_epoch"
         ),
     ).orderBy("url")
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 X72 URL-template mining (operators/url_templates.py):
+    five URL shapes per doc (an exploding /item/{N}, a static /about,
+    a nested /post/{N}/comments, a ?page&sort key set, a 32-hex {H}
+    id) over three hosts, mined to per-template cardinality and host
+    share.  UNREGISTERED (the 50-query window is full); the DuckDB
+    oracle RE-DERIVES the template from the URL string (regexp folds +
+    sorted key set) and replays the share arithmetic in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.url_templates import (
+        mine_url_templates,
+    )
+
+    shape = F.pmod("doc_id", F.lit(5)).cast("int")
+    url = F.concat(
+        F.lit("http://h"),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit(".example.com"),
+        F.when(shape == 0, F.concat(F.lit("/item/"), F.col("doc_id")))
+        .when(shape == 1, F.lit("/about"))
+        .when(
+            shape == 2,
+            F.concat(F.lit("/post/"), F.col("doc_id"), F.lit("/comments")),
+        )
+        .when(
+            shape == 3,
+            F.concat(
+                F.lit("/p?page="), F.col("doc_id"), F.lit("&sort=asc")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/d/"), F.md5(F.col("doc_id").cast("string")))
+        ),
+    )
+    urls = read_table(spark, sf_dir, "documents").select(url.alias("u"))
+    return (
+        mine_url_templates(urls, "u")
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "sample_url",
+            "host_urls",
+            F.round("host_share", 6).alias("host_share"),
+        )
+        .orderBy("template")
+    )

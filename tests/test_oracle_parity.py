@@ -1318,6 +1318,74 @@ UNREGISTERED_ORACLES = {
     FROM sched
     ORDER BY url
     """,
+
+    # X72 URL-template mining (round 12): the oracle RE-DERIVES the
+    # template from the URL string — hex-before-digit regexp folds on
+    # the path, the sorted distinct query KEY set — and replays the
+    # per-host share arithmetic over the aggregated templates.
+    "q_url_templates": """
+    WITH urls AS (
+        SELECT 'http://h' || CAST(doc_id % 3 AS VARCHAR)
+               || '.example.com' ||
+               CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '/item/' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/about'
+                 WHEN 2 THEN '/post/' || CAST(doc_id AS VARCHAR)
+                             || '/comments'
+                 WHEN 3 THEN '/p?page=' || CAST(doc_id AS VARCHAR)
+                             || '&sort=asc'
+                 ELSE '/d/' || md5(CAST(doc_id AS VARCHAR))
+               END AS u
+        FROM documents
+    ),
+    parsed AS (
+        SELECT u,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1)
+                   AS rest
+        FROM urls
+    ),
+    pieces AS (
+        SELECT u, scheme,
+               lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS host,
+               regexp_extract(rest, '^[^/?#]*([^?]*)', 1) AS path,
+               regexp_extract(rest, '\\?(.*)$', 1) AS query
+        FROM parsed
+    ),
+    tpl AS (
+        SELECT u,
+               scheme || '://' || host ||
+               regexp_replace(
+                   regexp_replace(path, '[0-9a-fA-F]{16,}', '{H}', 'g'),
+                   '[0-9]+', '{N}', 'g') ||
+               CASE WHEN len(list_filter(string_split(query, '&'),
+                                         x -> x <> '')) > 0
+                    THEN '?' || array_to_string(
+                        list_sort(list_distinct(list_transform(
+                            list_filter(string_split(query, '&'),
+                                        x -> x <> ''),
+                            x -> regexp_extract(x, '^([^=]*)', 1)))),
+                        '&')
+                    ELSE '' END AS template
+        FROM pieces
+    ),
+    agg AS (
+        SELECT template,
+               COUNT(*) AS n_urls,
+               MIN(u) AS sample_url,
+               lower(regexp_extract(template, '^[^:]+://([^/?#]*)', 1))
+                   AS host
+        FROM tpl
+        GROUP BY template
+    )
+    SELECT host, template, n_urls, sample_url,
+           SUM(n_urls) OVER (PARTITION BY host) AS host_urls,
+           ROUND(CAST(n_urls AS DOUBLE)
+                 / SUM(n_urls) OVER (PARTITION BY host), 6) AS host_share
+    FROM agg
+    ORDER BY template
+    """,
 }
 
 
@@ -1387,6 +1455,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_embedding_centroids": llm2.q_embedding_centroids,
         "q_trap_detection": llm3.q_trap_detection,
         "q_recrawl_schedule": llm3.q_recrawl_schedule,
+        "q_url_templates": llm3.q_url_templates,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
