@@ -1366,3 +1366,52 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("template")
     )
+
+
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 X73 DUST parameter-rule mining (operators/dust.py):
+    urls = host(doc_id%2) / page(doc_id%3) ? id=(doc_id%5) &
+    ref=(doc_id%4), fingerprint = md5(page|id) — so varying ``ref``
+    never changes content (a rule) while varying ``id`` always does
+    (never a rule); the moduli are chosen so every residual group
+    really contains multiple spellings.  UNREGISTERED (the 50-query
+    window is full); the DuckDB oracle replays the FULL mining —
+    unnest over keys, residual reconstruction, the min=max
+    consistency trick, both aggregates — in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.dust import mine_param_rules
+
+    url = F.concat(
+        F.lit("http://h"),
+        F.pmod("doc_id", F.lit(2)).cast("string"),
+        F.lit(".example.com/page"),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit("?id="),
+        F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit("&ref="),
+        F.pmod("doc_id", F.lit(4)).cast("string"),
+    )
+    fp = F.md5(
+        F.concat(
+            F.pmod("doc_id", F.lit(3)).cast("string"),
+            F.lit("|"),
+            F.pmod("doc_id", F.lit(5)).cast("string"),
+        )
+    )
+    pages = (
+        read_table(spark, sf_dir, "documents")
+        .select(url.alias("canonical_url"), fp.alias("content_fp"))
+        .distinct()
+    )
+    return (
+        mine_param_rules(pages, min_support=5, min_consistency=1.0)
+        .select(
+            "host",
+            "param_key",
+            "n_groups",
+            "n_consistent",
+            F.round("consistency", 6).alias("consistency"),
+            "is_rule",
+        )
+        .orderBy("host", "param_key")
+    )

@@ -1386,6 +1386,80 @@ UNREGISTERED_ORACLES = {
     FROM agg
     ORDER BY template
     """,
+
+    # X73 DUST parameter-rule mining (round 12): the oracle replays
+    # the FULL mining pipeline — key unnest, residual reconstruction
+    # (key's params removed, rest sorted), the min(fp)=max(fp) group
+    # consistency trick, the >= 2-URL support filter, and the per-key
+    # rollup with the rule thresholds (min_support=5, consistency=1.0).
+    "q_dust_rules": """
+    WITH pages AS (
+        SELECT DISTINCT
+               'http://h' || CAST(doc_id % 2 AS VARCHAR)
+               || '.example.com/page' || CAST(doc_id % 3 AS VARCHAR)
+               || '?id=' || CAST(doc_id % 5 AS VARCHAR)
+               || '&ref=' || CAST(doc_id % 4 AS VARCHAR) AS url,
+               md5(CAST(doc_id % 3 AS VARCHAR) || '|'
+                   || CAST(doc_id % 5 AS VARCHAR)) AS fp
+        FROM documents
+    ),
+    parsed AS (
+        SELECT url, fp,
+               lower(regexp_extract(
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1),
+                   '^([^/?#]*)', 1)) AS host,
+               regexp_extract(url, '^([^?#]*)', 1) AS base,
+               list_filter(
+                   string_split(
+                       regexp_extract(
+                           regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1),
+                           '\\?(.*)$', 1),
+                       '&'),
+                   p -> p <> '') AS params
+        FROM pages
+    ),
+    exploded AS (
+        SELECT url, fp, host, base, params,
+               UNNEST(list_distinct(list_transform(
+                   params, p -> regexp_extract(p, '^([^=]*)', 1))))
+                   AS param_key
+        FROM parsed
+    ),
+    with_residual AS (
+        SELECT host, param_key, fp,
+               base ||
+               CASE WHEN len(list_filter(params,
+                        p -> regexp_extract(p, '^([^=]*)', 1)
+                             <> param_key)) > 0
+                    THEN '?' || array_to_string(
+                        list_sort(list_filter(params,
+                            p -> regexp_extract(p, '^([^=]*)', 1)
+                                 <> param_key)), '&')
+                    ELSE '' END AS residual
+        FROM exploded
+    ),
+    groups AS (
+        SELECT host, param_key, residual,
+               COUNT(*) AS n_urls,
+               (MIN(fp) = MAX(fp)) AS same
+        FROM with_residual
+        GROUP BY host, param_key, residual
+    )
+    SELECT host, param_key,
+           COUNT(*) AS n_groups,
+           SUM(CASE WHEN same THEN 1 ELSE 0 END) AS n_consistent,
+           ROUND(CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS consistency,
+           (COUNT(*) >= 5
+            AND CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) >= 1.0) AS is_rule
+    FROM groups
+    WHERE n_urls >= 2
+    GROUP BY host, param_key
+    ORDER BY host, param_key
+    """,
 }
 
 
@@ -1456,6 +1530,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_trap_detection": llm3.q_trap_detection,
         "q_recrawl_schedule": llm3.q_recrawl_schedule,
         "q_url_templates": llm3.q_url_templates,
+        "q_dust_rules": llm3.q_dust_rules,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
