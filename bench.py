@@ -1391,6 +1391,106 @@ def _bench_containment_scaled(spark) -> dict:
     return out
 
 
+def _bench_urlspace_scaled(spark) -> dict:
+    """X71/X72/X73 scale stories (round 12) at x{SCALE_X}/x{SCALE100_X}
+    over the replicated tables — each replica's offset keys mint NEW
+    urls/pages, so the workload grows in breadth (more URLs, constant
+    history/params each), which is the crawl-scale shape:
+
+    - recrawl (X71): change-rate estimation over an events-derived
+      fetch history — per-user urls, floor(value)%3 fingerprints; the
+      lag window + per-url aggregate share one Exchange, so the wall
+      should track the history row count linearly;
+    - templates (X72): mine_url_templates over documents-derived URLs
+      (per-doc /item/{N} paths on 1000 hosts) — one map-side-combined
+      groupBy + a window over the collapsed templates;
+    - dust (X73): mine_param_rules over documents-derived pages
+      (~20 docs per page, id/ref params) — key explode + two bounded
+      aggregates.
+
+    min-of-2 per reading (the scaled sections' protocol); per-op
+    linear_ratio_x100_vs_x10 with the usual ~1.3 bar."""
+    from covid19i2b2_spark.operators.dust import mine_param_rules
+    from covid19i2b2_spark.operators.recrawl import estimate_change_rates
+    from covid19i2b2_spark.operators.url_templates import mine_url_templates
+    from covid19i2b2_spark.sources.tables import read_table
+
+    def _recrawl(d):
+        hist = read_table(spark, d, "events").select(
+            F.concat(
+                F.lit("http://h"),
+                F.pmod("user_id", F.lit(1000)).cast("string"),
+                F.lit(".example.com/u/"),
+                F.col("user_id").cast("string"),
+            ).alias("url"),
+            F.col("ts").alias("fetch_time"),
+            F.pmod(F.floor("value"), F.lit(3))
+            .cast("string")
+            .alias("content_fp"),
+        )
+        return estimate_change_rates(hist)
+
+    def _templates(d):
+        urls = read_table(spark, d, "documents").select(
+            F.concat(
+                F.lit("http://h"),
+                F.pmod("doc_id", F.lit(1000)).cast("string"),
+                F.lit(".example.com/item/"),
+                F.col("doc_id").cast("string"),
+            ).alias("u")
+        )
+        return mine_url_templates(urls, "u")
+
+    def _dust(d):
+        pages = read_table(spark, d, "documents").select(
+            F.concat(
+                F.lit("http://h"),
+                F.pmod("doc_id", F.lit(2)).cast("string"),
+                F.lit(".example.com/page"),
+                F.floor(F.col("doc_id") / 20).cast("string"),
+                F.lit("?id="),
+                F.pmod("doc_id", F.lit(5)).cast("string"),
+                F.lit("&ref="),
+                F.pmod("doc_id", F.lit(4)).cast("string"),
+            ).alias("canonical_url"),
+            F.md5(
+                F.concat(
+                    F.floor(F.col("doc_id") / 20).cast("string"),
+                    F.lit("|"),
+                    F.pmod("doc_id", F.lit(5)).cast("string"),
+                )
+            ).alias("content_fp"),
+        )
+        return mine_param_rules(pages)
+
+    ops = {"recrawl": _recrawl, "templates": _templates, "dust": _dust}
+    out: dict = {}
+    factors = [(SCALE_X, 32)] + (
+        [(SCALE100_X, 128)] if SCALE100_X > 1 else []
+    )
+    for factor, nf in factors:
+        d = _scaled_dir(spark, factor, n_files=nf)
+        for op, build in ops.items():
+            runs = []
+            for _ in range(2):  # min-of-2: the scaled sections' protocol
+                t0 = time.perf_counter()
+                build(d).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            out[f"{op}_x{factor}_sec"] = round(min(runs), 3)
+    if SCALE100_X > 1:
+        for op in ops:
+            out[f"{op}_linear_ratio_x100_vs_x10"] = round(
+                out[f"{op}_x{SCALE100_X}_sec"]
+                / (
+                    (SCALE100_X / SCALE_X)
+                    * out[f"{op}_x{SCALE_X}_sec"]
+                ),
+                3,
+            )
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -1494,6 +1594,7 @@ def main() -> None:
         result["seen_urlset"] = _bench_seen_urlset(spark)
         result["dsir_scaled"] = _bench_dsir_scaled(spark)
         result["containment_scaled"] = _bench_containment_scaled(spark)
+        result["urlspace_scaled"] = _bench_urlspace_scaled(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
@@ -1688,6 +1789,7 @@ def main() -> None:
         "seen_urlset",
         "dsir_scaled",
         "containment_scaled",
+        "urlspace_scaled",
         "sketch_stores",
         "scaled",
         "llm_scaled",
@@ -1770,6 +1872,10 @@ def main() -> None:
         summary["containment_x100_linear_ratio_vs_x10"] = detail[
             "containment_scaled"
         ].get("linear_ratio_x100_vs_x10")
+    if "urlspace_scaled" in detail:
+        for k, v in detail["urlspace_scaled"].items():
+            if k.endswith("_linear_ratio_x100_vs_x10"):
+                summary[k] = v
     if summary:
         result["scaled_summary"] = summary
     print(json.dumps(result))
