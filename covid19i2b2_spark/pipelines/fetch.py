@@ -28,6 +28,11 @@ The documents/links split shares the decoded-page frame; callers that
 consume both should persist the pages frame across the two reads (the
 handle is returned so the release stays with the consumer — the X62
 cache-handle contract).
+
+Page-level robots compliance (X77) composes on top: run warc_pages,
+then ``apply_page_directives(pages, documents, links)`` from
+operators/robots_meta to drop noindex'd documents and nofollow'd
+pages' edges before anything downstream consumes them.
 """
 
 from __future__ import annotations
