@@ -1491,6 +1491,65 @@ def _bench_urlspace_scaled(spark) -> dict:
     return out
 
 
+def _bench_components_star(spark) -> dict:
+    """X78 scale story: large-star/small-star components over the same
+    orders-derived synthetic graph as the pagerank section at
+    x{SCALE_X}/x{SCALE100_X} (|E| grows linearly, topology modular so
+    rounds stay ~constant — the star algorithm's whole point; the
+    measured n_rounds is recorded next to the wall).  The min-label
+    operator runs once at x{SCALE_X} on the same graph for honest
+    per-round-cost context (star pays 2 joins/round where min-label
+    pays 1 — star wins on ROUNDS, which modular graphs don't stress
+    and path graphs do; the 300-edge-path rounds contrast is pinned in
+    tests/test_components_star.py)."""
+    from covid19i2b2_spark.caching import release_local_checkpoint
+    from covid19i2b2_spark.operators.dedup_clusters import (
+        connected_components,
+        connected_components_star,
+    )
+    from covid19i2b2_spark.sources.tables import read_table
+
+    out: dict = {}
+
+    def _edges(d):
+        orders = read_table(spark, d, "orders")
+        v = max(orders.count() // 10, 10)
+        return orders.select(
+            F.pmod(F.col("o_orderkey"), F.lit(v)).alias("id_a"),
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(v)).alias("id_b"),
+        )
+
+    factors = [(SCALE_X, 32)] + (
+        [(SCALE100_X, 128)] if SCALE100_X > 1 else []
+    )
+    for factor, nf in factors:
+        d = _scaled_dir(spark, factor, n_files=nf)
+        e = _edges(d)
+        probe: dict = {}
+        t0 = time.perf_counter()
+        labels = connected_components_star(e, plan_probe=probe)
+        labels.write.format("noop").mode("overwrite").save()
+        out[f"star_x{factor}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"star_x{factor}_rounds"] = probe.get("n_rounds")
+        release_local_checkpoint(labels)
+        if factor == SCALE_X:
+            t0 = time.perf_counter()
+            ml = connected_components(e, max_iter=25)
+            ml.write.format("noop").mode("overwrite").save()
+            out[f"minlabel_x{factor}_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            release_local_checkpoint(ml)
+        spark.catalog.clearCache()
+    if SCALE100_X > 1:
+        out["star_linear_ratio_x100_vs_x10"] = round(
+            out[f"star_x{SCALE100_X}_sec"]
+            / ((SCALE100_X / SCALE_X) * out[f"star_x{SCALE_X}_sec"]),
+            3,
+        )
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -1595,6 +1654,7 @@ def main() -> None:
         result["dsir_scaled"] = _bench_dsir_scaled(spark)
         result["containment_scaled"] = _bench_containment_scaled(spark)
         result["urlspace_scaled"] = _bench_urlspace_scaled(spark)
+        result["components_star"] = _bench_components_star(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
@@ -1790,6 +1850,7 @@ def main() -> None:
         "dsir_scaled",
         "containment_scaled",
         "urlspace_scaled",
+        "components_star",
         "sketch_stores",
         "scaled",
         "llm_scaled",
@@ -1876,6 +1937,10 @@ def main() -> None:
         for k, v in detail["urlspace_scaled"].items():
             if k.endswith("_linear_ratio_x100_vs_x10"):
                 summary[k] = v
+    if "components_star" in detail:
+        summary["components_star_x100_linear_ratio_vs_x10"] = detail[
+            "components_star"
+        ].get("star_linear_ratio_x100_vs_x10")
     if summary:
         result["scaled_summary"] = summary
     print(json.dumps(result))

@@ -16,6 +16,16 @@ list into connected components and a deterministic keep/drop decision:
   otherwise double per round (the classic iterative-Spark trap).
 - ``dedup_decision``: component id + keep flag (survivor = min id in the
   component — same deterministic-survivor rule as exact_dedup).
+- ``connected_components_star`` (X78, round 12): the alternating
+  large-star/small-star algorithm (Kiveris, Lattanzi, Mirrokni,
+  Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+  Beyond", SoCC 2014) — converges in O(log n) ROUNDS regardless of
+  diameter, where min-label propagation needs O(diameter).  Near-dup
+  graphs are tiny cliques and either works; WEB graphs (X55/X56's
+  host graphs, template chains) contain long paths where O(diameter)
+  is the difference between 8 rounds and 800.  Same output contract
+  as ``connected_components`` (component = min reachable id), pinned
+  equal by test.
 
 At 100 TB the edge list is vastly smaller than the corpus (only near-dup
 candidates appear); the per-round shuffle is edge-bounded, and the final
@@ -99,6 +109,133 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    release_local_checkpoint(edges)
+    if cache_handles is not None:
+        cache_handles.append(CheckpointHandle(labels))
+    return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    cache_handles: list | None = None,
+    plan_probe: dict | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star
+    (SoCC 2014) — O(log n) rounds on ANY topology (module docstring).
+
+    One round = large-star (per-node min over the full neighborhood,
+    strictly-larger neighbors relink to it: one groupBy + one join)
+    then small-star (edges oriented big→small, the small side plus the
+    key relink to the minimum: one groupBy + one join).  Convergence =
+    the small-star edge set reproduces itself, checked with one
+    (count, hash-sum) aggregate — no edge-set diff join.  The edge
+    frame is localCheckpoint'ed per round and the superseded round
+    released immediately (the connected_components lifecycle).
+
+    ``plan_probe``: receives ``n_rounds``.  Non-convergence inside
+    ``max_iter`` logs a WARNING and returns the partial merge — the
+    same honesty contract as min-label's cap, but at 25 rounds this
+    covers graphs of ~2^25 nodes, so hitting it flags a bug, not a
+    big graph."""
+    import logging
+
+    from covid19i2b2_spark.caching import (
+        CheckpointHandle,
+        release_local_checkpoint,
+    )
+
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: tuple | None = None
+    rounds = 0
+    for it in range(max_iter):
+        rounds = it + 1
+        # --- large-star: key = every endpoint, full neighborhood ----
+        bi = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(F.min("v").alias("__mn"))
+        m_l = F.least(F.col("u"), F.col("__mn"))
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"), m_l.alias("lo")
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .dropDuplicates()
+        )
+        # --- small-star over the large output (already hi>lo) -------
+        mins_s = large.groupBy("hi").agg(F.min("lo").alias("__m"))
+        joined = large.join(mins_s, "hi")
+        small = (
+            joined.select(
+                F.col("lo").alias("hi"), F.col("__m").alias("lo")
+            )
+            .unionByName(
+                mins_s.select(
+                    F.col("hi"), F.col("__m").alias("lo")
+                )
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(edges)
+        edges = small
+        # bit_xor: order-insensitive, overflow-free under ANSI (a SUM
+        # of xxhash64 values overflows long); rows are distinct, so
+        # xor is a faithful set signature
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        logging.getLogger(__name__).warning(
+            "connected_components_star: no convergence in %d rounds "
+            "(edge signature still moving) — returning partial merge",
+            max_iter,
+        )
+    if plan_probe is not None:
+        plan_probe["n_rounds"] = rounds
+    labels = (
+        nodes.join(
+            edges.select(
+                F.col("hi").alias("node"), F.col("lo").alias("__root")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("__root", F.col("node")).alias("component")
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(nodes)
     release_local_checkpoint(edges)
     if cache_handles is not None:
         cache_handles.append(CheckpointHandle(labels))
