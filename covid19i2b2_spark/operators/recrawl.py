@@ -179,3 +179,103 @@ def estimate_change_rates(
             ),
         )
     )
+
+
+# sitemap changefreq -> seconds (X79): the protocol's seven values.
+# 'always' maps to the caller's min_interval and 'never' to its
+# max_interval at composition time (they are policy bounds, not
+# durations), so the dict holds only the five duration words.
+CHANGEFREQ_SECONDS = {
+    "hourly": 3600.0,
+    "daily": 86400.0,
+    "weekly": 7.0 * 86400.0,
+    "monthly": 30.0 * 86400.0,
+    "yearly": 365.0 * 86400.0,
+}
+
+
+def revisit_with_priors(
+    estimates: DataFrame,
+    sitemap_entries: DataFrame,
+    *,
+    default_sec: float,
+    min_interval_sec: float = 3600.0,
+    max_interval_sec: float = 30.0 * 86400.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """X79: the cold-start composition — measured rate beats sitemap
+    hint beats default.  ``estimates`` is estimate_change_rates'
+    output (cold-start URLs carry loud-NULL revisit_sec);
+    ``sitemap_entries`` is extract_sitemap_urls' output (the
+    ``changefreq`` hint).  Adds ``effective_revisit_sec`` (never
+    NULL) and ``revisit_source`` ∈ {'measured','sitemap','default'} —
+    observability first, so a scheduler report can say how much of
+    the frontier runs on evidence vs hints vs guesswork.
+
+    The precedence is the trust order: a MEASURED rate reflects this
+    crawler's own fingerprint history; changefreq is a site owner's
+    self-report (the sitemap protocol itself labels it a hint and
+    crawlers discount it); the default is policy.  Site hints are
+    folded to seconds via CHANGEFREQ_SECONDS with 'always' →
+    min_interval and 'never' → max_interval, clamped to the same
+    [min, max] band as measured revisits (a hint must not escape the
+    bounds policy set); unknown changefreq spellings are ignored
+    (hint quality is unaudited by construction).  Conflicting entries
+    for one URL keep the SMALLEST interval (most conservative —
+    re-fetch sooner, the cheap direction of wrong).
+
+    Shape: one url-keyed equi-join (both frames are url-keyed; the
+    sitemap side is aggregated to one row per url first, so the join
+    never fans out) + pure coalesce arithmetic.  At crawl scale both
+    sides are O(|urls|) — AQE picks the join strategy."""
+    if not 0.0 < min_interval_sec <= max_interval_sec:
+        raise ValueError(
+            "need 0 < min_interval_sec <= max_interval_sec, got "
+            f"{min_interval_sec} / {max_interval_sec}"
+        )
+    cf = F.lower(F.col("changefreq"))
+    hint_sec = F.when(cf == "always", F.lit(float(min_interval_sec)))
+    for word, sec in CHANGEFREQ_SECONDS.items():
+        hint_sec = hint_sec.when(cf == word, F.lit(float(sec)))
+    hint_sec = hint_sec.when(cf == "never", F.lit(float(max_interval_sec)))
+    # clamp ONLY real hints: Spark's greatest/least SKIP NULLs, so a
+    # bare least(greatest(NULL, min), max) would resurrect an unknown
+    # changefreq spelling as min_interval (found live by the
+    # unknown-spelling test)
+    clamped = F.when(
+        hint_sec.isNotNull(),
+        F.least(
+            F.greatest(hint_sec, F.lit(float(min_interval_sec))),
+            F.lit(float(max_interval_sec)),
+        ),
+    )
+    hints = (
+        sitemap_entries.filter(F.col("changefreq").isNotNull())
+        .select(
+            F.col(url_col).alias("__hint_url"),
+            clamped.alias("__hint_sec"),
+        )
+        .filter(F.col("__hint_sec").isNotNull())
+        .groupBy("__hint_url")
+        .agg(F.min("__hint_sec").alias("__hint_sec"))
+    )
+    joined = estimates.join(
+        hints, estimates[url_col] == hints["__hint_url"], "left"
+    )
+    return (
+        joined.withColumn(
+            "effective_revisit_sec",
+            F.coalesce(
+                F.col("revisit_sec"),
+                F.col("__hint_sec"),
+                F.lit(float(default_sec)),
+            ),
+        )
+        .withColumn(
+            "revisit_source",
+            F.when(F.col("revisit_sec").isNotNull(), F.lit("measured"))
+            .when(F.col("__hint_sec").isNotNull(), F.lit("sitemap"))
+            .otherwise(F.lit("default")),
+        )
+        .drop("__hint_url", "__hint_sec")
+    )

@@ -203,7 +203,9 @@ def extract_sitemap_urls(
     """X68 (round 12): sitemap XML → frontier rows — the discovery
     channel next to link extraction (sites advertise exactly the URLs
     they want crawled, with freshness hints).  One row per ``<url>``
-    entry: (host, url, lastmod, priority, kind='url'); sitemap INDEX
+    entry: (host, url, lastmod, priority, changefreq, kind='url');
+    changefreq is the protocol's freshness hint, lowercased (the X79
+    cold-start prior for re-crawl scheduling); sitemap INDEX
     files emit their child sitemaps as kind='sitemap' rows so the
     caller can loop fetch→extract to a fixed point (the nesting depth
     is bounded at 2 by the protocol, so the loop is, too).
@@ -249,6 +251,15 @@ def extract_sitemap_urls(
             F.regexp_extract(
                 "__b", r"(?s)<priority[^>]*>\s*(.*?)\s*</priority>", 1
             ).try_cast("double").alias("priority"),
+            F.lower(
+                F.trim(
+                    F.regexp_extract(
+                        "__b",
+                        r"(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>",
+                        1,
+                    )
+                )
+            ).alias("changefreq"),
             F.when(F.col("__b").startswith("<url"), F.lit("url"))
             .otherwise(F.lit("sitemap"))
             .alias("kind"),
@@ -257,5 +268,9 @@ def extract_sitemap_urls(
         .withColumn(
             "lastmod",
             F.when(F.col("lastmod") != "", F.col("lastmod")),
+        )
+        .withColumn(
+            "changefreq",
+            F.when(F.col("changefreq") != "", F.col("changefreq")),
         )
     )
