@@ -134,6 +134,31 @@ def estimate_change_rates(
     ever observed) gets ``max_interval_sec`` — bounded staleness, not
     "never again".
     """
+    hist = change_history(
+        df, url_col, time_col, fingerprint_col, tiebreak=tiebreak
+    )
+    return attach_rates(
+        hist,
+        change_prob=change_prob,
+        min_interval_sec=min_interval_sec,
+        max_interval_sec=max_interval_sec,
+        min_intervals=min_intervals,
+    )
+
+
+def attach_rates(
+    hist: DataFrame,
+    *,
+    change_prob: float = 0.5,
+    min_interval_sec: float = 3600.0,
+    max_interval_sec: float = 30.0 * 86400.0,
+    min_intervals: int = 2,
+) -> DataFrame:
+    """The rate/schedule arithmetic over a history-summary frame
+    (n_intervals, n_changes, span_sec, last_fetch) — factored out so
+    the X80 incremental fetch-log store prices its STATE rows through
+    the exact same expressions as the batch path (merge ≡ rebuild is
+    then an equality of inputs, not of two formula copies)."""
     if not 0.0 < change_prob < 1.0:
         raise ValueError(
             f"change_prob must be in (0, 1), got {change_prob}"
@@ -143,9 +168,6 @@ def estimate_change_rates(
             "need 0 < min_interval_sec <= max_interval_sec, got "
             f"{min_interval_sec} / {max_interval_sec}"
         )
-    hist = change_history(
-        df, url_col, time_col, fingerprint_col, tiebreak=tiebreak
-    )
     n = F.col("n_intervals").cast("double")
     x = F.col("n_changes").cast("double")
     mean_gap = F.col("span_sec") / n
