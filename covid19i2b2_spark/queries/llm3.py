@@ -1415,3 +1415,37 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host", "param_key")
     )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 X81 reciprocal-rank fusion (operators/fusion.py): two
+    overlapping pseudo-retrieval lists over documents (deterministic
+    modular scores, ranked per list) fused with k=60.  UNREGISTERED
+    (the 50-query window is full); the DuckDB oracle replays the FULL
+    fusion — both ROW_NUMBER rankings with the same tie rule and the
+    1/(k+rank) sum — in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.fusion import rank_by_score, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    lex = docs.filter(F.col("doc_id") < 30).select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 37, F.lit(101)).cast("double").alias("s"),
+    )
+    vec = docs.filter(
+        (F.col("doc_id") >= 15) & (F.col("doc_id") < 45)
+    ).select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 53, F.lit(97)).cast("double").alias("s"),
+    )
+    fused = rrf_fuse(
+        [
+            rank_by_score(lex, "doc_id", "s"),
+            rank_by_score(vec, "doc_id", "s"),
+        ],
+        k=60,
+    )
+    return fused.select(
+        "id",
+        F.round("rrf_score", 9).alias("rrf_score"),
+        "n_lists",
+    ).orderBy(F.col("rrf_score").desc(), "id")

@@ -1460,6 +1460,37 @@ UNREGISTERED_ORACLES = {
     GROUP BY host, param_key
     ORDER BY host, param_key
     """,
+
+    # X81 reciprocal-rank fusion (round 12): the oracle replays BOTH
+    # per-list ROW_NUMBER rankings (score desc, id asc — the same tie
+    # rule) and the 1/(k+rank) sum with k=60.
+    "q_rrf_fusion": """
+    WITH lex AS (
+        SELECT doc_id,
+               CAST((doc_id * 37) % 101 AS DOUBLE) AS s
+        FROM documents WHERE doc_id < 30
+    ),
+    vec AS (
+        SELECT doc_id,
+               CAST((doc_id * 53) % 97 AS DOUBLE) AS s
+        FROM documents WHERE doc_id >= 15 AND doc_id < 45
+    ),
+    ranked AS (
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM lex
+        UNION ALL
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM vec
+    )
+    SELECT id,
+           ROUND(SUM(1.0 / (60.0 + rank)), 9) AS rrf_score,
+           COUNT(*) AS n_lists
+    FROM ranked
+    GROUP BY id
+    ORDER BY rrf_score DESC, id
+    """,
 }
 
 
@@ -1531,6 +1562,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_recrawl_schedule": llm3.q_recrawl_schedule,
         "q_url_templates": llm3.q_url_templates,
         "q_dust_rules": llm3.q_dust_rules,
+        "q_rrf_fusion": llm3.q_rrf_fusion,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
