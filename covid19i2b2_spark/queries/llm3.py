@@ -1449,3 +1449,38 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rrf_score", 9).alias("rrf_score"),
         "n_lists",
     ).orderBy(F.col("rrf_score").desc(), "id")
+
+
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 X82 redirect resolution (operators/redirects.py):
+    per-block chains from documents (u_d → u_{d-1} except block heads,
+    so every chain ends at a u_{10k} terminal in ≤ 9 hops) plus one
+    planted 2-cycle — pointer-doubled to finals.  n_hops is reported
+    only for resolved rows (inside a cycle the doubled hop count is an
+    artifact of the contraction, not a chain length).  UNREGISTERED
+    (the 50-query window is full); the DuckDB oracle follows the SAME
+    graph with a recursive CTE + hop cap in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.redirects import resolve_redirects
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
+        F.concat(F.lit("http://r.com/u"), F.col("doc_id")).alias("src"),
+        F.concat(
+            F.lit("http://r.com/u"), F.col("doc_id") - F.lit(1)
+        ).alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [
+            ("http://r.com/cycA", "http://r.com/cycB"),
+            ("http://r.com/cycB", "http://r.com/cycA"),
+        ],
+        "src string, dst string",
+    )
+    out = resolve_redirects(chain.unionByName(cyc), max_hops=32)
+    return out.select(
+        "src",
+        "final_url",
+        "resolved",
+        F.when(F.col("resolved"), F.col("n_hops")).alias("n_hops"),
+    ).orderBy("src")

@@ -59,6 +59,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("content_length", T.LongType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("http_content_type", T.StringType()),
+        T.StructField("http_location", T.StringType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("payload_length", T.LongType()),
         T.StructField("is_truncated", T.BooleanType()),
@@ -89,22 +90,26 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
-def _peel_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content-type, body) of an HTTP message payload; the
-    original payload comes back unchanged when it isn't one."""
+def _peel_http(
+    payload: bytes,
+) -> tuple[int | None, str | None, str | None, bytes]:
+    """(status, content-type, location, body) of an HTTP message
+    payload; the original payload comes back unchanged when it isn't
+    one.  Location feeds X82 redirect resolution — for 3xx records
+    the header IS the fetch result."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, payload
+        return None, None, None, payload
     head, sep, body = payload.partition(_CRLF2)
     if not sep:
-        return None, None, payload
+        return None, None, None, payload
     lines = head.split(b"\r\n")
     parts = lines[0].split(b" ", 2)
     try:
         status = int(parts[1])
     except (IndexError, ValueError):
-        return None, None, payload
-    ctype = _parse_headers(b"\r\n".join(lines[1:])).get("content-type")
-    return status, ctype, body
+        return None, None, None, payload
+    headers = _parse_headers(b"\r\n".join(lines[1:]))
+    return status, headers.get("content-type"), headers.get("location"), body
 
 
 def parse_warc_records(
@@ -146,7 +151,7 @@ def parse_warc_records(
             out.append(_err_row(offset, "body extends past end of data"))
             break
         payload = data[body_start : body_start + clen]
-        status, http_ct, http_body = _peel_http(payload)
+        status, http_ct, http_loc, http_body = _peel_http(payload)
         if status is not None:
             payload = http_body
         truncated = len(payload) > payload_limit_bytes
@@ -161,6 +166,7 @@ def parse_warc_records(
                 "content_length": clen,
                 "http_status": status,
                 "http_content_type": http_ct,
+                "http_location": http_loc,
                 "payload": payload[:payload_limit_bytes],
                 "payload_length": len(payload),
                 "is_truncated": truncated,
@@ -182,6 +188,7 @@ def _err_row(offset: int, reason: str) -> dict:
         "content_length": None,
         "http_status": None,
         "http_content_type": None,
+        "http_location": None,
         "payload": None,
         "payload_length": None,
         "is_truncated": None,

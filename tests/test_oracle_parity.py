@@ -1491,6 +1491,44 @@ UNREGISTERED_ORACLES = {
     GROUP BY id
     ORDER BY rrf_score DESC, id
     """,
+
+    # X82 redirect resolution (round 12): the oracle follows the same
+    # functional graph with a RECURSIVE CTE capped at max_hops+1 steps
+    # — an entirely different mechanism than the operator's pointer
+    # doubling, which is the point of the check.  resolved = the
+    # deepest reachable pointer left the src domain within the cap.
+    "q_redirects": """
+    WITH RECURSIVE edges AS (
+        SELECT 'http://r.com/u' || CAST(doc_id AS VARCHAR) AS src,
+               'http://r.com/u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT 'http://r.com/cycA', 'http://r.com/cycB'
+        UNION ALL
+        SELECT 'http://r.com/cycB', 'http://r.com/cycA'
+    ),
+    f AS (SELECT src, MIN(dst) AS dst FROM edges GROUP BY src),
+    walk AS (
+        SELECT src, dst AS cur, 1 AS hops FROM f
+        UNION ALL
+        SELECT w.src, f.dst, w.hops + 1
+        FROM walk w JOIN f ON w.cur = f.src
+        WHERE w.hops <= 32
+    ),
+    deepest AS (
+        SELECT src, arg_max(cur, hops) AS cur, MAX(hops) AS hops
+        FROM walk GROUP BY src
+    )
+    SELECT d.src,
+           CASE WHEN s.src IS NULL AND d.hops <= 32 THEN d.cur
+           END AS final_url,
+           (s.src IS NOT NULL OR d.hops > 32) = FALSE AS resolved,
+           CASE WHEN s.src IS NULL AND d.hops <= 32 THEN d.hops
+           END AS n_hops
+    FROM deepest d
+    LEFT JOIN (SELECT DISTINCT src FROM f) s ON d.cur = s.src
+    ORDER BY d.src
+    """,
 }
 
 
@@ -1563,6 +1601,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_url_templates": llm3.q_url_templates,
         "q_dust_rules": llm3.q_dust_rules,
         "q_rrf_fusion": llm3.q_rrf_fusion,
+        "q_redirects": llm3.q_redirects,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
