@@ -1,0 +1,145 @@
+"""X83 rel=canonical extraction + X84 alias unification
+(operators/url_aliases.py): the canonical-link zoo (quote styles,
+attribute orders, relative hrefs, entities, first-wins, non-http(s)),
+the same-host trust policy, unification across detector kinds
+(redirect + canonical + param-rewrite edges composing into one
+component), corpus relabeling, and plan pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid19i2b2_spark.operators.url_aliases import (
+    canonical_edges,
+    canonical_link,
+    unify_aliases,
+)
+
+ZOO = [
+    # (id, page url, html, expected canonical)
+    (1, "http://a.com/p?x=1",
+     "<link rel='canonical' href='http://a.com/p'>", "http://a.com/p"),
+    (2, "http://a.com/dir/page",
+     '<link rel="canonical" href="../clean">', "http://a.com/clean"),
+    (3, "http://a.com/p", "<link href=/root rel=canonical>",
+     "http://a.com/root"),
+    (4, "http://a.com/p",
+     "<LINK REL='CANONICAL' HREF='HTTP://a.com/UP'>", "HTTP://a.com/UP"),
+    (5, "http://a.com/p",
+     "<link rel='canonical' href='http://a.com/x?a=1&amp;b=2'>",
+     "http://a.com/x?a=1&b=2"),
+    # first declaration wins
+    (6, "http://a.com/p",
+     "<link rel='canonical' href='/first'>"
+     "<link rel='canonical' href='/second'>", "http://a.com/first"),
+    # rel=stylesheet never matches; neither does a rel containing
+    # 'canonical' as a substring of a longer token... (exact match)
+    (7, "http://a.com/p", "<link rel='stylesheet' href='/style.css'>",
+     None),
+    (8, "http://a.com/p", "<p>no link element</p>", None),
+    (9, "http://a.com/p", None, None),
+    # javascript: canonical resolves to non-http(s) -> NULL
+    (10, "http://a.com/p",
+     "<link rel='canonical' href='javascript:void(0)'>", None),
+]
+
+
+def test_canonical_link_zoo(spark):
+    df = spark.createDataFrame(
+        [(i, u, h) for i, u, h, _ in ZOO],
+        "id long, url string, html string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", canonical_link("html", "url").alias("c")
+        ).collect()
+    }
+    for i, _, _, want in ZOO:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_edges_same_host_policy(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/p?x=1",
+             "<link rel='canonical' href='http://a.com/p'>"),
+            # cross-host declaration: untrusted by default
+            ("http://spam.com/p",
+             "<link rel='canonical' href='http://victim.com/'>"),
+            # self-canonical: no edge
+            ("http://a.com/self",
+             "<link rel='canonical' href='http://a.com/self'>"),
+        ],
+        "url string, html string",
+    )
+    strict = {(r["src"], r["dst"]) for r in canonical_edges(pages).collect()}
+    assert strict == {("http://a.com/p?x=1", "http://a.com/p")}
+    loose = canonical_edges(pages, same_host_only=False)
+    assert ("http://spam.com/p", "http://victim.com/") in {
+        (r["src"], r["dst"]) for r in loose.collect()
+    }
+
+
+def test_unify_across_detector_kinds(spark):
+    """Redirect + canonical + param-rewrite edges COMPOSE: u1 -301->
+    u2, u2 declares canonical u3, u4 rewrites to u3 — one component,
+    one id (the minimum spelling)."""
+    redirects = spark.createDataFrame(
+        [("http://s.com/u1", "http://s.com/u2")], "src string, dst string"
+    )
+    canonicals = spark.createDataFrame(
+        [("http://s.com/u2", "http://s.com/u3")], "src string, dst string"
+    )
+    rewrites = spark.createDataFrame(
+        [("http://s.com/u4?ref=9", "http://s.com/u3")],
+        "src string, dst string",
+    )
+    got = {
+        r["url"]: r["canonical_id"]
+        for r in unify_aliases([redirects, canonicals, rewrites]).collect()
+    }
+    members = {
+        "http://s.com/u1", "http://s.com/u2", "http://s.com/u3",
+        "http://s.com/u4?ref=9",
+    }
+    assert set(got) == members
+    assert set(got.values()) == {"http://s.com/u1"}  # min spelling
+
+
+def test_relabel_corpus(spark):
+    """The documented relabel: left join + coalesce keeps no-alias
+    URLs as their own identity."""
+    edges = spark.createDataFrame(
+        [("http://s.com/b", "http://s.com/a")], "src string, dst string"
+    )
+    labels = unify_aliases([edges])
+    corpus = spark.createDataFrame(
+        [("http://s.com/b",), ("http://s.com/lonely",)], "url string"
+    )
+    relabeled = corpus.join(labels, "url", "left").select(
+        "url",
+        F.coalesce("canonical_id", "url").alias("identity"),
+    )
+    got = {r["url"]: r["identity"] for r in relabeled.collect()}
+    assert got == {
+        "http://s.com/b": "http://s.com/a",
+        "http://s.com/lonely": "http://s.com/lonely",
+    }
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        unify_aliases([])
+
+
+def test_canonical_link_plan_is_map_only(spark):
+    from covid19i2b2_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [("http://a/p", "<p>x</p>")], "url string, html string"
+    )
+    plan = physical_plan(df.select(canonical_link("html", "url")))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan.split("== Physical Plan ==")[-1]
