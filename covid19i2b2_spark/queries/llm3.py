@@ -1484,3 +1484,51 @@ def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resolved",
         F.when(F.col("resolved"), F.col("n_hops")).alias("n_hops"),
     ).orderBy("src")
+
+
+def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 X85 crawl health report (operators/crawl_report.py):
+    synthetic fetch records from events (5 hosts, status/content-type
+    cycling on event_id, value-derived payload sizes) rolled up per
+    host.  UNREGISTERED (the 50-query window is full); the DuckDB
+    oracle replays the host extraction and the full conditional
+    aggregation in tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.crawl_report import (
+        crawl_health_report,
+    )
+
+    m = F.pmod("event_id", F.lit(10)).cast("int")
+    recs = read_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod("user_id", F.lit(5)).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("event_id").cast("string"),
+        ).alias("target_uri"),
+        F.when(m <= 5, F.lit(200))
+        .when(m == 6, F.lit(301))
+        .when(m == 7, F.lit(404))
+        .when(m == 8, F.lit(503))
+        .otherwise(F.lit(200))
+        .alias("http_status"),
+        F.when(m <= 5, F.lit("text/html; charset=utf-8"))
+        .when(m == 9, F.lit("application/json"))
+        .alias("http_content_type"),
+        F.floor(F.col("value") * 10).cast("long").alias("payload_length"),
+        (F.pmod("event_id", F.lit(13)) == 0).alias("is_truncated"),
+    )
+    rep = crawl_health_report(recs)
+    return rep.select(
+        "host",
+        "n_fetches",
+        "n_ok",
+        "n_redirect",
+        "n_client_err",
+        "n_server_err",
+        "n_html",
+        "n_truncated",
+        "total_payload_bytes",
+        F.round("ok_rate", 6).alias("ok_rate"),
+        F.round("server_err_rate", 6).alias("server_err_rate"),
+        F.round("avg_payload_bytes", 3).alias("avg_payload_bytes"),
+    ).orderBy("host")

@@ -1529,6 +1529,55 @@ UNREGISTERED_ORACLES = {
     LEFT JOIN (SELECT DISTINCT src FROM f) s ON d.cur = s.src
     ORDER BY d.src
     """,
+
+    # X85 crawl health report (round 12): the oracle re-derives the
+    # host from the URI string and replays the full conditional
+    # aggregation (status classes, html yield, truncation, payload
+    # sums) plus the derived rates.
+    "q_crawl_report": """
+    WITH recs AS (
+        SELECT 'http://h' || CAST(user_id % 5 AS VARCHAR)
+               || '.example.com/p' || CAST(event_id AS VARCHAR) AS uri,
+               CASE CAST(event_id % 10 AS INT)
+                 WHEN 6 THEN 301 WHEN 7 THEN 404 WHEN 8 THEN 503
+                 ELSE 200 END AS status,
+               CASE WHEN event_id % 10 <= 5
+                        THEN 'text/html; charset=utf-8'
+                    WHEN event_id % 10 = 9 THEN 'application/json'
+               END AS ctype,
+               CAST(FLOOR(value * 10) AS BIGINT) AS plen,
+               (event_id % 13 = 0) AS trunc
+        FROM events
+    ),
+    agg AS (
+        SELECT regexp_extract(uri, '^[a-z]+://([^/]+)', 1) AS host,
+               COUNT(*) AS n_fetches,
+               SUM(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END)
+                   AS n_ok,
+               SUM(CASE WHEN status BETWEEN 300 AND 399 THEN 1 ELSE 0 END)
+                   AS n_redirect,
+               SUM(CASE WHEN status BETWEEN 400 AND 499 THEN 1 ELSE 0 END)
+                   AS n_client_err,
+               SUM(CASE WHEN status BETWEEN 500 AND 599 THEN 1 ELSE 0 END)
+                   AS n_server_err,
+               SUM(CASE WHEN status BETWEEN 200 AND 299
+                         AND regexp_matches(ctype, '^(?i)text/html\\b')
+                        THEN 1 ELSE 0 END) AS n_html,
+               SUM(CASE WHEN trunc THEN 1 ELSE 0 END) AS n_truncated,
+               SUM(plen) AS total_payload_bytes
+        FROM recs
+        GROUP BY 1
+    )
+    SELECT host, n_fetches, n_ok, n_redirect, n_client_err,
+           n_server_err, n_html, n_truncated, total_payload_bytes,
+           ROUND(CAST(n_ok AS DOUBLE) / n_fetches, 6) AS ok_rate,
+           ROUND(CAST(n_server_err AS DOUBLE) / n_fetches, 6)
+               AS server_err_rate,
+           ROUND(CAST(total_payload_bytes AS DOUBLE) / n_fetches, 3)
+               AS avg_payload_bytes
+    FROM agg
+    ORDER BY host
+    """,
 }
 
 
@@ -1602,6 +1651,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_dust_rules": llm3.q_dust_rules,
         "q_rrf_fusion": llm3.q_rrf_fusion,
         "q_redirects": llm3.q_redirects,
+        "q_crawl_report": llm3.q_crawl_report,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
