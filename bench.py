@@ -123,6 +123,9 @@ HEADLINE = [
     # round 10: the registered kNN join (two-stage IVF top-k) — the
     # batch-retrieval primitive, tracked per-round under its new slot
     "q_knn_join",
+    # round 12: the registered re-crawl scheduler (X71) — the crawl
+    # chain's estimator query, tracked per-round under its new slot
+    "q_recrawl_schedule",
 ]
 
 
@@ -140,12 +143,16 @@ def _fn(name: str):
     # unregistered engine-surface queries (driver 50-query window)
     from covid19i2b2_spark.queries.core import q_events_daily
     from covid19i2b2_spark.queries.llm import q_cosine_topk
+    from covid19i2b2_spark.queries.llm2 import q_simhash_pairs
 
     return {
         "q_events_daily": q_events_daily,
         # deregistered round 10 (slot ceded to q_knn_join, VERDICT r9
         # #1) but kept in the suite for round-over-round continuity
         "q_cosine_topk": q_cosine_topk,
+        # deregistered round 12 (slot ceded to q_recrawl_schedule);
+        # kept in the suite for round-over-round continuity
+        "q_simhash_pairs": q_simhash_pairs,
     }[name]
 
 

@@ -50,9 +50,10 @@ NULL → NULL does not — a fetch that failed to hash is evidence the
 content was not verifiably the same, never silently dropped (dropping
 would also shift every later interval).
 
-DuckDB parity (full estimator re-derivation: LAG window + LN replay)
-lives in tests/test_oracle_parity.py (q_recrawl_schedule —
-UNREGISTERED; the 50-query window is full).
+DuckDB parity (full estimator re-derivation: LAG window + LN replay):
+q_recrawl_schedule is REGISTERED under the driver's 50-query gate
+since round 12 (slot ceded by q_simhash_pairs, which moved to the
+UNREGISTERED parity suite — queries/llm2.py).
 """
 
 from __future__ import annotations

@@ -149,11 +149,16 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("q_simhash_pairs", oracle=_simhash_oracle())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: SimHash near-dup pairs end-to-end — 2-chunk multi-index buckets
     (pigeonhole: hamming<=3 pairs agree on >=2 of 5 chunks, so share a
     ~25-bit combination key) + bit_count hamming verify.
+
+    UNREGISTERED since round 12 (slot ceded to q_recrawl_schedule —
+    the near-dup pair family keeps q_minhash_pairs registered, and
+    this query's FULL arithmetic oracle moved verbatim to
+    tests/test_oracle_parity.py UNREGISTERED_ORACLES, same protocol
+    as q_ngram_jaccard's round-11 cession).
     Recall proof on planted edits in tests/test_llm_ops.py; bucket-cap
     bound + bit_count plan pin in tests/test_plan_shape.py.
 

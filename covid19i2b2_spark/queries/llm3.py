@@ -1281,14 +1281,72 @@ def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_recrawl_schedule",
+    oracle="""
+    WITH hist AS (
+        SELECT 'http://h.example.com/p' || CAST(user_id % 40 AS VARCHAR)
+                   AS url,
+               ts AS fetch_time,
+               CAST(CAST(FLOOR(value) AS BIGINT) % 3 AS VARCHAR)
+                   AS content_fp
+        FROM events
+    ),
+    lagged AS (
+        SELECT url, fetch_time, content_fp,
+               LAG(content_fp) OVER w AS prev_fp,
+               LAG(fetch_time) OVER w AS prev_ts
+        FROM hist
+        WINDOW w AS (PARTITION BY url ORDER BY fetch_time, content_fp)
+    ),
+    agg AS (
+        SELECT url,
+               COUNT(*) AS n_fetches,
+               COUNT(*) - 1 AS n_intervals,
+               COALESCE(SUM(CASE WHEN prev_ts IS NOT NULL
+                                  AND content_fp IS DISTINCT FROM prev_fp
+                                 THEN 1 ELSE 0 END), 0) AS n_changes,
+               epoch(MAX(fetch_time)) - epoch(MIN(fetch_time)) AS span_sec,
+               epoch(MAX(fetch_time)) AS last_epoch
+        FROM lagged
+        GROUP BY url
+    ),
+    est AS (
+        SELECT *,
+               CASE WHEN n_intervals >= 2 AND span_sec > 0 THEN
+                   -LN((n_intervals - n_changes + 0.5)
+                       / (n_intervals + 0.5))
+                   / (span_sec / n_intervals)
+               END AS lambda_hat
+        FROM agg
+    ),
+    sched AS (
+        SELECT *,
+               CASE WHEN lambda_hat > 0 THEN
+                        LEAST(GREATEST(-LN(0.5) / lambda_hat, 3600.0),
+                              2592000.0)
+                    WHEN lambda_hat IS NOT NULL THEN 2592000.0
+               END AS revisit_sec
+        FROM est
+    )
+    SELECT url, n_fetches, n_intervals, n_changes,
+           ROUND(span_sec, 3) AS span_sec,
+           ROUND(lambda_hat * 86400.0, 6) AS lambda_per_day,
+           ROUND(revisit_sec, 3) AS revisit_sec,
+           ROUND(last_epoch + revisit_sec, 3) AS due_epoch
+    FROM sched
+    ORDER BY url
+    """,
+)
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 X71 re-crawl scheduling (operators/recrawl.py): a
     fetch history derived from events (url = user_id % 40, fingerprint
     = floor(value) % 3) through the Cho–Garcia-Molina change-rate
-    estimator and the -ln(1-p)/λ̂ revisit policy.  UNREGISTERED (the
-    50-query window is full); the DuckDB oracle replays the FULL
-    estimator — LAG window, null-safe change count, LN arithmetic,
-    clamps — in tests/test_oracle_parity.py."""
+    estimator and the -ln(1-p)/λ̂ revisit policy.  REGISTERED round 12
+    (slot ceded by q_simhash_pairs, which moved to the UNREGISTERED
+    parity suite — the q_dsir_select/q_ngram_jaccard protocol); the
+    DuckDB oracle replays the FULL estimator — LAG window, null-safe
+    change count, LN arithmetic, clamps."""
     from covid19i2b2_spark.operators.recrawl import estimate_change_rates
 
     hist = read_table(spark, sf_dir, "events").select(

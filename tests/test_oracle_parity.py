@@ -1258,71 +1258,6 @@ UNREGISTERED_ORACLES = {
     ORDER BY doc_id
     """,
 
-    # X71 re-crawl scheduling (round 12): the oracle replays the FULL
-    # Cho–Garcia-Molina estimator — the url-keyed LAG window with the
-    # same (fetch_time, content_fp) tie order, the null-safe change
-    # count (IS DISTINCT FROM ≡ ~eqNullSafe), λ̂ = -ln((n-X+.5)/(n+.5))
-    # / (span/n), the -ln(1-p)/λ̂ revisit clamped to [1h, 30d], and the
-    # due-epoch arithmetic — not a constant replay of the construction.
-    "q_recrawl_schedule": """
-    WITH hist AS (
-        SELECT 'http://h.example.com/p' || CAST(user_id % 40 AS VARCHAR)
-                   AS url,
-               ts AS fetch_time,
-               CAST(CAST(FLOOR(value) AS BIGINT) % 3 AS VARCHAR)
-                   AS content_fp
-        FROM events
-    ),
-    lagged AS (
-        SELECT url, fetch_time, content_fp,
-               LAG(content_fp) OVER w AS prev_fp,
-               LAG(fetch_time) OVER w AS prev_ts
-        FROM hist
-        WINDOW w AS (PARTITION BY url ORDER BY fetch_time, content_fp)
-    ),
-    agg AS (
-        SELECT url,
-               COUNT(*) AS n_fetches,
-               COUNT(*) - 1 AS n_intervals,
-               COALESCE(SUM(CASE WHEN prev_ts IS NOT NULL
-                                  AND content_fp IS DISTINCT FROM prev_fp
-                                 THEN 1 ELSE 0 END), 0) AS n_changes,
-               epoch(MAX(fetch_time)) - epoch(MIN(fetch_time)) AS span_sec,
-               epoch(MAX(fetch_time)) AS last_epoch
-        FROM lagged
-        GROUP BY url
-    ),
-    est AS (
-        SELECT *,
-               CASE WHEN n_intervals >= 2 AND span_sec > 0 THEN
-                   -LN((n_intervals - n_changes + 0.5)
-                       / (n_intervals + 0.5))
-                   / (span_sec / n_intervals)
-               END AS lambda_hat
-        FROM agg
-    ),
-    sched AS (
-        SELECT *,
-               CASE WHEN lambda_hat > 0 THEN
-                        LEAST(GREATEST(-LN(0.5) / lambda_hat, 3600.0),
-                              2592000.0)
-                    WHEN lambda_hat IS NOT NULL THEN 2592000.0
-               END AS revisit_sec
-        FROM est
-    )
-    SELECT url, n_fetches, n_intervals, n_changes,
-           ROUND(span_sec, 3) AS span_sec,
-           ROUND(lambda_hat * 86400.0, 6) AS lambda_per_day,
-           ROUND(revisit_sec, 3) AS revisit_sec,
-           ROUND(last_epoch + revisit_sec, 3) AS due_epoch
-    FROM sched
-    ORDER BY url
-    """,
-
-    # X72 URL-template mining (round 12): the oracle RE-DERIVES the
-    # template from the URL string — hex-before-digit regexp folds on
-    # the path, the sorted distinct query KEY set — and replays the
-    # per-host share arithmetic over the aggregated templates.
     "q_url_templates": """
     WITH urls AS (
         SELECT 'http://h' || CAST(doc_id % 3 AS VARCHAR)
@@ -1581,6 +1516,14 @@ UNREGISTERED_ORACLES = {
 }
 
 
+# q_simhash_pairs ceded its registered slot to q_recrawl_schedule in
+# round 12; its FULL-arithmetic oracle is generated (64 bit-vote columns)
+# so it is imported from its author rather than duplicated here.
+from covid19i2b2_spark.queries.llm2 import _simhash_oracle  # noqa: E402
+
+UNREGISTERED_ORACLES["q_simhash_pairs"] = _simhash_oracle()
+
+
 @pytest.mark.parametrize("name", sorted(UNREGISTERED_ORACLES))
 def test_unregistered_query_matches_oracle(name, spark, duck):
     from covid19i2b2_spark.queries import (
@@ -1646,12 +1589,12 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_unigram_seed": llm3.q_unigram_seed,
         "q_embedding_centroids": llm2.q_embedding_centroids,
         "q_trap_detection": llm3.q_trap_detection,
-        "q_recrawl_schedule": llm3.q_recrawl_schedule,
         "q_url_templates": llm3.q_url_templates,
         "q_dust_rules": llm3.q_dust_rules,
         "q_rrf_fusion": llm3.q_rrf_fusion,
         "q_redirects": llm3.q_redirects,
         "q_crawl_report": llm3.q_crawl_report,
+        "q_simhash_pairs": llm2.q_simhash_pairs,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
