@@ -174,6 +174,11 @@ def connected_components_star(
         )
         mins = bi.groupBy("u").agg(F.min("v").alias("__mn"))
         m_l = F.least(F.col("u"), F.col("__mn"))
+        # pin the large-star output before small-star consumes it
+        # twice (the min aggregate AND the relink join): unpinned, the
+        # bi-join subtree replicated ~3x in the round's physical plan
+        # (7 joins observed where the algorithm has 2) — the exact
+        # double-evaluation class VERDICT r11 #1 flagged in HITS
         large = (
             bi.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -182,23 +187,33 @@ def connected_components_star(
             )
             .filter(F.col("hi") != F.col("lo"))
             .dropDuplicates()
-        )
-        # --- small-star over the large output (already hi>lo) -------
-        mins_s = large.groupBy("hi").agg(F.min("lo").alias("__m"))
-        joined = large.join(mins_s, "hi")
-        small = (
-            joined.select(
-                F.col("lo").alias("hi"), F.col("__m").alias("lo")
-            )
-            .unionByName(
-                mins_s.select(
-                    F.col("hi"), F.col("__m").alias("lo")
-                )
-            )
-            .filter(F.col("hi") != F.col("lo"))
-            .dropDuplicates()
             .localCheckpoint(eager=True)
         )
+        # --- small-star over the large output (already hi>lo) -------
+        # both emission branches — (every small neighbor, m) and
+        # (the key, m) — come from ONE join via an array explode, so
+        # mins_s is consumed once
+        mins_s = large.groupBy("hi").agg(F.min("lo").alias("__m"))
+        small_pre = (
+            large.join(mins_s, "hi")
+            .select(
+                F.explode(F.array("lo", "hi")).alias("node"),
+                F.col("__m").alias("root"),
+            )
+            .filter(F.col("node") != F.col("root"))
+            .select(
+                F.col("node").alias("hi"), F.col("root").alias("lo")
+            )
+            .dropDuplicates()
+        )
+        if plan_probe is not None and it == 0:
+            # captured BEFORE the checkpoint (which replaces the plan
+            # with an RDD scan) — this is the round's real work
+            plan_probe["round_plan"] = (
+                small_pre._jdf.queryExecution().executedPlan().toString()
+            )
+        small = small_pre.localCheckpoint(eager=True)
+        release_local_checkpoint(large)
         release_local_checkpoint(edges)
         edges = small
         # bit_xor: order-insensitive, overflow-free under ANSI (a SUM

@@ -98,6 +98,25 @@ def test_single_edge_and_empty(spark):
     assert connected_components_star(empty).count() == 0
 
 
+def test_round_plan_reads_pinned_large_star(spark):
+    """The large-star output is checkpointed before small-star
+    consumes it twice (min aggregate + relink join): the round's plan
+    reads it as a materialized scan and carries exactly ONE join —
+    unpinned, the bi-join subtree replicated ~3x (7 joins observed)."""
+    probe: dict = {}
+    connected_components_star(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), plan_probe=probe
+    )
+    plan = probe["round_plan"]
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan
+    assert "ExistingRDD" in plan, plan
+
+
 def test_cache_handle_contract(spark):
     handles: list = []
     df = connected_components_star(
