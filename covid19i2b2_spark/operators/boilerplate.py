@@ -122,62 +122,74 @@ def main_content_blocks(col: str | Column) -> Column:
         lambda s: s["text"] != "",
     )
 
-    def _classify(i: Column) -> Column:
-        curr = F.element_at(feats, i + 1)
-        # missing neighbors read as zero-word, zero-density blocks
-        prev_w = F.coalesce(
-            F.when(i > 0, F.element_at(feats, i)["n_words"]), F.lit(0)
-        )
-        prev_ld = F.coalesce(
-            F.when(i > 0, F.element_at(feats, i)["link_density"]),
-            F.lit(0.0),
-        )
-        next_w = F.coalesce(
-            F.when(
-                i + 2 <= F.size(feats), F.element_at(feats, i + 2)["n_words"]
-            ),
-            F.lit(0),
-        )
-        return F.when(
-            curr["link_density"] <= _CURR_LD,
-            F.when(
-                prev_ld <= _PREV_LD,
+    # bind the feats subtree ONCE as a higher-order-function lambda
+    # variable: the classifier references its blocks ~10x per index
+    # (curr/prev/next fields across the tree's branches), and a direct
+    # reference would copy the whole split/transform/filter expression
+    # into each — the tree-duplication trap urls.py:85-89 documents
+    # (measured here: 45 KB -> ~5 KB of optimized plan for one call)
+    def _classify_all(fs: Column) -> Column:
+        def _classify(i: Column) -> Column:
+            curr = F.element_at(fs, i + 1)
+            # missing neighbors read as zero-word, zero-density blocks
+            prev_w = F.coalesce(
+                F.when(i > 0, F.element_at(fs, i)["n_words"]), F.lit(0)
+            )
+            prev_ld = F.coalesce(
+                F.when(i > 0, F.element_at(fs, i)["link_density"]),
+                F.lit(0.0),
+            )
+            next_w = F.coalesce(
                 F.when(
-                    curr["n_words"] <= 16,
+                    i + 2 <= F.size(fs),
+                    F.element_at(fs, i + 2)["n_words"],
+                ),
+                F.lit(0),
+            )
+            return F.when(
+                curr["link_density"] <= _CURR_LD,
+                F.when(
+                    prev_ld <= _PREV_LD,
                     F.when(
-                        next_w <= 15,
-                        F.when(prev_w <= 4, F.lit(False)).otherwise(
+                        curr["n_words"] <= 16,
+                        F.when(
+                            next_w <= 15,
+                            F.when(prev_w <= 4, F.lit(False)).otherwise(
+                                F.lit(True)
+                            ),
+                        ).otherwise(F.lit(True)),
+                    ).otherwise(F.lit(True)),
+                ).otherwise(
+                    F.when(
+                        curr["n_words"] <= 40,
+                        F.when(next_w <= 17, F.lit(False)).otherwise(
                             F.lit(True)
                         ),
-                    ).otherwise(F.lit(True)),
-                ).otherwise(F.lit(True)),
-            ).otherwise(
-                F.when(
-                    curr["n_words"] <= 40,
-                    F.when(next_w <= 17, F.lit(False)).otherwise(
-                        F.lit(True)
-                    ),
-                ).otherwise(F.lit(True))
-            ),
-        ).otherwise(F.lit(False))
+                    ).otherwise(F.lit(True))
+                ),
+            ).otherwise(F.lit(False))
 
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(feats) - 1, F.lit(0))
-    )
-    classified = F.when(F.size(feats) > 0, F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(feats, i + 1)["text"].alias("text"),
-            F.element_at(feats, i + 1)["n_words"].alias("n_words"),
-            F.element_at(feats, i + 1)["link_density"].alias(
-                "link_density"
+        idx = F.sequence(
+            F.lit(0), F.greatest(F.size(fs) - 1, F.lit(0))
+        )
+        return F.when(F.size(fs) > 0, F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(fs, i + 1)["text"].alias("text"),
+                F.element_at(fs, i + 1)["n_words"].alias("n_words"),
+                F.element_at(fs, i + 1)["link_density"].alias(
+                    "link_density"
+                ),
+                _classify(i).alias("is_content"),
             ),
-            _classify(i).alias("is_content"),
-        ),
-    )).otherwise(F.array().cast(
-        "array<struct<text:string,n_words:int,"
-        "link_density:double,is_content:boolean>>"
-    ))
+        )).otherwise(F.array().cast(
+            "array<struct<text:string,n_words:int,"
+            "link_density:double,is_content:boolean>>"
+        ))
+
+    classified = F.element_at(
+        F.transform(F.array(feats), _classify_all), 1
+    )
     return F.when(h.isNotNull(), classified)
 
 

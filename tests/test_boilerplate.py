@@ -179,3 +179,11 @@ def test_plan_is_map_only_expressions(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan.split("== Physical Plan ==")[-1]
+    # the feats subtree is bound ONCE via a HOF lambda variable; a
+    # direct reference copied it into every element_at — 45 KB of
+    # optimized plan for one call (the urls.py tree-duplication trap)
+    opt = (
+        df.select(extract_main_content("html"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert len(opt) < 15_000, len(opt)
