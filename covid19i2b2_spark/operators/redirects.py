@@ -53,6 +53,15 @@ def redirect_edges(
     nowhere a crawler can follow."""
     from covid19i2b2_spark.operators.links import resolve_url
 
+    # the dst validity checks run INSIDE an array-filter + explode:
+    # a plain .filter() on the aliased column substitutes the whole
+    # resolve_url tree into the predicate (2-3 evaluations per row and
+    # ~58 KB of plan measured); the generator is a substitution
+    # barrier, so resolution evaluates once (the extract_links rule)
+    edge = F.struct(
+        F.col(uri_col).alias("src"),
+        resolve_url(F.col(uri_col), F.col(location_col)).alias("dst"),
+    )
     return (
         records.filter(
             F.col(status_col).between(300, 399)
@@ -60,10 +69,15 @@ def redirect_edges(
             & F.col(uri_col).isNotNull()
         )
         .select(
-            F.col(uri_col).alias("src"),
-            resolve_url(F.col(uri_col), F.col(location_col)).alias("dst"),
+            F.explode(
+                F.filter(
+                    F.array(edge),
+                    lambda e: e["dst"].isNotNull()
+                    & (e["src"] != e["dst"]),
+                )
+            ).alias("e")
         )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("e.src", "e.dst")
     )
 
 

@@ -66,12 +66,27 @@ def canonical_link(
         F.when(bare != "", bare)
     )
     # tab/CR/LF are stripped from URL attribute values per HTML (the
-    # X69 rule), entities decoded before resolution
-    resolved = resolve_url(
-        u, _xml_unescape(F.regexp_replace(raw, r"[\t\r\n]", ""))
-    )
-    return F.when(
-        F.lower(resolved).rlike(r"^https?://"), resolved
+    # X69 rule), entities decoded before resolution.  BOTH the cleaned
+    # href and the resolved URL are bound ONCE via single-element HOF
+    # lambdas: resolve_url references its ref argument many times
+    # internally and the http(s) gate references the resolution twice
+    # — direct references measured 210 KB of optimized plan for one
+    # call (the urls.py tree-duplication trap; now ~4 KB)
+    cleaned = _xml_unescape(F.regexp_replace(raw, r"[\t\r\n]", ""))
+    return F.element_at(
+        F.transform(
+            F.array(cleaned),
+            lambda r: F.element_at(
+                F.transform(
+                    F.array(resolve_url(u, r)),
+                    lambda rr: F.when(
+                        F.lower(rr).rlike(r"^https?://"), rr
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
 
 

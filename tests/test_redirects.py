@@ -133,3 +133,18 @@ def test_end_to_end_from_warc_fixture(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["final_url"] == "http://m.com/final"
     assert got[0]["resolved"] is True
+
+
+def test_edge_plan_resolves_once(spark):
+    """The explode barrier keeps resolve_url to ONE evaluation per
+    row — a plain filter on the aliased dst substituted the tree into
+    the predicate (58 KB of plan; now ~19 KB with one Generate)."""
+    df = spark.createDataFrame(
+        [("http://a/b", 301, "/x")],
+        "target_uri string, http_status int, http_location string",
+    )
+    opt = (
+        redirect_edges(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert len(opt) < 30_000, len(opt)
+    assert "Generate explode" in opt or "Generate" in opt, opt
