@@ -125,15 +125,31 @@ def apply_page_directives(
     header_col: str | None = None,
     *,
     bot: str = "robots",
+    cache_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The standard enforcement: (documents minus noindex'd pages,
     links minus nofollow'd pages' outgoing edges).  ``pages`` is the
     frame carrying the HTML (the X76 warc_pages output); directive
     pages are a tiny fraction of any corpus, so both drops are
-    BROADCAST anti-joins — the big frames never shuffle."""
-    marked = mark_page_directives(
-        pages, html_col, header_col, bot=bot
-    ).select(F.col(url_col).alias("__durl"), "noindex", "nofollow")
+    BROADCAST anti-joins — the big frames never shuffle.
+
+    The restricted-page list is eagerly checkpointed: the directive
+    regexes scan every page's HTML, and the two anti-joins would
+    otherwise each re-run that corpus pass (lazy frames re-evaluate
+    per consumer).  The pinned frame holds only the RESTRICTED urls —
+    tiny by the same argument that makes the joins broadcasts.  Pass
+    ``cache_handles`` to own the release (the X62/components
+    contract); without it the ContextCleaner frees it on GC."""
+    from covid19i2b2_spark.caching import CheckpointHandle
+
+    marked = (
+        mark_page_directives(pages, html_col, header_col, bot=bot)
+        .select(F.col(url_col).alias("__durl"), "noindex", "nofollow")
+        .filter(F.col("noindex") | F.col("nofollow"))
+        .localCheckpoint(eager=True)
+    )
+    if cache_handles is not None:
+        cache_handles.append(CheckpointHandle(marked))
     no_index = marked.filter("noindex").select("__durl")
     no_follow = marked.filter("nofollow").select("__durl")
     docs = documents.join(
