@@ -1557,6 +1557,129 @@ def _bench_components_star(spark) -> dict:
     return out
 
 
+def _bench_fetch_ingest(spark) -> dict:
+    """X74/X75/X76 scale story: synthetic WARC archives (deterministic
+    pages with nav boilerplate, links and an article body) through the
+    FULL ingest — read_warc → page filter → boilerplate-stripped
+    documents + link edges — at x1/x{SCALE_X} file counts.  Reports
+    wall seconds, archive MB/s, and the linear ratio (the path is
+    per-file parallel + map-only, so the bar is ~1.0 scaled by
+    parallel slack).  The corpus is built once per factor under the
+    bench tmp root and reused across rounds (content is
+    deterministic)."""
+    import gzip as _gzip
+
+    from covid19i2b2_spark.pipelines.fetch import warc_to_documents
+
+    base_files, pages_per_file = 8, 120
+
+    def _dir(factor: int) -> str:
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_warc_bench_x{factor}v1",
+        )
+        marker = os.path.join(d, "_built")
+        if os.path.exists(marker):
+            return d
+        os.makedirs(d, exist_ok=True)
+        art = " ".join(f"tok{w}" for w in range(120))
+        for f in range(base_files * factor):
+            recs = []
+            for p in range(pages_per_file):
+                i = f * pages_per_file + p
+                html = (
+                    "<nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
+                    f"<h1>Page {i}</h1><p>{art} unique{i}</p>"
+                    f"<a href='http://h{i % 97}.example.com/p{i}'>next</a>"
+                ).encode()
+                body = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + f"Content-Length: {len(html)}\r\n\r\n".encode()
+                    + html
+                )
+                head = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:uuid:{i}>\r\n".encode()
+                    + f"WARC-Target-URI: http://h{i % 97}.example.com/p{i}\r\n".encode()
+                    + b"WARC-Date: 2026-08-16T00:00:00Z\r\n"
+                    + b"Content-Type: application/http; msgtype=response\r\n"
+                    + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                )
+                recs.append(_gzip.compress(head + body + b"\r\n\r\n"))
+            with open(os.path.join(d, f"f{f}.warc.gz"), "wb") as fh:
+                fh.write(b"".join(recs))
+        open(marker, "w").close()
+        return d
+
+    out: dict = {}
+    for factor in (1, SCALE_X):
+        d = _dir(factor)
+        total_mb = sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".gz")
+        ) / 1e6
+        runs = []
+        for _ in range(2):  # min-of-2: the scaled sections' protocol
+            t0 = time.perf_counter()
+            docs, links = warc_to_documents(spark, d)
+            docs.write.format("noop").mode("overwrite").save()
+            links.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[f"x{factor}_sec"] = round(min(runs), 3)
+        out[f"x{factor}_mb"] = round(total_mb, 2)
+        out[f"x{factor}_mb_per_sec"] = round(total_mb / min(runs), 2)
+    out["linear_ratio_x10_vs_x1"] = round(
+        out[f"x{SCALE_X}_sec"] / (SCALE_X * out["x1_sec"]), 3
+    )
+    return out
+
+
+def _bench_redirects_scaled(spark) -> dict:
+    """X82 scale story: pointer doubling over orders-derived redirect
+    chains at x{SCALE_X}/x{SCALE100_X} — 8-hop chains (|edges| grows
+    linearly with the replicated table, chain length constant, so
+    rounds stay fixed at ceil(log2(32))+1 worst case and the wall
+    should track |edges|)."""
+    from covid19i2b2_spark.caching import release_local_checkpoint
+    from covid19i2b2_spark.operators.redirects import resolve_redirects
+    from covid19i2b2_spark.sources.tables import read_table
+
+    out: dict = {}
+
+    def _edges(d):
+        orders = read_table(spark, d, "orders")
+        # chain position = key % 8; each node points one step down its
+        # own chain id — millions of disjoint 8-hop chains
+        k = F.col("o_orderkey")
+        return orders.filter(F.pmod(k, F.lit(8)) != 0).select(
+            F.concat(F.lit("u"), k).alias("src"),
+            F.concat(F.lit("u"), k - F.lit(1)).alias("dst"),
+        )
+
+    factors = [(SCALE_X, 32)] + (
+        [(SCALE100_X, 128)] if SCALE100_X > 1 else []
+    )
+    for factor, nf in factors:
+        d = _scaled_dir(spark, factor, n_files=nf)
+        probe: dict = {}
+        t0 = time.perf_counter()
+        res = resolve_redirects(_edges(d), max_hops=32, plan_probe=probe)
+        res.write.format("noop").mode("overwrite").save()
+        out[f"x{factor}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"x{factor}_rounds"] = probe.get("n_rounds")
+        release_local_checkpoint(res)
+        spark.catalog.clearCache()
+    if SCALE100_X > 1:
+        out["linear_ratio_x100_vs_x10"] = round(
+            out[f"x{SCALE100_X}_sec"]
+            / ((SCALE100_X / SCALE_X) * out[f"x{SCALE_X}_sec"]),
+            3,
+        )
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -1662,6 +1785,8 @@ def main() -> None:
         result["containment_scaled"] = _bench_containment_scaled(spark)
         result["urlspace_scaled"] = _bench_urlspace_scaled(spark)
         result["components_star"] = _bench_components_star(spark)
+        result["fetch_ingest"] = _bench_fetch_ingest(spark)
+        result["redirects_scaled"] = _bench_redirects_scaled(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
@@ -1858,6 +1983,8 @@ def main() -> None:
         "containment_scaled",
         "urlspace_scaled",
         "components_star",
+        "fetch_ingest",
+        "redirects_scaled",
         "sketch_stores",
         "scaled",
         "llm_scaled",
@@ -1948,6 +2075,17 @@ def main() -> None:
         summary["components_star_x100_linear_ratio_vs_x10"] = detail[
             "components_star"
         ].get("star_linear_ratio_x100_vs_x10")
+    if "fetch_ingest" in detail:
+        summary["warc_ingest_mb_per_sec"] = detail["fetch_ingest"].get(
+            f"x{SCALE_X}_mb_per_sec"
+        )
+        summary["warc_ingest_linear_ratio_x10_vs_x1"] = detail[
+            "fetch_ingest"
+        ].get("linear_ratio_x10_vs_x1")
+    if "redirects_scaled" in detail:
+        summary["redirects_x100_linear_ratio_vs_x10"] = detail[
+            "redirects_scaled"
+        ].get("linear_ratio_x100_vs_x10")
     if summary:
         result["scaled_summary"] = summary
     print(json.dumps(result))
