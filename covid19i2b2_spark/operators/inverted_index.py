@@ -53,7 +53,7 @@ isn't alphabetical; tests compare at round6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from covid19i2b2_spark.operators.aggregates import round6
 from covid19i2b2_spark.operators.text import tokens
@@ -247,6 +247,85 @@ class InvertedIndex:
             folded.select("doc_id", round6(F.col("__score")).alias("bm25"))
             .orderBy(F.col("bm25").desc(), "doc_id")
             .limit(k)
+        )
+
+    def search_many(
+        self,
+        queries: DataFrame,
+        query_id_col: str = "query_id",
+        terms_col: str = "terms",
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        dedup: bool = False,
+    ) -> DataFrame:
+        """X86 (round 12): BATCHED BM25 — top-k (query_id, doc_id,
+        bm25, rank) for a whole DataFrame of queries in ONE plan.
+        ``search`` is the single-query form; running it per query
+        from a driver loop reads the postings once PER QUERY and
+        serializes the jobs — this form reads the postings ONCE for
+        the union of all queries' terms (the IN-pushdown becomes a
+        broadcast semi-join against the distinct term set), scores
+        every (query, doc) pair in one aggregate, and takes per-query
+        top-k with a rank-pruned window (WindowGroupLimit — no global
+        sort).  Per-query results are EXACTLY ``search``'s (same
+        deterministic sorted-(term, part) fold, same round6, same
+        lower-doc-id tie rule; repeated query terms dedupe — bag
+        semantics, query-side tf ignored, matching ``search``'s
+        isin).  The retrieval driver for decontamination sweeps: an
+        eval SET against the corpus index, composing with knn_join
+        (X52) under rrf_fuse (X81) for hybrid leakage checks."""
+        spark = queries.sparkSession
+        n, avgdl = self._corpus_stats(spark, dedup=dedup)
+        q_terms = queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+        )
+        post = spark.read.parquet(self.postings_path).join(
+            F.broadcast(q_terms.select("term").distinct()),
+            "term",
+            "left_semi",
+        )
+        if dedup:
+            post = post.dropDuplicates()
+        df = post.groupBy("term").agg(F.count("*").alias("__df"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n)) - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        )
+        tf = F.col("tf").cast("double")
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+        )
+        part = idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+        scored = (
+            post.join(F.broadcast(df), "term")
+            .join(F.broadcast(q_terms), "term")
+            .select(
+                "__qid",
+                "doc_id",
+                F.struct("term", part.alias("p")).alias("__tp"),
+            )
+        )
+        folded = scored.groupBy("__qid", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("__tp")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["p"],
+            ).alias("__score")
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("bm25").desc(), F.col("doc_id")
+        )
+        return (
+            folded.select(
+                F.col("__qid").alias(query_id_col),
+                "doc_id",
+                round6(F.col("__score")).alias("bm25"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )
 
     def phrase_search(
