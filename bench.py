@@ -499,7 +499,14 @@ def _bench_fuzzy_scaled(spark) -> dict:
         # plus the same ±30% machine-noise allowance every suite
         # comparison uses.
         out["x100_bar_sec"] = round(30.3 * 1.3, 1)
-        out["x100_in_bar"] = _proto(f"x{f2}") <= out["x100_bar_sec"]
+        # the bar tests the RECORDED absolute (min across protocols —
+        # noise is one-sided), NOT the isolated-preferred reading:
+        # _proto exists for RATIOS (same-protocol pairing); using it
+        # here graded one reading and bar-checked another, and a
+        # contended isolated probe (45.3 s under foreground load with
+        # the in-suite at an in-band 24.8 s) manufactured a breach on
+        # unchanged code (found live, round 12)
+        out["x100_in_bar"] = out[f"x{f2}"] <= out["x100_bar_sec"]
     # gram-block size distribution at the largest factor: candidate
     # volume is sum(block^2)/2, so the tail is what matters
     dL = _fuzzy_scaled_dir(spark, factors[-1][0], n_files=factors[-1][1])
