@@ -94,7 +94,11 @@ def test_simhash_verify_uses_bit_count_intrinsic(spark):
     """The hamming verify must popcount via the JVM bit_count intrinsic,
     not the old bin()/regexp_replace string shape (64-char allocation per
     candidate pair); and the candidate join stays an equi-join."""
-    df = REGISTRY["q_simhash_pairs"].fn(spark, SF_DIR)
+    # q_simhash_pairs left the registry in round 12 (slot ceded to
+    # q_recrawl_schedule) but the plan pin stays on the function
+    from covid19i2b2_spark.queries.llm2 import q_simhash_pairs
+
+    df = q_simhash_pairs(spark, SF_DIR)
     plan = physical_plan(df)
     assert "bit_count" in plan, plan
     assert "regexp_replace" not in plan, "string popcount crept back in"
