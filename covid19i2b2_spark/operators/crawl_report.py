@@ -90,3 +90,67 @@ def crawl_health_report(
             ),
         )
     )
+
+
+def politeness_backoff_caps(
+    report: DataFrame,
+    base_cap: int,
+    *,
+    err_rate_col: str = "server_err_rate",
+    backoff_start: float = 0.1,
+    full_backoff: float = 0.5,
+    min_cap: int = 1,
+    min_fetches: int = 20,
+) -> DataFrame:
+    """X87: the measure→backoff composition — per-host fetch caps for
+    frontier_schedule's ``per_host_cap_col``, derived from the health
+    report's server-error rate.  A host going 5xx is telling the
+    crawler to slow down; RFC 9110 (503 + Retry-After) and every
+    production crawler's adaptive politeness encode the same rule.
+
+    Cap policy (pure expressions on the per-host report rows):
+
+    - err_rate <= ``backoff_start``: no change (base_cap);
+    - linear ramp between ``backoff_start`` and ``full_backoff``:
+      cap = base_cap scaled down proportionally;
+    - err_rate >= ``full_backoff``: ``min_cap`` (never 0 —
+      frontier_schedule refuses zero caps loudly: a host that must
+      not be fetched is an EXCLUSION decision, not a quota of zero);
+    - hosts with fewer than ``min_fetches`` observations keep
+      base_cap (a 2-fetch host's 50% error rate is one bad response,
+      not evidence — the X79 small-sample guard);
+    - the NULL-host report row produces no cap row (nothing to
+      schedule against).
+
+    Output: (host, cap) — left-join onto the frontier by host and
+    pass the column name as ``per_host_cap_col`` (NULLs fall back to
+    the default cap, so partial coverage is safe by construction)."""
+    if base_cap < 1 or min_cap < 1:
+        raise ValueError(
+            f"caps must be >= 1, got base={base_cap} min={min_cap}"
+        )
+    if not 0.0 <= backoff_start < full_backoff <= 1.0:
+        raise ValueError(
+            "need 0 <= backoff_start < full_backoff <= 1, got "
+            f"{backoff_start} / {full_backoff}"
+        )
+    e = F.col(err_rate_col)
+    span = full_backoff - backoff_start
+    frac = (F.lit(float(full_backoff)) - e) / F.lit(float(span))
+    ramped = F.floor(
+        F.lit(float(min_cap))
+        + frac * F.lit(float(base_cap - min_cap))
+    ).cast("long")
+    cap = (
+        F.when(
+            F.col("n_fetches") < min_fetches, F.lit(base_cap).cast("long")
+        )
+        .when(e <= backoff_start, F.lit(base_cap).cast("long"))
+        .when(e >= full_backoff, F.lit(min_cap).cast("long"))
+        .otherwise(
+            F.greatest(ramped, F.lit(min_cap).cast("long"))
+        )
+    )
+    return report.filter(F.col("host").isNotNull()).select(
+        "host", cap.alias("cap")
+    )
