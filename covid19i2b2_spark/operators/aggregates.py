@@ -26,6 +26,11 @@ DEC_LOG = "decimal(18,6)"
 # SQL mirror of round6() below — splice into oracle strings.
 ROUND6_SQL = "FLOOR(({x}) * 1000000 + 0.5) / 1000000"
 
+# SQL mirrors of roundk()/qfix() below — .format(x=..., s=10**k).
+ROUNDK_SQL = "FLOOR(({x}) * {s}.0 + 0.5) / {s}.0"
+QFIX_SQL = "CAST(FLOOR(({x}) * {s}.0 + 0.5) AS BIGINT)"
+QFIX0_SQL = "CAST(FLOOR(({x}) + 0.5) AS BIGINT)"
+
 
 def round6(col: Column) -> Column:
     """Engine-independent 6dp rounding: floor(x*1e6 + 0.5)/1e6.
@@ -39,6 +44,30 @@ def round6(col: Column) -> Column:
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
         1000000.0
     )
+
+
+def roundk(col: Column, k: int) -> Column:
+    """round6 at an arbitrary grid: floor(x·10^k + 0.5)/10^k — the
+    cross-engine-safe rounding form (see round6's docstring for why
+    F.round/ROUND are not).  Use this — never F.round — in any
+    oracle-paired output column."""
+    s = F.lit(float(10**k))
+    return F.floor(col * s + F.lit(0.5)).cast("double") / s
+
+
+def qfix(col: Column, k: int) -> Column:
+    """Fixed-point BIGINT quantization: floor(x·10^k + 0.5) as a long.
+
+    The maximally hash-robust output form for libm-derived floats
+    (LN/EXP can differ by an ulp across engine *builds*, not just
+    engines — the r12 driver divergence on q_recrawl_schedule):
+    an integer cell only flips when the true value sits within ~1 ulp
+    of a grid boundary (~1e-10 per cell at the grids used here),
+    whereas a float column must round-trip the driver's own
+    canonicalization too.  SQL mirror: QFIX_SQL / QFIX0_SQL."""
+    if k == 0:
+        return F.floor(col + F.lit(0.5))
+    return F.floor(col * F.lit(float(10**k)) + F.lit(0.5))
 
 
 def dsum(col: str | Column, alias: str) -> Column:

@@ -10,8 +10,9 @@ pytest oracle parity in tests/test_oracle_parity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from covid19i2b2_spark.operators.aggregates import roundk
 from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
 
@@ -1303,37 +1304,49 @@ def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT url,
                COUNT(*) AS n_fetches,
                COUNT(*) - 1 AS n_intervals,
-               COALESCE(SUM(CASE WHEN prev_ts IS NOT NULL
+               CAST(COALESCE(SUM(CASE WHEN prev_ts IS NOT NULL
                                   AND content_fp IS DISTINCT FROM prev_fp
-                                 THEN 1 ELSE 0 END), 0) AS n_changes,
-               epoch(MAX(fetch_time)) - epoch(MIN(fetch_time)) AS span_sec,
-               epoch(MAX(fetch_time)) AS last_epoch
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_changes,
+               date_diff('microsecond', MIN(fetch_time),
+                         MAX(fetch_time)) AS span_us,
+               CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                              MAX(fetch_time)) AS DOUBLE)
+                   / 1000000.0 AS last_epoch,
+               CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                              MIN(fetch_time)) AS DOUBLE)
+                   / 1000000.0 AS first_epoch
         FROM lagged
         GROUP BY url
     ),
     est AS (
         SELECT *,
-               CASE WHEN n_intervals >= 2 AND span_sec > 0 THEN
+               last_epoch - first_epoch AS span_sec,
+               CASE WHEN n_intervals >= 2
+                     AND (last_epoch - first_epoch) > 0 THEN
                    -LN((n_intervals - n_changes + 0.5)
                        / (n_intervals + 0.5))
-                   / (span_sec / n_intervals)
+                   / ((last_epoch - first_epoch) / n_intervals)
                END AS lambda_hat
         FROM agg
     ),
     sched AS (
         SELECT *,
                CASE WHEN lambda_hat > 0 THEN
-                        LEAST(GREATEST(-LN(0.5) / lambda_hat, 3600.0),
+                        LEAST(GREATEST(0.6931471805599453 / lambda_hat,
+                                       3600.0),
                               2592000.0)
                     WHEN lambda_hat IS NOT NULL THEN 2592000.0
                END AS revisit_sec
         FROM est
     )
     SELECT url, n_fetches, n_intervals, n_changes,
-           ROUND(span_sec, 3) AS span_sec,
-           ROUND(lambda_hat * 86400.0, 6) AS lambda_per_day,
-           ROUND(revisit_sec, 3) AS revisit_sec,
-           ROUND(last_epoch + revisit_sec, 3) AS due_epoch
+           span_us,
+           CAST(FLOOR(lambda_hat * 86400.0 * 1000000.0 + 0.5) AS BIGINT)
+               AS lambda_per_day_micro,
+           CAST(FLOOR(revisit_sec + 0.5) AS BIGINT) AS revisit_sec_w,
+           CAST(FLOOR(last_epoch + revisit_sec + 0.5) AS BIGINT)
+               AS due_epoch_w
     FROM sched
     ORDER BY url
     """,
@@ -1346,7 +1359,19 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     (slot ceded by q_simhash_pairs, which moved to the UNREGISTERED
     parity suite — the q_dsir_select/q_ngram_jaccard protocol); the
     DuckDB oracle replays the FULL estimator — LAG window, null-safe
-    change count, LN arithmetic, clamps."""
+    change count, LN arithmetic, clamps.
+
+    r13 output contract (VERDICT r12 #1): every float column is
+    emitted as a fixed-point BIGINT (qfix) — span as exact
+    microseconds, λ·86400 on a 1e-6 grid, revisit/due on whole
+    seconds.  r12 used F.round/ROUND, which diverged on the driver's
+    engine builds (Spark rounds the shortest-decimal repr, DuckDB the
+    exact binary; a 1-ulp LN difference then flips a cell).  Integer
+    grids only flip when the true value sits ~1 ulp from a grid
+    boundary (~1e-10/cell), and the oracle pins -LN(0.5) to the same
+    literal Python's math.log produces so the only residual libm ulp
+    source is the estimator's own LN."""
+    from covid19i2b2_spark.operators.aggregates import qfix
     from covid19i2b2_spark.operators.recrawl import estimate_change_rates
 
     hist = read_table(spark, sf_dir, "events").select(
@@ -1363,17 +1388,23 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_interval_sec=3600.0,
         max_interval_sec=30.0 * 86400.0,
     )
+
+    def us(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     return out.select(
         "url",
         "n_fetches",
         "n_intervals",
         "n_changes",
-        F.round("span_sec", 3).alias("span_sec"),
-        F.round(F.col("lambda_hat") * 86400.0, 6).alias("lambda_per_day"),
-        F.round("revisit_sec", 3).alias("revisit_sec"),
-        F.round(F.col("next_fetch_due").cast("double"), 3).alias(
-            "due_epoch"
+        (us("last_fetch") - us("first_fetch")).alias("span_us"),
+        qfix(F.col("lambda_hat") * 86400.0, 6).alias(
+            "lambda_per_day_micro"
         ),
+        qfix(F.col("revisit_sec"), 0).alias("revisit_sec_w"),
+        qfix(
+            us("last_fetch") / F.lit(1000000.0) + F.col("revisit_sec"), 0
+        ).alias("due_epoch_w"),
     ).orderBy("url")
 
 
@@ -1420,7 +1451,7 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_urls",
             "sample_url",
             "host_urls",
-            F.round("host_share", 6).alias("host_share"),
+            roundk(F.col("host_share"), 6).alias("host_share"),
         )
         .orderBy("template")
     )
@@ -1468,7 +1499,7 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "param_key",
             "n_groups",
             "n_consistent",
-            F.round("consistency", 6).alias("consistency"),
+            roundk(F.col("consistency"), 6).alias("consistency"),
             "is_rule",
         )
         .orderBy("host", "param_key")
@@ -1504,7 +1535,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fused.select(
         "id",
-        F.round("rrf_score", 9).alias("rrf_score"),
+        roundk(F.col("rrf_score"), 9).alias("rrf_score"),
         "n_lists",
     ).orderBy(F.col("rrf_score").desc(), "id")
 
@@ -1586,7 +1617,7 @@ def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_html",
         "n_truncated",
         "total_payload_bytes",
-        F.round("ok_rate", 6).alias("ok_rate"),
-        F.round("server_err_rate", 6).alias("server_err_rate"),
-        F.round("avg_payload_bytes", 3).alias("avg_payload_bytes"),
+        roundk(F.col("ok_rate"), 6).alias("ok_rate"),
+        roundk(F.col("server_err_rate"), 6).alias("server_err_rate"),
+        roundk(F.col("avg_payload_bytes"), 3).alias("avg_payload_bytes"),
     ).orderBy("host")

@@ -1316,8 +1316,9 @@ UNREGISTERED_ORACLES = {
     )
     SELECT host, template, n_urls, sample_url,
            SUM(n_urls) OVER (PARTITION BY host) AS host_urls,
-           ROUND(CAST(n_urls AS DOUBLE)
-                 / SUM(n_urls) OVER (PARTITION BY host), 6) AS host_share
+           FLOOR(CAST(n_urls AS DOUBLE)
+                 / SUM(n_urls) OVER (PARTITION BY host)
+                 * 1000000.0 + 0.5) / 1000000.0 AS host_share
     FROM agg
     ORDER BY template
     """,
@@ -1385,8 +1386,9 @@ UNREGISTERED_ORACLES = {
     SELECT host, param_key,
            COUNT(*) AS n_groups,
            SUM(CASE WHEN same THEN 1 ELSE 0 END) AS n_consistent,
-           ROUND(CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS consistency,
+           FLOOR(CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+               AS consistency,
            (COUNT(*) >= 5
             AND CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS DOUBLE)
                 / COUNT(*) >= 1.0) AS is_rule
@@ -1420,7 +1422,8 @@ UNREGISTERED_ORACLES = {
         FROM vec
     )
     SELECT id,
-           ROUND(SUM(1.0 / (60.0 + rank)), 9) AS rrf_score,
+           FLOOR(SUM(1.0 / (60.0 + rank)) * 1000000000.0 + 0.5)
+               / 1000000000.0 AS rrf_score,
            COUNT(*) AS n_lists
     FROM ranked
     GROUP BY id
@@ -1505,11 +1508,12 @@ UNREGISTERED_ORACLES = {
     )
     SELECT host, n_fetches, n_ok, n_redirect, n_client_err,
            n_server_err, n_html, n_truncated, total_payload_bytes,
-           ROUND(CAST(n_ok AS DOUBLE) / n_fetches, 6) AS ok_rate,
-           ROUND(CAST(n_server_err AS DOUBLE) / n_fetches, 6)
-               AS server_err_rate,
-           ROUND(CAST(total_payload_bytes AS DOUBLE) / n_fetches, 3)
-               AS avg_payload_bytes
+           FLOOR(CAST(n_ok AS DOUBLE) / n_fetches
+                 * 1000000.0 + 0.5) / 1000000.0 AS ok_rate,
+           FLOOR(CAST(n_server_err AS DOUBLE) / n_fetches
+                 * 1000000.0 + 0.5) / 1000000.0 AS server_err_rate,
+           FLOOR(CAST(total_payload_bytes AS DOUBLE) / n_fetches
+                 * 1000.0 + 0.5) / 1000.0 AS avg_payload_bytes
     FROM agg
     ORDER BY host
     """,
