@@ -109,7 +109,14 @@ def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
 
 def lang_guess(col: str | Column) -> Column:
     """Language-ID heuristic: argmax of per-language stopword hits, 'und'
-    (undetermined) when no list scores > 0.  Ties break by language order."""
+    (undetermined) when no list scores > 0.  Ties break by language order.
+
+    This is the zero-join map-only CHEAP path (a scalar expression —
+    usable inside any select).  Corpus curation should prefer the
+    trained char-bigram classifier (operators/lang_id.py, round 13):
+    per-language profiles learned from seed corpora, coverage-gated,
+    with this heuristic composed as its fallback
+    (classify_language_with_fallback)."""
     return lang_guess_scored({lang: stopword_hits(col, lang) for lang in STOPWORDS})
 
 

@@ -1621,3 +1621,104 @@ def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundk(F.col("server_err_rate"), 6).alias("server_err_rate"),
         roundk(F.col("avg_payload_bytes"), 3).alias("avg_payload_bytes"),
     ).orderBy("host")
+
+
+# X4' trained language ID (round 13): five-language seed + held-out
+# fixture sentences, shared verbatim with the DuckDB oracle (the
+# oracle RE-TRAINS the profiles and RE-SCORES every document in SQL).
+_LANG_SEED = {
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und die "
+        "katze schläft auf der warmen matte während die kinder am abend "
+        "ihre bücher lesen und der alte mann über die strasse geht"
+    ),
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the cat sleeps "
+        "on the warm mat while the children read their books in the "
+        "quiet evening and the old man walks across the street"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y el gato "
+        "duerme sobre la alfombra caliente mientras los niños leen sus "
+        "libros por la noche y el hombre viejo cruza la calle"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et le "
+        "chat dort sur le tapis chaud pendant que les enfants lisent "
+        "leurs livres le soir et le vieil homme traverse la rue"
+    ),
+    "it": (
+        "la veloce volpe marrone salta sopra il cane pigro e il gatto "
+        "dorme sul tappeto caldo mentre i bambini leggono i loro libri "
+        "la sera e il vecchio uomo attraversa la strada"
+    ),
+}
+_LANG_TEST = {
+    "de": (
+        "ein kleiner junge geht mit seinem freund zur schule und sie "
+        "sprechen über das spiel das sie gestern gespielt haben"
+    ),
+    "en": (
+        "a small boy walks to the school with his friend and they talk "
+        "about the game they played yesterday"
+    ),
+    "es": (
+        "un niño pequeño camina a la escuela con su amigo y hablan del "
+        "juego que jugaron ayer"
+    ),
+    "fr": (
+        "un petit garçon marche vers l école avec son ami et ils parlent "
+        "du jeu auquel ils ont joué hier"
+    ),
+    "it": (
+        "un bambino piccolo cammina a scuola con il suo amico e parlano "
+        "del gioco che hanno giocato ieri"
+    ),
+}
+_LANG_TOP_K = 120
+_LANG_MAX_CHARS = 120
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 X4' trained language ID (operators/lang_id.py —
+    VERDICT r12 missing #2): char-bigram profiles trained on the
+    five-language _LANG_SEED, classifying per-doc text planted from
+    _LANG_TEST (doc_id % 6 cycles the five languages plus one
+    letterless shape that must classify 'und'), with a per-doc
+    length-varying suffix (substr of the sentence, doc_id % 40 chars)
+    so the fixed-point sums differ across docs, and max_chars=120 so
+    the truncation path is exercised too.  UNREGISTERED (the 50-query
+    window is full); the DuckDB oracle RE-TRAINS the profiles (bigram
+    counts, top-K cut, shared-OOV advantage) and RE-SCORES every doc
+    (broadcast join, BIGINT picounit sums, argmax with the lang tie
+    rule) in tests/test_oracle_parity.py.  The coverage/fallback gate
+    is pytest-pinned in tests/test_lang_id.py (vs a pure-Python
+    replay)."""
+    from covid19i2b2_spark.operators.lang_id import (
+        classify_language,
+        train_lang_profiles,
+    )
+
+    seed = spark.createDataFrame(
+        sorted(_LANG_SEED.items()), "lang string, text string"
+    )
+    prof = train_lang_profiles(seed, top_k=_LANG_TOP_K)
+    shape = F.pmod("doc_id", F.lit(6)).cast("int")
+    suffix_len = F.pmod("doc_id", F.lit(40)).cast("int")
+    text = F.when(shape == 5, F.lit("123 --- 456"))
+    for i, lang in enumerate(sorted(_LANG_TEST)):
+        s = _LANG_TEST[lang]
+        text = text.when(
+            shape == i,
+            F.concat(
+                F.lit(s + " "),
+                F.substring(F.lit(s), F.lit(1), suffix_len),
+            ),
+        )
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
+    )
+    out = classify_language(
+        docs, "doc_id", "text", prof, max_chars=_LANG_MAX_CHARS
+    )
+    return out.select("doc_id", "lang", "lang_lm_adv").orderBy("doc_id")
