@@ -1091,6 +1091,34 @@ def _bench_inverted_index(spark) -> dict:
             out[f"scan_{label}_3q_sec"] = _time_qsets(
                 lambda t: bm25_rank(docs, "doc_id", "text", t, k=10)
             )
+        # X86 search_many receipt (VERDICT r12 #5): a 100-query rare-
+        # tag eval set through the batched one-plan form vs the same
+        # 100 queries through a driver-side search() loop.  The loop
+        # reads the postings once PER query and serializes 100 jobs —
+        # it is timed once (self-averaging over 100 queries); the
+        # batched form is min-of-2.
+        eval_q = [(i, [f"tag{(7 * i) % 1000}", f"tag{(7 * i + 1) % 1000}"])
+                  for i in range(100)]
+        qdf = spark.createDataFrame(
+            eval_q, "query_id int, terms array<string>"
+        )
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            idx.search_many(qdf, k=10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        out["search_many_100q_sec"] = round(min(runs), 3)
+        t0 = time.perf_counter()
+        for _, terms in eval_q:
+            idx.search(spark, terms, k=10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        out["search_loop_100q_sec"] = round(time.perf_counter() - t0, 3)
+        out["search_many_speedup_100q"] = round(
+            out["search_loop_100q_sec"] / out["search_many_100q_sec"], 2
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.catalog.clearCache()
@@ -1565,80 +1593,143 @@ def _bench_components_star(spark) -> dict:
 
 
 def _bench_fetch_ingest(spark) -> dict:
-    """X74/X75/X76 scale story: synthetic WARC archives (deterministic
-    pages with nav boilerplate, links and an article body) through the
-    FULL ingest — read_warc → page filter → boilerplate-stripped
-    documents + link edges — at x1/x{SCALE_X} file counts.  Reports
-    wall seconds, archive MB/s, and the linear ratio (the path is
-    per-file parallel + map-only, so the bar is ~1.0 scaled by
-    parallel slack).  The corpus is built once per factor under the
-    bench tmp root and reused across rounds (content is
-    deterministic)."""
+    """X74/X75/X76 scale story, payload-bound (VERDICT r12 #4): the r12
+    corpus was 8x120 ~300-byte pages, so its 0.73 MB/s measured fixed
+    overhead, not the byte-cursor parse.  This corpus is ~64 MB of
+    UNCOMPRESSED payload per x1 factor (16 files x 1000 pages x ~4 KB
+    articles with per-page token variation), in the per-member .warc.gz
+    layout plus a plain-.warc x1 parity variant, and the reported MB/s
+    is payload megabytes (the bytes the parser actually cursors), not
+    archive-on-disk.  Two timings per factor: parse-only (X75
+    read_warc) and full ingest (X76 warc_to_documents = parse ->
+    page filter -> boilerplate strip -> link edges), both to noop
+    sinks, min-of-2.  The corpus is built once and reused across
+    rounds (content is deterministic; marker stores payload bytes)."""
     import gzip as _gzip
+    import json as _json
 
-    from covid19i2b2_spark.pipelines.fetch import warc_to_documents
+    from covid19i2b2_spark.operators.boilerplate import (
+        extract_main_content,
+    )
+    from covid19i2b2_spark.operators.links import extract_links
+    from covid19i2b2_spark.pipelines.fetch import warc_pages
+    from covid19i2b2_spark.sources.warc import read_warc
 
-    base_files, pages_per_file = 8, 120
+    base_files, pages_per_file, toks_per_page = 16, 1000, 500
+    pool = [f"tok{w}" for w in range(9973)]
+    dbl = pool + pool
 
-    def _dir(factor: int) -> str:
+    def _page(i: int) -> tuple[bytes, bytes]:
+        st = (i * 7) % 9973
+        art = " ".join(dbl[st : st + toks_per_page])
+        html = (
+            "<nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
+            f"<h1>Page {i}</h1><p>{art} unique{i}</p>"
+            f"<a href='http://h{i % 97}.example.com/p{i}'>next</a>"
+        ).encode()
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode()
+            + html
+        )
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{i}>\r\n".encode()
+            + f"WARC-Target-URI: http://h{i % 97}.example.com/p{i}\r\n".encode()
+            + b"WARC-Date: 2026-08-16T00:00:00Z\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        )
+        return head + body + b"\r\n\r\n", html
+
+    def _dir(factor: int, plain: bool = False) -> tuple[str, float]:
+        kind = "warc" if plain else "gz"
         d = os.path.join(
             tempfile.gettempdir(),
-            f"spark_graft_warc_bench_x{factor}v1",
+            f"spark_graft_warc_bench_{kind}_x{factor}v2",
         )
         marker = os.path.join(d, "_built")
         if os.path.exists(marker):
-            return d
+            return d, _json.load(open(marker))["payload_mb"]
         os.makedirs(d, exist_ok=True)
-        art = " ".join(f"tok{w}" for w in range(120))
+        payload = 0
         for f in range(base_files * factor):
             recs = []
             for p in range(pages_per_file):
-                i = f * pages_per_file + p
-                html = (
-                    "<nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
-                    f"<h1>Page {i}</h1><p>{art} unique{i}</p>"
-                    f"<a href='http://h{i % 97}.example.com/p{i}'>next</a>"
-                ).encode()
-                body = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    + f"Content-Length: {len(html)}\r\n\r\n".encode()
-                    + html
-                )
-                head = (
-                    b"WARC/1.0\r\nWARC-Type: response\r\n"
-                    + f"WARC-Record-ID: <urn:uuid:{i}>\r\n".encode()
-                    + f"WARC-Target-URI: http://h{i % 97}.example.com/p{i}\r\n".encode()
-                    + b"WARC-Date: 2026-08-16T00:00:00Z\r\n"
-                    + b"Content-Type: application/http; msgtype=response\r\n"
-                    + f"Content-Length: {len(body)}\r\n\r\n".encode()
-                )
-                recs.append(_gzip.compress(head + body + b"\r\n\r\n"))
-            with open(os.path.join(d, f"f{f}.warc.gz"), "wb") as fh:
+                rec, _html = _page(f * pages_per_file + p)
+                payload += len(rec)
+                recs.append(_gzip.compress(rec, 1) if not plain else rec)
+            ext = "warc" if plain else "warc.gz"
+            with open(os.path.join(d, f"f{f}.{ext}"), "wb") as fh:
                 fh.write(b"".join(recs))
-        open(marker, "w").close()
-        return d
+        mb = round(payload / 1e6, 2)
+        with open(marker, "w") as fh:
+            _json.dump({"payload_mb": mb}, fh)
+        return d, mb
 
-    out: dict = {}
-    for factor in (1, SCALE_X):
-        d = _dir(factor)
-        total_mb = sum(
-            os.path.getsize(os.path.join(d, f))
-            for f in os.listdir(d)
-            if f.endswith(".gz")
-        ) / 1e6
+    cores = spark.sparkContext.defaultParallelism
+    n_pages = base_files * pages_per_file
+
+    def _time(fn) -> float:
         runs = []
         for _ in range(2):  # min-of-2: the scaled sections' protocol
             t0 = time.perf_counter()
-            docs, links = warc_to_documents(spark, d)
-            docs.write.format("noop").mode("overwrite").save()
-            links.write.format("noop").mode("overwrite").save()
+            fn()
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        out[f"x{factor}_sec"] = round(min(runs), 3)
-        out[f"x{factor}_mb"] = round(total_mb, 2)
-        out[f"x{factor}_mb_per_sec"] = round(total_mb / min(runs), 2)
+        return min(runs)
+
+    out: dict = {"payload_x1_mb": None, "cores": cores}
+    for factor in (1, SCALE_X):
+        d, mb = _dir(factor)
+        if factor == 1:
+            out["payload_x1_mb"] = mb
+
+        def _parse():
+            read_warc(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        def _full():
+            # the module contract: consuming BOTH outputs persists the
+            # parsed-pages frame first, so the byte-cursor parse runs
+            # once, not once per sink (pipelines/fetch.py docstring)
+            pages = warc_pages(spark, d).persist()
+            try:
+                docs = pages.select(
+                    "url",
+                    "canonical_url",
+                    "fetched_at",
+                    extract_main_content("html").alias("text"),
+                )
+                links = extract_links(pages, url_col="url", html_col="html")
+                docs.write.format("noop").mode("overwrite").save()
+                links.write.format("noop").mode("overwrite").save()
+            finally:
+                pages.unpersist()
+
+        tp, tf = _time(_parse), _time(_full)
+        out[f"x{factor}_parse_sec"] = round(tp, 3)
+        out[f"x{factor}_parse_payload_mb_per_sec"] = round(mb / tp, 2)
+        out[f"x{factor}_full_sec"] = round(tf, 3)
+        out[f"x{factor}_full_payload_mb_per_sec"] = round(mb / tf, 2)
+        out[f"x{factor}_full_pages_per_sec_per_core"] = round(
+            factor * n_pages / tf / cores, 1
+        )
+    # plain-.warc x1 parity: same payload, no per-member gunzip
+    dp, mbp = _dir(1, plain=True)
+    tpp = _time(
+        lambda: read_warc(spark, dp)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["plain_x1_parse_sec"] = round(tpp, 3)
+    out["plain_x1_parse_payload_mb_per_sec"] = round(mbp / tpp, 2)
+    # payload scales with the factor, so the ratio denominator is
+    # factor * t_x1 (same convention as every other scaled section)
     out["linear_ratio_x10_vs_x1"] = round(
-        out[f"x{SCALE_X}_sec"] / (SCALE_X * out["x1_sec"]), 3
+        out[f"x{SCALE_X}_full_sec"] / (SCALE_X * out["x1_full_sec"]), 3
     )
     return out
 
@@ -1998,7 +2089,6 @@ def main() -> None:
         "scaled_x100",
     ]
     detail = {k: result.pop(k) for k in detail_keys if k in result}
-    print(json.dumps({"bench_detail": detail}))
 
     result["suite_total_sec"] = total
     summary: dict = {}
@@ -2044,6 +2134,9 @@ def main() -> None:
         summary["invidx_search_rare_3q_sec"] = detail[
             "inverted_index"
         ].get("search_rare_3q_sec")
+        summary["invidx_search_many_speedup_100q"] = detail[
+            "inverted_index"
+        ].get("search_many_speedup_100q")
     if "pagerank_scaled" in detail:
         summary["pagerank_x100_linear_ratio_vs_x10"] = detail[
             "pagerank_scaled"
@@ -2083,9 +2176,12 @@ def main() -> None:
             "components_star"
         ].get("star_linear_ratio_x100_vs_x10")
     if "fetch_ingest" in detail:
-        summary["warc_ingest_mb_per_sec"] = detail["fetch_ingest"].get(
-            f"x{SCALE_X}_mb_per_sec"
+        summary["warc_payload_mb_per_sec"] = detail["fetch_ingest"].get(
+            f"x{SCALE_X}_full_payload_mb_per_sec"
         )
+        summary["warc_parse_payload_mb_per_sec"] = detail[
+            "fetch_ingest"
+        ].get(f"x{SCALE_X}_parse_payload_mb_per_sec")
         summary["warc_ingest_linear_ratio_x10_vs_x1"] = detail[
             "fetch_ingest"
         ].get("linear_ratio_x10_vs_x1")
@@ -2093,9 +2189,38 @@ def main() -> None:
         summary["redirects_x100_linear_ratio_vs_x10"] = detail[
             "redirects_scaled"
         ].get("linear_ratio_x100_vs_x10")
-    if summary:
-        result["scaled_summary"] = summary
-    print(json.dumps(result))
+    # VERDICT r12 #2: the compact line outgrew the driver's 2000-char
+    # tail window in r12 (parsed: null) — the FULL summary now rides
+    # the detail line, and the compact line carries only the headline
+    # keys round-over-round comparison needs, under a hard length
+    # bound with a documented drop order.
+    detail["scaled_summary_full"] = summary
+    print(json.dumps({"bench_detail": detail}))
+
+    compact_keys = [
+        "x10_total_sec",
+        "x100_total_sec",
+        "x100_linear_ratio_vs_x10",
+        "minhash_x100_linear_ratio_vs_x10",
+        "fuzzy_x100_in_bar",
+        "warc_payload_mb_per_sec",
+        "ivf_rebuild_sec",
+    ]
+    pruned = {k: summary[k] for k in compact_keys if k in summary}
+    if pruned:
+        result["scaled_summary"] = pruned
+    line = json.dumps(result)
+    if len(line) >= 1800:  # drop order: summary first, then isolated
+        result.pop("scaled_summary", None)
+        line = json.dumps(result)
+    if len(line) >= 1800:
+        result.pop("isolated", None)
+        line = json.dumps(result)
+    assert len(line) < 1800, (
+        f"compact bench line is {len(line)} chars; must fit the "
+        "driver's 2000-char stdout tail window"
+    )
+    print(line)
     spark.stop()
 
 
