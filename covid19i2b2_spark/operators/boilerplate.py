@@ -100,22 +100,41 @@ def main_content_blocks(col: str | Column) -> Column:
     cleaned = F.regexp_replace(
         F.regexp_replace(h, _HTML_DROP_BLOCKS, " "), _HTML_COMMENT, " "
     )
+    # two-level transform: level 1 materializes the per-block regex
+    # results (visible text, visible anchor text) ONCE into a struct;
+    # level 2 derives the counted features from FIELD references.  A
+    # single-level lambda re-evaluated _visible's regex chain 3x per
+    # block (text, n_words, the density denominator) — the same
+    # per-element re-eval trap text.py's char_shingles documents
+    # (round-13 ingest profile: ~1.3x on the full-ingest pass).
+    vis = F.transform(
+        F.split(cleaned, _BLOCK_SPLIT),
+        lambda b: F.struct(
+            _visible(b).alias("text"),
+            _visible(
+                F.array_join(
+                    F.regexp_extract_all(b, F.lit(_ANCHOR), 1), " "
+                )
+            ).alias("atext"),
+        ),
+    )
+    counted = F.transform(
+        vis,
+        lambda s: F.struct(
+            s["text"].alias("text"),
+            _nwords(s["text"]).alias("n_words"),
+            _nwords(s["atext"]).alias("a_words"),
+        ),
+    )
     feats = F.filter(
         F.transform(
-            F.split(cleaned, _BLOCK_SPLIT),
-            lambda b: F.struct(
-                _visible(b).alias("text"),
-                _nwords(_visible(b)).alias("n_words"),
+            counted,
+            lambda s: F.struct(
+                s["text"].alias("text"),
+                s["n_words"].alias("n_words"),
                 (
-                    _nwords(
-                        _visible(
-                            F.array_join(
-                                F.regexp_extract_all(b, F.lit(_ANCHOR), 1),
-                                " ",
-                            )
-                        )
-                    )
-                    / F.greatest(_nwords(_visible(b)), F.lit(1))
+                    s["a_words"]
+                    / F.greatest(s["n_words"], F.lit(1))
                 ).alias("link_density"),
             ),
         ),

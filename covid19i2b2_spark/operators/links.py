@@ -173,36 +173,57 @@ def extract_links(
         # values (formatted markup wraps long hrefs across lines)
         return _xml_unescape(F.regexp_replace(raw, r"[\t\r\n]", ""))
 
-    # the effective base is computed PER PAGE before the explode, so
-    # the full HTML never rides along one-copy-per-link
-    base_tag = F.regexp_extract(
-        F.col(html_col), f"(?is)(<base\\s{attrs}>)", 1
+    # The effective base is computed PER PAGE before the explode, so
+    # the full HTML never rides along one-copy-per-link — and every
+    # multiply-referenced expensive expression is materialized as a
+    # COLUMN in its own projection first (the round-11 duplication
+    # convention: CollapseProject will not merge a projection whose
+    # output is referenced more than once unless it is cheap).  The
+    # round-13 profile of the r12 shape found the <base> FULL-HTML
+    # regex re-inlined through _href_from (6 refs) and then through
+    # resolve_url's ~10 ref uses — ~60 whole-document regex scans per
+    # page, 6.4 s of the 6.8 s links pass at the 140 MB bench corpus;
+    # staged, the same pass runs in ~1 s.
+    base_page = (
+        pages.select(
+            F.col(url_col).alias("src"),
+            F.col(html_col).alias("__html"),
+            # ONE whole-document regex: the <base> tag
+            F.regexp_extract(
+                F.col(html_col), f"(?is)(<base\\s{attrs}>)", 1
+            ).alias("__bt"),
+        )
+        # short-string regexes over the materialized tag
+        .withColumn("__braw", _href_from(F.col("__bt")))
+        .withColumn(
+            "__base",
+            F.when(
+                F.col("__braw").isNotNull() & (F.col("__braw") != ""),
+                resolve_url(F.col("src"), F.col("__braw")),
+            ).otherwise(F.col("src")),
+        )
     )
-    base_raw = _href_from(base_tag)
-    eff_base = F.when(
-        base_raw.isNotNull() & (base_raw != ""),
-        resolve_url(F.col(url_col), base_raw),
-    ).otherwise(F.col(url_col))
     # block = open tag + inner text up to the nearest close, TEMPERED:
     # the inner part must not contain another '<a' — an unclosed
     # anchor then loses only itself, never its next valid sibling
     block_pat = f"(?is)<a\\s{attrs}>(?:(?!<a[\\s>]).)*?</a>"
-    blocks = pages.select(
-        F.col(url_col).alias("src"),
-        eff_base.alias("__base"),
+    blocks = base_page.select(
+        "src",
+        "__base",
         F.explode(
             F.regexp_extract_all(
-                F.col(html_col), F.lit(block_pat), F.lit(0)
+                F.col("__html"), F.lit(block_pat), F.lit(0)
             )
         ).alias("__a"),
+    ).withColumn(
+        "__ot", F.regexp_extract("__a", f"(?is)^(<a\\s{attrs}>)", 1)
     )
-    open_tag = F.regexp_extract("__a", f"(?is)^(<a\\s{attrs}>)", 1)
     anchor = F.regexp_replace(
         # inner text = the block minus its open tag and closing </a>
         F.regexp_replace(
             F.col("__a").substr(
-                F.length(open_tag) + 1,
-                F.length("__a") - F.length(open_tag),
+                F.length("__ot") + 1,
+                F.length("__a") - F.length("__ot"),
             ),
             r"(?is)</a>$",
             "",
@@ -218,7 +239,7 @@ def extract_links(
         # resolve_url references its ref ~10x, and each reference
         # would otherwise copy the whole extract/unescape tree into
         # codegen (the round-11 duplication convention)
-        blocks.withColumn("__href", _href_from(open_tag))
+        blocks.withColumn("__href", _href_from(F.col("__ot")))
         .withColumn("__anchor", anchor)
         .withColumn("href", resolve_url(F.col("__base"), F.col("__href")))
         .filter(F.col("href").rlike(r"(?i)^https?://"))
