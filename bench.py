@@ -1433,6 +1433,56 @@ def _bench_containment_scaled(spark) -> dict:
     return out
 
 
+def _bench_suffix_spans(spark) -> dict:
+    """X88 scale story (round 13): exact any-length duplicated spans
+    over the sf documents corpus (min_len=32 -> 5 doubling rounds) at
+    the full corpus and a half corpus — the linear ratio is on CHARS
+    (the working set is one row per character, stated honestly in
+    operators/suffixes.py).  Also reports the full-suffix-array build
+    (rounds capped by max doc length, convergence-exited) as the
+    standalone construction receipt."""
+    from covid19i2b2_spark.operators.suffixes import (
+        duplicated_spans_exact,
+        suffix_array,
+    )
+    from covid19i2b2_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    half = docs.filter(F.pmod("doc", F.lit(2)) == 0)
+    out: dict = {}
+    chars = {
+        "full": docs.agg(F.sum(F.length("text"))).collect()[0][0],
+        "half": half.agg(F.sum(F.length("text"))).collect()[0][0],
+    }
+    for label, frame in (("half", half), ("full", docs)):
+        probe: dict = {}
+        t0 = time.perf_counter()
+        duplicated_spans_exact(
+            frame, "doc", "text", 32, probe=probe
+        ).write.format("noop").mode("overwrite").save()
+        out[f"dup_spans_{label}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"dup_spans_{label}_mchars"] = round(chars[label] / 1e6, 3)
+        out[f"dup_spans_{label}_rounds"] = probe.get("rounds_run")
+    ratio_denom = (
+        out["dup_spans_half_sec"]
+        * (chars["full"] / max(chars["half"], 1))
+    )
+    out["dup_spans_linear_ratio_full_vs_half"] = round(
+        out["dup_spans_full_sec"] / ratio_denom, 3
+    )
+    probe = {}
+    t0 = time.perf_counter()
+    suffix_array(docs, "doc", "text", probe=probe).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["suffix_array_full_sec"] = round(time.perf_counter() - t0, 3)
+    out["suffix_array_rounds"] = probe.get("rounds_run")
+    spark.catalog.clearCache()
+    return out
+
+
 def _bench_urlspace_scaled(spark) -> dict:
     """X71/X72/X73 scale stories (round 12) at x{SCALE_X}/x{SCALE100_X}
     over the replicated tables — each replica's offset keys mint NEW
@@ -1882,6 +1932,7 @@ def main() -> None:
         result["dsir_scaled"] = _bench_dsir_scaled(spark)
         result["containment_scaled"] = _bench_containment_scaled(spark)
         result["urlspace_scaled"] = _bench_urlspace_scaled(spark)
+        result["suffix_spans"] = _bench_suffix_spans(spark)
         result["components_star"] = _bench_components_star(spark)
         result["fetch_ingest"] = _bench_fetch_ingest(spark)
         result["redirects_scaled"] = _bench_redirects_scaled(spark)
@@ -2080,6 +2131,7 @@ def main() -> None:
         "dsir_scaled",
         "containment_scaled",
         "urlspace_scaled",
+        "suffix_spans",
         "components_star",
         "fetch_ingest",
         "redirects_scaled",
@@ -2167,6 +2219,10 @@ def main() -> None:
         summary["containment_x100_linear_ratio_vs_x10"] = detail[
             "containment_scaled"
         ].get("linear_ratio_x100_vs_x10")
+    if "suffix_spans" in detail:
+        summary["dup_spans_linear_ratio_full_vs_half"] = detail[
+            "suffix_spans"
+        ].get("dup_spans_linear_ratio_full_vs_half")
     if "urlspace_scaled" in detail:
         for k, v in detail["urlspace_scaled"].items():
             if k.endswith("_linear_ratio_x100_vs_x10"):

@@ -1722,3 +1722,60 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", prof, max_chars=_LANG_MAX_CHARS
     )
     return out.select("doc_id", "lang", "lang_lm_adv").orderBy("doc_id")
+
+
+def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 X88 distributed suffix array (operators/suffixes.py):
+    the global suffix order over 40-char prefixes of the first 60
+    documents, built by prefix doubling (codepoint rank_0 → dense rank
+    of rank pairs per round, -1 sentinel past doc end — the order of
+    plain string comparison).  UNREGISTERED (the 50-query window is
+    full); the DuckDB oracle sorts the ACTUAL SUFFIX STRINGS
+    (`ORDER BY substr(t, pos), doc, pos`) — the strongest possible
+    check: the log-rounds distributed construction must reproduce the
+    definitionally-correct order exactly, rank for rank, in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.suffixes import suffix_array
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").cast("long").alias("doc"),
+            F.substring("text", 1, 40).alias("t"),
+        )
+    )
+    return suffix_array(docs, "doc", "t", max_prefix_len=64).orderBy(
+        "doc", "pos"
+    )
+
+
+def q_dup_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 X88 exact any-length duplicated spans: 30-char document
+    prefixes, every third doc carrying a planted 27-char shared
+    passage, scanned for duplicated 19-char windows (19 is not a power
+    of two — the two-overlapping-rank trick is on the hook) merged to
+    maximal spans.  Natural cross-doc repeats in the synthetic prefixes
+    count too — the oracle recomputes from scratch, not from the
+    plant.  UNREGISTERED; the DuckDB oracle brute-forces EVERY 19-char
+    window (group-count, threshold, lag/sum run merge) in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.suffixes import duplicated_spans_exact
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select(
+            F.col("doc_id").cast("long").alias("doc"),
+            F.concat(
+                F.substring("text", 1, 30),
+                F.when(
+                    F.pmod("doc_id", F.lit(3)) == 0,
+                    F.lit(" planted shared passage xyz"),
+                ).otherwise(F.lit("")),
+            ).alias("t"),
+        )
+    )
+    return duplicated_spans_exact(docs, "doc", "t", 19).orderBy(
+        "doc", "span_start"
+    )

@@ -1612,6 +1612,80 @@ def _lang_id_oracle() -> str:
 
 UNREGISTERED_ORACLES["q_lang_id"] = _lang_id_oracle()
 
+# X88 distributed suffix array (round 13): the oracle sorts the ACTUAL
+# suffix strings — the definitional order the prefix-doubling
+# construction must reproduce rank for rank.
+UNREGISTERED_ORACLES["q_suffix_array"] = """
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc,
+               substr(text, 1, 40) AS t
+        FROM documents
+        WHERE doc_id < 60 AND length(substr(text, 1, 40)) > 0
+    ),
+    sufs AS (
+        SELECT doc,
+               unnest(range(1, length(t) + 1)) AS pos,
+               unnest([t[CAST(i AS INT):]
+                       FOR i IN range(1, length(t) + 1)]) AS suf
+        FROM docs
+    )
+    SELECT doc, pos,
+           ROW_NUMBER() OVER (ORDER BY suf, doc, pos) - 1 AS sa_rank
+    FROM sufs
+    ORDER BY doc, pos
+"""
+
+# X88 exact duplicated spans (round 13): brute force over EVERY m-char
+# window — group-count, >= 2 threshold, lag/sum maximal-run merge.
+UNREGISTERED_ORACLES["q_dup_spans_sa"] = """
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc,
+               substr(text, 1, 30)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' planted shared passage xyz'
+                           ELSE '' END AS t
+        FROM documents
+        WHERE doc_id < 90
+    ),
+    wins AS (
+        SELECT doc,
+               unnest(range(1, CAST(greatest(length(t) - 19 + 2, 1)
+                                    AS BIGINT))) AS pos,
+               unnest([t[CAST(i AS INT):CAST(i + 18 AS INT)]
+                       FOR i IN range(1, CAST(greatest(length(t) - 19
+                                                       + 2, 1)
+                                              AS BIGINT))]) AS w
+        FROM docs
+    ),
+    dupw AS (
+        SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2
+    ),
+    dup AS (
+        SELECT doc, pos FROM wins JOIN dupw USING (w)
+    ),
+    runs AS (
+        SELECT doc, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc ORDER BY pos)
+                         IS NULL
+                     OR pos - lag(pos) OVER (PARTITION BY doc
+                                             ORDER BY pos) > 1
+                    THEN 1 ELSE 0 END AS nr
+        FROM dup
+    ),
+    rid AS (
+        SELECT doc, pos,
+               SUM(nr) OVER (PARTITION BY doc ORDER BY pos) AS run_id
+        FROM runs
+    )
+    SELECT doc,
+           MIN(pos) AS span_start,
+           CAST(MAX(pos) + 19 - 1 AS BIGINT) AS span_end,
+           COUNT(*) AS n_starts
+    FROM rid
+    GROUP BY doc, run_id
+    ORDER BY doc, span_start
+"""
+
 
 @pytest.mark.parametrize("name", sorted(UNREGISTERED_ORACLES))
 def test_unregistered_query_matches_oracle(name, spark, duck):
@@ -1685,6 +1759,8 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_crawl_report": llm3.q_crawl_report,
         "q_simhash_pairs": llm2.q_simhash_pairs,
         "q_lang_id": llm3.q_lang_id,
+        "q_suffix_array": llm3.q_suffix_array,
+        "q_dup_spans_sa": llm3.q_dup_spans_sa,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()

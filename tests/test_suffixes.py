@@ -1,0 +1,222 @@
+"""X88 distributed suffix arrays (operators/suffixes.py): prefix
+doubling pinned against a pure-Python sorted-suffixes reference,
+duplicated_spans_exact against a brute-force all-windows oracle
+(planted cross-doc passages, within-doc repeats, non-power-of-two
+lengths), plus edge zoos (empty/NULL docs, min_len=1, spans touching
+doc boundaries) and a hypothesis property over random small-alphabet
+corpora."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from covid19i2b2_spark.operators.suffixes import (
+    duplicated_spans_exact,
+    suffix_array,
+    suffix_doubling_ranks,
+)
+
+
+def _py_suffix_order(docs: dict) -> list[tuple]:
+    """[(doc, pos)] sorted by (suffix text, doc, pos); pos 1-based."""
+    sufs = [
+        (text[p:], d, p + 1)
+        for d, text in docs.items()
+        for p in range(len(text or ""))
+    ]
+    return [(d, p) for _, d, p in sorted(sufs)]
+
+
+def _py_dup_spans(docs: dict, m: int, min_occ: int = 2) -> set[tuple]:
+    """{(doc, start, end, n_starts)} via brute force: count every
+    m-char window across the corpus, mark starts whose window occurs
+    >= min_occ times, merge consecutive starts."""
+    win = Counter()
+    for text in docs.values():
+        for p in range(len(text) - m + 1):
+            win[text[p : p + m]] += 1
+    spans = set()
+    for d, text in docs.items():
+        starts = [
+            p + 1
+            for p in range(len(text) - m + 1)
+            if win[text[p : p + m]] >= min_occ
+        ]
+        run: list[int] = []
+        for p in starts + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                spans.add((d, run[0], run[-1] + m - 1, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+def _docs_df(spark, docs: dict):
+    return spark.createDataFrame(
+        list(docs.items()), "doc_id string, text string"
+    )
+
+
+DOCS = {
+    "a": "the quick brown fox jumps over the lazy dog",
+    "b": "a lazy dog sleeps while the quick brown fox runs",
+    "c": "nothing in common here xyzzy plugh",
+    "d": "",  # empty: contributes no suffixes
+}
+
+
+def test_suffix_array_matches_python_sort(spark):
+    got = [
+        (r["doc"], r["pos"])
+        for r in suffix_array(_docs_df(spark, DOCS), "doc_id", "text")
+        .orderBy("sa_rank")
+        .collect()
+    ]
+    assert got == _py_suffix_order(DOCS)
+
+
+def test_suffix_array_dense_and_complete(spark):
+    out = suffix_array(_docs_df(spark, DOCS), "doc_id", "text").collect()
+    n = sum(len(t) for t in DOCS.values())
+    assert len(out) == n
+    assert sorted(r["sa_rank"] for r in out) == list(range(n))
+
+
+def test_doubling_ranks_equal_iff_prefix_equal(spark):
+    """After t rounds, rank equality == 2^t-prefix equality (docs as
+    sentinel-terminated)."""
+    probe: dict = {}
+    out = suffix_doubling_ranks(
+        _docs_df(spark, DOCS), "doc_id", "text", rounds=3, probe=probe
+    ).collect()
+    assert probe["rounds_run"] == 3
+    width = 8
+    key = {}
+    for r in out:
+        text = DOCS[r["doc"]]
+        key.setdefault(text[r["pos"] - 1 :][:width], set()).add(r["rank"])
+    # same 8-prefix -> same rank; different prefixes -> disjoint ranks
+    all_ranks = [v for v in key.values()]
+    for s in all_ranks:
+        assert len(s) == 1
+    flat = [next(iter(s)) for s in all_ranks]
+    assert len(flat) == len(set(flat))
+
+
+@pytest.mark.parametrize("m", [1, 7, 8, 13])
+def test_dup_spans_match_bruteforce(spark, m):
+    """Non-power-of-two m exercises the two-rank overlap trick."""
+    docs = {
+        "a": "xxabcdefghijklmnopxx",
+        "b": "yyabcdefghijklmnopyy",  # shared 16-char run
+        "c": "zzzzzzzz",  # within-doc repeats
+        "d": "unique text qqq",
+    }
+    got = {
+        (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
+        for r in duplicated_spans_exact(
+            _docs_df(spark, docs), "doc_id", "text", m
+        ).collect()
+    }
+    assert got == _py_dup_spans(docs, m)
+
+
+def test_dup_spans_cross_doc_passage(spark):
+    """A planted 37-char passage shared by two docs is found with its
+    exact boundaries at min_len=32 (the fixed-k family would need the
+    right k in its cascade; here any m works)."""
+    passage = "the shared secret passage is here now"  # 37 chars
+    docs = {
+        "a": "AAAA " + passage + " tail of doc a",
+        "b": "completely different lead " + passage,
+        "c": "no passage at all in this one",
+    }
+    got = {
+        (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
+        for r in duplicated_spans_exact(
+            _docs_df(spark, docs), "doc_id", "text", 32
+        ).collect()
+    }
+    assert got == _py_dup_spans(docs, 32)
+    # the shared run is the passage PLUS the space both docs precede
+    # it with (the exact-span contract finds the maximal run, not the
+    # planted string): " " + passage = 38 chars
+    a0 = docs["a"].index(" " + passage) + 1
+    b0 = docs["b"].index(" " + passage) + 1
+    assert {(d, s, e) for d, s, e, _ in got} == {
+        ("a", a0, a0 + 38 - 1),
+        ("b", b0, b0 + 38 - 1),
+    }
+
+
+def test_dup_spans_validation_and_empties(spark):
+    docs = {"a": "", "b": "short"}
+    df = _docs_df(spark, docs)
+    with pytest.raises(ValueError, match="min_len"):
+        duplicated_spans_exact(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="min_occurrences"):
+        duplicated_spans_exact(df, "doc_id", "text", 3, min_occurrences=1)
+    # min_len longer than every doc -> nothing
+    assert (
+        duplicated_spans_exact(df, "doc_id", "text", 99).count() == 0
+    )
+
+
+def test_early_exit_on_distinct_ranks(spark):
+    """All-unique text separates fast; the loop exits before the cap
+    and reports it."""
+    probe: dict = {}
+    suffix_doubling_ranks(
+        _docs_df(spark, {"a": "abcdefghij"}),
+        "doc_id",
+        "text",
+        max_prefix_len=1 << 12,
+        probe=probe,
+    )
+    assert probe["all_distinct"]
+    assert probe["rounds_run"] < 12
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=24),
+        min_size=1,
+        max_size=4,
+    ),
+    m=st.integers(min_value=1, max_value=6),
+)
+def test_property_random_small_alphabet(spark, texts, m):
+    """Random aa/bb corpora: suffix order matches Python's sort and
+    spans match brute force — the small alphabet maximizes ties,
+    which is where doubling bugs live.  max_prefix_len=32 covers the
+    24-char docs (identical docs tie forever; past the cap the
+    (doc, pos) tiebreak applies on both sides) and keeps each example
+    to ~5 doubling rounds."""
+    docs = {f"d{i}": t for i, t in enumerate(texts)}
+    df = _docs_df(spark, docs)
+    got_order = [
+        (r["doc"], r["pos"])
+        for r in suffix_array(df, "doc_id", "text", max_prefix_len=32)
+        .orderBy("sa_rank")
+        .collect()
+    ]
+    assert got_order == _py_suffix_order(docs)
+    got_spans = {
+        (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
+        for r in duplicated_spans_exact(df, "doc_id", "text", m).collect()
+    }
+    assert got_spans == _py_dup_spans(docs, m)
