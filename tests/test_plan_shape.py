@@ -611,3 +611,56 @@ def test_mark_disallowed_plan_broadcasts_policy(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lang_id_profiles_join_is_broadcast(spark):
+    """X4-langid: the profile table (|langs|*K rows) must broadcast
+    into the gram join — a shuffled profile join would hash-exchange
+    the exploded corpus grams against a KB-sized model."""
+    from covid19i2b2_spark.operators.lang_id import (
+        classify_language,
+        train_lang_profiles,
+    )
+
+    seed = spark.createDataFrame(
+        [("en", "the cat sat on the mat"), ("de", "die katze sitzt")],
+        "lang string, text string",
+    )
+    prof = train_lang_profiles(seed, top_k=50)
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "die katze")], "doc_id int, text string"
+    )
+    out = classify_language(docs, "doc_id", "text", prof)
+    assert_broadcast_hash_join(out)
+    plan = physical_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_suffix_dense_rank_window_is_partition_local(spark):
+    """X88: the doubling loop's dense rank must never plan an
+    unpartitioned window (it would pull the per-char table through one
+    task).  The loop's outputs are checkpointed (opaque ExistingRDD
+    plans), so the pin targets the lazy _dense_rank_pairs frame — the
+    one place a window exists in the round."""
+    from covid19i2b2_spark.operators.suffixes import (
+        _codepoint_rows,
+        _dense_rank_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcabcabc"), (2, "xyzabcabc")], "doc_id int, text string"
+    )
+    paired = _codepoint_rows(docs, "doc_id", "text").withColumn(
+        "__r2", F.lit(-1)
+    )
+    out, handle, _n = _dense_rank_pairs(paired, 4)
+    plan = physical_plan(out)
+    handle.unpersist()
+    win_lines = [
+        ln for ln in plan.splitlines() if "Window " in ln or "Window[" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        # the partition key must be the range-partition id
+        assert "__pid" in ln, ln
+    assert "CartesianProduct" not in plan
