@@ -99,47 +99,63 @@ def _codepoint_rows(
     )
 
 
-def _dense_rank_pairs(
+def _rank_pairs_global(
     paired: DataFrame, partitions: int
 ) -> tuple[DataFrame, CheckpointHandle, int]:
-    """paired(doc, pos, rank, __r2, doc_len) -> same rows with rank
-    replaced by the DENSE rank of (rank, __r2), without an
-    unpartitioned window: distinct pairs are range-partitioned on the
-    order keys, per-partition counts (one tiny collect of
-    #partitions scalars) become offsets, and each partition numbers
-    its own rows locally.  Returns (frame, handle-to-release-later,
-    n_distinct_keys) — the range layout is pinned so the counts job
-    and the join-back see the same partitioning, and the distinct-key
-    total rides the counts collect the rank assignment already pays
-    (the doubling loop's early-exit signal: n_distinct == n_rows means
-    every suffix separated this round — no extra agg job per round)."""
+    """paired(doc, pos, rank, __r2, doc_len) -> (doc, pos, rank,
+    gsize, doc_len) with rank replaced by the HEAD-INDEX rank of the
+    (rank, __r2) group — the number of suffixes whose pair sorts
+    strictly before it — and ``gsize`` the group's size.
+
+    Head-index ranks (Larsson & Sadakane's qsufsort convention, not
+    dense 0..k-1 ranks) are what make the active-set round possible:
+    when a group [head, head+size) splits, its subgroups renumber
+    WITHIN that interval, so rows outside the group keep their rank
+    with no global renumbering.  Order-consistency is identical
+    (head index = position of the group in the global pair order).
+
+    No unpartitioned window: (rank, __r2, size) aggregates are
+    range-partitioned on the order keys (same exchange a distinct
+    would pay), per-partition SIZE SUMS (one tiny collect of
+    #partitions scalars) become offsets, and each partition computes
+    its heads from a local running sum.  Returns (frame, handle,
+    n_groups) — the group total rides the counts collect (the
+    convergence signal, no extra agg job)."""
     keys = (
-        paired.select("rank", "__r2")
-        .distinct()
+        paired.groupBy("rank", "__r2")
+        .agg(F.count(F.lit(1)).alias("__gsz"))
         .repartitionByRange(partitions, F.col("rank"), F.col("__r2"))
         .localCheckpoint(eager=True)
     )
     handle = CheckpointHandle(keys)
     pid = keys.withColumn("__pid", F.spark_partition_id())
     counts = {
-        r["__pid"]: r["n"]
-        for r in pid.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+        r["__pid"]: (r["n"], r["s"])
+        for r in pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__gsz").alias("s"))
+        .collect()
     }
+    n_groups = sum(n for n, _ in counts.values())
     offsets, acc = {}, 0
     for p in sorted(counts):
         offsets[p] = acc
-        acc += counts[p]
+        acc += counts[p][1]
     off_expr = F.lit(0)
     for p, o in offsets.items():
         if o:
             off_expr = F.when(F.col("__pid") == p, F.lit(o)).otherwise(
                 off_expr
             )
-    w = Window.partitionBy("__pid").orderBy("rank", "__r2")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("rank", "__r2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     ranked = pid.select(
         "rank",
         "__r2",
-        (F.row_number().over(w) + off_expr - F.lit(1))
+        "__gsz",
+        (F.sum("__gsz").over(w) - F.col("__gsz") + off_expr)
         .cast("long")
         .alias("__new_rank"),
     )
@@ -149,10 +165,63 @@ def _dense_rank_pairs(
             "doc",
             "pos",
             F.col("__new_rank").alias("rank"),
+            F.col("__gsz").cast("long").alias("gsize"),
             "doc_len",
         )
     )
-    return out, handle, acc
+    return out, handle, n_groups
+
+
+def _rank_pairs_active(
+    table: DataFrame, width: int
+) -> DataFrame:
+    """One ACTIVE-SET doubling round (Larsson–Sadakane): re-rank only
+    the rows still in multi-member groups (gsize > 1).  Because ranks
+    are head indexes, a group's subgroups renumber within the group's
+    own [head, head+gsize) interval — a per-group running sum over the
+    (rank)-partitioned subgroup sizes, never a global pass.  The
+    partner-rank probe prunes the full table MAP-SIDE with a broadcast
+    semi join on the active partner positions (the caller guarantees
+    the active set is under the broadcast cap), so the O(L) table is
+    scanned but never shuffled.  Returns the re-ranked active rows
+    (same schema); the caller unions them with the frozen rows."""
+    active = table.filter(F.col("gsize") > 1)
+    akeys = active.select(
+        "doc", (F.col("pos") + F.lit(width)).alias("pos")
+    )
+    partners = table.join(
+        F.broadcast(akeys), ["doc", "pos"], "left_semi"
+    ).select(
+        "doc",
+        (F.col("pos") - F.lit(width)).alias("pos"),
+        F.col("rank").alias("__r2"),
+    )
+    paired = active.join(partners, ["doc", "pos"], "left").withColumn(
+        "__r2", F.coalesce("__r2", F.lit(-1))
+    )
+    sub = paired.groupBy("rank", "__r2").agg(
+        F.count(F.lit(1)).alias("__gsz")
+    )
+    w = (
+        Window.partitionBy("rank")
+        .orderBy("__r2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    heads = sub.select(
+        "rank",
+        "__r2",
+        "__gsz",
+        (F.col("rank") + F.sum("__gsz").over(w) - F.col("__gsz"))
+        .cast("long")
+        .alias("__new_rank"),
+    )
+    return paired.join(heads, ["rank", "__r2"]).select(
+        "doc",
+        "pos",
+        F.col("__new_rank").alias("rank"),
+        F.col("__gsz").cast("long").alias("gsize"),
+        "doc_len",
+    )
 
 
 def suffix_doubling_ranks(
@@ -163,72 +232,122 @@ def suffix_doubling_ranks(
     rounds: int | None = None,
     max_prefix_len: int = 1 << 16,
     partitions: int = 32,
+    active_broadcast_cap: int = 1_000_000,
     probe: dict | None = None,
 ) -> DataFrame:
-    """(doc, pos, rank, doc_len): after the loop, two positions share
-    ``rank`` IFF their suffixes agree on their first ``2^rounds``
-    characters (documents compared as if terminated by a sentinel
-    below every codepoint).  ``rounds=None`` doubles until
-    ``max_prefix_len`` is covered or every rank is distinct —
-    whichever first (early exit is the common case: random text
-    separates in ~log_sigma(n) rounds).  ``probe`` receives
-    ``{"rounds_run": int, "all_distinct": bool}``."""
+    """(doc, pos, rank, [gsize], doc_len): after the loop, two
+    positions share ``rank`` IFF their suffixes agree on their first
+    ``2^rounds`` characters (documents compared as if terminated by a
+    sentinel below every codepoint).  Ranks are HEAD INDEXES (the
+    count of suffixes sorting strictly before the group) — order- and
+    equality-consistent with dense ranks, and what lets late rounds go
+    active-set.  ``rounds=None`` doubles until ``max_prefix_len`` is
+    covered or the partition converges, whichever first.
+
+    Round modes (Larsson & Sadakane, qsufsort):
+    - GLOBAL: full-table shift join + head ranking — round 0 and any
+      round where the still-tied set is large.
+    - ACTIVE-SET: once the tied rows (gsize > 1) number at most
+      ``active_broadcast_cap``, only THEY are re-ranked — the partner
+      probe prunes the full table map-side with a broadcast semi join
+      (the O(L) table is scanned, never shuffled), and subgroup heads
+      renumber inside each group's own [head, head+gsize) interval
+      with a (rank)-partitioned window whose partitions are bounded by
+      the group sizes.  The tied set shrinks geometrically, so almost
+      every round after the first few costs O(still-tied), not O(L).
+      The per-round O(L) cost that remains is the frozen∪updated union
+      checkpoint (a sequential storage write, no shuffle) — the delta-
+      overlay refinement that removes it is documented in TODO.md.
+
+    Exits, both riding bookkeeping the rounds already pay: rounds are
+    capped at ceil(log2(max doc length)) (wider shifts make every
+    partner the -1 sentinel — the refinement is the identity), and the
+    loop stops when a round splits nothing (if the (r[i], r[i+w])
+    partition equals the r partition, induction gives it for every
+    wider width — Manber–Myers convergence; reached by corpora with
+    fully identical documents, which otherwise tie forever).
+
+    ``probe`` receives rounds_run / active_rounds / all_distinct /
+    prefix_width."""
     if rounds is None:
         rounds = max(0, math.ceil(math.log2(max(2, max_prefix_len))))
     table = _codepoint_rows(df, id_col, text_col).localCheckpoint(
         eager=True
     )
     prev = CheckpointHandle(table)
-    # width >= max_doc_len makes every shift partner the -1 sentinel,
-    # so the refinement is the identity — cap the loop there (one tiny
-    # agg on the materialized table).  Identical documents produce
-    # identical suffixes that NEVER separate; without the cap the loop
-    # would run to the requested round count doing nothing.
-    stats = table.agg(
-        F.max("doc_len").alias("ml"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    max_len, n_rows = stats["ml"], stats["n"]
+    max_len = table.agg(F.max("doc_len")).collect()[0][0]
     if max_len is not None:
         rounds = min(
             rounds, max(0, math.ceil(math.log2(max(2, max_len))))
         )
     width = 1
     run = 0
+    active_runs = 0
     all_distinct = False
-    prev_nd = -1
+    n_active: int | None = None  # unknown before the first ranking
+    max_gsize: int | None = None
+    prev_sig: tuple | None = None
     for _ in range(rounds):
-        shifted = table.select(
-            "doc",
-            (F.col("pos") - F.lit(width)).alias("pos"),
-            F.col("rank").alias("__r2"),
-        ).filter(F.col("pos") >= 1)
-        paired = (
-            table.join(shifted, ["doc", "pos"], "left")
-            .withColumn("__r2", F.coalesce("__r2", F.lit(-1)))
+        use_active = (
+            n_active is not None
+            and 0 < n_active <= active_broadcast_cap
+            and (max_gsize or 0) <= active_broadcast_cap
         )
-        ranked, inner, n_distinct = _dense_rank_pairs(paired, partitions)
-        table = ranked.localCheckpoint(eager=True)
-        inner.unpersist()
+        if use_active:
+            updated = _rank_pairs_active(table, width)
+            new_table = (
+                table.filter(F.col("gsize") <= 1)
+                .unionByName(updated)
+                .localCheckpoint(eager=True)
+            )
+            inner = None
+            active_runs += 1
+        else:
+            shifted = table.select(
+                "doc",
+                (F.col("pos") - F.lit(width)).alias("pos"),
+                F.col("rank").alias("__r2"),
+            ).filter(F.col("pos") >= 1)
+            paired = table.select(
+                "doc", "pos", "rank", "doc_len"
+            ).join(shifted, ["doc", "pos"], "left").withColumn(
+                "__r2", F.coalesce("__r2", F.lit(-1))
+            )
+            ranked, inner, _ng = _rank_pairs_global(paired, partitions)
+            new_table = ranked.localCheckpoint(eager=True)
+        table = new_table
+        if inner is not None:
+            inner.unpersist()
         prev.unpersist()
         prev = CheckpointHandle(table)
         width *= 2
         run += 1
-        # both exits ride the rank pass's own counts collect — no
-        # per-round agg job:
-        # - all ranks distinct: nothing left to split;
-        # - n_distinct stopped improving: the (r[i], r[i+w]) partition
-        #   equals the r partition, and by induction so does every
-        #   wider one (r[i]=r[j] => r[i+w]=r[j+w] => r[i+2w]=r[j+2w])
-        #   — the standard Manber–Myers convergence, reached by
-        #   corpora with fully identical documents.
-        if n_distinct == n_rows:
+        # one O(L)-scan agg per round on the materialized table: the
+        # still-tied row count (the mode switch + the all-distinct
+        # exit), the biggest group (window-partition safety), and the
+        # tied-group count (with n_active, the convergence signature:
+        # any split either grows the group count or shrinks the tied
+        # row count, so an unchanged pair means nothing split).
+        st = table.agg(
+            F.coalesce(
+                F.sum((F.col("gsize") > 1).cast("long")), F.lit(0)
+            ).alias("na"),
+            F.max("gsize").alias("mg"),
+            F.count_distinct(
+                F.when(F.col("gsize") > 1, F.col("rank"))
+            ).alias("ga"),
+        ).collect()[0]
+        n_active, max_gsize = st["na"], st["mg"]
+        if n_active == 0:
             all_distinct = True
             break
-        if n_distinct == prev_nd:
+        sig = (n_active, st["ga"])
+        if sig == prev_sig:
             break
-        prev_nd = n_distinct
+        prev_sig = sig
     if probe is not None:
         probe["rounds_run"] = run
+        probe["active_rounds"] = active_runs
         probe["all_distinct"] = all_distinct
         probe["prefix_width"] = width
     return table

@@ -644,7 +644,7 @@ def test_suffix_dense_rank_window_is_partition_local(spark):
     one place a window exists in the round."""
     from covid19i2b2_spark.operators.suffixes import (
         _codepoint_rows,
-        _dense_rank_pairs,
+        _rank_pairs_global,
     )
 
     docs = spark.createDataFrame(
@@ -653,7 +653,7 @@ def test_suffix_dense_rank_window_is_partition_local(spark):
     paired = _codepoint_rows(docs, "doc_id", "text").withColumn(
         "__r2", F.lit(-1)
     )
-    out, handle, _n = _dense_rank_pairs(paired, 4)
+    out, handle, _n = _rank_pairs_global(paired, 4)
     plan = physical_plan(out)
     handle.unpersist()
     win_lines = [
