@@ -1456,13 +1456,17 @@ def _bench_suffix_spans(spark) -> dict:
         "full": docs.agg(F.sum(F.length("text"))).collect()[0][0],
         "half": half.agg(F.sum(F.length("text"))).collect()[0][0],
     }
+    from covid19i2b2_spark.caching import release_local_checkpoint
+
     for label, frame in (("half", half), ("full", docs)):
         probe: dict = {}
         t0 = time.perf_counter()
-        duplicated_spans_exact(
-            frame, "doc", "text", 32, probe=probe
-        ).write.format("noop").mode("overwrite").save()
+        spans = duplicated_spans_exact(frame, "doc", "text", 32, probe=probe)
+        spans.write.format("noop").mode("overwrite").save()
         out[f"dup_spans_{label}_sec"] = round(time.perf_counter() - t0, 3)
+        # the returned frame is checkpoint-pinned; free it before the
+        # next timing (clearCache() does not reach RDD-level storage)
+        release_local_checkpoint(spans)
         out[f"dup_spans_{label}_mchars"] = round(chars[label] / 1e6, 3)
         out[f"dup_spans_{label}_rounds"] = probe.get("rounds_run")
     ratio_denom = (
@@ -1474,11 +1478,12 @@ def _bench_suffix_spans(spark) -> dict:
     )
     probe = {}
     t0 = time.perf_counter()
-    suffix_array(docs, "doc", "text", probe=probe).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    sa = suffix_array(docs, "doc", "text", probe=probe)
+    sa.write.format("noop").mode("overwrite").save()
     out["suffix_array_full_sec"] = round(time.perf_counter() - t0, 3)
     out["suffix_array_rounds"] = probe.get("rounds_run")
+    out["suffix_array_active_rounds"] = probe.get("active_rounds")
+    release_local_checkpoint(sa)
     spark.catalog.clearCache()
     return out
 
@@ -1658,11 +1663,7 @@ def _bench_fetch_ingest(spark) -> dict:
     import gzip as _gzip
     import json as _json
 
-    from covid19i2b2_spark.operators.boilerplate import (
-        extract_main_content,
-    )
-    from covid19i2b2_spark.operators.links import extract_links
-    from covid19i2b2_spark.pipelines.fetch import warc_pages
+    from covid19i2b2_spark.pipelines.fetch import warc_to_documents
     from covid19i2b2_spark.sources.warc import read_warc
 
     base_files, pages_per_file, toks_per_page = 16, 1000, 500
@@ -1741,22 +1742,20 @@ def _bench_fetch_ingest(spark) -> dict:
             ).save()
 
         def _full():
-            # the module contract: consuming BOTH outputs persists the
-            # parsed-pages frame first, so the byte-cursor parse runs
-            # once, not once per sink (pipelines/fetch.py docstring)
-            pages = warc_pages(spark, d).persist()
+            # the pipeline's own cache_handles protocol: the shared
+            # pages frame persists so the byte-cursor parse runs once,
+            # not once per sink — the bench measures warc_to_documents
+            # itself, never a re-implementation of its wiring
+            handles: list = []
             try:
-                docs = pages.select(
-                    "url",
-                    "canonical_url",
-                    "fetched_at",
-                    extract_main_content("html").alias("text"),
+                docs, links = warc_to_documents(
+                    spark, d, cache_handles=handles
                 )
-                links = extract_links(pages, url_col="url", html_col="html")
                 docs.write.format("noop").mode("overwrite").save()
                 links.write.format("noop").mode("overwrite").save()
             finally:
-                pages.unpersist()
+                for h in handles:
+                    h.unpersist()
 
         tp, tf = _time(_parse), _time(_full)
         out[f"x{factor}_parse_sec"] = round(tp, 3)

@@ -26,8 +26,11 @@ DEC_LOG = "decimal(18,6)"
 # SQL mirror of round6() below — splice into oracle strings.
 ROUND6_SQL = "FLOOR(({x}) * 1000000 + 0.5) / 1000000"
 
-# SQL mirrors of roundk()/qfix() below — .format(x=..., s=10**k).
-ROUNDK_SQL = "FLOOR(({x}) * {s}.0 + 0.5) / {s}.0"
+# SQL mirrors of qfix() below — .format(x=..., s=10**k); spliced into
+# the q_recrawl_schedule oracle so the Python and SQL grids cannot
+# drift apart.  (roundk() has no splice constant: its oracle-side uses
+# are hand-inlined FLOOR forms next to their queries — keep them in
+# sync with roundk if the form ever changes.)
 QFIX_SQL = "CAST(FLOOR(({x}) * {s}.0 + 0.5) AS BIGINT)"
 QFIX0_SQL = "CAST(FLOOR(({x}) + 0.5) AS BIGINT)"
 

@@ -28,7 +28,7 @@ need no rows at all: the per-document score is
     score(d, l) = sum_{g in d, g in profile_l} (logp_l(g) - oov)
 
 (the n·oov all-OOV term is common across languages and cancels out of
-the argmax), computed as an exact BIGINT sum of picounit fixed-point
+the argmax), computed as an exact BIGINT sum of microunit fixed-point
 advantages (the _fixdot/dmean pattern — order-independent, DuckDB
 bit-identical).
 
@@ -55,8 +55,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from covid19i2b2_spark.operators.aggregates import round6
 from covid19i2b2_spark.operators.text import _c, lang_guess
 
-# picounit fixed point, shared with unigram_logprob_score
-_FIX = 1e12
+# MICROunit fixed point — deliberately coarser than the 1e12 picounit
+# grid unigram_logprob_score uses: adv = logp - oov is O(1)-O(10), so at
+# 1e12 one double ulp of a cross-build LN difference is ~1e-3 of a grid
+# cell (the r12 q_recrawl_schedule divergence mode), while at 1e6 it is
+# ~1e-9 — the same safety margin as the recrawl qfix grids.  1e-6 of a
+# log-likelihood unit is far below any meaningful score difference.
+_FIX = 1e6
 
 
 def lang_norm(col: str | Column) -> Column:
@@ -118,7 +123,7 @@ def train_lang_profiles(
     gram — deterministic), with columns
 
     - ``logp``: add-one-smoothed ln P_l(g) (double, diagnostic)
-    - ``adv_fix``: floor((logp - oov)·1e12 + 0.5) as BIGINT — the
+    - ``adv_fix``: floor((logp - oov)·1e6 + 0.5) as BIGINT — the
       scoring payload; oov is the shared floor -ln(tot_max + K + 1)
       (module docstring), so adv_fix >= 1 for every kept gram.
 
@@ -183,7 +188,7 @@ def classify_language(
     explode keeps the pass O(max_chars) per document regardless of
     document length).  ``adv_col`` is the winning language's summed
     log-likelihood advantage over the all-OOV baseline (round6'd
-    picounit sum — exact, order-independent, > 0 whenever a gram
+    microunit sum — exact, order-independent, > 0 whenever a gram
     matched).  No match at all -> 'und' with NULL advantage.
 
     ``min_coverage`` > 0 adds an abstention gate (and a ``cov_col``

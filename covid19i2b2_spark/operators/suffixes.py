@@ -10,7 +10,7 @@ construction that is actually expressible as a sequence of shuffles is
 Manber & Myers' prefix doubling (SIAM J. Comput. 22(5), 1993):
 
     rank_0[i]   = codepoint of char i                (width-1 order)
-    rank_{t+1}  = dense rank of (rank_t[i], rank_t[i + 2^t])
+    rank_{t+1}  = head-index rank of (rank_t[i], rank_t[i + 2^t])
                                                      (width-2^{t+1})
 
 After t rounds, rank_t[i] == rank_t[j] IFF the two suffixes agree on
@@ -51,9 +51,13 @@ distinct (random text exits in ~log_sigma(n) rounds, far before the
 cap).  duplicated_spans_exact caps the loop at floor(log2 min_len)
 rounds by construction.
 
-Loud contract: NULL/empty documents contribute no suffixes; NULL doc
-ids are rejected (a suffix must be addressable).  min_len=1 is legal
-(every repeated character is a span).
+Contract: NULL/empty documents AND rows with a NULL doc id
+contribute no suffixes — they are DROPPED, not rejected (a suffix
+must be addressable; if a NULL id is an error in your corpus,
+validate upstream — a dropped row also drops its side of any shared
+span, so duplicated_spans_exact under-counts occurrences touching
+such rows).  min_len=1 is legal (every repeated character is a
+span).
 """
 
 from __future__ import annotations
@@ -101,7 +105,7 @@ def _codepoint_rows(
 
 def _rank_pairs_global(
     paired: DataFrame, partitions: int
-) -> tuple[DataFrame, CheckpointHandle, int]:
+) -> tuple[DataFrame, CheckpointHandle]:
     """paired(doc, pos, rank, __r2, doc_len) -> (doc, pos, rank,
     gsize, doc_len) with rank replaced by the HEAD-INDEX rank of the
     (rank, __r2) group — the number of suffixes whose pair sorts
@@ -118,9 +122,10 @@ def _rank_pairs_global(
     range-partitioned on the order keys (same exchange a distinct
     would pay), per-partition SIZE SUMS (one tiny collect of
     #partitions scalars) become offsets, and each partition computes
-    its heads from a local running sum.  Returns (frame, handle,
-    n_groups) — the group total rides the counts collect (the
-    convergence signal, no extra agg job)."""
+    its heads from a local running sum.  Returns (frame,
+    handle-to-release-after-materialization); the loop's mode-switch
+    and convergence stats come from its own per-round table aggregate
+    (suffix_doubling_ranks), not from here."""
     keys = (
         paired.groupBy("rank", "__r2")
         .agg(F.count(F.lit(1)).alias("__gsz"))
@@ -130,16 +135,15 @@ def _rank_pairs_global(
     handle = CheckpointHandle(keys)
     pid = keys.withColumn("__pid", F.spark_partition_id())
     counts = {
-        r["__pid"]: (r["n"], r["s"])
+        r["__pid"]: r["s"]
         for r in pid.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("__gsz").alias("s"))
+        .agg(F.sum("__gsz").alias("s"))
         .collect()
     }
-    n_groups = sum(n for n, _ in counts.values())
     offsets, acc = {}, 0
     for p in sorted(counts):
         offsets[p] = acc
-        acc += counts[p][1]
+        acc += counts[p]
     off_expr = F.lit(0)
     for p, o in offsets.items():
         if o:
@@ -169,7 +173,7 @@ def _rank_pairs_global(
             "doc_len",
         )
     )
-    return out, handle, n_groups
+    return out, handle
 
 
 def _rank_pairs_active(
@@ -313,7 +317,7 @@ def suffix_doubling_ranks(
             ).join(shifted, ["doc", "pos"], "left").withColumn(
                 "__r2", F.coalesce("__r2", F.lit(-1))
             )
-            ranked, inner, _ng = _rank_pairs_global(paired, partitions)
+            ranked, inner = _rank_pairs_global(paired, partitions)
             new_table = ranked.localCheckpoint(eager=True)
         table = new_table
         if inner is not None:
@@ -378,7 +382,7 @@ def suffix_array(
     )
     # final total order: (rank, doc, pos) is unique per row, so one
     # range-partitioned numbering over the triple (the same
-    # per-partition-offset pattern as _dense_rank_pairs) is the
+    # per-partition-offset pattern as _rank_pairs_global) is the
     # 0..L-1 suffix index.
     keys = (
         ranks.select("doc", "pos", "rank")

@@ -138,6 +138,7 @@ def warc_to_documents(
     *,
     payload_limit_bytes: int = 1 << 20,
     charset_aware: bool = False,
+    cache_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(documents, links) from a WARC directory:
 
@@ -146,9 +147,13 @@ def warc_to_documents(
       row with text='' (dropping is corpus policy, not ingest's);
     - links: (src, href, anchor_text) absolute http(s) edges (X69).
 
-    Both frames are lazy views over the same parsed pages — persist
-    the warc_pages frame first when consuming both (module docstring).
-    """
+    Both frames are lazy views over the same parsed pages.  A caller
+    consuming BOTH outputs should pass ``cache_handles`` (the X62 /
+    curate() release protocol): the shared pages frame is then
+    persisted — the byte-cursor parse runs once, not once per sink —
+    and its handle appended for the caller to ``.unpersist()`` after
+    both sinks have run.  Without it the frames stay fully lazy
+    (single-output callers pay nothing)."""
     from covid19i2b2_spark.operators.boilerplate import extract_main_content
     from covid19i2b2_spark.operators.links import extract_links
 
@@ -158,6 +163,9 @@ def warc_to_documents(
         payload_limit_bytes=payload_limit_bytes,
         charset_aware=charset_aware,
     )
+    if cache_handles is not None:
+        pages = pages.persist()
+        cache_handles.append(pages)
     documents = pages.select(
         "url",
         "canonical_url",

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from covid19i2b2_spark.operators.aggregates import roundk
+from covid19i2b2_spark.operators.aggregates import (
+    QFIX0_SQL,
+    QFIX_SQL,
+    roundk,
+)
 from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
 
@@ -1342,14 +1346,16 @@ def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT url, n_fetches, n_intervals, n_changes,
            span_us,
-           CAST(FLOOR(lambda_hat * 86400.0 * 1000000.0 + 0.5) AS BIGINT)
-               AS lambda_per_day_micro,
-           CAST(FLOOR(revisit_sec + 0.5) AS BIGINT) AS revisit_sec_w,
-           CAST(FLOOR(last_epoch + revisit_sec + 0.5) AS BIGINT)
-               AS due_epoch_w
+           {q_lambda} AS lambda_per_day_micro,
+           {q_revisit} AS revisit_sec_w,
+           {q_due} AS due_epoch_w
     FROM sched
     ORDER BY url
-    """,
+    """.format(
+        q_lambda=QFIX_SQL.format(x="lambda_hat * 86400.0", s=10**6),
+        q_revisit=QFIX0_SQL.format(x="revisit_sec"),
+        q_due=QFIX0_SQL.format(x="last_epoch + revisit_sec"),
+    ),
 )
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 X71 re-crawl scheduling (operators/recrawl.py): a
@@ -1690,7 +1696,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truncation path is exercised too.  UNREGISTERED (the 50-query
     window is full); the DuckDB oracle RE-TRAINS the profiles (bigram
     counts, top-K cut, shared-OOV advantage) and RE-SCORES every doc
-    (broadcast join, BIGINT picounit sums, argmax with the lang tie
+    (broadcast join, BIGINT microunit sums, argmax with the lang tie
     rule) in tests/test_oracle_parity.py.  The coverage/fallback gate
     is pytest-pinned in tests/test_lang_id.py (vs a pure-Python
     replay)."""

@@ -75,7 +75,7 @@ HELD_OUT = {
 }
 
 TOP_K = 300
-FIX = 1e12
+FIX = 1e6
 
 
 def _seed_df(spark, langs=None):

@@ -1531,7 +1531,8 @@ UNREGISTERED_ORACLES["q_simhash_pairs"] = _simhash_oracle()
 def _lang_id_oracle() -> str:
     """X4' trained language ID (round 13): the oracle RE-TRAINS the
     char-bigram profiles (counts, per-lang totals, top-K cut, the
-    shared-OOV advantage in picounit fixed point) and RE-SCORES every
+    shared-OOV advantage in MICROunit fixed point — coarse enough that
+    a cross-build LN ulp is ~1e-9 of a cell) and RE-SCORES every
     planted document (bigram explode, profile join, BIGINT sums,
     argmax with the lang tie rule) from the same fixture strings the
     query uses — nothing is replayed as constants."""
@@ -1575,7 +1576,7 @@ def _lang_id_oracle() -> str:
     prof AS (SELECT lang, gram,
                     CAST(FLOOR((LN((c + 1.0) / (tot + {v}.0))
                                 + LN(tot_max + {v}.0))
-                               * 1000000000000.0 + 0.5) AS BIGINT)
+                               * 1000000.0 + 0.5) AS BIGINT)
                         AS adv_fix
              FROM kept, m),
     docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1602,7 +1603,7 @@ def _lang_id_oracle() -> str:
              FROM sc)
     SELECT d.doc_id,
            COALESCE(b.lang, 'und') AS lang,
-           FLOOR(CAST(b.adv AS DOUBLE) / 1000000000000.0
+           FLOOR(CAST(b.adv AS DOUBLE) / 1000000.0
                  * 1000000.0 + 0.5) / 1000000.0 AS lang_lm_adv
     FROM docs d
     LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)

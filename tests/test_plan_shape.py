@@ -640,7 +640,7 @@ def test_suffix_dense_rank_window_is_partition_local(spark):
     """X88: the doubling loop's dense rank must never plan an
     unpartitioned window (it would pull the per-char table through one
     task).  The loop's outputs are checkpointed (opaque ExistingRDD
-    plans), so the pin targets the lazy _dense_rank_pairs frame — the
+    plans), so the pin targets the lazy _rank_pairs_global frame — the
     one place a window exists in the round."""
     from covid19i2b2_spark.operators.suffixes import (
         _codepoint_rows,
@@ -653,7 +653,7 @@ def test_suffix_dense_rank_window_is_partition_local(spark):
     paired = _codepoint_rows(docs, "doc_id", "text").withColumn(
         "__r2", F.lit(-1)
     )
-    out, handle, _n = _rank_pairs_global(paired, 4)
+    out, handle = _rank_pairs_global(paired, 4)
     plan = physical_plan(out)
     handle.unpersist()
     win_lines = [
