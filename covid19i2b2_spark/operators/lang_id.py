@@ -201,6 +201,17 @@ def classify_language(
     id-keyed aggregate + join; 0.0 (default) skips both.
 
     Ties break by language order (same rule as lang_guess_scored)."""
+    taken = [
+        c
+        for c in (out_col, adv_col, *((cov_col,) if min_coverage > 0 else ()))
+        if c in df.columns
+    ]
+    if taken:
+        raise ValueError(
+            f"output column(s) {taken} already exist on the input — "
+            "pass different out_col/adv_col/cov_col names (a silent "
+            "replace would shadow caller data)"
+        )
     rows = df.select(
         F.col(id_col).alias("__id"),
         padded_lang_norm(_c(text_col), max_chars).alias("__p"),

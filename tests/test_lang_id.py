@@ -283,3 +283,19 @@ def test_train_validates(spark):
                 [("en", "123 456")], "lang string, text string"
             )
         )
+
+
+def test_output_column_collision_is_loud(spark):
+    """An input frame already carrying the output column names must be
+    rejected, not silently shadowed."""
+    prof = train_lang_profiles(_seed_df(spark, langs=["en"]))
+    docs = spark.createDataFrame(
+        [(0, "the cat", "fr")], "doc_id int, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        classify_language(docs, "doc_id", "text", prof)
+    # renaming the outputs makes the same frame legal
+    out = classify_language(
+        docs, "doc_id", "text", prof, out_col="lang2", adv_col="adv2"
+    ).collect()[0]
+    assert out["lang"] == "fr" and out["lang2"] == "en"
