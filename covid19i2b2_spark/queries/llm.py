@@ -68,9 +68,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_fingerprint",
-    oracle="""
+# Round 14: slot ceded to q_lang_id (VERDICT r13 next-round #1) — the
+# md5/regexp arithmetic stays verified via UNREGISTERED_ORACLES in
+# tests/test_oracle_parity.py (oracle preserved verbatim there).
+FINGERPRINT_ORACLE = """
     WITH fp AS (
         SELECT source,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -81,8 +82,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT fingerprint) AS n_unique,
            MIN(fingerprint) AS min_fingerprint
     FROM fp GROUP BY source ORDER BY source
-    """,
-)
+    """
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: content fingerprinting — md5 over whitespace-normalized
     lowercase text; the exact-dedup key for crawled corpora.  min_
@@ -557,7 +559,11 @@ def _near_dup_oracle(threshold: float) -> str:
     """
 
 
-@query("q_embedding_near_dup", oracle=_near_dup_oracle(0.3))
+# Round 14: slot ceded to q_suffix_array (VERDICT r13 next-round #1) —
+# the embedding-cosine arithmetic stays driver-verified through
+# q_ann_ivf / q_knn_join / q_semantic_dedup, and this exact query keeps
+# full DuckDB parity via UNREGISTERED_ORACLES (oracle generator
+# _near_dup_oracle is unchanged and imported by the test).
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3: embedding-cosine near-dup pairs via hyperplane-LSH buckets
     (8 seeded planes) + exact cosine verify.  Threshold 0.3 keeps the

