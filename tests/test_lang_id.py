@@ -190,6 +190,11 @@ def test_matches_pure_python_replay(spark):
         assert out[i][1] == pytest.approx(
             math.floor(fx / FIX * 1e6 + 0.5) / 1e6, abs=0
         )
+    # the planted no-evidence docs must replay too (empty, letterless,
+    # unseeded script): both sides say ('und', no advantage)
+    for i, t in [(90, ""), (91, "12345 !!!"), (92, "οι θεοί της ελλάδας")]:
+        assert _py_classify(prof_py, t)[0] == "und"
+        assert out[i] == ("und", None)
 
 
 def test_loud_und_on_no_evidence(spark):
@@ -297,5 +302,31 @@ def test_output_column_collision_is_loud(spark):
     # renaming the outputs makes the same frame legal
     out = classify_language(
         docs, "doc_id", "text", prof, out_col="lang2", adv_col="adv2"
+    ).collect()[0]
+    assert out["lang"] == "fr" and out["lang2"] == "en"
+
+
+def test_fallback_output_column_collision_is_loud(spark):
+    """ADVICE r13: the fallback wrapper must honor the same collision
+    contract as classify_language — a frame already carrying 'lang' (or
+    the forwarded coverage column) is rejected, never silently
+    overwritten."""
+    prof = train_lang_profiles(_seed_df(spark, langs=["en"]))
+    docs = spark.createDataFrame(
+        [(0, "the cat", "fr")], "doc_id int, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        classify_language_with_fallback(docs, "doc_id", "text", prof)
+    # pre-existing coverage column collides too (wrapper forwards it)
+    docs_cov = spark.createDataFrame(
+        [(0, "the cat", 0.5)],
+        "doc_id int, text string, lang_lm_coverage double",
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        classify_language_with_fallback(docs_cov, "doc_id", "text", prof)
+    # renaming every output makes the same frames legal
+    out = classify_language_with_fallback(
+        docs, "doc_id", "text", prof,
+        out_col="lang2", adv_col="adv2", cov_col="cov2",
     ).collect()[0]
     assert out["lang"] == "fr" and out["lang2"] == "en"
