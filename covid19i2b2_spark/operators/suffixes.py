@@ -144,22 +144,25 @@ def _rank_pairs_global(
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
-    off_expr = F.lit(0)
-    for p, o in offsets.items():
-        if o:
-            off_expr = F.when(F.col("__pid") == p, F.lit(o)).otherwise(
-                off_expr
-            )
+    # (pid, offset) as a broadcast-joined frame, NOT a chained CASE
+    # WHEN (VERDICT r13 what's-wrong #2): the expression form is an
+    # O(partitions)-deep tree evaluated per row — noise at 32
+    # partitions, a 2048-branch tree per row on a large-corpus run.
+    # The join keeps the plan constant-depth at any partition count.
+    off_df = paired.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __off long",
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy("rank", "__r2")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranked = pid.select(
+    ranked = pid.join(F.broadcast(off_df), "__pid").select(
         "rank",
         "__r2",
         "__gsz",
-        (F.sum("__gsz").over(w) - F.col("__gsz") + off_expr)
+        (F.sum("__gsz").over(w) - F.col("__gsz") + F.col("__off"))
         .cast("long")
         .alias("__new_rank"),
     )
