@@ -126,6 +126,10 @@ HEADLINE = [
     # round 12: the registered re-crawl scheduler (X71) — the crawl
     # chain's estimator query, tracked per-round under its new slot
     "q_recrawl_schedule",
+    # round 14: the two newly registered flagships (trained language ID
+    # and the distributed suffix array), tracked per-round
+    "q_lang_id",
+    "q_suffix_array",
 ]
 
 
@@ -142,7 +146,11 @@ def _fn(name: str):
         return REGISTRY[name].fn
     # unregistered engine-surface queries (driver 50-query window)
     from covid19i2b2_spark.queries.core import q_events_daily
-    from covid19i2b2_spark.queries.llm import q_cosine_topk
+    from covid19i2b2_spark.queries.llm import (
+        q_cosine_topk,
+        q_embedding_near_dup,
+        q_fingerprint,
+    )
     from covid19i2b2_spark.queries.llm2 import q_simhash_pairs
 
     return {
@@ -153,6 +161,10 @@ def _fn(name: str):
         # deregistered round 12 (slot ceded to q_recrawl_schedule);
         # kept in the suite for round-over-round continuity
         "q_simhash_pairs": q_simhash_pairs,
+        # deregistered round 14 (slots ceded to q_lang_id /
+        # q_suffix_array); kept in the suite for continuity
+        "q_fingerprint": q_fingerprint,
+        "q_embedding_near_dup": q_embedding_near_dup,
     }[name]
 
 
@@ -949,12 +961,13 @@ def _isolated_seconds(
 def _isolated_registry_query(
     name: str, time_dir: str, warm_dir: str, runs: int = 3
 ) -> float | None:
-    """Isolated min-of-N of one registry query: warm at ``warm_dir``
-    (startup outside the timing), time at ``time_dir``."""
+    """Isolated min-of-N of one suite query: warm at ``warm_dir``
+    (startup outside the timing), time at ``time_dir``.  Resolves via
+    bench._fn so deregistered-but-still-benchmarked queries (e.g.
+    q_embedding_near_dup since round 14) keep their probe."""
     setup = (
-        "from covid19i2b2_spark.registry import REGISTRY, all_queries\n"
-        "all_queries()\n"
-        f"fn = REGISTRY[{name!r}].fn"
+        "from bench import _fn\n"
+        f"fn = _fn({name!r})"
     )
     warm = (
         f"fn(spark, {warm_dir!r})"
@@ -1483,6 +1496,12 @@ def _bench_suffix_spans(spark) -> dict:
     out["suffix_array_full_sec"] = round(time.perf_counter() - t0, 3)
     out["suffix_array_rounds"] = probe.get("rounds_run")
     out["suffix_array_active_rounds"] = probe.get("active_rounds")
+    # delta-overlay receipt (VERDICT r13 #3): per-round checkpoint
+    # write volume — O(L) for the global prefix, ~O(tied) once rounds
+    # go active (plus the single final fold at O(L))
+    out["suffix_array_written_rows_per_round"] = probe.get(
+        "written_rows_per_round"
+    )
     release_local_checkpoint(sa)
     spark.catalog.clearCache()
     return out
@@ -1918,6 +1937,32 @@ def main() -> None:
         }
     result["isolated"] = iso
 
+    # VERDICT r13 #8: automated box-drift adjudication.  One isolated
+    # fresh-process probe of the reference query (q_join_inner —
+    # code untouched since the early rounds, trivially scan+join bound)
+    # against its recorded quiet-window values: the r13 isolated probe
+    # 1.01 s and the r11 in-suite 0.59 s (BASELINE.md round-13
+    # adjudication row — isolated carries ~1.7x process overhead vs
+    # in-suite, so each reading compares only against its own
+    # protocol).  factor ~1 means the box is at the r13 quiet level;
+    # round-over-round per-query comparisons divide by the factor
+    # before flagging drift (queries_normalized on the detail line).
+    ref_iso = _isolated_registry_query("q_join_inner", SF_DIR, SF_DIR)
+    box: dict = {
+        "probe": "q_join_inner",
+        "isolated_sec": ref_iso,
+        "ref_isolated_r13_sec": 1.01,
+        "insuite_sec": timings.get("q_join_inner"),
+        "ref_insuite_r11_sec": 0.59,
+    }
+    if ref_iso:
+        box["factor_vs_r13"] = round(ref_iso / 1.01, 3)
+    if timings.get("q_join_inner"):
+        box["factor_insuite_vs_r11"] = round(
+            timings["q_join_inner"] / 0.59, 3
+        )
+    result["box_factor"] = box
+
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
     if SCALE_X > 1:
         result["bloom_scaled"] = _bench_bloom_scaled(spark)
@@ -2250,6 +2295,14 @@ def main() -> None:
     # keys round-over-round comparison needs, under a hard length
     # bound with a documented drop order.
     detail["scaled_summary_full"] = summary
+    # Normalized per-query columns (VERDICT r13 #8): in-suite timings
+    # divided by the box factor, so round-over-round comparison reads
+    # plan cost, not box state.  Rides the detail line (full width).
+    bf = (result.get("box_factor") or {}).get("factor_vs_r13")
+    if bf and bf > 0:
+        detail["queries_normalized_by_box_factor"] = {
+            n: round(t / bf, 3) for n, t in timings.items()
+        }
     print(json.dumps({"bench_detail": detail}))
 
     compact_keys = [
@@ -2264,17 +2317,26 @@ def main() -> None:
     pruned = {k: summary[k] for k in compact_keys if k in summary}
     if pruned:
         result["scaled_summary"] = pruned
+    # ADVICE r13: never abort after the sections have run — a missing
+    # compact line is strictly worse than a trimmed one.  Drop keys in a
+    # deterministic order (least headline-critical first) until the line
+    # fits; log what was dropped on stderr.  "metric"/"value"/"unit"/
+    # "queries"/"sf" are the driver contract and are never dropped.
+    drop_order = ["scaled_summary", "isolated", "box_factor"]
+    dropped = []
     line = json.dumps(result)
-    if len(line) >= 1800:  # drop order: summary first, then isolated
-        result.pop("scaled_summary", None)
-        line = json.dumps(result)
-    if len(line) >= 1800:
-        result.pop("isolated", None)
-        line = json.dumps(result)
-    assert len(line) < 1800, (
-        f"compact bench line is {len(line)} chars; must fit the "
-        "driver's 2000-char stdout tail window"
-    )
+    for key in drop_order:
+        if len(line) < 1800:
+            break
+        if result.pop(key, None) is not None:
+            dropped.append(key)
+            line = json.dumps(result)
+    if dropped:
+        print(
+            f"bench: compact line over 1800 chars; dropped {dropped} "
+            f"(full copies remain on the bench_detail line)",
+            file=sys.stderr,
+        )
     print(line)
     spark.stop()
 

@@ -180,25 +180,51 @@ def _rank_pairs_global(
 
 
 def _rank_pairs_active(
-    table: DataFrame, width: int
+    active: DataFrame,
+    base: DataFrame,
+    delta_union: DataFrame | None,
+    width: int,
 ) -> DataFrame:
     """One ACTIVE-SET doubling round (Larsson–Sadakane): re-rank only
     the rows still in multi-member groups (gsize > 1).  Because ranks
     are head indexes, a group's subgroups renumber within the group's
     own [head, head+gsize) interval — a per-group running sum over the
-    (rank)-partitioned subgroup sizes, never a global pass.  The
-    partner-rank probe prunes the full table MAP-SIDE with a broadcast
-    semi join on the active partner positions (the caller guarantees
-    the active set is under the broadcast cap), so the O(L) table is
-    scanned but never shuffled.  Returns the re-ranked active rows
-    (same schema); the caller unions them with the frozen rows."""
-    active = table.filter(F.col("gsize") > 1)
+    (rank)-partitioned subgroup sizes, never a global pass.
+
+    Delta-overlay form (VERDICT r13 #3): the caller holds the O(L)
+    table as a STALE ``base`` checkpoint plus small per-round
+    ``delta_union`` update frames (column ``__v`` = the round that
+    wrote the row; latest wins).  The partner-rank probe semi-prunes
+    BOTH map-side with a broadcast of the active partner positions
+    (the caller guarantees the active set is under the broadcast cap)
+    — so the O(L) base is scanned, never shuffled and never
+    re-written — then resolves each partner's CURRENT rank by
+    latest-version-wins over the pruned survivors (a window over the
+    few pruned rows, not the corpus).  Returns the re-ranked active
+    rows (base schema); the caller checkpoints them as the next
+    delta."""
     akeys = active.select(
         "doc", (F.col("pos") + F.lit(width)).alias("pos")
     )
-    partners = table.join(
+    pb = base.join(
         F.broadcast(akeys), ["doc", "pos"], "left_semi"
-    ).select(
+    ).select("doc", "pos", "rank", F.lit(-1).alias("__v"))
+    if delta_union is not None:
+        pd = delta_union.join(
+            F.broadcast(akeys), ["doc", "pos"], "left_semi"
+        ).select("doc", "pos", "rank", "__v")
+        cand = pb.unionByName(pd)
+        wv = Window.partitionBy("doc", "pos").orderBy(
+            F.col("__v").desc()
+        )
+        current = (
+            cand.withColumn("__rn", F.row_number().over(wv))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__v")
+        )
+    else:
+        current = pb.drop("__v")
+    partners = current.select(
         "doc",
         (F.col("pos") - F.lit(width)).alias("pos"),
         F.col("rank").alias("__r2"),
@@ -262,9 +288,13 @@ def suffix_doubling_ranks(
       with a (rank)-partitioned window whose partitions are bounded by
       the group sizes.  The tied set shrinks geometrically, so almost
       every round after the first few costs O(still-tied), not O(L).
-      The per-round O(L) cost that remains is the frozen∪updated union
-      checkpoint (a sequential storage write, no shuffle) — the delta-
-      overlay refinement that removes it is documented in TODO.md.
+      DELTA-OVERLAY checkpoints (round 14, VERDICT r13 #3): active
+      rounds checkpoint ONLY the re-ranked rows (O(tied) written rows
+      per round, logged in ``probe['written_rows_per_round']``); the
+      last global table stays as a stale ``base`` checkpoint, partner
+      lookups resolve latest-version-wins over base ∪ deltas after
+      broadcast semi-pruning, and the full table is folded ONCE after
+      the loop (one O(L) write total instead of one per round).
 
     Exits, both riding bookkeeping the rounds already pay: rounds are
     capped at ceil(log2(max doc length)) (wider shifts make every
@@ -294,6 +324,19 @@ def suffix_doubling_ranks(
     n_active: int | None = None  # unknown before the first ranking
     max_gsize: int | None = None
     prev_sig: tuple | None = None
+    # Delta overlay (VERDICT r13 #3): once rounds go active-set, the
+    # O(L) table is never re-checkpointed per round.  ``table`` stays
+    # the STALE last-global checkpoint; each active round checkpoints
+    # only its re-ranked rows (tagged __v = round), ``delta_union``
+    # accumulates them lazily (every component is checkpointed, so
+    # re-evaluation just unions small materialized frames), and the
+    # final table is folded once after the loop.  Active rounds are a
+    # SUFFIX of the round sequence (tied counts and group sizes only
+    # shrink), so a global round never runs while deltas exist.
+    deltas: list[DataFrame] = []
+    delta_handles: list[CheckpointHandle] = []
+    delta_union: DataFrame | None = None
+    written: list[int] = []
     for _ in range(rounds):
         use_active = (
             n_active is not None
@@ -301,13 +344,23 @@ def suffix_doubling_ranks(
             and (max_gsize or 0) <= active_broadcast_cap
         )
         if use_active:
-            updated = _rank_pairs_active(table, width)
-            new_table = (
-                table.filter(F.col("gsize") <= 1)
-                .unionByName(updated)
+            src = deltas[-1] if deltas else table
+            active = src.filter(F.col("gsize") > 1)
+            if deltas:
+                active = active.drop("__v")
+            updated = (
+                _rank_pairs_active(active, table, delta_union, width)
+                .withColumn("__v", F.lit(run))
                 .localCheckpoint(eager=True)
             )
-            inner = None
+            deltas.append(updated)
+            delta_handles.append(CheckpointHandle(updated))
+            delta_union = (
+                updated
+                if delta_union is None
+                else delta_union.unionByName(updated)
+            )
+            stats_src = updated
             active_runs += 1
         else:
             shifted = table.select(
@@ -321,21 +374,25 @@ def suffix_doubling_ranks(
                 "__r2", F.coalesce("__r2", F.lit(-1))
             )
             ranked, inner = _rank_pairs_global(paired, partitions)
-            new_table = ranked.localCheckpoint(eager=True)
-        table = new_table
-        if inner is not None:
+            table = ranked.localCheckpoint(eager=True)
             inner.unpersist()
-        prev.unpersist()
-        prev = CheckpointHandle(table)
+            prev.unpersist()
+            prev = CheckpointHandle(table)
+            stats_src = table
         width *= 2
         run += 1
-        # one O(L)-scan agg per round on the materialized table: the
-        # still-tied row count (the mode switch + the all-distinct
-        # exit), the biggest group (window-partition safety), and the
-        # tied-group count (with n_active, the convergence signature:
-        # any split either grows the group count or shrinks the tied
-        # row count, so an unchanged pair means nothing split).
-        st = table.agg(
+        # one scan agg per round on the round's materialized frame —
+        # O(L) in global rounds, O(updated) in active rounds (frozen
+        # rows all have gsize <= 1, so the tied stats live entirely in
+        # the just-updated rows): the still-tied row count (the mode
+        # switch + the all-distinct exit), the biggest group
+        # (window-partition safety), the tied-group count (with
+        # n_active, the convergence signature: any split either grows
+        # the group count or shrinks the tied row count, so an
+        # unchanged pair means nothing split), and the frame's row
+        # count — which in active mode IS the round's checkpoint
+        # write volume (probe receipt for the delta overlay).
+        st = stats_src.agg(
             F.coalesce(
                 F.sum((F.col("gsize") > 1).cast("long")), F.lit(0)
             ).alias("na"),
@@ -343,8 +400,10 @@ def suffix_doubling_ranks(
             F.count_distinct(
                 F.when(F.col("gsize") > 1, F.col("rank"))
             ).alias("ga"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         n_active, max_gsize = st["na"], st["mg"]
+        written.append(int(st["n"]))
         if n_active == 0:
             all_distinct = True
             break
@@ -352,11 +411,34 @@ def suffix_doubling_ranks(
         if sig == prev_sig:
             break
         prev_sig = sig
+    if deltas:
+        # fold ONCE: latest version per updated (doc, pos) overlaid on
+        # the stale base — the single O(L) write the per-round
+        # checkpoints used to pay each.
+        wv = Window.partitionBy("doc", "pos").orderBy(
+            F.col("__v").desc()
+        )
+        latest = (
+            delta_union.withColumn("__rn", F.row_number().over(wv))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__v")
+        )
+        folded = table.join(
+            F.broadcast(latest.select("doc", "pos")),
+            ["doc", "pos"],
+            "left_anti",
+        ).unionByName(latest)
+        out = folded.localCheckpoint(eager=True)
+        prev.unpersist()
+        for h in delta_handles:
+            h.unpersist()
+        table = out
     if probe is not None:
         probe["rounds_run"] = run
         probe["active_rounds"] = active_runs
         probe["all_distinct"] = all_distinct
         probe["prefix_width"] = width
+        probe["written_rows_per_round"] = written
     return table
 
 
@@ -404,17 +486,17 @@ def suffix_array(
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
-    off_expr = F.lit(0)
-    for p, o in offsets.items():
-        if o:
-            off_expr = F.when(F.col("__pid") == p, F.lit(o)).otherwise(
-                off_expr
-            )
+    # broadcast (pid, offset) join, not a chained CASE WHEN — same
+    # constant-depth fix as _rank_pairs_global (VERDICT r13 #2)
+    off_df = ranks.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __off long",
+    )
     w = Window.partitionBy("__pid").orderBy("rank", "doc", "pos")
-    out = pid.select(
+    out = pid.join(F.broadcast(off_df), "__pid").select(
         "doc",
         "pos",
-        (F.row_number().over(w) + off_expr - F.lit(1))
+        (F.row_number().over(w) + F.col("__off") - F.lit(1))
         .cast("long")
         .alias("sa_rank"),
     )

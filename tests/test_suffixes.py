@@ -241,3 +241,37 @@ def test_global_rank_plan_depth_independent_of_partitions(spark):
         assert got == _py_suffix_order(DOCS), f"partitions={p}"
         plans[p] = sa._jdf.queryExecution().executedPlan().toString()
     assert plans[8].count("CASE WHEN") == plans[128].count("CASE WHEN")
+
+
+def test_active_rounds_checkpoint_only_tied_rows(spark):
+    """Delta-overlay receipt (VERDICT r13 #3): once rounds go active,
+    each round's checkpointed frame is the re-ranked tied rows only —
+    written_rows_per_round must DROP to the active-set size, never stay
+    at the O(L) corpus row count — and the folded final table is still
+    exactly the definitional order."""
+    # shared mid-corpus passage + unique tails: suffixes starting in
+    # the passage stay tied until the doubling width reaches their
+    # distance to the distinguishing tail, so the tied set SHRINKS
+    # round over round (positions near the tail resolve first) while
+    # unique-tail suffixes freeze early
+    common = "the common shared passage here"
+    docs = {f"d{i:02d}": common + f" tail{i:02d}" for i in range(16)}
+    probe: dict = {}
+    sa = suffix_array(_docs_df(spark, docs), "doc_id", "text", probe=probe)
+    got = [
+        (r["doc"], r["pos"]) for r in sa.orderBy("sa_rank").collect()
+    ]
+    assert got == _py_suffix_order(docs)
+    total = sum(len(t) for t in docs.values())
+    written = probe["written_rows_per_round"]
+    assert probe["active_rounds"] >= 1
+    # the global prefix writes O(L); every ACTIVE round writes the
+    # updated rows only (< the corpus) and the volumes never grow
+    n_global = probe["rounds_run"] - probe["active_rounds"]
+    active_written = written[n_global:]
+    assert active_written, written
+    assert all(wv < total for wv in active_written), (written, total)
+    assert active_written == sorted(active_written, reverse=True)
+    # and the tied set genuinely shrinks — the last active round's
+    # write is a small fraction of the corpus
+    assert active_written[-1] < total / 2, (written, total)
