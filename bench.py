@@ -142,6 +142,8 @@ def _sf_from_dir(d: str) -> float:
 
 
 def _fn(name: str):
+    all_queries()  # populate REGISTRY (fresh subprocesses import bench
+    # and call _fn directly — the isolated-probe path)
     if name in REGISTRY:
         return REGISTRY[name].fn
     # unregistered engine-surface queries (driver 50-query window)
@@ -1955,9 +1957,10 @@ def main() -> None:
         "insuite_sec": timings.get("q_join_inner"),
         "ref_insuite_r11_sec": 0.59,
     }
-    if ref_iso:
+    at_ref_sf = abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9
+    if ref_iso and at_ref_sf:
         box["factor_vs_r13"] = round(ref_iso / 1.01, 3)
-    if timings.get("q_join_inner"):
+    if timings.get("q_join_inner") and at_ref_sf:
         box["factor_insuite_vs_r11"] = round(
             timings["q_join_inner"] / 0.59, 3
         )
