@@ -1887,3 +1887,58 @@ def q_dup_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans_exact(docs, "doc", "t", 19).orderBy(
         "doc", "span_start"
     )
+
+
+def q_license_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 X89 license/attribution extraction
+    (operators/licenses.py — VERDICT r13 missing #3): pages
+    synthesized from documents where doc_id % 6 picks the evidence
+    shape (plain rel=license to an own-terms path; a rel token list
+    pointing at CC-BY-4.0; a bare badge href to CC-BY-SA-3.0; BOTH
+    channels with rel outranking the badge; a relative rel href
+    exercising RFC 3986 resolution; a licenseless page), classified by
+    extract_licenses.  UNREGISTERED; the DuckDB oracle derives each
+    doc's EXPECTED (license_url, license_source, license_id) from the
+    same construction rules (the q_url_dedup style — the regex zoo
+    itself is pinned element-by-element in tests/test_licenses.py)."""
+    from covid19i2b2_spark.operators.licenses import extract_licenses
+
+    shape = F.pmod("doc_id", F.lit(6)).cast("int")
+    url = F.concat(
+        F.lit("http://h"),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit(".com/a/b/p"),
+        F.col("doc_id").cast("string"),
+    )
+    own = F.concat(
+        F.lit("<link rel='license' href='/terms"),
+        F.col("doc_id").cast("string"),
+        F.lit("'>"),
+    )
+    cc_by = F.lit(
+        "<a rel=\"license nofollow\" "
+        "href=\"https://creativecommons.org/licenses/by/4.0/\">cc</a>"
+    )
+    badge = F.lit(
+        "<a href='https://creativecommons.org/licenses/by-sa/3.0/'>"
+        "<img src='b.png'></a>"
+    )
+    rel_up = F.lit("<link rel=license href=../t>")
+    html = (
+        F.when(shape == 0, own)
+        .when(shape == 1, cc_by)
+        .when(shape == 2, badge)
+        .when(shape == 3, F.concat(own, badge))
+        .when(shape == 4, rel_up)
+        .otherwise(F.lit("<p>plain page</p>"))
+    )
+    pages = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url.alias("url"),
+        html.alias("html"),
+    )
+    return (
+        extract_licenses(pages)
+        .select("doc_id", "license_url", "license_source", "license_id")
+        .orderBy("doc_id")
+    )
