@@ -242,6 +242,14 @@ def extract_links(
         blocks.withColumn("__href", _href_from(F.col("__ot")))
         .withColumn("__anchor", anchor)
         .withColumn("href", resolve_url(F.col("__base"), F.col("__href")))
-        .filter(F.col("href").rlike(r"(?i)^https?://"))
+        # prefix comparisons, not rlike: same semantics as
+        # '(?i)^https?://' with codegen'd compares instead of a regex
+        # match per anchor (one quiet-window read: +0.2 s for the
+        # regex at the 64 MB x1 corpus; within noise on the loaded
+        # box, kept because it is strictly simpler)
+        .filter(
+            (F.lower(F.substring("href", 1, 7)) == "http://")
+            | (F.lower(F.substring("href", 1, 8)) == "https://")
+        )
         .select("src", "href", F.col("__anchor").alias("anchor_text"))
     )
