@@ -184,6 +184,8 @@ def _rank_pairs_active(
     base: DataFrame,
     delta_union: DataFrame | None,
     width: int,
+    *,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """One ACTIVE-SET doubling round (Larsson–Sadakane): re-rank only
     the rows still in multi-member groups (gsize > 1).  Because ranks
@@ -195,23 +197,27 @@ def _rank_pairs_active(
     table as a STALE ``base`` checkpoint plus small per-round
     ``delta_union`` update frames (column ``__v`` = the round that
     wrote the row; latest wins).  The partner-rank probe semi-prunes
-    BOTH map-side with a broadcast of the active partner positions
-    (the caller guarantees the active set is under the broadcast cap)
-    — so the O(L) base is scanned, never shuffled and never
-    re-written — then resolves each partner's CURRENT rank by
+    BOTH against the active partner positions — map-side via
+    ``broadcast_keys`` when the caller knows the active set fits the
+    broadcast cap (the O(L) base is then scanned, never shuffled), or
+    as a plain shuffle semi join in the SHUFFLE-ACTIVE mode (round
+    14: tied sets past the cap still re-rank only themselves —
+    pathologically duplicated corpora no longer fall back to global
+    rounds) — then resolves each partner's CURRENT rank by
     latest-version-wins over the pruned survivors (a window over the
-    few pruned rows, not the corpus).  Returns the re-ranked active
-    rows (base schema); the caller checkpoints them as the next
-    delta."""
+    pruned rows, not the corpus).  Returns the re-ranked active rows
+    (base schema); the caller checkpoints them as the next delta."""
     akeys = active.select(
         "doc", (F.col("pos") + F.lit(width)).alias("pos")
     )
-    pb = base.join(
-        F.broadcast(akeys), ["doc", "pos"], "left_semi"
-    ).select("doc", "pos", "rank", F.lit(-1).alias("__v"))
+    if broadcast_keys:
+        akeys = F.broadcast(akeys)
+    pb = base.join(akeys, ["doc", "pos"], "left_semi").select(
+        "doc", "pos", "rank", F.lit(-1).alias("__v")
+    )
     if delta_union is not None:
         pd = delta_union.join(
-            F.broadcast(akeys), ["doc", "pos"], "left_semi"
+            akeys, ["doc", "pos"], "left_semi"
         ).select("doc", "pos", "rank", "__v")
         cand = pb.unionByName(pd)
         wv = Window.partitionBy("doc", "pos").orderBy(
@@ -337,19 +343,46 @@ def suffix_doubling_ranks(
     delta_handles: list[CheckpointHandle] = []
     delta_union: DataFrame | None = None
     written: list[int] = []
+    modes: list[str] = []
+    total_rows: int | None = None  # L, from the first (global) round
     for _ in range(rounds):
-        use_active = (
+        can_group = (max_gsize or 0) <= active_broadcast_cap
+        use_bcast = (
             n_active is not None
             and 0 < n_active <= active_broadcast_cap
-            and (max_gsize or 0) <= active_broadcast_cap
+            and can_group
         )
-        if use_active:
+        # SHUFFLE-ACTIVE (round 14, VERDICT r13 missing #1 second
+        # half): a tied set past the broadcast cap still re-ranks only
+        # itself — the partner semi join runs as a plain shuffle
+        # instead of a broadcast.  Gated at n_active <= L/4: each
+        # active round's partner lookup re-reads the O(L) base plus
+        # every prior delta, so with the tied set near L the overlay
+        # bookkeeping approaches the global round's one-pass cost and
+        # global stays the better plan.  Giant groups (max_gsize past
+        # the cap) also stay global — the within-group window puts a
+        # whole group in one task.
+        use_shuffle = (
+            not use_bcast
+            and n_active is not None
+            and n_active > 0
+            and can_group
+            and total_rows is not None
+            and n_active <= total_rows // 4
+        )
+        if use_bcast or use_shuffle:
             src = deltas[-1] if deltas else table
             active = src.filter(F.col("gsize") > 1)
             if deltas:
                 active = active.drop("__v")
             updated = (
-                _rank_pairs_active(active, table, delta_union, width)
+                _rank_pairs_active(
+                    active,
+                    table,
+                    delta_union,
+                    width,
+                    broadcast_keys=use_bcast,
+                )
                 .withColumn("__v", F.lit(run))
                 .localCheckpoint(eager=True)
             )
@@ -362,6 +395,7 @@ def suffix_doubling_ranks(
             )
             stats_src = updated
             active_runs += 1
+            modes.append("active" if use_bcast else "shuffle_active")
         else:
             shifted = table.select(
                 "doc",
@@ -379,6 +413,7 @@ def suffix_doubling_ranks(
             prev.unpersist()
             prev = CheckpointHandle(table)
             stats_src = table
+            modes.append("global")
         width *= 2
         run += 1
         # one scan agg per round on the round's materialized frame —
@@ -404,6 +439,8 @@ def suffix_doubling_ranks(
         ).collect()[0]
         n_active, max_gsize = st["na"], st["mg"]
         written.append(int(st["n"]))
+        if total_rows is None and modes[-1] == "global":
+            total_rows = int(st["n"])  # L — the shuffle-active gate
         if n_active == 0:
             all_distinct = True
             break
@@ -423,10 +460,17 @@ def suffix_doubling_ranks(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__v")
         )
+        # broadcast the anti-join keys only when the delta total fits
+        # the cap — shuffle-active rounds can accumulate deltas far
+        # past broadcastable size
+        delta_total = sum(
+            w for w, m in zip(written, modes) if m != "global"
+        )
+        keys = latest.select("doc", "pos")
+        if delta_total <= active_broadcast_cap:
+            keys = F.broadcast(keys)
         folded = table.join(
-            F.broadcast(latest.select("doc", "pos")),
-            ["doc", "pos"],
-            "left_anti",
+            keys, ["doc", "pos"], "left_anti"
         ).unionByName(latest)
         out = folded.localCheckpoint(eager=True)
         prev.unpersist()
@@ -439,6 +483,7 @@ def suffix_doubling_ranks(
         probe["all_distinct"] = all_distinct
         probe["prefix_width"] = width
         probe["written_rows_per_round"] = written
+        probe["modes"] = modes
     return table
 
 

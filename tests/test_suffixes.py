@@ -275,3 +275,56 @@ def test_active_rounds_checkpoint_only_tied_rows(spark):
     # and the tied set genuinely shrinks — the last active round's
     # write is a small fraction of the corpus
     assert active_written[-1] < total / 2, (written, total)
+
+
+def test_shuffle_active_mode_past_broadcast_cap(spark):
+    """Round 14: a tied set past active_broadcast_cap no longer falls
+    back to global rounds — it re-ranks only itself through the
+    shuffle semi join (probe mode 'shuffle_active'), with the final
+    order still exactly the definitional one.  cap=8 with tied sets in
+    the tens forces the mode; max_gsize must also clear the cap, so
+    the corpus keeps groups small (distinct doc tails)."""
+    from covid19i2b2_spark.operators.suffixes import (
+        suffix_doubling_ranks,
+    )
+
+    # seeded-random 300-char prefixes (genuinely aperiodic — an LCG or
+    # quadratic letter formula is period-26 and keeps the whole corpus
+    # tied past the round cap) + four passage variants shared by four
+    # docs each; the shared " common run" tail ties in groups of 16
+    # (under the cap) with ~600 tied rows (over the cap, under L/4)
+    import random
+    import string
+
+    rng = random.Random(88)
+    passages = [f"shared passage variant {k} common run" for k in range(4)]
+    docs = {
+        f"d{i:02d}": (
+            "".join(
+                rng.choice(string.ascii_lowercase) for _ in range(300)
+            )
+            + " " + passages[i % 4]
+        )
+        for i in range(16)
+    }
+    probe: dict = {}
+    ranks = suffix_doubling_ranks(
+        _docs_df(spark, docs),
+        "doc_id",
+        "text",
+        active_broadcast_cap=20,
+        probe=probe,
+    )
+    # order parity via the same final numbering the SA applies
+    got = [
+        (r["doc"], r["pos"])
+        for r in ranks.orderBy("rank", "doc", "pos").collect()
+    ]
+    assert got == _py_suffix_order(docs)
+    assert "shuffle_active" in probe["modes"], probe["modes"]
+    # shuffle-active rounds still write only the tied rows
+    total = sum(len(t) for t in docs.values())
+    for wv, m in zip(probe["written_rows_per_round"], probe["modes"]):
+        if m != "global":
+            assert wv < total, (probe["written_rows_per_round"],
+                                probe["modes"])
