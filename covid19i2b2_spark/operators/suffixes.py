@@ -647,3 +647,151 @@ def duplicated_spans_exact(
     )
     release_local_checkpoint(table)
     return out
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """df + ``out_col``: the text with the listed 1-based INCLUSIVE
+    character ranges removed — the surgery half of exact-substring
+    dedup (:func:`exact_substring_dedup` composes it with
+    :func:`duplicated_spans_exact`), usable with any spans source
+    (takedown ranges, PII offsets, X39's fixed-k spans).
+
+    Contract: overlapping/adjacent spans merge before cutting; spans
+    are clipped to the document (start < 1 clips to 1, ranges past the
+    end cut nothing — substring arithmetic self-clips); rows of ``df``
+    with no spans pass through unchanged; NULL text stays NULL.  A doc
+    whose every character is covered comes back '' (cut-everything is
+    a legal decision, distinguishable from NULL's invalid-input
+    reading — the X33 split).
+
+    Shape at 100 TB: one groupBy on the spans frame (span rows ≪
+    corpus chars by construction — they are merged maximal runs, not
+    per-character), one id-keyed left join, and per-row HOF aggregates
+    over the doc's own span array.  No explode of the corpus, no UDF;
+    the per-doc span arrays are bounded by that doc's distinct merged
+    spans."""
+    for c in (start_col, end_col):
+        if c not in spans.columns:
+            raise ValueError(f"spans frame is missing column {c!r}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists on the input — "
+            "pass a different out_col (a silent replace would shadow "
+            "caller data)"
+        )
+    sp = spans.select(
+        F.col(id_col).alias("__id"),
+        F.struct(
+            F.greatest(F.col(start_col).cast("long"), F.lit(1)).alias("s"),
+            F.col(end_col).cast("long").alias("e"),
+        ).alias("__sp"),
+    ).filter(F.col("__sp.s") <= F.col("__sp.e"))
+    per_doc = sp.groupBy("__id").agg(
+        F.array_sort(F.collect_list("__sp")).alias("__sps")
+    )
+    # merge overlapping/adjacent spans: fold the sorted array, either
+    # appending a disjoint span or widening the last accumulated one
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+
+    def _merge(acc, s):
+        last = F.element_at(acc, -1)
+        widened = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], s["e"]).alias("e"),
+                )
+            ),
+        )
+        return (
+            F.when(F.size(acc) == 0, F.array(s))
+            .when(s["s"] > last["e"] + 1, F.concat(acc, F.array(s)))
+            .otherwise(widened)
+        )
+
+    merged = per_doc.select(
+        "__id", F.aggregate("__sps", empty, _merge).alias("__sps")
+    )
+    joined = df.join(
+        merged, F.col(id_col) == F.col("__id"), "left"
+    ).drop("__id")
+    text = F.col(text_col)
+    # fold the disjoint sorted spans into (next uncut position, kept
+    # text so far); substring's clamping covers past-end spans
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("txt")
+    )
+
+    def _cut(acc, s):
+        return F.struct(
+            (s["e"] + 1).alias("pos"),
+            F.concat(
+                acc["txt"],
+                F.substring(text, acc["pos"], s["s"] - acc["pos"]),
+            ).alias("txt"),
+        )
+
+    def _finish(acc):
+        return F.concat(
+            acc["txt"],
+            F.substring(
+                text, acc["pos"], F.length(text) - acc["pos"] + 1
+            ),
+        )
+
+    out = F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.col("__sps").isNull(), text).otherwise(
+            F.aggregate("__sps", init, _cut, _finish)
+        )
+    )
+    return joined.withColumn(out_col, out).drop("__sps")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    *,
+    min_occurrences: int = 2,
+    partitions: int = 32,
+    out_col: str = "text_dedup",
+    probe: dict | None = None,
+) -> DataFrame:
+    """df + ``out_col``: the text with EVERY duplicated span of
+    >= ``min_len`` characters removed — the exact-substring
+    deduplication of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022, arXiv:2107.06499), whose
+    ExactSubstr variant removes ALL copies of a duplicated span (no
+    survivor: the span's content is over-represented in the corpus
+    either way; callers wanting keep-one semantics filter the spans
+    frame against their survivor set before :func:`cut_spans`).
+
+    One pass of :func:`duplicated_spans_exact` (floor(log2 min_len)
+    doubling rounds, collision-free by construction) feeding
+    :func:`cut_spans`."""
+    spans = duplicated_spans_exact(
+        df,
+        id_col,
+        text_col,
+        min_len,
+        min_occurrences=min_occurrences,
+        partitions=partitions,
+        probe=probe,
+    )
+    # duplicated_spans_exact normalizes its id column to 'doc'
+    if id_col != "doc":
+        spans = spans.withColumnRenamed("doc", id_col)
+    return cut_spans(
+        df, spans, id_col, text_col, out_col=out_col
+    )

@@ -1942,3 +1942,39 @@ def q_license_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "license_url", "license_source", "license_id")
         .orderBy("doc_id")
     )
+
+
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 X90 exact-substring dedup (operators/suffixes.py
+    exact_substring_dedup — Lee et al. 2022 ExactSubstr): the
+    q_dup_spans_sa corpus (30-char prefixes, every third doc carrying
+    the planted 27-char passage) with EVERY duplicated 19-char span
+    cut from EVERY carrier.  UNREGISTERED; the DuckDB oracle
+    re-derives the duplicated windows BRUTE-FORCE, expands them to
+    covered character positions, and rebuilds each doc's kept text
+    character by character (string_agg over uncovered positions) in
+    tests/test_oracle_parity.py — a fully independent replay of both
+    the span finding and the surgery."""
+    from covid19i2b2_spark.operators.suffixes import (
+        exact_substring_dedup,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 30),
+                F.when(
+                    F.pmod("doc_id", F.lit(3)) == 0,
+                    F.lit(" planted shared passage xyz"),
+                ).otherwise(F.lit("")),
+            ).alias("t"),
+        )
+    )
+    return (
+        exact_substring_dedup(docs, "doc_id", "t", 19)
+        .select("doc_id", "text_dedup")
+        .orderBy("doc_id")
+    )

@@ -328,3 +328,104 @@ def test_shuffle_active_mode_past_broadcast_cap(spark):
         if m != "global":
             assert wv < total, (probe["written_rows_per_round"],
                                 probe["modes"])
+
+
+# ---------------------------------------------------------------- X90
+
+
+def _py_cut(text, spans):
+    """Remove 1-based inclusive ranges; overlaps merge; clip to doc."""
+    if text is None:
+        return None
+    keep = [True] * len(text)
+    for s, e in spans:
+        for p in range(max(s, 1), min(e, len(text)) + 1):
+            keep[p - 1] = False
+    return "".join(c for c, k in zip(text, keep) if k)
+
+
+def test_cut_spans_zoo(spark):
+    from covid19i2b2_spark.operators.suffixes import cut_spans
+
+    docs = {
+        1: "abcdefghij",
+        2: "klmnopqrst",
+        3: "uvwxyz",
+        4: None,
+        5: "short",
+    }
+    spans = [
+        (1, 2, 4),          # middle
+        (1, 4, 6),          # overlapping -> merges to [2,6]
+        (1, 8, 8),          # disjoint single char
+        (2, 1, 10),         # cut everything -> ''
+        (3, -3, 2),         # clips to [1,2]
+        (3, 5, 99),         # past the end clips
+        (5, 90, 95),        # entirely past the end -> no-op
+    ]
+    df = spark.createDataFrame(
+        list(docs.items()), "id long, text string"
+    )
+    sp = spark.createDataFrame(
+        spans, "id long, span_start long, span_end long"
+    )
+    got = {
+        r["id"]: r["text_cut"]
+        for r in cut_spans(df, sp, "id", "text").collect()
+    }
+    by_id: dict = {}
+    for i, s, e in spans:
+        by_id.setdefault(i, []).append((s, e))
+    for i, text in docs.items():
+        want = _py_cut(text, by_id.get(i, []))
+        assert got[i] == want, (i, got[i], want)
+    # doc 4 (NULL text) and docs without spans pass through
+    assert got[4] is None
+
+
+def test_cut_spans_validation(spark):
+    from covid19i2b2_spark.operators.suffixes import cut_spans
+
+    df = spark.createDataFrame([(1, "x", "y")], "id long, text string, text_cut string")
+    sp = spark.createDataFrame([(1, 1, 1)], "id long, span_start long, span_end long")
+    with pytest.raises(ValueError, match="already exists"):
+        cut_spans(df, sp, "id", "text")
+    df2 = spark.createDataFrame([(1, "x")], "id long, text string")
+    bad = spark.createDataFrame([(1, 1)], "id long, span_start long")
+    with pytest.raises(ValueError, match="missing column"):
+        cut_spans(df2, bad, "id", "text")
+
+
+def test_exact_substring_dedup_matches_python(spark):
+    """Lee et al. ExactSubstr semantics: EVERY copy of a duplicated
+    >= min_len span is removed from every doc — replayed in Python
+    from the brute-force span oracle."""
+    from covid19i2b2_spark.operators.suffixes import (
+        exact_substring_dedup,
+    )
+
+    passage = "the exact duplicated passage body"
+    docs = {
+        "a": "lead text one " + passage + " tail a",
+        "b": passage + " completely different rest",
+        "c": "no duplication in this document at all",
+        "d": "",
+    }
+    m = 16
+    out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in exact_substring_dedup(
+            _docs_df(spark, docs), "doc_id", "text", m
+        ).collect()
+    }
+    spans = _py_dup_spans(docs, m)
+    by_doc: dict = {}
+    for d, s, e, _ in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, text in docs.items():
+        want = _py_cut(text, by_doc.get(d, []))
+        assert out[d] == want, (d, out[d], want)
+    # the duplicated passage is gone from BOTH carriers
+    assert passage not in out["a"] and passage not in out["b"]
+    assert out["c"] == docs["c"]
+    assert out["d"] == ""
