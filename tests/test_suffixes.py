@@ -429,3 +429,39 @@ def test_exact_substring_dedup_matches_python(spark):
     assert passage not in out["a"] and passage not in out["b"]
     assert out["c"] == docs["c"]
     assert out["d"] == ""
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    text=st.text(alphabet="abc ", min_size=0, max_size=30),
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=-2, max_value=35),
+            st.integers(min_value=-2, max_value=40),
+        ),
+        max_size=6,
+    ),
+)
+def test_cut_spans_property(spark, text, spans):
+    """Random span soup (overlaps, inversions, out-of-range, negatives)
+    against the positional-mask reference."""
+    from covid19i2b2_spark.operators.suffixes import cut_spans
+
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    sp = spark.createDataFrame(
+        [(1, s, e) for s, e in spans] or [(2, 1, 1)],
+        "id long, span_start long, span_end long",
+    )
+    got = {
+        r["id"]: r["text_cut"]
+        for r in cut_spans(df, sp, "id", "text").collect()
+    }
+    want = _py_cut(text, [(s, e) for s, e in spans if s <= e])
+    assert got[1] == want, (text, spans, got[1], want)
