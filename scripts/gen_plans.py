@@ -115,9 +115,14 @@ def _query_fn(name: str):
     if name in REGISTRY:
         return REGISTRY[name].fn
     # deregistered-but-still-shipped queries (driver 50-slot window)
-    from covid19i2b2_spark.queries import filters
+    from covid19i2b2_spark.queries import filters, llm
 
-    return {"q_topk": filters.q_topk}[name]
+    return {
+        "q_topk": filters.q_topk,
+        # round 14: slots ceded to q_lang_id / q_suffix_array
+        "q_fingerprint": llm.q_fingerprint,
+        "q_embedding_near_dup": llm.q_embedding_near_dup,
+    }[name]
 
 
 def excerpt(name: str) -> str:
