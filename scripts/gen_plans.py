@@ -80,6 +80,23 @@ COMMENT = {
         "to the fixed-point expression path under the unchanged DuckDB "
         "oracle (round 4 impl='kernel', A/B median 2.11 -> 1.35 s)."
     ),
+    "q_lang_id": (
+        "Trained language ID (X4', registered round 14). Check: the "
+        "profile side enters through a BroadcastHashJoin (|langs|·K "
+        "rows — KBs) onto the bounded bigram explode; ONE grouped "
+        "aggregate then ONE id-keyed window for the argmax; no "
+        "row-Python anywhere (zero ArrowEvalPython/BatchEvalPython — "
+        "training and scoring are pure expressions)."
+    ),
+    "q_suffix_array": (
+        "Distributed suffix array (X88, registered round 14). Check: "
+        "the plan shown is the FINAL numbering pass over the doubling "
+        "table — range-partition on (rank, doc, pos) + per-partition "
+        "row_number with the (pid, offset) frame entering through a "
+        "BroadcastHashJoin (constant plan depth at any partition "
+        "count; the iterative rounds are materialized localCheckpoints "
+        "released round-over-round, so they don't appear here)."
+    ),
 }
 
 
@@ -115,10 +132,12 @@ def _query_fn(name: str):
     if name in REGISTRY:
         return REGISTRY[name].fn
     # deregistered-but-still-shipped queries (driver 50-slot window)
-    from covid19i2b2_spark.queries import filters, llm
+    from covid19i2b2_spark.queries import filters, llm, llm2
 
     return {
         "q_topk": filters.q_topk,
+        # round 12: slot ceded to q_recrawl_schedule
+        "q_simhash_pairs": llm2.q_simhash_pairs,
         # round 14: slots ceded to q_lang_id / q_suffix_array
         "q_fingerprint": llm.q_fingerprint,
         "q_embedding_near_dup": llm.q_embedding_near_dup,
@@ -171,7 +190,21 @@ def main() -> None:
     for name, (_, comment) in EXTRA.items():
         out.append(f"## {name}\n\n{comment}\n\n```\n{excerpt(name)}\n```\n")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+    path = os.path.join(repo, "PLANS.md")
+    # PLANS.md carries hand-written narrative sections appended after
+    # generation (the round-over-round plan reviews); regeneration must
+    # carry over every section whose heading this script doesn't own.
+    known = {f"## {n}" for n in list(COMMENT) + list(EXTRA)}
+    if os.path.exists(path):
+        carried, keep = [], False
+        for line in open(path).read().splitlines():
+            if line.startswith("## "):
+                keep = line.rstrip() not in known
+            if keep:
+                carried.append(line)
+        if carried:
+            out.append("\n".join(carried))
+    with open(path, "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
 
