@@ -1949,22 +1949,24 @@ def main() -> None:
     # protocol).  factor ~1 means the box is at the r13 quiet level;
     # round-over-round per-query comparisons divide by the factor
     # before flagging drift (queries_normalized on the detail line).
-    ref_iso = _isolated_registry_query("q_join_inner", SF_DIR, SF_DIR)
-    box: dict = {
-        "probe": "q_join_inner",
-        "isolated_sec": ref_iso,
-        "ref_isolated_r13_sec": 1.01,
-        "insuite_sec": timings.get("q_join_inner"),
-        "ref_insuite_r11_sec": 0.59,
-    }
     at_ref_sf = abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9
-    if ref_iso and at_ref_sf:
-        box["factor_vs_r13"] = round(ref_iso / 1.01, 3)
-    if timings.get("q_join_inner") and at_ref_sf:
-        box["factor_insuite_vs_r11"] = round(
-            timings["q_join_inner"] / 0.59, 3
-        )
-    result["box_factor"] = box
+    if at_ref_sf:  # the probe is only meaningful against the sf0.1
+        # reference values — don't pay 3 fresh JVMs at other scales
+        ref_iso = _isolated_registry_query("q_join_inner", SF_DIR, SF_DIR)
+        box: dict = {
+            "probe": "q_join_inner",
+            "isolated_sec": ref_iso,
+            "ref_isolated_r13_sec": 1.01,
+            "insuite_sec": timings.get("q_join_inner"),
+            "ref_insuite_r11_sec": 0.59,
+        }
+        if ref_iso:
+            box["factor_vs_r13"] = round(ref_iso / 1.01, 3)
+        if timings.get("q_join_inner"):
+            box["factor_insuite_vs_r11"] = round(
+                timings["q_join_inner"] / 0.59, 3
+            )
+        result["box_factor"] = box
 
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
     if SCALE_X > 1:
@@ -2334,6 +2336,24 @@ def main() -> None:
         if result.pop(key, None) is not None:
             dropped.append(key)
             line = json.dumps(result)
+    if len(line) >= 1800:
+        # hard fallback (review r14): drop EVERYTHING outside the
+        # driver contract {metric, value, unit, queries, sf} — a line
+        # the driver's 2000-char tail truncates mid-JSON loses the
+        # whole round record, so any non-contract key goes first
+        contract = {"metric", "value", "unit", "queries", "sf"}
+        extra = [k for k in list(result) if k not in contract]
+        for key in extra:
+            result.pop(key)
+            dropped.append(key)
+        line = json.dumps(result)
+    if len(line) >= 1800:
+        print(
+            f"bench: compact line still {len(line)} chars after "
+            "dropping every non-contract key — the driver tail may "
+            "truncate it",
+            file=sys.stderr,
+        )
     if dropped:
         print(
             f"bench: compact line over 1800 chars; dropped {dropped} "

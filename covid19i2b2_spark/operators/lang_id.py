@@ -325,25 +325,17 @@ def classify_language_with_fallback(
     mostly foreign to the model) — fall back to lang_guess; 'und' only
     when both abstain.
 
-    Same output-column collision contract as classify_language: the
-    wrapper's own outputs (``out_col`` and, when min_coverage > 0, the
-    ``cov_col`` it forwards) must not shadow caller data — the inner
-    call only checks ITS out_col (the internal ``__lm_lang``), so the
-    wrapper validates here before composing."""
-    taken = [
-        c
-        for c in (
-            out_col,
-            *((cov_col,) if min_coverage > 0 else ()),
-            "__lm_lang",
-        )
-        if c in df.columns
-    ]
-    if taken:
+    Same output-column collision contract as classify_language.  The
+    wrapper validates only ITS OWN output (``out_col``) — the inner
+    call below already rejects collisions on ``__lm_lang`` (its
+    out_col), ``adv_col``, and the forwarded ``cov_col`` under the
+    same min_coverage gating, so re-checking them here would be a
+    second copy of the same contract to keep in sync (review r14)."""
+    if out_col in df.columns:
         raise ValueError(
-            f"output column(s) {taken} already exist on the input — "
-            "pass different out_col/adv_col/cov_col names (a silent "
-            "replace would shadow caller data)"
+            f"output column(s) ['{out_col}'] already exist on the "
+            "input — pass different out_col/adv_col/cov_col names (a "
+            "silent replace would shadow caller data)"
         )
     lm = classify_language(
         df,

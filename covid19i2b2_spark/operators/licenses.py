@@ -46,19 +46,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 # rel is a space-separated token LIST: accept license as any token in
 # the value (quoted — where the backreferenced quote bounds the token
 # scan — or bare single-token), on <link> or <a>.  The lookahead keeps
-# attribute order free (the X77/X83 pattern).
-_REL_TOKEN = (
+# attribute order free (the X77/X83 pattern).  Token boundaries are
+# (?<![\w-])/(?![\w-]) rather than \b: rel="license-info" is a
+# DIFFERENT token per the HTML spec, and \b treats '-' as a boundary
+# (review r14).  The whole-document pass captures the FIRST matching
+# ELEMENT (group 3 = the full tag); href extraction then runs over
+# that short tag string, so a later quoted declaration can never
+# outrank an earlier bare one (first-declaration-wins for real,
+# review r14).
+_TOK = r"(?<![\w-])license(?![\w-])"
+_REL_LICENSE_ELEM = (
+    r"(?is)(<(?:link|a)\b"
     r"(?=[^>]*\brel\s*=\s*"
-    r"(?:([\"'])(?:(?!\1)[^>])*\blicense\b|license\b))"
+    r"(?:([\"'])(?:(?!\2)[^>])*" + _TOK + r"|" + _TOK + r"))"
+    r"[^>]*>)"
 )
-_REL_LICENSE_Q = (
-    r"(?is)<(?:link|a)\b" + _REL_TOKEN +
-    r"[^>]*\bhref\s*=\s*([\"'])(.*?)\2"
-)
-_REL_LICENSE_BARE = (
-    r"(?is)<(?:link|a)\b" + _REL_TOKEN +
-    r"[^>]*\bhref\s*=\s*([^\s\"'>]+)"
-)
+_HREF_Q = r"(?is)\bhref\s*=\s*([\"'])(.*?)\1"
+_HREF_BARE = r"(?is)\bhref\s*=\s*([^\s\"'>]+)"
 # a CC license/publicdomain URL used as an href anywhere on the page
 _CC_HREF = (
     r"(?is)\bhref\s*=\s*[\"']?\s*"
@@ -90,9 +94,13 @@ def rel_license_link(
 
     h = _col(html_col)
     u = _col(url_col)
-    quoted = F.regexp_extract(h, _REL_LICENSE_Q, 3)
-    bare = F.regexp_extract(h, _REL_LICENSE_BARE, 2)
-    raw = F.when(quoted != "", quoted).otherwise(
+    # ONE whole-document regex captures the first declaring element;
+    # quote-style disambiguation happens on the short tag string where
+    # declaration order cannot be inverted
+    elem = F.regexp_extract(h, _REL_LICENSE_ELEM, 1)
+    quoted = F.regexp_extract(elem, _HREF_Q, 2)
+    bare = F.regexp_extract(elem, _HREF_BARE, 1)
+    raw = F.when(F.regexp_extract(elem, _HREF_Q, 0) != "", quoted).otherwise(
         F.when(bare != "", bare)
     )
     cleaned = _xml_unescape(F.regexp_replace(raw, r"[\t\r\n]", ""))

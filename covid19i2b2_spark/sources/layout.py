@@ -24,7 +24,11 @@ _LOG = logging.getLogger(__name__)
 def _default_table_location(spark: SparkSession, table_name: str) -> str | None:
     """The managed-table location ``saveAsTable`` would use for
     ``table_name`` under a LOCAL warehouse dir; None when the warehouse
-    is remote (hdfs/s3 — leave those to the catalog)."""
+    is remote (hdfs/s3 — leave those to the catalog).  An unqualified
+    name resolves against the session's CURRENT database (review r14:
+    assuming default here would rmtree default.<name>'s live data when
+    a caller overwrites staging.<name>); the default database maps to
+    the warehouse root, every other database to ``<db>.db/``."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     parsed = urlparse(wh)
     if parsed.scheme not in ("", "file"):
@@ -32,8 +36,12 @@ def _default_table_location(spark: SparkSession, table_name: str) -> str | None:
     base = parsed.path or wh
     parts = table_name.lower().split(".")
     if len(parts) == 2:
-        return os.path.join(base, f"{parts[0]}.db", parts[1])
-    return os.path.join(base, parts[0])
+        db, name = parts
+    else:
+        db, name = spark.catalog.currentDatabase().lower(), parts[0]
+    if db == "default":
+        return os.path.join(base, name)
+    return os.path.join(base, f"{db}.db", name)
 
 
 def write_bucketed(

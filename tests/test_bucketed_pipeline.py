@@ -72,3 +72,35 @@ def test_write_bucketed_replays_over_stranded_location(spark):
             assert spark.table("strand_t").count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS strand_t")
+
+
+def test_overwrite_in_other_database_spares_default_table(spark):
+    """Review r14: an unqualified overwrite while the CURRENT database
+    is not default must clear THAT database's stranded location, never
+    default.<name>'s live data."""
+    import os
+
+    from covid19i2b2_spark.sources.layout import _default_table_location
+
+    obs = adapter.observation_fact(spark, SF_DIR).limit(50)
+    spark.sql("CREATE DATABASE IF NOT EXISTS stagingdb")
+    try:
+        # live managed table in default
+        write_bucketed(obs, "default.shared_t", ["patient_num"], n_buckets=2)
+        default_loc = _default_table_location(spark, "default.shared_t")
+        spark.catalog.setCurrentDatabase("stagingdb")
+        # location resolution follows the current database
+        loc = _default_table_location(spark, "shared_t")
+        assert loc.endswith(os.path.join("stagingdb.db", "shared_t"))
+        # strand the staging location, then overwrite unqualified
+        os.makedirs(os.path.join(loc, "leftover"), exist_ok=True)
+        write_bucketed(obs, "shared_t", ["patient_num"], n_buckets=2)
+        assert spark.table("stagingdb.shared_t").count() == 50
+        # default's table and its data survived
+        assert spark.table("default.shared_t").count() == 50
+        assert os.path.isdir(default_loc)
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS stagingdb.shared_t")
+        spark.sql("DROP TABLE IF EXISTS default.shared_t")
+        spark.sql("DROP DATABASE IF EXISTS stagingdb CASCADE")

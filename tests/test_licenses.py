@@ -49,6 +49,18 @@ REL_ZOO = [
     # 'licenses' is a DIFFERENT token; substring must not match
     (9, "http://a.com/p", "<link rel='licenses' href='/no'>", None),
     (10, "http://a.com/p", "<a href='/no'>no rel</a>", None),
+    # hyphenated rel tokens are different tokens too (review r14:
+    # \b would treat '-' as a boundary and match these)
+    (14, "http://a.com/p",
+     "<a rel='license-info nofollow' href='/no'>x</a>", None),
+    (15, "http://a.com/p", "<link rel='my-license' href='/no'>", None),
+    # first-declaration-wins across QUOTE STYLES (review r14: the
+    # quoted-pattern-first form returned the LATER quoted declaration
+    # over an earlier bare one)
+    (16, "http://a.com/p",
+     "<a rel=license href=/bare-first>x</a>"
+     "<link rel='license' href='/quoted-second'>",
+     "http://a.com/bare-first"),
     (11, "http://a.com/p", None, None),
     # non-http(s) resolution -> NULL
     (12, "http://a.com/p",
