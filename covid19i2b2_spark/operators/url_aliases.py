@@ -38,14 +38,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_CANONICAL = (
-    r"(?is)<link\b(?=[^>]*\brel\s*=\s*[\"']?\s*canonical\s*[\"'\s/>])"
-    r"[^>]*\bhref\s*=\s*([\"'])(.*?)\1"
+# The whole-document pass captures the FIRST declaring ELEMENT; href
+# extraction then runs over that short tag string, so a later quoted
+# declaration can never outrank an earlier bare one (first-declaration-
+# wins for real — round 14, the same fix as licenses.py).
+_CANONICAL_ELEM = (
+    r"(?is)(<link\b(?=[^>]*\brel\s*=\s*[\"']?\s*canonical\s*[\"'\s/>])"
+    r"[^>]*>)"
 )
-_CANONICAL_BARE = (
-    r"(?is)<link\b(?=[^>]*\brel\s*=\s*[\"']?\s*canonical\s*[\"'\s/>])"
-    r"[^>]*\bhref\s*=\s*([^\s\"'>]+)"
-)
+_HREF_Q = r"(?is)\bhref\s*=\s*([\"'])(.*?)\1"
+_HREF_BARE = r"(?is)\bhref\s*=\s*([^\s\"'>]+)"
 
 
 def canonical_link(
@@ -60,11 +62,12 @@ def canonical_link(
 
     h = F.col(html_col) if isinstance(html_col, str) else html_col
     u = F.col(url_col) if isinstance(url_col, str) else url_col
-    quoted = F.regexp_extract(h, _CANONICAL, 2)
-    bare = F.regexp_extract(h, _CANONICAL_BARE, 1)
-    raw = F.when(quoted != "", quoted).otherwise(
-        F.when(bare != "", bare)
-    )
+    elem = F.regexp_extract(h, _CANONICAL_ELEM, 1)
+    quoted = F.regexp_extract(elem, _HREF_Q, 2)
+    bare = F.regexp_extract(elem, _HREF_BARE, 1)
+    raw = F.when(
+        F.regexp_extract(elem, _HREF_Q, 0) != "", quoted
+    ).otherwise(F.when(bare != "", bare))
     # tab/CR/LF are stripped from URL attribute values per HTML (the
     # X69 rule), entities decoded before resolution.  BOTH the cleaned
     # href and the resolved URL are bound ONCE via single-element HOF

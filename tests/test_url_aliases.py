@@ -42,6 +42,13 @@ ZOO = [
     # javascript: canonical resolves to non-http(s) -> NULL
     (10, "http://a.com/p",
      "<link rel='canonical' href='javascript:void(0)'>", None),
+    # first-declaration-wins across QUOTE STYLES (round 14: the
+    # quoted-pattern-first form returned the LATER quoted declaration
+    # over an earlier bare one)
+    (11, "http://a.com/p",
+     "<link rel=canonical href=/bare-first>"
+     "<link rel='canonical' href='/quoted-second'>",
+     "http://a.com/bare-first"),
 ]
 
 
