@@ -1966,7 +1966,16 @@ def main() -> None:
             box["factor_insuite_vs_r11"] = round(
                 timings["q_join_inner"] / 0.59, 3
             )
-        result["box_factor"] = box
+        # the full dict rides the detail line; the compact line keeps
+        # only the same-protocol isolated comparison (the in-suite
+        # reading is the noisy one — 1.57-4.79x swings on identical
+        # code this round) to preserve compact-line headroom
+        result["box_factor_full"] = box
+        result["box_factor"] = {
+            k: box[k]
+            for k in ("probe", "isolated_sec", "factor_vs_r13")
+            if k in box
+        }
 
     result["incremental_dedup"] = _bench_incremental_dedup(spark)
     if SCALE_X > 1:
@@ -2185,6 +2194,7 @@ def main() -> None:
         "fetch_ingest",
         "redirects_scaled",
         "sketch_stores",
+        "box_factor_full",
         "scaled",
         "llm_scaled",
         "scaled_x100",
