@@ -74,6 +74,26 @@ def test_write_bucketed_replays_over_stranded_location(spark):
         spark.sql("DROP TABLE IF EXISTS strand_t")
 
 
+def test_overwrite_from_self_preserves_read_guard(spark):
+    """ADVICE r14 medium: when the catalog entry EXISTS, the overwrite
+    must go through saveAsTable's own path so Spark's cannot-overwrite-
+    a-table-being-read-from guard still fires BEFORE any data is
+    touched — an unconditional pre-clear would delete the source files
+    first and lose both old and new data.  Pin: self-referential
+    overwrite raises, and the original rows survive intact."""
+    import pytest
+
+    obs = adapter.observation_fact(spark, SF_DIR).limit(80)
+    try:
+        write_bucketed(obs, "selfref_t", ["patient_num"], n_buckets=4)
+        derived = spark.table("selfref_t").filter(F.col("patient_num") >= 0)
+        with pytest.raises(Exception):
+            write_bucketed(derived, "selfref_t", ["patient_num"], n_buckets=4)
+        assert spark.table("selfref_t").count() == 80
+    finally:
+        spark.sql("DROP TABLE IF EXISTS selfref_t")
+
+
 def test_overwrite_in_other_database_spares_default_table(spark):
     """Review r14: an unqualified overwrite while the CURRENT database
     is not default must clear THAT database's stranded location, never
