@@ -1491,6 +1491,33 @@ def _bench_suffix_spans(spark) -> dict:
     out["dup_spans_linear_ratio_full_vs_half"] = round(
         out["dup_spans_full_sec"] / ratio_denom, 3
     )
+    # round 15 (VERDICT r14 next #1): the cluster-scoped hybrid —
+    # MinHash candidates -> star components -> SA surgery within
+    # clusters only.  The receipt is chars-processed ∝ cluster bytes:
+    # probe cluster_chars vs corpus_chars, plus the wall ratio vs the
+    # corpus-wide exact pass timed above.
+    from covid19i2b2_spark.operators.suffixes import (
+        clustered_exact_substring_dedup,
+    )
+
+    probe = {}
+    t0 = time.perf_counter()
+    clustered_exact_substring_dedup(
+        docs, "doc", "text", 32, probe=probe
+    ).write.format("noop").mode("overwrite").save()
+    out["clustered_exact_dedup_sec"] = round(time.perf_counter() - t0, 3)
+    out["clustered_cluster_mchars"] = round(
+        probe.get("cluster_chars", 0) / 1e6, 3
+    )
+    out["clustered_corpus_mchars"] = round(
+        probe.get("corpus_chars", 0) / 1e6, 3
+    )
+    out["clustered_chars_fraction"] = round(
+        probe.get("cluster_chars", 0)
+        / max(probe.get("corpus_chars", 1), 1),
+        3,
+    )
+    out["clustered_n_clusters"] = probe.get("n_clusters")
     probe = {}
     t0 = time.perf_counter()
     sa = suffix_array(docs, "doc", "text", probe=probe)

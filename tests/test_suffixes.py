@@ -493,3 +493,167 @@ def test_cut_spans_property(spark, text, spans):
     }
     want = _py_cut(text, [(s, e) for s, e in spans if s <= e])
     assert got[1] == want, (text, spans, got[1], want)
+
+
+# ---------------------------------------------------------------- #
+# Cluster-scoped exact-substring dedup (round 15, VERDICT r14 #1)   #
+# ---------------------------------------------------------------- #
+
+PASSAGE_A = "the shared exact passage that is long enough to matter here"
+PASSAGE_B = "another distinct duplicated block of comparable length too ok"
+CLUSTER_DOCS = {
+    "a1": "unique head one " + PASSAGE_A + " unique tail one",
+    "a2": "different head " + PASSAGE_A + " and a different tail",
+    "b1": PASSAGE_B + " with some unique trailing words",
+    "b2": "leading filler words then " + PASSAGE_B,
+    "u1": "entirely unique document with no duplication at all xq",
+    "u2": "another singleton text sharing nothing with the rest zq",
+}
+CLUSTER_MAP = {"a1": "A", "a2": "A", "b1": "B", "b2": "B"}
+
+
+def _clusters_df(spark, mapping: dict):
+    return spark.createDataFrame(
+        list(mapping.items()), "doc_id string, cluster string"
+    )
+
+
+def test_clustered_spans_match_global_when_recall_holds(spark):
+    """When every duplicated pair lands in one shared cluster, the
+    cluster-scoped spans equal the global answer exactly."""
+    df = _docs_df(spark, CLUSTER_DOCS)
+    m = 30
+    key = lambda rows: sorted(
+        (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
+        for r in rows
+    )
+    g = duplicated_spans_exact(df, "doc_id", "text", m).collect()
+    c = duplicated_spans_exact(
+        df, "doc_id", "text", m,
+        clusters=_clusters_df(spark, CLUSTER_MAP),
+    ).collect()
+    assert key(c) == key(g)
+    assert key(g) == sorted(_py_dup_spans(CLUSTER_DOCS, m))
+
+
+def test_clustered_spans_do_not_cross_clusters(spark):
+    """A duplicate pair the candidate stage failed to co-cluster is
+    NOT found — the documented recall contract (occurrences count per
+    cluster only)."""
+    df = _docs_df(spark, CLUSTER_DOCS)
+    wrong = {"a1": "A", "a2": "B", "b1": "C", "b2": "D"}
+    out = duplicated_spans_exact(
+        df, "doc_id", "text", 30,
+        clusters=_clusters_df(spark, wrong),
+    ).collect()
+    assert out == []
+
+
+def test_clustered_spans_chars_receipt(spark):
+    """The doubling loop's working set is cluster bytes, not corpus
+    bytes: the seed round's written rows equal the clustered docs'
+    char count."""
+    df = _docs_df(spark, CLUSTER_DOCS)
+    probe: dict = {}
+    duplicated_spans_exact(
+        df, "doc_id", "text", 30,
+        clusters=_clusters_df(spark, CLUSTER_MAP), probe=probe,
+    ).collect()
+    cluster_chars = sum(
+        len(CLUSTER_DOCS[d]) for d in CLUSTER_MAP
+    )
+    corpus_chars = sum(len(t) for t in CLUSTER_DOCS.values())
+    assert probe["written_rows_per_round"][0] == cluster_chars
+    assert cluster_chars < corpus_chars
+
+
+def test_self_repeat_candidates_flags_repeater_only(spark):
+    from covid19i2b2_spark.operators.suffixes import (
+        self_repeat_candidates,
+    )
+
+    block = "a genuinely repeated internal passage of decent length"
+    docs = {
+        "rep": block + " filler " + block,
+        "uniq": "completely unrepetitive text with all fresh words on"
+        " display throughout the entire document body here",
+    }
+    got = {
+        r["doc_id"]
+        for r in self_repeat_candidates(
+            _docs_df(spark, docs), "doc_id", "text"
+        ).collect()
+    }
+    assert got == {"rep"}
+
+
+def test_span_candidate_clusters_exact_recall(spark):
+    """The k-grid candidate stage co-clusters every doc pair sharing a
+    >= min_len window — including low-Jaccard sharers MinHash banding
+    structurally misses — and leaves span-free docs out entirely."""
+    from covid19i2b2_spark.operators.suffixes import (
+        span_candidate_clusters,
+    )
+
+    docs = dict(CLUSTER_DOCS)
+    cl = {
+        r["doc_id"]: r["cluster"]
+        for r in span_candidate_clusters(
+            _docs_df(spark, docs), "doc_id", "text", 30
+        ).collect()
+    }
+    assert cl["a1"] == cl["a2"]
+    assert cl["b1"] == cl["b2"]
+    assert cl["a1"] != cl["b1"]
+    assert "u1" not in cl and "u2" not in cl
+
+
+def test_clustered_exact_substring_dedup_matches_global(spark):
+    """End-to-end hybrid: k-grid candidates -> star components ->
+    scoped SA surgery == the global Lee et al. answer, on a corpus
+    that includes the cases pair-based candidate stages miss: a
+    self-repeating singleton and a low-Jaccard pair whose only
+    similarity is one shared passage buried in long unique text."""
+    from covid19i2b2_spark.operators.suffixes import (
+        clustered_exact_substring_dedup,
+        exact_substring_dedup,
+    )
+
+    docs = dict(CLUSTER_DOCS)
+    # a self-repeating singleton: no partner doc to pair with
+    rep = "this very passage is repeated verbatim inside one doc"
+    docs["s1"] = rep + " -- " + rep
+    # a low-Jaccard pair: one shared 34-char passage inside long
+    # otherwise-disjoint text (shingle Jaccard well under any LSH knee)
+    needle = "the buried shared fragment is here"
+    docs["l1"] = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        + needle
+        + " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    docs["l2"] = (
+        "one two three four five six seven eight nine ten eleven "
+        + needle
+        + " twelve thirteen fourteen fifteen sixteen seventeen wow"
+    )
+    df = _docs_df(spark, docs)
+    m = 30
+    want = {
+        (r["doc_id"], r["text_dedup"])
+        for r in exact_substring_dedup(df, "doc_id", "text", m).collect()
+    }
+    probe: dict = {}
+    got = {
+        (r["doc_id"], r["text_dedup"])
+        for r in clustered_exact_substring_dedup(
+            df, "doc_id", "text", m, probe=probe
+        ).collect()
+    }
+    assert got == want
+    # the needle really was cut from both low-Jaccard docs
+    cut = dict(got)
+    assert needle not in cut["l1"] and needle not in cut["l2"]
+    # u1/u2 never entered a cluster -> passed through unchanged
+    assert ("u1", docs["u1"]) in got and ("u2", docs["u2"]) in got
+    assert 0 < probe["cluster_chars"] < probe["corpus_chars"]
+    assert probe["cluster_docs"] < len(docs)
