@@ -130,6 +130,9 @@ HEADLINE = [
     # and the distributed suffix array), tracked per-round
     "q_lang_id",
     "q_suffix_array",
+    # round 15: the newly registered exact-substring surgery (slot
+    # ceded by q_scalar_funcs), tracked per-round
+    "q_exact_substr_dedup",
 ]
 
 

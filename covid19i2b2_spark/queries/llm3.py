@@ -1944,17 +1944,67 @@ def q_license_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_exact_substr_dedup",
+    # Brute-force replay of both halves: re-derive the duplicated
+    # 19-char windows, expand to covered character positions, rebuild
+    # each doc's kept text from the uncovered characters.
+    oracle="""
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               substr(text, 1, 30)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' planted shared passage xyz'
+                           ELSE '' END AS t
+        FROM documents
+        WHERE doc_id < 90
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(1, CAST(greatest(length(t) - 19 + 2, 1)
+                                    AS BIGINT))) AS pos,
+               unnest([t[CAST(i AS INT):CAST(i + 18 AS INT)]
+                       FOR i IN range(1, CAST(greatest(length(t) - 19
+                                                       + 2, 1)
+                                              AS BIGINT))]) AS w
+        FROM docs
+    ),
+    dupw AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+    dstart AS (SELECT doc_id, pos FROM wins JOIN dupw USING (w)),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + k AS cp
+        FROM dstart, (SELECT unnest(range(0, 19)) AS k)
+    ),
+    chars AS (
+        SELECT doc_id,
+               unnest(range(1, length(t) + 1)) AS p,
+               unnest([t[CAST(i AS INT):CAST(i AS INT)]
+                       FOR i IN range(1, length(t) + 1)]) AS ch
+        FROM docs
+    ),
+    kept AS (
+        SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.p) AS txt
+        FROM chars c
+        LEFT JOIN covered v ON c.doc_id = v.doc_id AND c.p = v.cp
+        WHERE v.cp IS NULL
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id, COALESCE(k.txt, '') AS text_dedup
+    FROM docs d LEFT JOIN kept k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
 def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-14 X90 exact-substring dedup (operators/suffixes.py
     exact_substring_dedup — Lee et al. 2022 ExactSubstr): the
     q_dup_spans_sa corpus (30-char prefixes, every third doc carrying
     the planted 27-char passage) with EVERY duplicated 19-char span
-    cut from EVERY carrier.  UNREGISTERED; the DuckDB oracle
-    re-derives the duplicated windows BRUTE-FORCE, expands them to
-    covered character positions, and rebuilds each doc's kept text
-    character by character (string_agg over uncovered positions) in
-    tests/test_oracle_parity.py — a fully independent replay of both
-    the span finding and the surgery."""
+    cut from EVERY carrier.  REGISTERED round 15 (VERDICT r14 next #5,
+    slot ceded by q_scalar_funcs): the DuckDB oracle re-derives the
+    duplicated windows BRUTE-FORCE, expands them to covered character
+    positions, and rebuilds each doc's kept text character by
+    character (string_agg over uncovered positions) — a fully
+    independent replay of both the span finding and the surgery."""
     from covid19i2b2_spark.operators.suffixes import (
         exact_substring_dedup,
     )

@@ -5,33 +5,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from covid19i2b2_spark.functions.codes import icd_3chars, strip_prefix
-from covid19i2b2_spark.registry import query
 from covid19i2b2_spark.sources.tables import read_table
 
 
-@query(
-    "q_scalar_funcs",
-    oracle="""
-    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
-           COUNT(*) AS n_orders,
-           MIN(CAST(o_orderdate AS DATE)) AS first_date,
-           MAX(CAST(o_orderdate AS DATE)) AS last_date,
-           date_diff('day', MIN(CAST(o_orderdate AS DATE)),
-                     MAX(CAST(o_orderdate AS DATE))) AS span_days,
-           MIN(CAST(o_orderdate AS DATE)) + 30 AS first_plus_30,
-           MIN(LENGTH(o_orderpriority)) AS min_prio_len,
-           MAX(UPPER(o_orderstatus)) AS max_status_upper,
-           MIN(SUBSTRING(o_orderpriority, 1, 1) || ':' || o_orderstatus)
-               AS min_prio_tag,
-           CAST(SUM(CASE WHEN NULLIF(o_orderkey % 3, 0) IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mod3_zero,
-           CAST(SUM(COALESCE(NULLIF(o_orderkey % 3, 0), -1)) AS BIGINT)
-               AS sum_effective_mod3
-    FROM orders
-    GROUP BY 1
-    ORDER BY order_month
-    """,
-)
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F3/F5/F7/F9/F10: the scalar-function surface in one slot —
     DATEDIFF / DATEADD / CAST-to-date (the reference's
@@ -39,7 +15,15 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEN / UPPER / SUBSTRING / concat (CSV-line building, §output), and
     NULLIF + COALESCE (default-stdev-0 and divide-by-zero guards).
     Merges round-1's q_date_arith / q_string_funcs / q_null_funcs into
-    one driver slot (50-query window, VERDICT r1 #1)."""
+    one driver slot (50-query window, VERDICT r1 #1).
+
+    Round 15: slot ceded to q_exact_substr_dedup (VERDICT r14 next #5)
+    — every family here stays driver-green elsewhere (date arithmetic
+    via q_range_join/q_covid_cohort/q_asof_first, string funcs via the
+    covid CSV rows and q_covid_diagnoses, NULLIF/COALESCE via
+    q_labs_stats), and this exact query keeps full DuckDB parity via
+    UNREGISTERED_ORACLES (oracle preserved verbatim in
+    tests/test_oracle_parity.py)."""
     orders = read_table(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     eff_prio = F.nullif(F.col("o_orderkey") % 3, F.lit(0))
