@@ -61,11 +61,11 @@ _REL_LICENSE_ELEM = (
     r"(?:([\"'])(?:(?!\2)[^>])*" + _TOK + r"|" + _TOK + r"))"
     r"[^>]*>)"
 )
-_HREF_Q = r"(?is)\bhref\s*=\s*([\"'])(.*?)\1"
-_HREF_BARE = r"(?is)\bhref\s*=\s*([^\s\"'>]+)"
+_HREF_Q = r"(?is)(?<![\w-])href\s*=\s*([\"'])(.*?)\1"
+_HREF_BARE = r"(?is)(?<![\w-])href\s*=\s*([^\s\"'>]+)"
 # a CC license/publicdomain URL used as an href anywhere on the page
 _CC_HREF = (
-    r"(?is)\bhref\s*=\s*[\"']?\s*"
+    r"(?is)(?<![\w-])href\s*=\s*[\"']?\s*"
     r"(https?://(?:www\.)?creativecommons\.org/"
     r"(?:licenses/[a-z][a-z-]*/\d+(?:\.\d+)?|"
     r"publicdomain/(?:zero|mark)/\d+(?:\.\d+)?)[^\s\"'>]*)"
@@ -88,7 +88,15 @@ def rel_license_link(
     ``rel="license"`` (<link> or <a>; license as any rel token), or
     NULL.  First declaration wins; relative hrefs resolve against the
     page URL (RFC 3986); entity-decoded; tab/CR/LF stripped per the
-    HTML URL-attribute rule (the X69/X83 conventions)."""
+    HTML URL-attribute rule (the X69/X83 conventions).
+
+    Documented trade-off (review r15): first-ELEMENT-wins — a first
+    declaring element with no extractable href (markup error, e.g. a
+    bare ``<link rel="license">``) yields NULL even when a later
+    well-formed declaration exists.  Declaration order is evidence
+    order here; recovering from malformed first declarations would
+    need an all-declarations scan (the cost the single-capture design
+    deliberately avoids)."""
     from covid19i2b2_spark.operators.links import resolve_url
     from covid19i2b2_spark.operators.robots import _xml_unescape
 

@@ -46,8 +46,8 @@ _CANONICAL_ELEM = (
     r"(?is)(<link\b(?=[^>]*\brel\s*=\s*[\"']?\s*canonical\s*[\"'\s/>])"
     r"[^>]*>)"
 )
-_HREF_Q = r"(?is)\bhref\s*=\s*([\"'])(.*?)\1"
-_HREF_BARE = r"(?is)\bhref\s*=\s*([^\s\"'>]+)"
+_HREF_Q = r"(?is)(?<![\w-])href\s*=\s*([\"'])(.*?)\1"
+_HREF_BARE = r"(?is)(?<![\w-])href\s*=\s*([^\s\"'>]+)"
 
 
 def canonical_link(

@@ -56,6 +56,16 @@ class CurationConfig:
     # raw crawl HTML in text_col: strip tags/scripts/entities before any
     # other stage (map-only; operators/text.py strip_html)
     html_input: bool = False
+    # carry X89 license/attribution provenance (round 15, VERDICT r14
+    # #6): extract license evidence from the RAW html BEFORE strip_html
+    # and before any dedup/surgery stage — rel="license" tags and CC
+    # badge hrefs are exactly the templated fragments that boilerplate
+    # line-dedup and duplicated-span excision remove, so post-surgery
+    # extraction would silently lose the provenance the corpus is
+    # legally required to keep.  Output gains license_url /
+    # license_source / license_id (NULL for licenseless pages).
+    # Requires html_input=True and a `url` column on the corpus.
+    carry_licenses: bool = False
     boilerplate_max_doc_frac: float = 0.1
     # floor for "appears in >= this many docs" — keeps a line shared by a
     # handful of exact-dup docs from reading as corpus boilerplate on
@@ -153,6 +163,30 @@ def curate(
     nondeterministic timing; repeated curate() calls in one session
     should pass handles (tests pin zero storage growth over 20 calls).
     """
+    licenses = None
+    if config.carry_licenses:
+        # PRE-SURGERY by contract (VERDICT r14 #6): the evidence tags
+        # live in the raw html and frequently INSIDE duplicated spans
+        # (every CC-BY page carries the same badge markup), so this
+        # must run before strip_html and before any dedup stage cuts
+        # the bytes that carried the declaration
+        if not config.html_input:
+            raise ValueError(
+                "carry_licenses requires html_input=True — license "
+                "evidence is extracted from the raw HTML"
+            )
+        if "url" not in corpus.columns:
+            raise ValueError(
+                "carry_licenses requires a 'url' column on the corpus "
+                "(rel-license hrefs resolve against the page URL)"
+            )
+        from covid19i2b2_spark.operators.licenses import extract_licenses
+
+        licenses = extract_licenses(
+            corpus.select(
+                F.col(id_col), "url", F.col(text_col).alias("html")
+            )
+        ).select(id_col, "license_url", "license_source", "license_id")
     if config.html_input:
         from covid19i2b2_spark.operators.text import strip_html
 
@@ -331,7 +365,7 @@ def curate(
     if carried:
         counted = counted.drop(*carried)
     # 7. shard + chunk assignment for the trainer
-    return pack_sequences(
+    packed = pack_sequences(
         counted,
         id_col,
         "n_tokens",
@@ -339,6 +373,12 @@ def curate(
         n_shards=config.n_shards,
         seed=config.seed,
     ).select(id_col, text_col, "n_tokens", "shard", "chunk_id")
+    if licenses is not None:
+        # id-keyed left join re-attaches the PRE-surgery provenance to
+        # whatever survived; surgery can cut the evidence bytes but
+        # never the fact that the page declared them
+        packed = packed.join(licenses, id_col, "left")
+    return packed
 
 
 def corpus_scd2_update(

@@ -194,14 +194,28 @@ def main() -> None:
     # PLANS.md carries hand-written narrative sections appended after
     # generation (the round-over-round plan reviews); regeneration must
     # carry over every section whose heading this script doesn't own.
+    # Track code-fence state so a '## ' line INSIDE a carried ```block```
+    # can't flip the keep decision, and recognize generated sections by
+    # their shape (heading + plan fence) rather than only by current
+    # membership in COMMENT/EXTRA — a query removed from COMMENT must
+    # drop its stale generated section, not fossilize it (review r15).
     known = {f"## {n}" for n in list(COMMENT) + list(EXTRA)}
     if os.path.exists(path):
-        carried, keep = [], False
+        carried, keep, fenced = [], False, False
         for line in open(path).read().splitlines():
-            if line.startswith("## "):
-                keep = line.rstrip() not in known
+            if not fenced and line.startswith("## "):
+                head = line.rstrip()
+                # a section this run owns, OR one that LOOKS generated
+                # (a bare '## q_name' heading) but is no longer in
+                # COMMENT/EXTRA: both are dropped; only hand-written
+                # narrative headings are carried
+                keep = head not in known and not re.match(
+                    r"^## q_[a-z0-9_]+$", head
+                )
             if keep:
                 carried.append(line)
+                if line.startswith("```"):
+                    fenced = not fenced
         if carried:
             out.append("\n".join(carried))
     with open(path, "w") as f:

@@ -358,3 +358,70 @@ def test_repeated_curate_no_storage_growth(spark):
         for h in handles:
             h.unpersist()
     assert _persisted_rdd_ids(spark) - initial == set()
+
+
+def test_curation_license_provenance_survives_surgery(spark):
+    """Round 15 (VERDICT r14 #6): carry_licenses extracts license
+    evidence from the RAW html BEFORE strip_html and the dup-span
+    surgery — the planted rel="license" badge markup is ITSELF the
+    duplicated span, so post-surgery text no longer contains the
+    evidence bytes, yet every survivor still carries its pre-surgery
+    license_url / license_id."""
+    badge = (
+        "<a rel=\"license\" "
+        "href=\"https://creativecommons.org/licenses/by/4.0/\">"
+        "licensed under creative commons attribution four point zero "
+        "international terms</a>"
+    )
+    rows = [
+        (i, f"http://h{i}.com/p", f"<p>{BODIES[i]}</p> {badge}")
+        for i in (1, 2, 3)
+    ]
+    rows.append((4, "http://h4.com/p", f"<p>{BODIES[4]}</p>"))
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    ev = spark.createDataFrame([("unrelated eval text",)], "text string")
+    out = curate(
+        corpus,
+        ev,
+        config=CurationConfig(
+            html_input=True,
+            carry_licenses=True,
+            boilerplate_max_doc_frac=1.0,
+            dup_span_k=8,
+            minhash_threshold=0.95,
+        ),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1, 2, 3, 4}
+    for i in (1, 2, 3):
+        # surgery removed the shared badge text from the survivors...
+        assert "creative commons attribution" not in got[i]["text"], i
+        # ...but the pre-surgery provenance is still attached
+        assert (
+            got[i]["license_url"]
+            == "https://creativecommons.org/licenses/by/4.0/"
+        ), i
+        assert got[i]["license_id"] == "CC-BY-4.0", i
+        assert got[i]["license_source"] == "rel", i
+    # the licenseless page carries NULLs, not a dropped row
+    assert got[4]["license_url"] is None
+    assert got[4]["license_id"] is None
+
+
+def test_curation_carry_licenses_requires_html_and_url(spark):
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "plain text")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([("x",)], "text string")
+    with _pytest.raises(ValueError, match="html_input"):
+        curate(corpus, ev, config=CurationConfig(carry_licenses=True))
+    with _pytest.raises(ValueError, match="url"):
+        curate(
+            corpus,
+            ev,
+            config=CurationConfig(html_input=True, carry_licenses=True),
+        )

@@ -61,6 +61,12 @@ REL_ZOO = [
      "<a rel=license href=/bare-first>x</a>"
      "<link rel='license' href='/quoted-second'>",
      "http://a.com/bare-first"),
+    # hyphen-prefixed attributes must not shadow the real href
+    # (review r15: \bhref treats '-' as a boundary, so data-href='/x'
+    # would win over the actual href='/y')
+    (17, "http://a.com/p",
+     "<a rel='license' data-href='/x' href='/y'>x</a>",
+     "http://a.com/y"),
     (11, "http://a.com/p", None, None),
     # non-http(s) resolution -> NULL
     (12, "http://a.com/p",

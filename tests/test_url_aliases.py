@@ -49,6 +49,12 @@ ZOO = [
      "<link rel=canonical href=/bare-first>"
      "<link rel='canonical' href='/quoted-second'>",
      "http://a.com/bare-first"),
+    # hyphen-prefixed attributes must not shadow the real href
+    # (review r15: \bhref treats '-' as a boundary, so data-href='/x'
+    # would win over the actual href='/y')
+    (12, "http://a.com/p",
+     "<link rel='canonical' data-href='/x' href='/y'>",
+     "http://a.com/y"),
 ]
 
 
