@@ -2028,3 +2028,28 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_dedup")
         .orderBy("doc_id")
     )
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 X92 media perceptual signatures
+    (operators/media_dedup.py media_blockhash — VERDICT r14 next #4):
+    documents become fake media payloads (utf-8 bytes of the text, the
+    X5 attach_fake_media convention), signed with the blockhash/dHash
+    64-bit signature via the Arrow KERNEL path.  UNREGISTERED; the
+    DuckDB oracle recomputes the identical integer arithmetic from the
+    characters (the corpus is printable ASCII, so utf-8 byte == ord):
+    block of byte i = i*65 // n, per-block sums, cross-multiplied
+    adjacent comparisons, HUGEINT bit fold with the signed bit-63
+    wrap — a full independent replay of the signature math."""
+    from covid19i2b2_spark.operators.media_dedup import media_blockhash
+    from covid19i2b2_spark.operators.multimodal import attach_fake_media
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    media = attach_fake_media(docs, "doc_id", "text")
+    return (
+        media_blockhash(media, "media_id", "payload", impl="kernel")
+        .select(F.col("media_id").alias("doc_id"), "phash")
+        .orderBy("doc_id")
+    )

@@ -1549,6 +1549,52 @@ UNREGISTERED_ORACLES["q_embedding_near_dup"] = _near_dup_oracle(0.3)
 # queries/llm3.py and now runs under test_query_matches_oracle AND the
 # driver gate.  q_scalar_funcs ceded the slot; its oracle is preserved
 # verbatim below.
+# X92 media perceptual signatures (round 15): the oracle replays the
+# blockhash arithmetic from the characters — block of byte i = i*65//n,
+# per-block sums, cross-multiplied adjacent comparisons, HUGEINT bit
+# fold with the signed bit-63 wrap (corpus is printable ASCII, so the
+# utf-8 payload byte equals ord(char)).
+UNREGISTERED_ORACLES["q_media_phash"] = """
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS t,
+               length(text) AS n
+        FROM documents
+        WHERE doc_id < 150 AND length(text) >= 65
+    ),
+    bytes AS (
+        SELECT doc_id, n,
+               unnest(range(0, n)) AS i,
+               unnest([ord(t[CAST(i + 1 AS INT):CAST(i + 1 AS INT)])
+                       FOR i IN range(0, n)]) AS v
+        FROM docs
+    ),
+    blocks AS (
+        -- // is INTEGER floor division: plain / is float division and
+        -- DuckDB's float->int CAST rounds where Spark's truncates
+        SELECT doc_id, (i * 65) // n AS blk,
+               SUM(v) AS s, COUNT(*) AS c
+        FROM bytes GROUP BY doc_id, (i * 65) // n
+    ),
+    bits AS (
+        SELECT a.doc_id, a.blk,
+               CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+        FROM blocks a JOIN blocks b
+          ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+    ),
+    sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN bit = 1
+                        THEN (1::HUGEINT << CAST(blk AS INT))
+                        ELSE 0::HUGEINT END) AS h
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN h >= (1::HUGEINT << 63)
+                     THEN h - (1::HUGEINT << 64) ELSE h END
+                AS BIGINT) AS phash
+    FROM sigs ORDER BY doc_id
+"""
+
 UNREGISTERED_ORACLES["q_scalar_funcs"] = """
     SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
            COUNT(*) AS n_orders,
@@ -1726,6 +1772,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_embedding_near_dup": llm.q_embedding_near_dup,
         "q_license_extract": llm3.q_license_extract,
         "q_scalar_funcs": scalar.q_scalar_funcs,
+        "q_media_phash": llm3.q_media_phash,
     }[name]
     spark_pdf = fn(spark, SF_DIR).toPandas()
     oracle_pdf = duck.execute(UNREGISTERED_ORACLES[name]).df()
