@@ -11,6 +11,9 @@ isolation:
       -> line_dedup    strip corpus-frequent boilerplate lines
     [span removal]     optional: excise cross-doc duplicated k-token
                        runs (exact-substring dedup, token-bounded)
+    [exact surgery]    optional: character-exact any-length duplicated
+                       runs via the cluster-scoped suffix-array hybrid
+                       (X91; cost ∝ candidate bytes, not corpus bytes)
       -> exact_dedup   collapse byte-identical documents (content hash)
       -> MinHash+LSH   near-dup pair graph (Arrow signature kernel)
       -> components    transitive closure, min-id survivor per group
@@ -96,6 +99,19 @@ class CurationConfig:
     # Token-bounded shuffles; leave 0 unless the corpus is template-heavy.
     dup_span_k: int = 0
     dup_span_min_docs: int = 2
+    # EXACT any-length duplicated-span surgery (0 disables; round 15,
+    # X91): after the fixed-k token pass, cut every duplicated run of
+    # >= this many CHARACTERS via the cluster-scoped suffix-array
+    # hybrid (operators/suffixes.py clustered_exact_substring_dedup —
+    # k-grid candidates with exact recall, SA surgery only within
+    # candidate clusters, so the one-row-per-char cost applies to
+    # candidate bytes).  Character-exact where dup_span_k is
+    # token-grid approximate; costlier — reserve for corpora where
+    # exactness is the requirement (licensing audits, contamination
+    # scrubbing).  Unlike dup_span_k it never re-renders untouched
+    # docs (cut_spans passes them through byte-for-byte).
+    exact_substring_min_len: int = 0
+    exact_substring_min_occurrences: int = 2
     minhash_threshold: float = 0.7
     minhash_hashes: int = 32
     minhash_bands: int = 8
@@ -243,6 +259,25 @@ def curate(
                 min_docs=config.dup_span_min_docs,
             )
             .select(id_col, F.col("text_deduped").alias(text_col))
+            .filter(F.trim(F.col(text_col)) != "")
+        )
+    # 1c. optional EXACT any-length surgery (X91, round 15): the
+    # cluster-scoped suffix-array hybrid — character-exact where 1b's
+    # token grid is approximate; docs cut to nothing drop like 1b's
+    if config.exact_substring_min_len > 0:
+        from covid19i2b2_spark.operators.suffixes import (
+            clustered_exact_substring_dedup,
+        )
+
+        cleaned = (
+            clustered_exact_substring_dedup(
+                cleaned,
+                id_col,
+                text_col,
+                config.exact_substring_min_len,
+                min_occurrences=config.exact_substring_min_occurrences,
+            )
+            .select(id_col, F.col("text_dedup").alias(text_col))
             .filter(F.trim(F.col(text_col)) != "")
         )
     # 2. byte-identical dedup on the content fingerprint, min-id survivor.

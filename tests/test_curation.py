@@ -282,6 +282,47 @@ def test_curation_dup_span_stage_excises_templates(spark):
     assert texts[4] == BODIES[4]
 
 
+def test_curation_exact_substring_stage_cuts_char_exact(spark):
+    """exact_substring_min_len > 0 inserts the X91 cluster-scoped
+    suffix-array surgery after the token-grid pass: a duplicated run
+    is excised CHARACTER-exactly from every copy (Lee et al.
+    ExactSubstr — no survivor), untouched docs keep their text
+    byte-for-byte (no token re-render), and the rest of the chain
+    runs unchanged."""
+    template = (
+        "Redistribution and use in source and binary forms, with or "
+        "without modification, are permitted provided that conditions"
+    )  # 119 chars, embedded mid-line; mixed case pins byte-for-byte
+    # suffix differs byte-wise from the prefix: within-doc repeats
+    # count as duplication too (Lee et al.), so the bracket must not
+    # itself be a >= min_len self-repeat
+    rows = [
+        (i, f"{BODIES[i]} {template} {BODIES[i].upper()}")
+        for i in (1, 2, 3)
+    ]
+    rows.append((4, BODIES[4].title()))  # case survives: no re-render
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([("unrelated eval text",)], "text string")
+    out = curate(
+        df,
+        ev,
+        config=CurationConfig(
+            boilerplate_max_doc_frac=1.0,  # line stage can't catch it
+            exact_substring_min_len=60,
+            minhash_threshold=0.95,
+        ),
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in out}
+    assert set(texts) == {1, 2, 3, 4}
+    for i in (1, 2, 3):
+        assert "Redistribution" not in texts[i], i
+        # the doc's unique brackets survive the excision byte-for-byte
+        assert texts[i].startswith(BODIES[i]) and texts[i].endswith(
+            BODIES[i].upper()
+        ), i
+    assert texts[4] == BODIES[4].title()
+
+
 def test_curation_top_fraction_and_token_budget_stages(spark):
     """Round-5 stages: the percentile gate keeps ceil(frac*n) of each
     domain, the token budget caps each domain's final token total, both
