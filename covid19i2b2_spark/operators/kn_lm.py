@@ -1,0 +1,301 @@
+"""Interpolated Kneser–Ney trigram language model (X93, round 15).
+
+The missing rung of the CCNet-style perplexity-filter ladder
+(Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data", LREC 2020 — whose filter is a KenLM 5-gram):
+:func:`quality.unigram_logprob_score` / ``bigram_logprob_score`` are
+add-one smoothers, which over-penalize unseen-but-plausible n-grams and
+under-penalize frequent-token gibberish.  Interpolated Kneser–Ney
+(Kneser & Ney 1995; Chen & Goodman 1998 — the smoothing KenLM
+implements) fixes both with absolute discounting plus CONTINUATION
+counts: the unigram backoff weight of a word is how many distinct
+contexts it follows, not how often it occurs ("Francisco" is frequent
+but only ever follows "San", so its backoff mass is tiny).
+
+Model (trigram, fixed discount D):
+
+    P3(c|a,b) = (max(c3(abc)-D,0) + D·N1+(ab·)·P2(c|b)) / c2(ab)
+                 ... or P2(c|b) when context (a,b) is unseen
+    P2(c|b)   = (max(cc2(bc)-D,0) + D·N1+(b·)·P1(c)) / Σ_c cc2(bc)
+                 ... or P1(c) when b is unseen as a middle context
+    P1(c)     = (cc1(c)+1) / (N1+(··)+V+1)     -- add-one floor so any
+                 score-time token has P > 0 (KenLM's <unk> role)
+
+where cc2(bc) = |{a: c3(abc)>0}| and cc1(c) = |{b: cc2(bc)>0}| are the
+continuation counts, all computable as grouped aggregates OVER THE
+TRIGRAM TABLE — the reason a distributed KN trainer is cheap: one
+trigram count shuffle, then three tiny cascaded groupBys.
+
+Sequences: each document is one sequence, padded <s> <s> t1..tn </s>;
+every real token plus </s> is one prediction event.  Out-of-vocab
+tokens map to <unk> BEFORE counting (closed vocabulary, the standard
+treatment); documents with zero tokens score NULL like the other
+quality scorers.
+
+Scale shape: event generation is MAP-ONLY — the padded trigram structs
+come out of one array ``transform`` + ``explode`` (no window, no
+per-doc shuffle), and <unk> mapping is three broadcast joins against
+the bounded top-N vocab.  Training pays one trigram-keyed count
+shuffle (key space = distinct trigram types, corpus-bounded) and three
+cascaded aggregates over that table; scoring pays per-event left joins
+against the model tables (AQE broadcasts them when they fit, plain
+shuffle-hash joins otherwise) and one doc-keyed aggregate.  All
+log-probs are summed on the picounit fixed-point grid (qfix), so the
+per-doc mean is association-order-independent and the DuckDB oracle
+(tests/test_oracle_parity.py q_kn_lm RE-TRAINS the model and re-scores
+every document in SQL) matches hash-for-hash.
+
+Reference scope note: the reconstructed covid19i2b2 reference has no
+LM operators — this module is north-star LLM-pipeline surface
+(SURVEY §2.11), built on the same fixed-point discipline as
+q_lang_id (SURVEY X4-langid).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from covid19i2b2_spark.operators.aggregates import qfix, round6
+from covid19i2b2_spark.operators.quality import build_vocab
+from covid19i2b2_spark.operators.text import tokens
+
+BOS = "<s>"
+EOS = "</s>"
+UNK = "<unk>"
+
+
+@dataclass(frozen=True)
+class KnTrigramLm:
+    """Trained model: the five count tables plus two scalars.
+
+    ``tri``  (a, b, c, c3): trigram event counts.
+    ``ctx3`` (a, b, c2, n1p3): context totals + distinct continuations.
+    ``cc2``  (b, c, cc2): continuation counts |{a: c3(abc)>0}|.
+    ``ctx2`` (b, ctxcc2, n1p2): middle-context totals + distinct c.
+    ``cc1``  (c, cc1): unigram continuation counts |{b: cc2(bc)>0}|.
+    ``tot_cc1`` = distinct (b, c) pairs; ``v_eff`` = distinct predicted
+    tokens + 1 (the add-one floor's vocabulary size).
+    """
+
+    vocab: DataFrame
+    tri: DataFrame
+    ctx3: DataFrame
+    cc2: DataFrame
+    ctx2: DataFrame
+    cc1: DataFrame
+    tot_cc1: int
+    v_eff: int
+    discount: float
+    top_n_vocab: int
+
+
+def _map_marker_or_vocab(col: Column, hit: Column) -> Column:
+    """<s>/</s> pass through (they are never vocab members); known
+    tokens keep themselves; everything else is <unk>.  A corpus token
+    that LITERALLY spells a marker collides with it — deterministic,
+    mirrored verbatim in the oracle, and absent from real corpora."""
+    return (
+        F.when(col.isin(BOS, EOS), col)
+        .when(hit.isNotNull(), col)
+        .otherwise(F.lit(UNK))
+    )
+
+
+def kn_events(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """(id, a, b, c): one row per prediction event of each document —
+    the padded trigram stream with out-of-vocab tokens mapped to <unk>.
+
+    Map-only: pad + trigram structs as array expressions, one explode,
+    three broadcast vocab joins (one per trigram slot).  Documents with
+    zero tokens emit no events (they score NULL downstream)."""
+    toks = tokens(F.col(text_col))
+    padded = F.concat(
+        F.array(F.lit(BOS), F.lit(BOS)), toks, F.array(F.lit(EOS))
+    )
+    ev = F.transform(
+        F.sequence(F.lit(3), F.size(padded)),
+        lambda i: F.struct(
+            F.element_at(padded, i - 2).alias("a_raw"),
+            F.element_at(padded, i - 1).alias("b_raw"),
+            F.element_at(padded, i).alias("c_raw"),
+        ),
+    )
+    raw = (
+        df.filter(F.size(toks) >= 1)
+        .select(F.col(id_col), F.explode(ev).alias("e"))
+        .select(
+            id_col,
+            F.col("e.a_raw").alias("a_raw"),
+            F.col("e.b_raw").alias("b_raw"),
+            F.col("e.c_raw").alias("c_raw"),
+        )
+    )
+    va = F.broadcast(vocab.select(F.col("token").alias("__ta")))
+    vb = F.broadcast(vocab.select(F.col("token").alias("__tb")))
+    vc = F.broadcast(vocab.select(F.col("token").alias("__tc")))
+    return (
+        raw.join(va, raw["a_raw"] == va["__ta"], "left")
+        .join(vb, raw["b_raw"] == vb["__tb"], "left")
+        .join(vc, raw["c_raw"] == vc["__tc"], "left")
+        .select(
+            id_col,
+            _map_marker_or_vocab(F.col("a_raw"), F.col("__ta")).alias("a"),
+            _map_marker_or_vocab(F.col("b_raw"), F.col("__tb")).alias("b"),
+            _map_marker_or_vocab(F.col("c_raw"), F.col("__tc")).alias("c"),
+        )
+    )
+
+
+def train_kn_lm(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_n_vocab: int = 1000,
+    discount: float = 0.75,
+) -> KnTrigramLm:
+    """Fit the interpolated KN trigram model on ``df``.
+
+    One trigram count shuffle + three cascaded aggregates over the
+    count table; the only driver scalars are two bounded counts
+    (distinct (b,c) pairs and distinct predicted tokens).  The count
+    tables are persisted — scoring joins read each one once per score
+    call, and the cascade would otherwise recount trigrams three
+    times."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if top_n_vocab < 1:
+        raise ValueError(f"top_n_vocab must be >= 1, got {top_n_vocab}")
+    # persisted: the three per-slot broadcast projections alias the
+    # vocab differently, so without the cache each one recomputes the
+    # corpus-wide token count (verified in the physical plan — no
+    # ReusedExchange across the va/vb/vc builds)
+    vocab = build_vocab(
+        df, text_col, top_n=top_n_vocab, lowercase=False
+    ).persist()
+    # kn_events needs an id column; training ignores ids, so synthesize
+    # a constant (the explode keys on nothing downstream)
+    ev = kn_events(
+        df.select(F.lit(1).alias("__kn_id"), F.col(text_col)),
+        "__kn_id",
+        text_col,
+        vocab,
+    ).drop("__kn_id")
+    tri = ev.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).persist()
+    ctx3 = (
+        tri.groupBy("a", "b")
+        .agg(F.sum("c3").alias("c2"), F.count("*").alias("n1p3"))
+        .persist()
+    )
+    cc2 = (
+        tri.groupBy("b", "c").agg(F.count("*").alias("cc2")).persist()
+    )
+    ctx2 = (
+        cc2.groupBy("b")
+        .agg(F.sum("cc2").alias("ctxcc2"), F.count("*").alias("n1p2"))
+        .persist()
+    )
+    cc1 = cc2.groupBy("c").agg(F.count("*").alias("cc1")).persist()
+    scalars = cc2.agg(
+        F.count("*").alias("t"),
+        F.count_distinct("c").alias("v"),
+    ).collect()[0]
+    tot_cc1 = int(scalars["t"] or 0)
+    v_eff = int(scalars["v"] or 0) + 1
+    return KnTrigramLm(
+        vocab=vocab,
+        tri=tri,
+        ctx3=ctx3,
+        cc2=cc2,
+        ctx2=ctx2,
+        cc1=cc1,
+        tot_cc1=tot_cc1,
+        v_eff=v_eff,
+        discount=discount,
+        top_n_vocab=top_n_vocab,
+    )
+
+
+def kn_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: KnTrigramLm,
+    out_col: str = "kn_logprob",
+) -> DataFrame:
+    """df + ``out_col``: the per-document mean interpolated-KN trigram
+    log-probability (natural log; exp(-score) is the perplexity).
+    Fluent text under the training distribution scores high (less
+    negative); gibberish, shuffled words, and off-domain text score
+    low.  Documents with zero tokens keep their row with NULL.
+
+    Per-event probability, exactly as the oracle replays it:
+    unseen (a,b) context falls back to P2, unseen middle context b
+    falls back to P1, and the add-one continuation floor keeps every
+    event strictly positive.  Log-probs are summed as picounit BIGINTs
+    (order-independent; see aggregates.qfix)."""
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    ev = kn_events(df, id_col, text_col, model.vocab)
+    d = float(model.discount)
+    sc = (
+        ev.join(model.tri, ["a", "b", "c"], "left")
+        .join(model.ctx3, ["a", "b"], "left")
+        .join(model.cc2, ["b", "c"], "left")
+        .join(model.ctx2, ["b"], "left")
+        .join(model.cc1, ["c"], "left")
+    )
+    p1 = (F.coalesce(F.col("cc1"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(model.tot_cc1 + model.v_eff))
+    p2 = F.when(
+        F.col("ctxcc2").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("cc2"), F.lit(0)).cast("double") - F.lit(d),
+                F.lit(0.0),
+            )
+            + (F.lit(d) * F.col("n1p2").cast("double")) * p1
+        )
+        / F.col("ctxcc2").cast("double"),
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("c2").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(d),
+                F.lit(0.0),
+            )
+            + (F.lit(d) * F.col("n1p3").cast("double")) * p2
+        )
+        / F.col("c2").cast("double"),
+    ).otherwise(p2)
+    lp_fix = qfix(F.log(p3), 12).cast("long")
+    per_doc = (
+        sc.select(F.col(id_col), lp_fix.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            round6(
+                F.sum("__lp").cast("double") / F.count("*") / F.lit(1e12)
+            ).alias(out_col)
+        )
+    )
+    return df.join(per_doc, id_col, "left").select(df["*"], F.col(out_col))
+
+
+def release_kn_lm(model: KnTrigramLm) -> None:
+    """Unpersist the model's cached tables (training persists the
+    vocab and all five count tables; callers done scoring release them
+    in one call)."""
+    for t in (
+        model.vocab,
+        model.tri,
+        model.ctx3,
+        model.cc2,
+        model.ctx2,
+        model.cc1,
+    ):
+        t.unpersist()

@@ -386,6 +386,31 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 interpolated Kneser–Ney trigram LM (the CCNet perplexity
+    filter's smoothing, Chen & Goodman 1998): train on the documents
+    table (top-50 closed vocab, D=0.75), score every document with the
+    per-doc mean event log-probability.  The DuckDB oracle RE-TRAINS
+    the model — vocab cut, <unk> mapping, padded trigram events, all
+    three continuation-count cascades — and re-scores every document
+    in SQL at exact fixed-point equality.
+
+    Unregistered (50-slot window); full DuckDB parity in
+    tests/test_oracle_parity.py."""
+    from covid19i2b2_spark.operators.kn_lm import (
+        kn_logprob_score,
+        train_kn_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = train_kn_lm(docs, "text", top_n_vocab=50)
+    return (
+        kn_logprob_score(docs, "doc_id", "text", model)
+        .select("doc_id", "kn_logprob")
+        .orderBy("doc_id")
+    )
+
+
 def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X30 mergeable frequent-items store, full build->merge arithmetic:
     per-(shard, source) top-k token summaries (shard = doc_id % 4)

@@ -473,6 +473,106 @@ def _topk_sketch_oracle(k: int = 12) -> str:
     """
 
 
+def _kn_lm_oracle() -> str:
+    """Full RE-TRAIN + RE-SCORE of q_kn_lm in SQL: top-50 vocab cut
+    (count desc, token asc), marker-aware <unk> mapping, padded trigram
+    events via 1-based list indexing, the three continuation-count
+    cascades computed OVER THE TRIGRAM TABLE (cc2 = distinct left
+    contexts per (b,c), cc1 = distinct middle contexts per c), and the
+    interpolated probability with the exact IEEE op order of
+    operators/kn_lm.py (GREATEST(x - D, 0) + (D * n1p) * p_backoff,
+    then the context division), picounit-quantized per event.  Docs
+    with zero tokens -> NULL, like the other LM scorers."""
+    return f"""
+    WITH {_DUCK_TOKED},
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM toked),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 50),
+    padded AS (
+        SELECT doc_id, ['<s>', '<s>'] || toks || ['</s>'] AS p
+        FROM toked WHERE len(toks) >= 1
+    ),
+    raw_ev AS (
+        SELECT doc_id, p[i - 2] AS a_raw, p[i - 1] AS b_raw, p[i] AS c_raw
+        FROM padded, unnest(range(3, len(p) + 1)) AS r(i)
+    ),
+    ev AS (
+        SELECT doc_id,
+               CASE WHEN a_raw IN ('<s>', '</s>') THEN a_raw
+                    WHEN a_raw IN (SELECT token FROM vocab) THEN a_raw
+                    ELSE '<unk>' END AS a,
+               CASE WHEN b_raw IN ('<s>', '</s>') THEN b_raw
+                    WHEN b_raw IN (SELECT token FROM vocab) THEN b_raw
+                    ELSE '<unk>' END AS b,
+               CASE WHEN c_raw IN ('<s>', '</s>') THEN c_raw
+                    WHEN c_raw IN (SELECT token FROM vocab) THEN c_raw
+                    ELSE '<unk>' END AS c
+        FROM raw_ev
+    ),
+    tri AS (SELECT a, b, c, COUNT(*) AS c3 FROM ev GROUP BY 1, 2, 3),
+    ctx3 AS (
+        SELECT a, b, SUM(c3) AS c2, COUNT(*) AS n1p3 FROM tri GROUP BY 1, 2
+    ),
+    ccbc AS (SELECT b, c, COUNT(*) AS cc2 FROM tri GROUP BY 1, 2),
+    ctx2 AS (
+        SELECT b, SUM(cc2) AS ctxcc2, COUNT(*) AS n1p2 FROM ccbc GROUP BY 1
+    ),
+    ccu AS (SELECT c, COUNT(*) AS cc1 FROM ccbc GROUP BY 1),
+    scal AS (
+        SELECT COUNT(*) AS tot_cc1, COUNT(DISTINCT c) + 1 AS v_eff FROM ccbc
+    ),
+    j AS (
+        SELECT e.doc_id, t.c3, x3.c2, x3.n1p3, g.cc2 AS cc2n,
+               x2.ctxcc2, x2.n1p2, u.cc1
+        FROM ev e
+        LEFT JOIN tri t USING (a, b, c)
+        LEFT JOIN ctx3 x3 USING (a, b)
+        LEFT JOIN ccbc g USING (b, c)
+        LEFT JOIN ctx2 x2 USING (b)
+        LEFT JOIN ccu u USING (c)
+    ),
+    s1 AS (
+        SELECT j.*,
+               CAST(COALESCE(cc1, 0) + 1 AS DOUBLE)
+                   / CAST(scal.tot_cc1 + scal.v_eff AS DOUBLE) AS p1
+        FROM j, scal
+    ),
+    s2 AS (
+        SELECT *,
+               CASE WHEN ctxcc2 IS NOT NULL THEN
+                   (GREATEST(CAST(COALESCE(cc2n, 0) AS DOUBLE) - 0.75, 0.0)
+                    + (0.75 * CAST(n1p2 AS DOUBLE)) * p1)
+                   / CAST(ctxcc2 AS DOUBLE)
+               ELSE p1 END AS p2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id,
+               CASE WHEN c2 IS NOT NULL THEN
+                   (GREATEST(CAST(COALESCE(c3, 0) AS DOUBLE) - 0.75, 0.0)
+                    + (0.75 * CAST(n1p3 AS DOUBLE)) * p2)
+                   / CAST(c2 AS DOUBLE)
+               ELSE p2 END AS p3
+        FROM s2
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(ln(p3) * 1000000000000.0 + 0.5) AS BIGINT) AS lp
+        FROM s3
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               FLOOR((CAST(SUM(lp) AS DOUBLE) / COUNT(*)
+                      / 1000000000000.0) * 1000000 + 0.5) / 1000000
+                   AS kn_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, p.kn_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 UNREGISTERED_ORACLES = {
 
     # X64 anchor texts: count + ROW_NUMBER replay of the per-target
@@ -889,6 +989,7 @@ UNREGISTERED_ORACLES = {
     "q_dup_passages": _dup_passages_oracle(),
     "q_unigram_logprob": _unigram_logprob_oracle(),
     "q_bigram_logprob": _bigram_logprob_oracle(),
+    "q_kn_lm": _kn_lm_oracle(),
     "q_remove_dup_spans": _remove_dup_spans_oracle(),
     "q_semantic_pairs_frozen": _semantic_pairs_frozen_oracle(),
     "q_literal_map_join": """
@@ -1753,6 +1854,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_row_number": windows.q_row_number,
         "q_bpe_pairs": llm3.q_bpe_pairs,
         "q_bigram_logprob": llm3.q_bigram_logprob,
+        "q_kn_lm": llm3.q_kn_lm,
         "q_remove_dup_spans": llm3.q_remove_dup_spans,
         "q_token_budget_grouped": llm3.q_token_budget_grouped,
         "q_top_fraction": llm3.q_top_fraction,
