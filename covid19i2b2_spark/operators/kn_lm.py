@@ -150,49 +150,23 @@ def kn_events(
     )
 
 
-def train_kn_lm(
-    df: DataFrame,
-    text_col: str,
-    *,
-    top_n_vocab: int = 1000,
-    discount: float = 0.75,
+def _model_from_tri(
+    vocab: DataFrame,
+    tri: DataFrame,
+    discount: float,
+    top_n_vocab: int,
 ) -> KnTrigramLm:
-    """Fit the interpolated KN trigram model on ``df``.
-
-    One trigram count shuffle + three cascaded aggregates over the
-    count table; the only driver scalars are two bounded counts
-    (distinct (b,c) pairs and distinct predicted tokens).  The count
-    tables are persisted — scoring joins read each one once per score
-    call, and the cascade would otherwise recount trigrams three
-    times."""
-    if not 0.0 < discount < 1.0:
-        raise ValueError(f"discount must be in (0, 1), got {discount}")
-    if top_n_vocab < 1:
-        raise ValueError(f"top_n_vocab must be >= 1, got {top_n_vocab}")
-    # persisted: the three per-slot broadcast projections alias the
-    # vocab differently, so without the cache each one recomputes the
-    # corpus-wide token count (verified in the physical plan — no
-    # ReusedExchange across the va/vb/vc builds)
-    vocab = build_vocab(
-        df, text_col, top_n=top_n_vocab, lowercase=False
-    ).persist()
-    # kn_events needs an id column; training ignores ids, so synthesize
-    # a constant (the explode keys on nothing downstream)
-    ev = kn_events(
-        df.select(F.lit(1).alias("__kn_id"), F.col(text_col)),
-        "__kn_id",
-        text_col,
-        vocab,
-    ).drop("__kn_id")
-    tri = ev.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).persist()
+    """Derive the full model from the (vocab, trigram-count) sufficient
+    statistic: three cascaded aggregates over ``tri`` plus two bounded
+    driver scalars.  Persists everything (release_kn_lm frees it);
+    ``tri`` must already be persisted or parquet-backed — each cascade
+    scans it once."""
     ctx3 = (
         tri.groupBy("a", "b")
         .agg(F.sum("c3").alias("c2"), F.count("*").alias("n1p3"))
         .persist()
     )
-    cc2 = (
-        tri.groupBy("b", "c").agg(F.count("*").alias("cc2")).persist()
-    )
+    cc2 = tri.groupBy("b", "c").agg(F.count("*").alias("cc2")).persist()
     ctx2 = (
         cc2.groupBy("b")
         .agg(F.sum("cc2").alias("ctxcc2"), F.count("*").alias("n1p2"))
@@ -203,8 +177,6 @@ def train_kn_lm(
         F.count("*").alias("t"),
         F.count_distinct("c").alias("v"),
     ).collect()[0]
-    tot_cc1 = int(scalars["t"] or 0)
-    v_eff = int(scalars["v"] or 0) + 1
     return KnTrigramLm(
         vocab=vocab,
         tri=tri,
@@ -212,11 +184,67 @@ def train_kn_lm(
         cc2=cc2,
         ctx2=ctx2,
         cc1=cc1,
-        tot_cc1=tot_cc1,
-        v_eff=v_eff,
+        tot_cc1=int(scalars["t"] or 0),
+        v_eff=int(scalars["v"] or 0) + 1,
         discount=discount,
         top_n_vocab=top_n_vocab,
     )
+
+
+def _tri_counts(
+    df: DataFrame, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """The trigram event counts of ``df`` under ``vocab`` — the
+    mergeable half of the sufficient statistic (counts under a FIXED
+    vocab are additive across corpora; the vocab itself is not)."""
+    # kn_events needs an id column; counting ignores ids, so synthesize
+    # a constant (the explode keys on nothing downstream)
+    ev = kn_events(
+        df.select(F.lit(1).alias("__kn_id"), F.col(text_col)),
+        "__kn_id",
+        text_col,
+        vocab,
+    ).drop("__kn_id")
+    return ev.groupBy("a", "b", "c").agg(F.count("*").alias("c3"))
+
+
+def train_kn_lm(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_n_vocab: int = 1000,
+    discount: float = 0.75,
+    vocab: DataFrame | None = None,
+) -> KnTrigramLm:
+    """Fit the interpolated KN trigram model on ``df``.
+
+    One trigram count shuffle + three cascaded aggregates over the
+    count table; the only driver scalars are two bounded counts
+    (distinct (b,c) pairs and distinct predicted tokens).  The count
+    tables are persisted — scoring joins read each one once per score
+    call, and the cascade would otherwise recount trigrams three
+    times.
+
+    ``vocab``: train under a CALLER-FROZEN vocabulary instead of
+    cutting a fresh top-N from ``df`` — the retrain side of
+    :class:`KnLmModel.append_corpus`'s exactness contract (appending
+    under a frozen vocab equals retraining the union under that same
+    vocab; ``top_n_vocab`` is ignored for the cut but kept as model
+    metadata)."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if top_n_vocab < 1:
+        raise ValueError(f"top_n_vocab must be >= 1, got {top_n_vocab}")
+    if vocab is None:
+        # persisted: the three per-slot broadcast projections alias the
+        # vocab differently, so without the cache each one recomputes
+        # the corpus-wide token count (verified in the physical plan —
+        # no ReusedExchange across the va/vb/vc builds)
+        vocab = build_vocab(
+            df, text_col, top_n=top_n_vocab, lowercase=False
+        ).persist()
+    tri = _tri_counts(df, text_col, vocab).persist()
+    return _model_from_tri(vocab, tri, discount, top_n_vocab)
 
 
 def kn_logprob_score(
@@ -284,6 +312,223 @@ def kn_logprob_score(
         )
     )
     return df.join(per_doc, id_col, "left").select(df["*"], F.col(out_col))
+
+
+class KnLmModel:
+    """Versioned save/load/append lifecycle for trained KN models —
+    the IvfIndex/LangIdModel directory protocol: train once, score
+    many corpora, grow the model as new corpus lands.
+
+        path/_CURRENT     -> "v0001"    (tmp+rename atomic pointer)
+        path/v0001/vocab/ -> (token, n, rank) — FROZEN at build
+        path/v0001/tri/   -> (a, b, c, c3) — the sufficient statistic
+        path/v0001/meta/  -> 1 row: top_n_vocab, discount, tot_cc1,
+                             v_eff (written LAST — its _SUCCESS is the
+                             version-complete marker)
+
+    Only (vocab, tri) persist: the four cascade tables and both
+    scalars re-derive from them at :meth:`load` (three aggregates over
+    the stored parquet — cheap next to re-scanning a corpus), so a
+    version can never hold mutually inconsistent tables.
+
+    ``append_corpus`` is exact UNDER THE FROZEN VOCAB: trigram counts
+    under a fixed vocabulary are additive across corpora, so append =
+    stored counts + the new corpus's counts, and equals a one-shot
+    retrain over the unioned corpus with the same vocab (pinned by
+    test via train_kn_lm's ``vocab=`` override).  The vocab itself
+    CANNOT be appended — a token the old corpus mapped to <unk> is
+    not recoverable from counts — which is also KenLM's contract
+    (vocabulary fixed at train time); rebuild to re-cut it.
+
+    Crash safety: the pointer flips only after meta lands; an
+    unparseable/missing pointer falls back to the highest version
+    whose meta/_SUCCESS exists.  The flip leaves the immediately
+    previous version as a reader grace window; :meth:`vacuum`
+    reclaims older versions."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+
+    # ---- version plumbing (IvfIndex protocol) ------------------------
+
+    def _vdir(self, version: int) -> str:
+        return f"{self.path}/v{version:04d}"
+
+    def _pointer(self) -> str:
+        return f"{self.path}/_CURRENT"
+
+    def current_version(self, spark) -> int | None:
+        from covid19i2b2_spark.fsutil import hadoop_fs, read_text_file
+
+        txt = read_text_file(spark, self._pointer())
+        if txt is not None:
+            name = txt.strip()
+            if name.startswith("v") and name[1:].isdigit():
+                return int(name[1:])
+        fs, root = hadoop_fs(spark, self.path)
+        if not fs.exists(root):
+            return None
+        jvm = spark._jvm  # noqa: SLF001
+        best = None
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                marker = jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "meta/_SUCCESS"
+                )
+                if fs.exists(marker):
+                    v = int(name[1:])
+                    best = v if best is None else max(best, v)
+        return best
+
+    def _require_version(self, spark) -> int:
+        v = self.current_version(spark)
+        if v is None:
+            raise ValueError(
+                f"no complete model at {self.path} — call build() first"
+            )
+        return v
+
+    def _flip(self, spark, version: int) -> None:
+        from covid19i2b2_spark.fsutil import (
+            hadoop_fs,
+            write_text_file_atomic,
+        )
+
+        write_text_file_atomic(spark, self._pointer(), f"v{version:04d}")
+        fs, root = hadoop_fs(spark, self.path)
+        jvm = spark._jvm  # noqa: SLF001
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) < version - 1:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(root, name), True
+                    )
+
+    def vacuum(self, spark) -> None:
+        """Delete every version except the current one (including the
+        grace-window predecessor) once no reader can hold a handle."""
+        from covid19i2b2_spark.fsutil import hadoop_fs
+
+        v = self._require_version(spark)
+        fs, root = hadoop_fs(spark, self.path)
+        jvm = spark._jvm  # noqa: SLF001
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) != v:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(root, name), True
+                    )
+
+    # ---- writes ------------------------------------------------------
+
+    def _write_version(
+        self,
+        spark,
+        version: int,
+        vocab: DataFrame,
+        tri: DataFrame,
+        top_n_vocab: int,
+        discount: float,
+    ) -> None:
+        vdir = self._vdir(version)
+        vocab.write.mode("overwrite").parquet(f"{vdir}/vocab")
+        tri.write.mode("overwrite").parquet(f"{vdir}/tri")
+        # scalars derive from the STORED counts so meta can never
+        # disagree with the files it describes
+        stored_tri = spark.read.parquet(f"{vdir}/tri")
+        cc = stored_tri.groupBy("b", "c").agg(F.count("*").alias("n"))
+        scalars = cc.agg(
+            F.count("*").alias("t"), F.count_distinct("c").alias("v")
+        ).collect()[0]
+        spark.createDataFrame(
+            [
+                (
+                    top_n_vocab,
+                    float(discount),
+                    int(scalars["t"] or 0),
+                    int(scalars["v"] or 0) + 1,
+                )
+            ],
+            "top_n_vocab int, discount double, tot_cc1 long, v_eff long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        self._flip(spark, version)
+
+    def build(
+        self,
+        spark,
+        df: DataFrame,
+        text_col: str = "text",
+        *,
+        top_n_vocab: int = 1000,
+        discount: float = 0.75,
+    ) -> int:
+        """Train from a corpus and write version 1 (or the next
+        version, if rebuilding over an existing model — a rebuild
+        re-cuts the vocab from the new corpus alone)."""
+        if not 0.0 < discount < 1.0:
+            raise ValueError(f"discount must be in (0, 1), got {discount}")
+        if top_n_vocab < 1:
+            raise ValueError(
+                f"top_n_vocab must be >= 1, got {top_n_vocab}"
+            )
+        prev = self.current_version(spark)
+        version = 1 if prev is None else prev + 1
+        vocab = build_vocab(
+            df, text_col, top_n=top_n_vocab, lowercase=False
+        ).persist()
+        tri = _tri_counts(df, text_col, vocab)
+        self._write_version(spark, version, vocab, tri, top_n_vocab, discount)
+        vocab.unpersist()
+        return version
+
+    def append_corpus(
+        self, spark, df: DataFrame, text_col: str = "text"
+    ) -> int:
+        """Fold a new corpus into the model under the FROZEN vocab —
+        exactly equivalent to retraining over (old corpus ∪ new
+        corpus) with the stored vocabulary: per-(a,b,c) counts add."""
+        v = self._require_version(spark)
+        vdir = self._vdir(v)
+        meta = spark.read.parquet(f"{vdir}/meta").collect()[0]
+        vocab = spark.read.parquet(f"{vdir}/vocab").persist()
+        old_tri = spark.read.parquet(f"{vdir}/tri")
+        new_tri = _tri_counts(df, text_col, vocab)
+        merged = (
+            old_tri.unionByName(new_tri)
+            .groupBy("a", "b", "c")
+            .agg(F.sum("c3").alias("c3"))
+        )
+        self._write_version(
+            spark,
+            v + 1,
+            vocab,
+            merged,
+            int(meta["top_n_vocab"]),
+            float(meta["discount"]),
+        )
+        vocab.unpersist()
+        return v + 1
+
+    # ---- reads -------------------------------------------------------
+
+    def meta(self, spark) -> dict:
+        vdir = self._vdir(self._require_version(spark))
+        return spark.read.parquet(f"{vdir}/meta").collect()[0].asDict()
+
+    def load(self, spark) -> KnTrigramLm:
+        """The current version as a scorable model: vocab + trigram
+        counts off parquet (persisted), the cascades re-derived —
+        release with :func:`release_kn_lm` when done."""
+        vdir = self._vdir(self._require_version(spark))
+        meta = spark.read.parquet(f"{vdir}/meta").collect()[0]
+        vocab = spark.read.parquet(f"{vdir}/vocab").persist()
+        tri = spark.read.parquet(f"{vdir}/tri").persist()
+        return _model_from_tri(
+            vocab, tri, float(meta["discount"]), int(meta["top_n_vocab"])
+        )
 
 
 def release_kn_lm(model: KnTrigramLm) -> None:

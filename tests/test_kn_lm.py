@@ -217,6 +217,98 @@ def test_kn_probability_mass_bounded():
         assert total >= 0.9, (a, b)
 
 
+NEW_CORPUS = [
+    "the park is quiet in winter",
+    "cats nap near the quiet river",
+    "a comet passed over the park",
+]
+
+
+def _score_with(spark, model, rows):
+    sc = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r["kn_logprob"]
+        for r in kn_logprob_score(sc, "doc_id", "text", model).collect()
+    }
+
+
+def test_kn_model_build_load_roundtrip(spark, tmp_path):
+    """KnLmModel.build -> load scores every probe doc identically to
+    the in-memory train_kn_lm model (same vocab cut, same counts, same
+    scalars re-derived from the stored statistic)."""
+    from covid19i2b2_spark.operators.kn_lm import KnLmModel
+
+    tr = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    store = KnLmModel(str(tmp_path / "kn"))
+    assert store.current_version(spark) is None
+    with pytest.raises(ValueError, match="call build"):
+        store.load(spark)
+    assert store.build(spark, tr, "text", top_n_vocab=12) == 1
+    probe = TRAIN + ["the cat ran to the park", "zyx unk stream"]
+    loaded = store.load(spark)
+    mem = train_kn_lm(tr, "text", top_n_vocab=12)
+    try:
+        assert _score_with(spark, loaded, probe) == _score_with(
+            spark, mem, probe
+        )
+        assert loaded.tot_cc1 == mem.tot_cc1
+        assert loaded.v_eff == mem.v_eff
+        m = store.meta(spark)
+        assert (m["tot_cc1"], m["v_eff"]) == (mem.tot_cc1, mem.v_eff)
+    finally:
+        release_kn_lm(loaded)
+        release_kn_lm(mem)
+
+
+def test_kn_model_append_equals_union_retrain(spark, tmp_path):
+    """append_corpus ≡ retrain over (old ∪ new) under the FROZEN vocab
+    (trigram counts under a fixed vocabulary are additive): exact
+    score equality on probes spanning old-only, new-only, and OOV
+    text, and the version advances with the old one readable."""
+    from covid19i2b2_spark.operators.kn_lm import KnLmModel
+
+    a = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NEW_CORPUS)],
+        "doc_id long, text string",
+    )
+    store = KnLmModel(str(tmp_path / "kn"))
+    store.build(spark, a, "text", top_n_vocab=12)
+    loaded_v1 = store.load(spark)
+    frozen_vocab = loaded_v1.vocab
+    assert store.append_corpus(spark, b, "text") == 2
+    appended = store.load(spark)
+    union_retrain = train_kn_lm(
+        a.unionByName(b), "text", top_n_vocab=12, vocab=frozen_vocab
+    )
+    probe = TRAIN + NEW_CORPUS + ["quiet river cats", "zyx wvu"]
+    try:
+        assert _score_with(spark, appended, probe) == _score_with(
+            spark, union_retrain, probe
+        )
+        tri_a = {
+            (r["a"], r["b"], r["c"]): r["c3"]
+            for r in appended.tri.collect()
+        }
+        tri_b = {
+            (r["a"], r["b"], r["c"]): r["c3"]
+            for r in union_retrain.tri.collect()
+        }
+        assert tri_a == tri_b
+    finally:
+        release_kn_lm(appended)
+        release_kn_lm(union_retrain)
+        release_kn_lm(loaded_v1)
+    store.vacuum(spark)
+    assert store.current_version(spark) == 2
+
+
 def test_kn_guards(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="discount"):
