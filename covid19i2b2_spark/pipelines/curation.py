@@ -18,6 +18,9 @@ isolation:
       -> MinHash+LSH   near-dup pair graph (Arrow signature kernel)
       -> components    transitive closure, min-id survivor per group
       -> contamination drop docs overlapping the eval/benchmark set
+    [perplexity gate]  optional: keep the best frac of survivors by
+                       Kneser–Ney trigram log-prob (X93, CCNet-style;
+                       LM from kn_lm_corpus or self-trained)
     [top fraction]     optional: keep the best frac of each domain by
                        quality score (percentile gate, exact mode)
       -> sample        hash_sample, or temperature mixture per domain
@@ -88,6 +91,18 @@ class CurationConfig:
     classifier_weights: tuple[float, ...] = ()
     classifier_bias: float = 0.0
     classifier_threshold: float = 0.5
+    # CCNet-style perplexity gate (1.0 disables; round 15, X93): after
+    # dedup + decontamination, keep only the top fraction of surviving
+    # docs by interpolated Kneser–Ney trigram log-prob (exp(-score) is
+    # the perplexity, so this is "drop the worst-perplexity tail").
+    # The LM trains on curate()'s kn_lm_corpus when given (the CCNet
+    # shape — a trusted clean corpus like an encyclopedia dump), else
+    # on the surviving docs themselves.  Runs POST-dedup by design:
+    # scoring survivors is cheaper, and a self-trained LM on the
+    # pre-dedup corpus would learn the boilerplate it is meant to cut.
+    kn_keep_fraction: float = 1.0
+    kn_top_n_vocab: int = 1000
+    kn_discount: float = 0.75
     # duplicated-span excision (0 disables): after line_dedup, cut every
     # cross-document duplicated run of >= dup_span_k tokens out of the
     # surviving text (operators/passages.py remove_duplicate_spans) —
@@ -151,6 +166,7 @@ def curate(
     blocked_sources: DataFrame | None = None,
     source_col: str = "source",
     cache_handles: list | None = None,
+    kn_lm_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Raw (id, text) corpus + eval/benchmark texts -> packed training
     set: (id, text, n_tokens, shard, chunk_id).
@@ -178,6 +194,11 @@ def curate(
     Without handles the ContextCleaner frees everything on GC —
     nondeterministic timing; repeated curate() calls in one session
     should pass handles (tests pin zero storage growth over 20 calls).
+
+    ``kn_lm_corpus``: training corpus for the X93 perplexity gate
+    (must carry ``text_col``) — the CCNet shape, where the LM comes
+    from a trusted clean corpus; None self-trains on the survivors.
+    Only read when ``config.kn_keep_fraction < 1``.
     """
     licenses = None
     if config.carry_licenses:
@@ -325,6 +346,43 @@ def curate(
     clean = survivors.join(
         report.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
     )
+    # 5a'. optional CCNet-style perplexity gate (X93): KN trigram LM
+    # (external clean corpus when given, else self-trained on the
+    # survivors), then a global percentile threshold — one tiny
+    # aggregate broadcast back, map-only filter, no per-doc sort
+    if config.kn_keep_fraction < 1.0:
+        from covid19i2b2_spark.operators.kn_lm import (
+            kn_logprob_score,
+            train_kn_lm,
+        )
+        from covid19i2b2_spark.operators.quality import keep_top_fraction
+
+        lm_src = kn_lm_corpus if kn_lm_corpus is not None else clean
+        model = train_kn_lm(
+            lm_src,
+            text_col,
+            top_n_vocab=config.kn_top_n_vocab,
+            discount=config.kn_discount,
+        )
+        if cache_handles is not None:
+            cache_handles.extend(
+                [
+                    model.vocab,
+                    model.tri,
+                    model.ctx3,
+                    model.cc2,
+                    model.ctx2,
+                    model.cc1,
+                ]
+            )
+        clean = keep_top_fraction(
+            kn_logprob_score(clean, id_col, text_col, model).withColumn(
+                "__kn_dom", F.lit(1)
+            ),
+            "__kn_dom",
+            "kn_logprob",
+            config.kn_keep_fraction,
+        ).drop("__kn_dom", "kn_logprob")
     # Selection-stage prep: the quality score and (when configured) the
     # domain column are attached ONCE and carried through gate ->
     # sample -> budget — attaching per stage would pay the domain join

@@ -323,6 +323,76 @@ def test_curation_exact_substring_stage_cuts_char_exact(spark):
     assert texts[4] == BODIES[4].title()
 
 
+def test_curation_kn_perplexity_gate(spark):
+    """kn_keep_fraction < 1 inserts the X93 CCNet-style gate after
+    decontamination: the worst-perplexity tail drops.  Self-trained
+    path — fluent docs share n-grams, the OOV-gibberish doc only has
+    its own singletons, so it lands at the bottom of the percentile."""
+    rows = [
+        (1, "the cat sat on the mat today and then tomorrow"),
+        (2, "the cat sat on the rug today and then yesterday"),
+        (3, "the dog sat on the mat today and then quietly"),
+        (4, "the dog ran to the park today and then home"),
+        (5, "zqx vbn mlk pqr jhg wsd rft yhn ujm iklo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([("unrelated eval text",)], "text string")
+    out = curate(
+        df,
+        ev,
+        config=CurationConfig(
+            boilerplate_max_doc_frac=1.0,
+            minhash_threshold=0.99,
+            kn_keep_fraction=0.8,
+        ),
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert 5 not in kept
+    assert {1, 2, 3, 4} <= kept
+    # the gate column stays internal
+    assert "kn_logprob" not in out[0].asDict()
+
+
+def test_curation_kn_gate_external_lm_corpus(spark):
+    """kn_lm_corpus trains the gate's LM on a SEPARATE trusted corpus
+    (the CCNet shape): a doc fluent under that corpus survives while
+    an off-distribution doc of seen-but-shuffled words drops."""
+    lm = spark.createDataFrame(
+        [
+            (100 + i, t)
+            for i, t in enumerate(
+                [
+                    "the committee approved the budget today",
+                    "the committee approved the motion today",
+                    "the board approved the budget today",
+                    "the board rejected the motion today",
+                ]
+            )
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, "the committee approved the budget today"),
+        (2, "the board approved the motion today"),
+        (3, "today budget the approved committee the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([("unrelated eval text",)], "text string")
+    out = curate(
+        df,
+        ev,
+        config=CurationConfig(
+            boilerplate_max_doc_frac=1.0,
+            minhash_threshold=0.99,
+            kn_keep_fraction=0.7,
+        ),
+        kn_lm_corpus=lm,
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert 3 not in kept
+    assert {1, 2} <= kept
+
+
 def test_curation_top_fraction_and_token_budget_stages(spark):
     """Round-5 stages: the percentile gate keeps ceil(frac*n) of each
     domain, the token budget caps each domain's final token total, both
