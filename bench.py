@@ -1908,6 +1908,52 @@ def _bench_redirects_scaled(spark) -> dict:
     return out
 
 
+def _bench_kn_lm(spark) -> dict:
+    """X93 Kneser–Ney trigram LM at x1/x{SCALE_X}: train (vocab cut +
+    trigram count shuffle + cascade scalars) and score (per-event
+    model joins + doc mean) timed separately.  The replicated corpus
+    keeps the DISTINCT trigram key space constant while event volume
+    scales, so both stages are O(tokens) with a fixed-size model —
+    linear_ratio_x10_vs_x1 ≈ 1 is the receipt (sub-linear is expected:
+    the x1 reading is mostly fixed per-job overhead at sf0.1)."""
+    from covid19i2b2_spark.operators.kn_lm import (
+        kn_logprob_score,
+        release_kn_lm,
+        train_kn_lm,
+    )
+    from covid19i2b2_spark.sources.tables import read_table
+
+    out: dict = {}
+
+    def _run(d):
+        docs = read_table(spark, d, "documents").select("doc_id", "text")
+        tr_runs, sc_runs = [], []
+        for _ in range(2):  # min-of-2: the scaled sections' protocol
+            t0 = time.perf_counter()
+            model = train_kn_lm(docs, "text", top_n_vocab=1000)
+            tr_runs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            kn_logprob_score(docs, "doc_id", "text", model).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            sc_runs.append(time.perf_counter() - t0)
+            release_kn_lm(model)
+            spark.catalog.clearCache()
+        return round(min(tr_runs), 3), round(min(sc_runs), 3)
+
+    out["train_x1_sec"], out["score_x1_sec"] = _run(SF_DIR)
+    d10 = _scaled_dir(spark, SCALE_X)
+    tr10, sc10 = _run(d10)
+    out[f"train_x{SCALE_X}_sec"] = tr10
+    out[f"score_x{SCALE_X}_sec"] = sc10
+    out["linear_ratio_x10_vs_x1"] = round(
+        (tr10 + sc10)
+        / (SCALE_X * (out["train_x1_sec"] + out["score_x1_sec"])),
+        3,
+    )
+    return out
+
+
 def _bench_curation(spark) -> float:
     """The north-star composition end-to-end at SF_DIR: line_dedup ->
     exact -> MinHash pair graph -> components -> decontamination ->
@@ -2054,6 +2100,7 @@ def main() -> None:
         result["components_star"] = _bench_components_star(spark)
         result["fetch_ingest"] = _bench_fetch_ingest(spark)
         result["redirects_scaled"] = _bench_redirects_scaled(spark)
+        result["kn_lm_scaled"] = _bench_kn_lm(spark)
     result["curation_pipeline_sec"] = _bench_curation(spark)
     result["sketch_stores"] = _bench_sketch_stores(spark)
 
@@ -2253,6 +2300,7 @@ def main() -> None:
         "components_star",
         "fetch_ingest",
         "redirects_scaled",
+        "kn_lm_scaled",
         "sketch_stores",
         "box_factor_full",
         "scaled",
@@ -2364,6 +2412,10 @@ def main() -> None:
         summary["redirects_x100_linear_ratio_vs_x10"] = detail[
             "redirects_scaled"
         ].get("linear_ratio_x100_vs_x10")
+    if "kn_lm_scaled" in detail:
+        summary["kn_lm_x10_linear_ratio"] = detail["kn_lm_scaled"].get(
+            "linear_ratio_x10_vs_x1"
+        )
     # VERDICT r12 #2: the compact line outgrew the driver's 2000-char
     # tail window in r12 (parsed: null) — the FULL summary now rides
     # the detail line, and the compact line carries only the headline
