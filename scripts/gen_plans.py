@@ -97,6 +97,18 @@ COMMENT = {
         "count; the iterative rounds are materialized localCheckpoints "
         "released round-over-round, so they don't appear here)."
     ),
+    "q_kn_lm": (
+        "Kneser–Ney trigram LM scoring (X93, round 15; unregistered — "
+        "full DuckDB retrain parity in tests). Check: event generation "
+        "is MAP-ONLY (Generate explode of padded trigram structs — no "
+        "Window, no per-doc exchange), <unk> mapping is three "
+        "BroadcastHashJoins over the persisted top-N vocab "
+        "(InMemoryTableScan), the five model-table joins broadcast at "
+        "this scale (key-partitioned shuffle joins at corpus scale via "
+        "AQE), and the only exchanges are the trigram count (training, "
+        "cached) and the per-doc mean aggregate; zero "
+        "ArrowEvalPython/BatchEvalPython."
+    ),
 }
 
 
@@ -132,7 +144,7 @@ def _query_fn(name: str):
     if name in REGISTRY:
         return REGISTRY[name].fn
     # deregistered-but-still-shipped queries (driver 50-slot window)
-    from covid19i2b2_spark.queries import filters, llm, llm2
+    from covid19i2b2_spark.queries import filters, llm, llm2, llm3
 
     return {
         "q_topk": filters.q_topk,
@@ -141,6 +153,8 @@ def _query_fn(name: str):
         # round 14: slots ceded to q_lang_id / q_suffix_array
         "q_fingerprint": llm.q_fingerprint,
         "q_embedding_near_dup": llm.q_embedding_near_dup,
+        # round 15: unregistered flagship (parity-only, X93)
+        "q_kn_lm": llm3.q_kn_lm,
     }[name]
 
 
