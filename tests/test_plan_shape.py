@@ -640,6 +640,41 @@ def test_lang_id_profiles_join_is_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_kn_lm_plan_is_map_only_events_no_window(spark):
+    """X93: event generation must stay MAP-ONLY — the padded trigram
+    stream comes out of one array transform + explode with <unk>
+    mapping as broadcast vocab joins, so the scoring plan carries no
+    DOC-KEYED window (the only Window allowed is build_vocab's rank
+    over the already-LIMITed top-N — bounded rows by design), no
+    Python evaluation, no cartesian; the only exchanges are the
+    (cached) model aggregates and the per-doc mean."""
+    from covid19i2b2_spark.operators.kn_lm import (
+        kn_logprob_score,
+        release_kn_lm,
+        train_kn_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id int, text string",
+    )
+    model = train_kn_lm(docs, "text", top_n_vocab=20)
+    try:
+        out = kn_logprob_score(docs, "doc_id", "text", model)
+        plan = physical_plan(out)
+        # every Window must be the vocab rank (a bare row_number over
+        # the LIMITed top-N); nothing may window over the event stream
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "row_number()" in line, line
+        assert "windowspecdefinition(doc_id" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        release_kn_lm(model)
+
+
 def test_suffix_dense_rank_window_is_partition_local(spark):
     """X88: the doubling loop's dense rank must never plan an
     unpartitioned window (it would pull the per-char table through one
