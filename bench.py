@@ -133,6 +133,9 @@ HEADLINE = [
     # round 15: the newly registered exact-substring surgery (slot
     # ceded by q_scalar_funcs), tracked per-round
     "q_exact_substr_dedup",
+    # round 15: license extraction registered (slot ceded by
+    # q_semantic_dedup), tracked per-round
+    "q_license_extract",
 ]
 
 

@@ -245,12 +245,17 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
-@query("q_semantic_dedup", oracle=_semantic_dedup_oracle())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 semantic tier (SemDeDup, arXiv:2303.09540): cluster the
     embeddings, drop all but the min-id survivor of any within-cluster
     group with cosine >= eps.  Catches paraphrase/translation dups that
     share no n-grams.  Planted-dup recall proven in tests/test_llm_ops.py.
+
+    UNREGISTERED since round 15 (slot ceded to q_license_extract —
+    X89's only value gate; the embedding-similarity family keeps
+    q_ann_ivf + q_knn_join under the driver window and this exact
+    query keeps full DuckDB parity via UNREGISTERED_ORACLES with
+    _semantic_dedup_oracle preserved verbatim at its author).
 
     Hash-verified since round 4: centroids are FROZEN to the first 16
     embedding vectors and every cosine is exact_decimal fixed-point, so

@@ -1914,6 +1914,40 @@ def q_dup_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_license_extract",
+    # The oracle derives each doc's EXPECTED evidence from the
+    # construction rules (doc_id % 6 picks the planted HTML shape) —
+    # the q_url_dedup adjudication style for HTML-parsing operators;
+    # the regex zoo itself is pinned element-by-element in
+    # tests/test_licenses.py.  Moved verbatim from
+    # UNREGISTERED_ORACLES on registration (round 15).
+    oracle="""
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(doc_id % 6 AS INT) AS s,
+               CAST(doc_id % 7 AS VARCHAR) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE s
+             WHEN 0 THEN 'http://h' || h || '.com/terms'
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://creativecommons.org/licenses/by/4.0/'
+             WHEN 2 THEN 'https://creativecommons.org/licenses/by-sa/3.0/'
+             WHEN 3 THEN 'http://h' || h || '.com/terms'
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'http://h' || h || '.com/a/t'
+             ELSE NULL END AS license_url,
+           CASE s WHEN 0 THEN 'rel' WHEN 1 THEN 'rel'
+                  WHEN 2 THEN 'cc-href' WHEN 3 THEN 'rel'
+                  WHEN 4 THEN 'rel' ELSE NULL END AS license_source,
+           CASE s WHEN 1 THEN 'CC-BY-4.0'
+                  WHEN 2 THEN 'CC-BY-SA-3.0'
+                  ELSE NULL END AS license_id
+    FROM docs ORDER BY doc_id
+    """,
+)
 def q_license_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-14 X89 license/attribution extraction
     (operators/licenses.py — VERDICT r13 missing #3): pages
@@ -1922,10 +1956,10 @@ def q_license_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointing at CC-BY-4.0; a bare badge href to CC-BY-SA-3.0; BOTH
     channels with rel outranking the badge; a relative rel href
     exercising RFC 3986 resolution; a licenseless page), classified by
-    extract_licenses.  UNREGISTERED; the DuckDB oracle derives each
-    doc's EXPECTED (license_url, license_source, license_id) from the
-    same construction rules (the q_url_dedup style — the regex zoo
-    itself is pinned element-by-element in tests/test_licenses.py)."""
+    extract_licenses.  REGISTERED round 15 (slot ceded by
+    q_semantic_dedup per the cession protocol); the DuckDB oracle
+    derives each doc's EXPECTED (license_url, license_source,
+    license_id) from the same construction rules."""
     from covid19i2b2_spark.operators.licenses import extract_licenses
 
     shape = F.pmod("doc_id", F.lit(6)).cast("int")

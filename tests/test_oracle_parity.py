@@ -1639,11 +1639,12 @@ from covid19i2b2_spark.queries.llm import (  # noqa: E402
 UNREGISTERED_ORACLES["q_fingerprint"] = FINGERPRINT_ORACLE
 UNREGISTERED_ORACLES["q_embedding_near_dup"] = _near_dup_oracle(0.3)
 
-# X89 license extraction (round 14): the oracle derives each doc's
-# EXPECTED evidence from the construction rules (doc_id % 6 picks the
-# planted HTML shape) — the regex zoo itself is pinned element by
-# element in tests/test_licenses.py (the q_url_dedup adjudication
-# style for HTML-parsing operators).
+# X89 q_license_extract was parity-pinned here in round 14 and
+# REGISTERED in round 15 — its construction-derived oracle moved
+# verbatim to the @query decorator in queries/llm3.py.
+# q_semantic_dedup ceded the slot (the embedding-similarity family
+# keeps q_ann_ivf + q_knn_join registered); its oracle is preserved
+# verbatim at its author and imported below.
 # X90 q_exact_substr_dedup was parity-pinned here in round 14 and
 # REGISTERED in round 15 (VERDICT r14 next #5) — its brute-force
 # window-replay oracle moved verbatim to the @query decorator in
@@ -1717,31 +1718,11 @@ UNREGISTERED_ORACLES["q_scalar_funcs"] = """
     ORDER BY order_month
 """
 
-UNREGISTERED_ORACLES["q_license_extract"] = """
-    WITH docs AS (
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST(doc_id % 6 AS INT) AS s,
-               CAST(doc_id % 7 AS VARCHAR) AS h
-        FROM documents
-    )
-    SELECT doc_id,
-           CASE s
-             WHEN 0 THEN 'http://h' || h || '.com/terms'
-                         || CAST(doc_id AS VARCHAR)
-             WHEN 1 THEN 'https://creativecommons.org/licenses/by/4.0/'
-             WHEN 2 THEN 'https://creativecommons.org/licenses/by-sa/3.0/'
-             WHEN 3 THEN 'http://h' || h || '.com/terms'
-                         || CAST(doc_id AS VARCHAR)
-             WHEN 4 THEN 'http://h' || h || '.com/a/t'
-             ELSE NULL END AS license_url,
-           CASE s WHEN 0 THEN 'rel' WHEN 1 THEN 'rel'
-                  WHEN 2 THEN 'cc-href' WHEN 3 THEN 'rel'
-                  WHEN 4 THEN 'rel' ELSE NULL END AS license_source,
-           CASE s WHEN 1 THEN 'CC-BY-4.0'
-                  WHEN 2 THEN 'CC-BY-SA-3.0'
-                  ELSE NULL END AS license_id
-    FROM docs ORDER BY doc_id
-"""
+from covid19i2b2_spark.queries.llm2 import (  # noqa: E402
+    _semantic_dedup_oracle,
+)
+
+UNREGISTERED_ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 
 
 
@@ -1872,7 +1853,7 @@ def test_unregistered_query_matches_oracle(name, spark, duck):
         "q_dup_spans_sa": llm3.q_dup_spans_sa,
         "q_fingerprint": llm.q_fingerprint,
         "q_embedding_near_dup": llm.q_embedding_near_dup,
-        "q_license_extract": llm3.q_license_extract,
+        "q_semantic_dedup": llm2.q_semantic_dedup,
         "q_scalar_funcs": scalar.q_scalar_funcs,
         "q_media_phash": llm3.q_media_phash,
     }[name]
