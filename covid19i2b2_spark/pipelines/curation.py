@@ -103,6 +103,13 @@ class CurationConfig:
     kn_keep_fraction: float = 1.0
     kn_top_n_vocab: int = 1000
     kn_discount: float = 0.75
+    # per-group thresholds for the perplexity gate (None = one global
+    # threshold): CCNet's filter is per-LANGUAGE — a global percentile
+    # over a mixed corpus drops whole low-resource slices whose
+    # perplexity under the (majority-language) LM runs high across the
+    # board.  Names a column on the INPUT corpus (language, source);
+    # one tiny per-group percentile aggregate instead of the global one.
+    kn_group_col: str | None = None
     # duplicated-span excision (0 disables): after line_dedup, cut every
     # cross-document duplicated run of >= dup_span_k tokens out of the
     # surviving text (operators/passages.py remove_duplicate_spans) —
@@ -375,14 +382,24 @@ def curate(
                     model.cc1,
                 ]
             )
+        scored = kn_logprob_score(clean, id_col, text_col, model)
+        if config.kn_group_col is not None:
+            # per-group thresholds (the CCNet per-language form): the
+            # group column rides in from the input corpus like the
+            # selection-stage domain join below
+            scored = scored.join(
+                corpus.select(id_col, config.kn_group_col), id_col
+            )
+            gate_col = config.kn_group_col
+        else:
+            scored = scored.withColumn("__kn_dom", F.lit(1))
+            gate_col = "__kn_dom"
         clean = keep_top_fraction(
-            kn_logprob_score(clean, id_col, text_col, model).withColumn(
-                "__kn_dom", F.lit(1)
-            ),
-            "__kn_dom",
+            scored,
+            gate_col,
             "kn_logprob",
             config.kn_keep_fraction,
-        ).drop("__kn_dom", "kn_logprob")
+        ).drop(gate_col, "kn_logprob")
     # Selection-stage prep: the quality score and (when configured) the
     # domain column are attached ONCE and carried through gate ->
     # sample -> budget — attaching per stage would pay the domain join

@@ -393,6 +393,55 @@ def test_curation_kn_gate_external_lm_corpus(spark):
     assert {1, 2} <= kept
 
 
+def test_curation_kn_gate_per_group_thresholds(spark):
+    """kn_group_col switches the gate to per-group percentiles (the
+    CCNet per-LANGUAGE form): under a global threshold the whole
+    off-distribution source drops (uniformly high perplexity under the
+    majority LM); per-group, each source keeps its own best and only
+    its own worst tail drops."""
+    lm = spark.createDataFrame(
+        [
+            (100 + i, f"the cat sat on the mat {w}")
+            for i, w in enumerate(["one", "two", "three", "four"])
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        # source 'en': fluent under the LM
+        (1, "en", "the cat sat on the mat five"),
+        (2, "en", "the cat sat on the rug two"),
+        (3, "en", "the cat sat near the mat one"),
+        # source 'xx': off-distribution; scores differ within group
+        (4, "xx", "zq wv the cat sat kl pp"),
+        (5, "xx", "zq wv tk the pl mm qq"),
+        (6, "xx", "zq wv tk pl mm rr ss"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ev = spark.createDataFrame([("unrelated eval text",)], "text string")
+
+    def run(group_col):
+        out = curate(
+            df,
+            ev,
+            config=CurationConfig(
+                boilerplate_max_doc_frac=1.0,
+                minhash_threshold=0.99,
+                kn_keep_fraction=0.5,
+                kn_group_col=group_col,
+            ),
+            kn_lm_corpus=lm,
+        ).collect()
+        return {r["doc_id"] for r in out}
+
+    kept_global = run(None)
+    assert kept_global & {1, 2, 3}
+    assert not kept_global & {4, 5, 6}  # whole source drops globally
+    kept_grouped = run("source")
+    assert kept_grouped & {1, 2, 3}
+    assert kept_grouped & {4, 5, 6}  # per-group keeps xx's own best
+    assert 6 not in kept_grouped  # xx's all-OOV tail still drops
+
+
 def test_curation_top_fraction_and_token_budget_stages(spark):
     """Round-5 stages: the percentile gate keeps ceil(frac*n) of each
     domain, the token budget caps each domain's final token total, both
