@@ -31,7 +31,11 @@ def test_date_bound_pushes_down(spark):
 
 
 def test_column_pruning_reaches_scan(spark):
-    df = REGISTRY["q_scalar_funcs"].fn(spark, SF_DIR)
+    # q_scalar_funcs ceded its registry slot in round 15 (to
+    # q_exact_substr_dedup) — resolve the shipped query directly
+    from covid19i2b2_spark.queries.scalar import q_scalar_funcs
+
+    df = q_scalar_funcs(spark, SF_DIR)
     plan = physical_plan(df)
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "o_totalprice" not in scan[0], (
