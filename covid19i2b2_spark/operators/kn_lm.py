@@ -150,33 +150,45 @@ def kn_events(
     )
 
 
+def _cc_scalars(cc2: DataFrame) -> tuple[int, int]:
+    """(tot_cc1, v_eff) from the (b, c) continuation-count table — the
+    ONE definition of both scalars (review r15: _write_version carried
+    a renamed copy that could silently diverge from load()-time
+    re-derivation)."""
+    row = cc2.agg(
+        F.count("*").alias("t"),
+        F.count_distinct("c").alias("v"),
+    ).collect()[0]
+    return int(row["t"] or 0), int(row["v"] or 0) + 1
+
+
 def _model_from_tri(
     vocab: DataFrame,
     tri: DataFrame,
     discount: float,
     top_n_vocab: int,
+    persist: bool = True,
 ) -> KnTrigramLm:
     """Derive the full model from the (vocab, trigram-count) sufficient
     statistic: three cascaded aggregates over ``tri`` plus two bounded
-    driver scalars.  Persists everything (release_kn_lm frees it);
-    ``tri`` must already be persisted or parquet-backed — each cascade
-    scans it once."""
-    ctx3 = (
+    driver scalars.  ``persist=True`` caches everything (release_kn_lm
+    frees it); ``tri`` should then already be persisted or
+    parquet-backed — each cascade scans it once.  ``persist=False`` is
+    the fire-and-forget mode for one-shot consumers (the parity query)
+    that have no release hook — correctness identical, the event
+    pipeline just recomputes per consumer."""
+    _p = (lambda df: df.persist()) if persist else (lambda df: df)
+    ctx3 = _p(
         tri.groupBy("a", "b")
         .agg(F.sum("c3").alias("c2"), F.count("*").alias("n1p3"))
-        .persist()
     )
-    cc2 = tri.groupBy("b", "c").agg(F.count("*").alias("cc2")).persist()
-    ctx2 = (
+    cc2 = _p(tri.groupBy("b", "c").agg(F.count("*").alias("cc2")))
+    ctx2 = _p(
         cc2.groupBy("b")
         .agg(F.sum("cc2").alias("ctxcc2"), F.count("*").alias("n1p2"))
-        .persist()
     )
-    cc1 = cc2.groupBy("c").agg(F.count("*").alias("cc1")).persist()
-    scalars = cc2.agg(
-        F.count("*").alias("t"),
-        F.count_distinct("c").alias("v"),
-    ).collect()[0]
+    cc1 = _p(cc2.groupBy("c").agg(F.count("*").alias("cc1")))
+    tot_cc1, v_eff = _cc_scalars(cc2)
     return KnTrigramLm(
         vocab=vocab,
         tri=tri,
@@ -184,8 +196,8 @@ def _model_from_tri(
         cc2=cc2,
         ctx2=ctx2,
         cc1=cc1,
-        tot_cc1=int(scalars["t"] or 0),
-        v_eff=int(scalars["v"] or 0) + 1,
+        tot_cc1=tot_cc1,
+        v_eff=v_eff,
         discount=discount,
         top_n_vocab=top_n_vocab,
     )
@@ -215,6 +227,7 @@ def train_kn_lm(
     top_n_vocab: int = 1000,
     discount: float = 0.75,
     vocab: DataFrame | None = None,
+    persist: bool = True,
 ) -> KnTrigramLm:
     """Fit the interpolated KN trigram model on ``df``.
 
@@ -230,7 +243,11 @@ def train_kn_lm(
     :class:`KnLmModel.append_corpus`'s exactness contract (appending
     under a frozen vocab equals retraining the union under that same
     vocab; ``top_n_vocab`` is ignored for the cut but kept as model
-    metadata)."""
+    metadata).
+
+    ``persist=False``: skip all caching — for one-shot consumers with
+    no release hook (the q_kn_lm parity query); correctness identical,
+    each consumer just recomputes the event pipeline."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     if top_n_vocab < 1:
@@ -240,11 +257,13 @@ def train_kn_lm(
         # vocab differently, so without the cache each one recomputes
         # the corpus-wide token count (verified in the physical plan —
         # no ReusedExchange across the va/vb/vc builds)
-        vocab = build_vocab(
-            df, text_col, top_n=top_n_vocab, lowercase=False
-        ).persist()
-    tri = _tri_counts(df, text_col, vocab).persist()
-    return _model_from_tri(vocab, tri, discount, top_n_vocab)
+        vocab = build_vocab(df, text_col, top_n=top_n_vocab, lowercase=False)
+        if persist:
+            vocab = vocab.persist()
+    tri = _tri_counts(df, text_col, vocab)
+    if persist:
+        tri = tri.persist()
+    return _model_from_tri(vocab, tri, discount, top_n_vocab, persist=persist)
 
 
 def kn_logprob_score(
@@ -302,12 +321,19 @@ def kn_logprob_score(
         / F.col("c2").cast("double"),
     ).otherwise(p2)
     lp_fix = qfix(F.log(p3), 12).cast("long")
+    # the per-doc sum runs in DECIMAL(38,0): a floor-probability event
+    # contributes ~-1.6e13 picounits, so a LONG sum would wrap silently
+    # past ~5.7e5 events (multi-MB documents) while the DuckDB oracle's
+    # SUM(BIGINT) promotes to HUGEINT and stays exact (review r15).
+    # Both sides convert the exact integer to double for the mean.
     per_doc = (
         sc.select(F.col(id_col), lp_fix.alias("__lp"))
         .groupBy(id_col)
         .agg(
             round6(
-                F.sum("__lp").cast("double") / F.count("*") / F.lit(1e12)
+                F.sum(F.col("__lp").cast("decimal(20,0)")).cast("double")
+                / F.count("*")
+                / F.lit(1e12)
             ).alias(out_col)
         )
     )
@@ -436,22 +462,15 @@ class KnLmModel:
         vdir = self._vdir(version)
         vocab.write.mode("overwrite").parquet(f"{vdir}/vocab")
         tri.write.mode("overwrite").parquet(f"{vdir}/tri")
-        # scalars derive from the STORED counts so meta can never
-        # disagree with the files it describes
+        # scalars derive from the STORED counts (via the one shared
+        # _cc_scalars definition) so meta can never disagree with the
+        # files it describes
         stored_tri = spark.read.parquet(f"{vdir}/tri")
-        cc = stored_tri.groupBy("b", "c").agg(F.count("*").alias("n"))
-        scalars = cc.agg(
-            F.count("*").alias("t"), F.count_distinct("c").alias("v")
-        ).collect()[0]
+        tot_cc1, v_eff = _cc_scalars(
+            stored_tri.groupBy("b", "c").agg(F.count("*").alias("cc2"))
+        )
         spark.createDataFrame(
-            [
-                (
-                    top_n_vocab,
-                    float(discount),
-                    int(scalars["t"] or 0),
-                    int(scalars["v"] or 0) + 1,
-                )
-            ],
+            [(top_n_vocab, float(discount), tot_cc1, v_eff)],
             "top_n_vocab int, discount double, tot_cc1 long, v_eff long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
         self._flip(spark, version)

@@ -364,6 +364,20 @@ def curate(
         )
         from covid19i2b2_spark.operators.quality import keep_top_fraction
 
+        # EAGER localCheckpoint, not persist (review r15, twice over):
+        # the decontaminated stream is read by the event explode, the
+        # score join, and the self-train pass — an unpinned frame
+        # re-runs the contamination shingle-join prefix once per
+        # reader, and a merely-PERSISTED one still carries the full
+        # lineage into every model table's plan, whose fivefold nesting
+        # inside the scoring join blows up plan-string generation
+        # (observed driver OOM in explainString at toy scale).  The
+        # checkpoint truncates lineage at the gate boundary.
+        from covid19i2b2_spark.caching import CheckpointHandle
+
+        clean = clean.localCheckpoint(eager=True)
+        if cache_handles is not None:
+            cache_handles.append(CheckpointHandle(clean))
         lm_src = kn_lm_corpus if kn_lm_corpus is not None else clean
         model = train_kn_lm(
             lm_src,
@@ -386,20 +400,28 @@ def curate(
         if config.kn_group_col is not None:
             # per-group thresholds (the CCNet per-language form): the
             # group column rides in from the input corpus like the
-            # selection-stage domain join below
+            # selection-stage domain join below.  NULL group values
+            # gate together as their own group — keep_top_fraction's
+            # threshold equi-join is null-unsafe, so without the
+            # sentinel every NULL-group doc would silently vanish
+            # regardless of score (review r15)
             scored = scored.join(
                 corpus.select(id_col, config.kn_group_col), id_col
-            )
-            gate_col = config.kn_group_col
+            ).withColumn(
+                "__kn_dom",
+                F.coalesce(
+                    F.col(config.kn_group_col).cast("string"),
+                    F.lit("__kn_null"),
+                ),
+            ).drop(config.kn_group_col)
         else:
-            scored = scored.withColumn("__kn_dom", F.lit(1))
-            gate_col = "__kn_dom"
+            scored = scored.withColumn("__kn_dom", F.lit("1"))
         clean = keep_top_fraction(
             scored,
-            gate_col,
+            "__kn_dom",
             "kn_logprob",
             config.kn_keep_fraction,
-        ).drop(gate_col, "kn_logprob")
+        ).drop("__kn_dom", "kn_logprob")
     # Selection-stage prep: the quality score and (when configured) the
     # domain column are attached ONCE and carried through gate ->
     # sample -> budget — attaching per stage would pay the domain join

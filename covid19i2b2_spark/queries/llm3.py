@@ -403,7 +403,10 @@ def q_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    model = train_kn_lm(docs, "text", top_n_vocab=50)
+    # persist=False: this query fn has no release hook (parity harness,
+    # plan dump), and the cached model tables would otherwise leak
+    # executor storage for the whole session (review r15)
+    model = train_kn_lm(docs, "text", top_n_vocab=50, persist=False)
     return (
         kn_logprob_score(docs, "doc_id", "text", model)
         .select("doc_id", "kn_logprob")

@@ -415,6 +415,10 @@ def test_curation_kn_gate_per_group_thresholds(spark):
         (4, "xx", "zq wv the cat sat kl pp"),
         (5, "xx", "zq wv tk the pl mm qq"),
         (6, "xx", "zq wv tk pl mm rr ss"),
+        # NULL source: gates as its own group under the sentinel —
+        # the null-unsafe threshold join would otherwise drop it
+        # silently regardless of score (review r15)
+        (7, None, "the cat sat on the mat seven"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     ev = spark.createDataFrame([("unrelated eval text",)], "text string")
@@ -440,6 +444,7 @@ def test_curation_kn_gate_per_group_thresholds(spark):
     assert kept_grouped & {1, 2, 3}
     assert kept_grouped & {4, 5, 6}  # per-group keeps xx's own best
     assert 6 not in kept_grouped  # xx's all-OOV tail still drops
+    assert 7 in kept_grouped  # NULL group survives via the sentinel
 
 
 def test_curation_top_fraction_and_token_budget_stages(spark):
