@@ -1918,7 +1918,13 @@ def _bench_kn_lm(spark) -> dict:
     keeps the DISTINCT trigram key space constant while event volume
     scales, so both stages are O(tokens) with a fixed-size model —
     linear_ratio_x10_vs_x1 ≈ 1 is the receipt (sub-linear is expected:
-    the x1 reading is mostly fixed per-job overhead at sf0.1)."""
+    the x1 reading is mostly fixed per-job overhead at sf0.1).
+
+    Both scales read 32-file replica dirs (x1 = _scaled_dir(1)): the
+    raw sf table is ONE parquet file, so reading it directly would time
+    a single-partition event pipeline against a 32-way one and the
+    ratio would measure partitioning, not data (the first full-run
+    reading showed exactly that: x1 11.0 s vs x10 5.5 s)."""
     from covid19i2b2_spark.operators.kn_lm import (
         kn_logprob_score,
         release_kn_lm,
@@ -1944,7 +1950,8 @@ def _bench_kn_lm(spark) -> dict:
             spark.catalog.clearCache()
         return round(min(tr_runs), 3), round(min(sc_runs), 3)
 
-    out["train_x1_sec"], out["score_x1_sec"] = _run(SF_DIR)
+    d1 = _scaled_dir(spark, 1)
+    out["train_x1_sec"], out["score_x1_sec"] = _run(d1)
     d10 = _scaled_dir(spark, SCALE_X)
     tr10, sc10 = _run(d10)
     out[f"train_x{SCALE_X}_sec"] = tr10
