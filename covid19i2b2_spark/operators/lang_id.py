@@ -132,11 +132,24 @@ def train_lang_profiles(
     versioned save/load/append lifecycle wrap it in
     :class:`LangIdModel`."""
     kept = _lang_gram_kept_counts(seed, lang_col, text_col, top_k)
-    # one bounded driver scalar: the largest per-language gram total
-    tot_max = kept.agg(F.max("tot")).collect()[0][0]
-    if tot_max is None:
+    # collect the sufficient statistic (bounded by construction:
+    # |langs| x top_k tiny rows — the whole model broadcasts at scoring
+    # time anyway) and rebuild it as a LOCAL relation: the lazy plan
+    # otherwise re-runs the two training exchanges + top-K windows
+    # INSIDE every scoring broadcast, i.e. the seed corpus is
+    # re-aggregated once per classify call (round 15, guide §3.1
+    # "compute the small side first" / §5 bounded-driver rule).  The
+    # tot_max aggregate already forced one driver pass over `kept`;
+    # collecting the rows costs the same pass and saves every re-run.
+    rows = kept.collect()
+    if not rows:
         raise ValueError("seed corpus produced no character bigrams")
-    return _profiles_from_kept(kept, top_k, int(tot_max))
+    tot_max = max(r["tot"] for r in rows)
+    local_kept = kept.sparkSession.createDataFrame(
+        [(r["lang"], r["gram"], r["c"], r["tot"]) for r in rows],
+        "lang string, gram string, c long, tot long",
+    )
+    return _profiles_from_kept(local_kept, top_k, int(tot_max))
 
 
 def _lang_gram_kept_counts(
@@ -257,19 +270,30 @@ def classify_language(
             F.count(F.lit(1)).alias("__hit"),
         )
     )
-    w = Window.partitionBy("__id").orderBy(
-        F.col("__adv").desc(), F.col("lang")
-    )
+    # argmax as ONE hash aggregate instead of a row_number window
+    # (round 15, guide §2.4): min(struct(-adv, lang, ...)) orders by
+    # adv DESC then lang ASC — exactly the window's tie rule — and
+    # drops the window's two sorts (the per-id exchange stays either
+    # way; adv is a BIGINT microunit sum, so negation is exact)
     best = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        scored.groupBy("__id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__adv")).alias("__na"),
+                    F.col("lang"),
+                    F.col("__adv"),
+                    F.col("__hit"),
+                )
+            ).alias("__best")
+        )
         .select(
             F.col("__id"),
-            F.col("lang").alias(out_col),
-            round6(F.col("__adv").cast("double") / F.lit(_FIX)).alias(
-                adv_col
-            ),
-            F.col("__hit"),
+            F.col("__best.lang").alias(out_col),
+            round6(
+                F.col("__best.__adv").cast("double") / F.lit(_FIX)
+            ).alias(adv_col),
+            F.col("__best.__hit").alias("__hit"),
         )
     )
     if min_coverage > 0.0:

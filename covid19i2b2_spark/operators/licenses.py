@@ -104,32 +104,41 @@ def rel_license_link(
     u = _col(url_col)
     # ONE whole-document regex captures the first declaring element;
     # quote-style disambiguation happens on the short tag string where
-    # declaration order cannot be inverted
-    elem = F.regexp_extract(h, _REL_LICENSE_ELEM, 1)
-    quoted = F.regexp_extract(elem, _HREF_Q, 2)
-    bare = F.regexp_extract(elem, _HREF_BARE, 1)
-    raw = F.when(F.regexp_extract(elem, _HREF_Q, 0) != "", quoted).otherwise(
-        F.when(bare != "", bare)
-    )
-    cleaned = _xml_unescape(F.regexp_replace(raw, r"[\t\r\n]", ""))
-    # bind-once staging (the urls.py tree-duplication trap):
-    # resolve_url references its ref many times; the http(s) gate
-    # references the resolution twice
-    return F.element_at(
-        F.transform(
-            F.array(cleaned),
-            lambda r: F.element_at(
-                F.transform(
-                    F.array(resolve_url(u, r)),
-                    lambda rr: F.when(
-                        F.lower(rr).rlike(r"^https?://"), rr
+    # declaration order cannot be inverted.  The element is bind-once
+    # staged (round 15, guide §4.4-adjacent expression-duplication):
+    # referenced bare, the CASE raw-href expression inlines the
+    # whole-document extract FOUR times per row — one element_at/
+    # transform stage keeps the expensive scan at exactly one
+    # evaluation; the short-tag href regexes stay direct references.
+    elem_raw = F.regexp_extract(h, _REL_LICENSE_ELEM, 1)
+
+    def _href_of(elem: Column) -> Column:
+        quoted = F.regexp_extract(elem, _HREF_Q, 2)
+        bare = F.regexp_extract(elem, _HREF_BARE, 1)
+        raw = F.when(
+            F.regexp_extract(elem, _HREF_Q, 0) != "", quoted
+        ).otherwise(F.when(bare != "", bare))
+        cleaned = _xml_unescape(F.regexp_replace(raw, r"[\t\r\n]", ""))
+        # bind-once staging (the urls.py tree-duplication trap):
+        # resolve_url references its ref many times; the http(s) gate
+        # references the resolution twice
+        return F.element_at(
+            F.transform(
+                F.array(cleaned),
+                lambda r: F.element_at(
+                    F.transform(
+                        F.array(resolve_url(u, r)),
+                        lambda rr: F.when(
+                            F.lower(rr).rlike(r"^https?://"), rr
+                        ),
                     ),
+                    1,
                 ),
-                1,
             ),
-        ),
-        1,
-    )
+            1,
+        )
+
+    return F.element_at(F.transform(F.array(elem_raw), _href_of), 1)
 
 
 def cc_href_link(html_col: str | Column) -> Column:
@@ -138,8 +147,15 @@ def cc_href_link(html_col: str | Column) -> Column:
     or NULL.  Already absolute by construction of the pattern."""
     from covid19i2b2_spark.operators.robots import _xml_unescape
 
+    # bind-once: the non-empty test + the unescape each reference the
+    # whole-document extract — staging keeps it at one evaluation
     got = F.regexp_extract(_col(html_col), _CC_HREF, 1)
-    return F.when(got != "", _xml_unescape(got))
+    return F.element_at(
+        F.transform(
+            F.array(got), lambda g: F.when(g != "", _xml_unescape(g))
+        ),
+        1,
+    )
 
 
 def cc_license_id(url_col: str | Column) -> Column:

@@ -225,7 +225,12 @@ def centroid_argmax_kernel(
                 out_sim[i] = sims[j, last_max[j]]
         return pd.DataFrame({"centroid_id": out_id, "sim": out_sim})
 
-    return _assign(_c_sim(vec_col))
+    # non-deterministic mark (round 15, guide §4.4): a filter on the
+    # kernel's output (join-key null gates) otherwise duplicates the
+    # whole Arrow evaluation below the pushed filter — the plan showed
+    # two ArrowEvalPython nodes per call site.  The kernel is pure;
+    # the mark only forbids the optimizer to copy/reorder it.
+    return _assign.asNondeterministic()(_c_sim(vec_col))
 
 
 def _c_sim(col: str | Column) -> Column:
@@ -582,7 +587,12 @@ def dot12_kernel(a: Column, b: Column) -> Column:
                 out[np.asarray(idxs)[ok]] = s / 1e12
         return pd.Series(out)
 
-    return _dot12(a, b)
+    # non-deterministic mark (round 15, guide §4.4): a filter on the
+    # kernel's output (join-key null gates) otherwise duplicates the
+    # whole Arrow evaluation below the pushed filter — the plan showed
+    # two ArrowEvalPython nodes per call site.  The kernel is pure;
+    # the mark only forbids the optimizer to copy/reorder it.
+    return _dot12.asNondeterministic()(a, b)
 
 
 def bucket_norm_kernel(vec_col: str, planes: list[list[float]]) -> Column:
@@ -650,7 +660,12 @@ def bucket_norm_kernel(vec_col: str, planes: list[list[float]]) -> Column:
                 norm_out[i] = np.sqrt(sd[j])
         return pd.DataFrame({"bucket": bucket, "norm": norm_out})
 
-    return _bn(F.col(vec_col))
+    # non-deterministic mark (round 15, guide §4.4): a filter on the
+    # kernel's output (join-key null gates) otherwise duplicates the
+    # whole Arrow evaluation below the pushed filter — the plan showed
+    # two ArrowEvalPython nodes per call site.  The kernel is pure;
+    # the mark only forbids the optimizer to copy/reorder it.
+    return _bn.asNondeterministic()(F.col(vec_col))
 
 
 def embedding_near_dup_pairs(
@@ -787,7 +802,12 @@ def multi_bucket_norm_kernel(
                 norm_out[i] = np.sqrt(sd[j])
         return pd.DataFrame({"buckets": buckets, "norm": norm_out})
 
-    return _mbn(F.col(vec_col))
+    # non-deterministic mark (round 15, guide §4.4): a filter on the
+    # kernel's output (join-key null gates) otherwise duplicates the
+    # whole Arrow evaluation below the pushed filter — the plan showed
+    # two ArrowEvalPython nodes per call site.  The kernel is pure;
+    # the mark only forbids the optimizer to copy/reorder it.
+    return _mbn.asNondeterministic()(F.col(vec_col))
 
 
 def embedding_near_dup_pairs_multitable(

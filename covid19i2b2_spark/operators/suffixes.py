@@ -72,6 +72,21 @@ from covid19i2b2_spark.caching import (
 )
 
 
+def _resolve_partitions(df: DataFrame, partitions: int | None) -> int:
+    """Scale-adaptive default for the doubling loop's range exchanges
+    (round 15, guide §2): ``None`` derives the width from the session's
+    ``spark.sql.shuffle.partitions`` (cores in local mode, cluster-
+    sized on a real deployment) instead of a constant tuned for
+    local[32].  Explicit values still win — the plan-depth pin tests
+    pass 8 vs 128."""
+    if partitions is not None:
+        return partitions
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def _codepoint_rows(
     df: DataFrame, id_col: str, text_col: str, *, pair_seed: bool = False
 ) -> DataFrame:
@@ -298,7 +313,7 @@ def suffix_doubling_ranks(
     *,
     rounds: int | None = None,
     max_prefix_len: int = 1 << 16,
-    partitions: int = 32,
+    partitions: int | None = None,
     active_broadcast_cap: int = 1_000_000,
     probe: dict | None = None,
 ) -> DataFrame:
@@ -343,6 +358,7 @@ def suffix_doubling_ranks(
     round 15, VERDICT r14 what's-wrong #1 — as its first round: the
     seed IS the width 1→2 doubling, computed for free during char
     extraction instead of as a full-table join + rank pass)."""
+    partitions = _resolve_partitions(df, partitions)
     if rounds is None:
         rounds = max(0, math.ceil(math.log2(max(2, max_prefix_len))))
     seeded = rounds >= 1
@@ -564,7 +580,7 @@ def suffix_array(
     text_col: str,
     *,
     max_prefix_len: int = 1 << 16,
-    partitions: int = 32,
+    partitions: int | None = None,
     local_cap: int = 1 << 16,
     probe: dict | None = None,
 ) -> DataFrame:
@@ -613,6 +629,7 @@ def suffix_array(
                 probe["mode"] = "local"
                 probe["n_chars"] = int(n_chars)
             return df.sparkSession.createDataFrame(order, schema)
+    partitions = _resolve_partitions(df, partitions)
     ranks = suffix_doubling_ranks(
         df,
         id_col,
@@ -662,6 +679,41 @@ def suffix_array(
     return result
 
 
+def _local_dup_spans(
+    rows: list[tuple], min_len: int, min_occurrences: int
+) -> list[tuple]:
+    """Driver-side duplicated-span finding over a SUB-CAP corpus:
+    [(emit_key, span_start, span_end, n_starts)] with the exact
+    semantics of the distributed plan — a ``min_len``-window is
+    duplicated when >= ``min_occurrences`` positions inside its COUNT
+    SCOPE carry the same characters, and consecutive duplicated starts
+    merge to one maximal 1-based inclusive span.  ``rows`` are
+    (emit_key, count_scope, text); the caller bakes the cluster (or
+    None for the global pass) into ``count_scope``."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for _k, sc, t in rows:
+        for p in range(len(t) - min_len + 1):
+            cnt[(sc, t[p : p + min_len])] += 1
+    out: list[tuple] = []
+    for k, sc, t in rows:
+        run_start = prev = None
+        n = 0
+        for p in range(1, len(t) - min_len + 2):
+            if cnt[(sc, t[p - 1 : p - 1 + min_len])] < min_occurrences:
+                continue
+            if prev is not None and p == prev + 1:
+                prev, n = p, n + 1
+            else:
+                if run_start is not None:
+                    out.append((k, run_start, prev + min_len - 1, n))
+                run_start, prev, n = p, p, 1
+        if run_start is not None:
+            out.append((k, run_start, prev + min_len - 1, n))
+    return out
+
+
 def duplicated_spans_exact(
     df: DataFrame,
     id_col: str,
@@ -669,9 +721,10 @@ def duplicated_spans_exact(
     min_len: int,
     *,
     min_occurrences: int = 2,
-    partitions: int = 32,
+    partitions: int | None = None,
     clusters: DataFrame | None = None,
     cluster_col: str = "cluster",
+    local_cap: int = 1 << 16,
     probe: dict | None = None,
 ) -> DataFrame:
     """EXACT duplicated spans of length >= ``min_len`` characters:
@@ -705,7 +758,17 @@ def duplicated_spans_exact(
     inside a cluster stays exact; a cross-cluster duplicate pair the
     candidate stage missed is NOT found (and a within-doc repeat needs
     its doc present — self-repeat candidates get singleton clusters in
-    :func:`clustered_exact_substring_dedup`)."""
+    :func:`clustered_exact_substring_dedup`).
+
+    ``local_cap`` (round 15, optimization — the suffix_array
+    precedent): when the working set (candidate chars under
+    ``clusters``, corpus chars otherwise) is <= ``local_cap``
+    characters, the whole span search runs driver-side — 4-6
+    distributed doubling rounds plus two windows are pure scheduler
+    latency on a few thousand characters, while the same counting in
+    Python is milliseconds.  One cheap agg decides; the distributed
+    path is unchanged past the cap and stays pinned by ``local_cap=0``
+    tests."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if min_occurrences < 2:
@@ -739,6 +802,47 @@ def duplicated_spans_exact(
         wid, wtext = "__cdoc", "__t"
     else:
         work, wid, wtext = df, id_col, text_col
+    if local_cap > 0:
+        src = work.select(
+            F.col(wid).alias("__k"), F.col(wtext).alias("__wt")
+        ).filter(F.col("__k").isNotNull() & (F.length("__wt") > 0))
+        n_chars = src.agg(F.sum(F.length("__wt"))).collect()[0][0] or 0
+        if n_chars <= local_cap:
+            from pyspark.sql.types import (
+                IntegerType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            collected = src.collect()
+            if clusters is not None:
+                # emit key keeps (cluster, doc) so runs merge within a
+                # membership, exactly like the composite struct key;
+                # counting scopes to the cluster
+                rows = [
+                    ((r["__k"]["c"], r["__k"]["d"]), r["__k"]["c"], r["__wt"])
+                    for r in collected
+                ]
+            else:
+                rows = [(r["__k"], None, r["__wt"]) for r in collected]
+            spans = _local_dup_spans(rows, min_len, min_occurrences)
+            if clusters is not None:
+                data = [(k[1], s, e, n) for (k, s, e, n) in spans]
+            else:
+                data = list(spans)
+            schema = StructType(
+                [
+                    StructField("doc", df.schema[id_col].dataType),
+                    StructField("span_start", IntegerType(), True),
+                    StructField("span_end", IntegerType(), True),
+                    StructField("n_starts", LongType(), True),
+                ]
+            )
+            if probe is not None:
+                probe["mode"] = "local"
+                probe["n_chars"] = int(n_chars)
+            return df.sparkSession.createDataFrame(data, schema)
     table = suffix_doubling_ranks(
         work,
         wid,
@@ -932,10 +1036,11 @@ def exact_substring_dedup(
     min_len: int,
     *,
     min_occurrences: int = 2,
-    partitions: int = 32,
+    partitions: int | None = None,
     out_col: str = "text_dedup",
     clusters: DataFrame | None = None,
     cluster_col: str = "cluster",
+    local_cap: int = 1 << 16,
     probe: dict | None = None,
 ) -> DataFrame:
     """df + ``out_col``: the text with EVERY duplicated span of
@@ -965,6 +1070,7 @@ def exact_substring_dedup(
         partitions=partitions,
         clusters=clusters,
         cluster_col=cluster_col,
+        local_cap=local_cap,
         probe=probe,
     )
     # duplicated_spans_exact normalizes its id column to 'doc'
@@ -1125,9 +1231,10 @@ def clustered_exact_substring_dedup(
     min_len: int,
     *,
     min_occurrences: int = 2,
-    partitions: int = 32,
+    partitions: int | None = None,
     out_col: str = "text_dedup",
     extra_clusters: DataFrame | None = None,
+    local_cap: int = 1 << 16,
     probe: dict | None = None,
 ) -> DataFrame:
     """The 100 TB exact-substring pipeline (round 15, VERDICT r14
@@ -1185,6 +1292,7 @@ def clustered_exact_substring_dedup(
         out_col=out_col,
         clusters=clusters,
         cluster_col="cluster",
+        local_cap=local_cap,
         probe=probe,
     )
     release_local_checkpoint(pinned)

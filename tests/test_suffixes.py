@@ -133,8 +133,11 @@ def test_doubling_ranks_equal_iff_prefix_equal(spark):
 
 
 @pytest.mark.parametrize("m", [1, 7, 8, 13])
-def test_dup_spans_match_bruteforce(spark, m):
-    """Non-power-of-two m exercises the two-rank overlap trick."""
+@pytest.mark.parametrize("cap", [0, 1 << 16])
+def test_dup_spans_match_bruteforce(spark, m, cap):
+    """Non-power-of-two m exercises the two-rank overlap trick; cap=0
+    pins the DISTRIBUTED doubling path, the default cap the round-15
+    driver-local fast path — both against the same brute force."""
     docs = {
         "a": "xxabcdefghijklmnopxx",
         "b": "yyabcdefghijklmnopyy",  # shared 16-char run
@@ -144,7 +147,7 @@ def test_dup_spans_match_bruteforce(spark, m):
     got = {
         (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
         for r in duplicated_spans_exact(
-            _docs_df(spark, docs), "doc_id", "text", m
+            _docs_df(spark, docs), "doc_id", "text", m, local_cap=cap
         ).collect()
     }
     assert got == _py_dup_spans(docs, m)
@@ -163,7 +166,7 @@ def test_dup_spans_cross_doc_passage(spark):
     got = {
         (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
         for r in duplicated_spans_exact(
-            _docs_df(spark, docs), "doc_id", "text", 32
+            _docs_df(spark, docs), "doc_id", "text", 32, local_cap=0
         ).collect()
     }
     assert got == _py_dup_spans(docs, 32)
@@ -241,11 +244,15 @@ def test_property_random_small_alphabet(spark, texts, m):
         .collect()
     ]
     assert got_order == _py_suffix_order(docs)
-    got_spans = {
-        (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
-        for r in duplicated_spans_exact(df, "doc_id", "text", m).collect()
-    }
-    assert got_spans == _py_dup_spans(docs, m)
+    want_spans = _py_dup_spans(docs, m)
+    for cap in (0, 1 << 16):  # distributed AND driver-local paths
+        got_spans = {
+            (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
+            for r in duplicated_spans_exact(
+                df, "doc_id", "text", m, local_cap=cap
+            ).collect()
+        }
+        assert got_spans == want_spans
 
 
 def test_global_rank_plan_depth_independent_of_partitions(spark):
@@ -518,35 +525,68 @@ def _clusters_df(spark, mapping: dict):
     )
 
 
-def test_clustered_spans_match_global_when_recall_holds(spark):
+@pytest.mark.parametrize("cap", [0, 1 << 16])
+def test_clustered_spans_match_global_when_recall_holds(spark, cap):
     """When every duplicated pair lands in one shared cluster, the
-    cluster-scoped spans equal the global answer exactly."""
+    cluster-scoped spans equal the global answer exactly — on the
+    distributed path (cap=0) and the driver-local fast path alike."""
     df = _docs_df(spark, CLUSTER_DOCS)
     m = 30
     key = lambda rows: sorted(
         (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
         for r in rows
     )
-    g = duplicated_spans_exact(df, "doc_id", "text", m).collect()
+    g = duplicated_spans_exact(
+        df, "doc_id", "text", m, local_cap=cap
+    ).collect()
     c = duplicated_spans_exact(
         df, "doc_id", "text", m,
-        clusters=_clusters_df(spark, CLUSTER_MAP),
+        clusters=_clusters_df(spark, CLUSTER_MAP), local_cap=cap,
     ).collect()
     assert key(c) == key(g)
     assert key(g) == sorted(_py_dup_spans(CLUSTER_DOCS, m))
 
 
-def test_clustered_spans_do_not_cross_clusters(spark):
+@pytest.mark.parametrize("cap", [0, 1 << 16])
+def test_clustered_spans_do_not_cross_clusters(spark, cap):
     """A duplicate pair the candidate stage failed to co-cluster is
     NOT found — the documented recall contract (occurrences count per
-    cluster only)."""
+    cluster only), on both execution paths."""
     df = _docs_df(spark, CLUSTER_DOCS)
     wrong = {"a1": "A", "a2": "B", "b1": "C", "b2": "D"}
     out = duplicated_spans_exact(
         df, "doc_id", "text", 30,
-        clusters=_clusters_df(spark, wrong),
+        clusters=_clusters_df(spark, wrong), local_cap=cap,
     ).collect()
     assert out == []
+
+
+def test_dup_spans_local_fast_path_schema_and_probe(spark):
+    """The round-15 driver-local fast path: reports mode='local' under
+    the cap, returns the distributed path's exact schema (so callers
+    branching on corpus size see one contract), and a 1-char local_cap
+    forces the distributed path (probe mode absent, rounds_run set)."""
+    docs = {
+        "a": "xxabcdefghijklmnopxx",
+        "b": "yyabcdefghijklmnopyy",
+    }
+    df = _docs_df(spark, docs)
+    p_local: dict = {}
+    local = duplicated_spans_exact(
+        df, "doc_id", "text", 8, probe=p_local
+    )
+    assert p_local["mode"] == "local"
+    assert p_local["n_chars"] == sum(len(t) for t in docs.values())
+    p_dist: dict = {}
+    dist = duplicated_spans_exact(
+        df, "doc_id", "text", 8, local_cap=1, probe=p_dist
+    )
+    assert "mode" not in p_dist and p_dist["rounds_run"] is not None
+    assert [(f.name, f.dataType) for f in local.schema.fields] == [
+        (f.name, f.dataType) for f in dist.schema.fields
+    ]
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(local.collect()) == key(dist.collect())
 
 
 def test_clustered_spans_chars_receipt(spark):
@@ -558,6 +598,7 @@ def test_clustered_spans_chars_receipt(spark):
     duplicated_spans_exact(
         df, "doc_id", "text", 30,
         clusters=_clusters_df(spark, CLUSTER_MAP), probe=probe,
+        local_cap=0,  # the receipt is a distributed-loop property
     ).collect()
     cluster_chars = sum(
         len(CLUSTER_DOCS[d]) for d in CLUSTER_MAP
