@@ -34,11 +34,15 @@ bit-identical).
 
 Shape at 100 TB: classification is explode (bounded by ``max_chars``
 per doc — language ID needs a few hundred chars, not the document)
-→ broadcast-join the profile table (|langs|·K rows — KBs) → one
-groupBy(id, lang) → one id-keyed window for the argmax.  Training
-shuffles on (lang, gram) then lang — O(distinct bigrams), trivially
-small.  The one driver-side scalar is tot_max (one row per seed
-language).
+→ LEFT broadcast-join the per-GRAM pivoted profile table (one row per
+distinct gram with every language's adv_fix — KBs) → ONE per-id hash
+aggregate (per-language sums/hits + the coverage denominator) → a
+row-local array_min argmax.  Training counts run driver-locally for
+seed corpora under _TRAIN_LOCAL_CAP_* (a seed is sentences, not a
+corpus; pass local_cap=0 for the distributed explode → (lang, gram)
+aggregate → top-K window plan, which large seeds fall back to
+automatically).  The driver-side state is the bounded model itself —
+|langs|·top_k rows, which scoring broadcasts anyway.
 
 Loud-NULL contract: documents with no matched gram (empty text,
 non-letter text, an unseeded language) classify 'und' — the same
@@ -50,7 +54,13 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window,
+    functions as F,
+)
 
 from covid19i2b2_spark.operators.aggregates import round6
 from covid19i2b2_spark.operators.text import _c, lang_guess
@@ -112,11 +122,137 @@ def char_bigrams(col: str | Column) -> Column:
     return _bigrams_of_padded(padded_lang_norm(col))
 
 
+# Driver-local training fast path bounds (round 15, guide §1.2 "per-task
+# work" / the suffix_array local_cap precedent): a language-ID seed is a
+# few sentences per language, yet the distributed kept-counts plan costs
+# an explode + a (lang, gram) exchange + two windows + a collect — pure
+# scheduler latency at seed scale, re-paid on EVERY train call (the
+# bench times fn() construction).  Under these caps the counting runs in
+# plain Python on the driver: exact integer counts, the same
+# (-c, gram) top-K cut (UTF-8 byte order == code-point order, so Python
+# str compare matches the JVM's UTF8String compare), and the SAME JVM
+# expressions for logp/adv_fix afterwards (_profiles_from_kept on the
+# local relation) — no float crosses engines.  local_cap=0 pins the
+# distributed path (tests assert local ≡ distributed on real seeds).
+_TRAIN_LOCAL_CAP_CHARS = 65536
+_TRAIN_LOCAL_CAP_ROWS = 64
+
+
+def _norm_local(text: str) -> str:
+    """Pure-Python lang_norm: lower, fold non-letter runs (Unicode
+    general category L*) to one space, trim — mirrors
+    lower + regexp_replace('[^\\p{L}]+', ' ') + trim."""
+    import unicodedata
+
+    out: list[str] = []
+    prev_sep = True
+    for ch in text.lower():
+        if unicodedata.category(ch).startswith("L"):
+            out.append(ch)
+            prev_sep = False
+        elif not prev_sep:
+            out.append(" ")
+            prev_sep = True
+    return "".join(out).strip()
+
+
+def _bigrams_local(text: str) -> list[str]:
+    norm = _norm_local(text)
+    if not norm:
+        return []
+    padded = f" {norm} "
+    return [padded[i : i + 2] for i in range(len(padded) - 1)]
+
+
+def _kept_count_rows(pairs: list) -> list:
+    """Driver-local replay of the kept-counts plan over (lang, text)
+    pairs: per-language bigram Counter -> per-language total ->
+    (-c, gram) top-K cut is applied by the caller (it needs top_k).
+    Returns [(lang, Counter, tot)] sorted by lang."""
+    from collections import Counter
+
+    counts: dict = {}
+    for lang, text in pairs:
+        if text is None:
+            continue
+        grams = _bigrams_local(text)
+        if grams:
+            counts.setdefault(lang, Counter()).update(grams)
+    return sorted(
+        ((lang, c, sum(c.values())) for lang, c in counts.items()),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+
+
+def _kept_counts_rows_local(pairs: list, top_k: int) -> list:
+    """[(lang, gram, c, tot)] — the kept-counts sufficient statistic,
+    computed driver-locally (exact integers; Python str sort == the
+    JVM's UTF8String sort because UTF-8 byte order preserves code-point
+    order)."""
+    out = []
+    for lang, c, tot in _kept_count_rows(pairs):
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out.extend((lang, g, n, tot) for g, n in top)
+    return out
+
+
+def _seed_local_pairs(
+    seed, lang_col: str, text_col: str, local_cap: int
+) -> list | None:
+    """(lang, text) pairs when the seed is driver-local and small, else
+    None (caller falls back to the distributed plan).  A plain Python
+    sequence of pairs IS the fast path (no Spark round trip at all); a
+    DataFrame seed pays one bounded limit().collect()."""
+    if isinstance(seed, (list, tuple)):
+        return [(lang, text) for lang, text in seed]
+    if not local_cap:
+        return None
+    head = (
+        seed.select(F.col(lang_col), F.col(text_col))
+        .limit(_TRAIN_LOCAL_CAP_ROWS + 1)
+        .collect()
+    )
+    if len(head) > _TRAIN_LOCAL_CAP_ROWS or (
+        sum(len(r[text_col] or "") for r in head) > local_cap
+    ):
+        return None
+    return [(r[lang_col], r[text_col]) for r in head]
+
+
+def _profiles_local(spark, counts_rows: list, top_k: int) -> DataFrame:
+    """Profiles frame from driver-local kept-counts: the SAME float
+    recipe as _profiles_from_kept — logp = log((c+1)/(tot+v)) and
+    adv_fix = floor((logp + ln(tot_max+v))·1e6 + 0.5) — in Python
+    doubles (libm log == the JVM's Math.log on every value the replay
+    test and the q_lang_id DuckDB oracle exercise; local ≡ distributed
+    is pinned by test_local_training_equals_distributed, and
+    local_cap=0 forces the JVM path).  The Python rows ride along on
+    the returned frame (``_graft_profile_rows``) so classify_language
+    can build its per-gram pivot without a collect round trip."""
+    v = top_k + 1
+    tot_max = max(tot for _, _, _, tot in counts_rows)
+    oov = -math.log(float(tot_max) + v)
+    data = []
+    for lang, gram, c, tot in counts_rows:
+        logp = math.log((c + 1) / (tot + v))
+        data.append(
+            (lang, gram, logp, math.floor((logp - oov) * _FIX + 0.5))
+        )
+    prof = spark.createDataFrame(
+        data, "lang string, gram string, logp double, adv_fix long"
+    )
+    prof._graft_profile_rows = [  # noqa: SLF001 (own attribute)
+        (lang, gram, adv) for lang, gram, _, adv in data
+    ]
+    return prof
+
+
 def train_lang_profiles(
-    seed: DataFrame,
+    seed: DataFrame | list | tuple,
     lang_col: str = "lang",
     text_col: str = "text",
     top_k: int = 300,
+    local_cap: int = _TRAIN_LOCAL_CAP_CHARS,
 ) -> DataFrame:
     """Per-language char-bigram profiles from a (lang, text) seed
     corpus: the top-``top_k`` bigrams per language by count (ties by
@@ -131,7 +267,27 @@ def train_lang_profiles(
     parquet and broadcast it at scoring time (|langs|·K rows); for a
     versioned save/load/append lifecycle wrap it in
     :class:`LangIdModel`."""
-    kept = _lang_gram_kept_counts(seed, lang_col, text_col, top_k)
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # Driver-local fast path: count + top-K + log in plain Python (one
+    # bounded limit().collect() for a DataFrame seed, ZERO Spark jobs
+    # for a Python-pairs seed) — at seed scale the distributed plan is
+    # pure scheduler latency, and every local-relation collect() round
+    # trip costs ~0.4 s of fixed overhead on its own.
+    pairs = _seed_local_pairs(seed, lang_col, text_col, local_cap)
+    if pairs is not None:
+        counts_rows = _kept_counts_rows_local(pairs, top_k)
+        if not counts_rows:
+            raise ValueError("seed corpus produced no character bigrams")
+        spark = (
+            seed.sparkSession
+            if isinstance(seed, DataFrame)
+            else SparkSession.getActiveSession()
+        )
+        return _profiles_local(spark, counts_rows, top_k)
+    kept = _lang_gram_kept_counts(
+        seed, lang_col, text_col, top_k, local_cap=0
+    )
     # collect the sufficient statistic (bounded by construction:
     # |langs| x top_k tiny rows — the whole model broadcasts at scoring
     # time anyway) and rebuild it as a LOCAL relation: the lazy plan
@@ -153,7 +309,11 @@ def train_lang_profiles(
 
 
 def _lang_gram_kept_counts(
-    seed: DataFrame, lang_col: str, text_col: str, top_k: int
+    seed: DataFrame,
+    lang_col: str,
+    text_col: str,
+    top_k: int,
+    local_cap: int = _TRAIN_LOCAL_CAP_CHARS,
 ) -> DataFrame:
     """(lang, gram, c, tot): the per-language top-``top_k`` bigram
     counts with the per-language TOTAL gram count (over ALL grams, not
@@ -166,6 +326,12 @@ def _lang_gram_kept_counts(
     retrain over the union would."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pairs = _seed_local_pairs(seed, lang_col, text_col, local_cap)
+    if pairs is not None:
+        return seed.sparkSession.createDataFrame(
+            _kept_counts_rows_local(pairs, top_k),
+            "lang string, gram string, c long, tot long",
+        )
     grams = seed.select(
         F.col(lang_col).alias("lang"),
         padded_lang_norm(F.col(text_col)).alias("__p"),
@@ -237,8 +403,9 @@ def classify_language(
     is mostly outside the winner's vocabulary (a language missing from
     the seed set sharing an alphabet with one that isn't), which is
     exactly when a fallback heuristic should get its say
-    (:func:`classify_language_with_fallback`).  Costs one extra
-    id-keyed aggregate + join; 0.0 (default) skips both.
+    (:func:`classify_language_with_fallback`).  The denominator rides
+    the same per-id aggregate as the scores (one extra count column);
+    0.0 (default) skips the column and the gate.
 
     Ties break by language order (same rule as lang_guess_scored)."""
     taken = [
@@ -252,60 +419,95 @@ def classify_language(
             "pass different out_col/adv_col/cov_col names (a silent "
             "replace would shadow caller data)"
         )
+    # Round-15 restructure (guide §2.3 "shuffle fewer bytes" + §2.4):
+    # the model is bounded (|langs|·K rows — it broadcasts anyway), so
+    # collect it ONCE and re-shape it per GRAM: one row per distinct
+    # gram carrying that gram's adv_fix for every language (NULL where
+    # the gram is outside a language's top-K).  The per-gram LEFT
+    # broadcast join then emits exactly one row per gram instance
+    # (the (gram, lang) long form fanned each instance out once per
+    # matching language), ONE per-id hash aggregate computes every
+    # language's sum/hit plus the coverage denominator together
+    # (the long form needed a (id, lang) exchange + a struct-min
+    # SortAggregate + a separate totals aggregate AND join), and the
+    # argmax becomes a row-local array_min over per-language structs —
+    # the SAME (adv DESC, lang ASC) tie rule as the old
+    # min(struct(-adv, lang, ...)), language order baked into the
+    # struct array.  BIGINT microunit sums, so every value is exact
+    # and order-independent; null advs (zero matched grams for that
+    # language) are filtered before the min, so "a language with no
+    # matched gram never wins" is preserved verbatim.
+    prows = getattr(profiles, "_graft_profile_rows", None)
+    if prows is None:
+        # loaded/custom model: one bounded collect (the model is
+        # |langs|·top_k rows and broadcasts at scoring time anyway)
+        prows = [
+            (r["lang"], r["gram"], r["adv_fix"])
+            for r in profiles.select("lang", "gram", "adv_fix").collect()
+        ]
+    if not prows:
+        raise ValueError("profiles is empty — train_lang_profiles first")
+    langs = sorted({lang for lang, _, _ in prows})
+    idx = {lang: i for i, lang in enumerate(langs)}
+    by_gram: dict[str, list] = {}
+    for lang, gram, adv_fix in prows:
+        advs = by_gram.setdefault(gram, [None] * len(langs))
+        if advs[idx[lang]] is not None:
+            raise ValueError(
+                "duplicate (lang, gram) row in profiles: "
+                f"({lang!r}, {gram!r})"
+            )
+        advs[idx[lang]] = adv_fix
+    a_cols = [f"__a{i}" for i in range(len(langs))]
+    pivot = df.sparkSession.createDataFrame(
+        [(g, *advs) for g, advs in sorted(by_gram.items())],
+        "gram string, " + ", ".join(f"{c} long" for c in a_cols),
+    )
     rows = df.select(
         F.col(id_col).alias("__id"),
         padded_lang_norm(_c(text_col), max_chars).alias("__p"),
     ).select(
         "__id",
-        F.explode(_bigrams_of_padded(F.col("__p"))).alias("gram"),
+        F.explode(_bigrams_of_padded(F.col("__p"))).alias("__gram"),
     )
-    scored = (
-        rows.join(
-            F.broadcast(profiles.select("gram", "lang", "adv_fix")),
-            "gram",
-        )
-        .groupBy("__id", "lang")
-        .agg(
-            F.sum("adv_fix").alias("__adv"),
-            F.count(F.lit(1)).alias("__hit"),
-        )
+    joined = rows.join(
+        F.broadcast(pivot), F.col("__gram") == F.col("gram"), "left"
     )
-    # argmax as ONE hash aggregate instead of a row_number window
-    # (round 15, guide §2.4): min(struct(-adv, lang, ...)) orders by
-    # adv DESC then lang ASC — exactly the window's tie rule — and
-    # drops the window's two sorts (the per-id exchange stays either
-    # way; adv is a BIGINT microunit sum, so negation is exact)
-    best = (
-        scored.groupBy("__id")
-        .agg(
-            F.min(
+    aggs = []
+    for i in range(len(langs)):
+        aggs.append(F.sum(a_cols[i]).alias(f"__adv{i}"))
+        aggs.append(F.count(a_cols[i]).alias(f"__hit{i}"))
+    if min_coverage > 0.0:
+        aggs.append(F.count("__gram").alias("__n"))
+    grouped = joined.groupBy("__id").agg(*aggs)
+    cand = F.filter(
+        F.array(
+            *[
                 F.struct(
-                    (-F.col("__adv")).alias("__na"),
-                    F.col("lang"),
-                    F.col("__adv"),
-                    F.col("__hit"),
+                    (-F.col(f"__adv{i}")).alias("__na"),
+                    F.lit(lang).alias("lang"),
+                    F.col(f"__adv{i}").alias("__adv"),
+                    F.col(f"__hit{i}").alias("__hit"),
                 )
-            ).alias("__best")
-        )
-        .select(
-            F.col("__id"),
-            F.col("__best.lang").alias(out_col),
-            round6(
-                F.col("__best.__adv").cast("double") / F.lit(_FIX)
-            ).alias(adv_col),
-            F.col("__best.__hit").alias("__hit"),
-        )
+                for i, lang in enumerate(langs)
+            ]
+        ),
+        lambda s: s["__adv"].isNotNull(),
+    )
+    win = F.array_min(cand)
+    best = grouped.select(
+        F.col("__id"),
+        win["lang"].alias(out_col),
+        round6(win["__adv"].cast("double") / F.lit(_FIX)).alias(adv_col),
+        win["__hit"].alias("__hit"),
+        *(["__n"] if min_coverage > 0.0 else []),
     )
     if min_coverage > 0.0:
-        totals = rows.groupBy("__id").agg(
-            F.count(F.lit(1)).alias("__n")
-        )
         cov = round6(
             F.col("__hit").cast("double") / F.col("__n").cast("double")
         )
         best = (
-            best.join(totals, "__id")
-            .withColumn(cov_col, cov)
+            best.withColumn(cov_col, cov)
             .withColumn(
                 out_col,
                 F.when(

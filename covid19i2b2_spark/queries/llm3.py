@@ -1810,10 +1810,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_lang_profiles,
     )
 
-    seed = spark.createDataFrame(
-        sorted(_LANG_SEED.items()), "lang string, text string"
+    # seed passed as Python pairs: training runs entirely on the driver
+    # (round 15 — a DataFrame seed would cost a limit().collect() round
+    # trip per call for identical profiles; equality of the two paths
+    # is pinned in tests/test_lang_id.py)
+    prof = train_lang_profiles(
+        sorted(_LANG_SEED.items()), top_k=_LANG_TOP_K
     )
-    prof = train_lang_profiles(seed, top_k=_LANG_TOP_K)
     shape = F.pmod("doc_id", F.lit(6)).cast("int")
     suffix_len = F.pmod("doc_id", F.lit(40)).cast("int")
     text = F.when(shape == 5, F.lit("123 --- 456"))

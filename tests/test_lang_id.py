@@ -197,6 +197,58 @@ def test_matches_pure_python_replay(spark):
         assert out[i] == ("und", None)
 
 
+def test_local_training_equals_distributed(spark):
+    """Round-15 driver-local training fast path: the pure-Python
+    kept-counts (norm, bigrams, per-language totals, (-c, gram) top-K
+    cut) must equal the distributed explode/aggregate/window plan
+    EXACTLY — (lang, gram, c, tot, adv_fix) row sets identical — on a
+    seed with accents, an unseeded-script language, a NULL text, and a
+    letterless language (which must vanish from the model in both)."""
+    rows = sorted(SEED.items()) + [
+        ("el", "οι θεοί της ελλάδας αγαπούν το φως και την θάλασσα"),
+        ("xx", "123 --- 456"),
+        ("zz", None),
+    ]
+    from covid19i2b2_spark.operators.lang_id import _lang_gram_kept_counts
+
+    seed = spark.createDataFrame(rows, "lang string, text string")
+    key = lambda r: (r["lang"], r["gram"])  # noqa: E731
+    kept_fast = _lang_gram_kept_counts(seed, "lang", "text", 50)
+    kept_dist = _lang_gram_kept_counts(seed, "lang", "text", 50, local_cap=0)
+    got = {key(r): (r["c"], r["tot"]) for r in kept_fast.collect()}
+    want = {key(r): (r["c"], r["tot"]) for r in kept_dist.collect()}
+    assert got == want
+    assert not any(lang in ("xx", "zz") for lang, _ in got)
+    prof_fast = {
+        key(r): r["adv_fix"]
+        for r in train_lang_profiles(seed, top_k=50).collect()
+    }
+    prof_dist = {
+        key(r): r["adv_fix"]
+        for r in train_lang_profiles(seed, top_k=50, local_cap=0).collect()
+    }
+    assert prof_fast == prof_dist
+
+
+def test_classify_plan_single_hash_aggregate(spark):
+    """Round-15 pivoted scoring path: the classify plan must carry NO
+    SortAggregate (the old struct-min argmax) and NO (id, lang)-keyed
+    second exchange — one per-id hash aggregate over the LEFT broadcast
+    gram join does everything (coverage denominator included)."""
+    from covid19i2b2_spark.plans import physical_plan
+
+    prof = train_lang_profiles(_seed_df(spark))
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "")], "doc_id int, text string"
+    )
+    out = classify_language(
+        docs, "doc_id", "text", prof, min_coverage=0.5
+    )
+    plan = physical_plan(out)
+    assert "SortAggregate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_loud_und_on_no_evidence(spark):
     """Empty, letterless, and unseeded-script text -> 'und' with NULL
     advantage (loud-NULL contract)."""
