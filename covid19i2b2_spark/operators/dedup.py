@@ -49,6 +49,91 @@ _POLY_BAND_B = 1009  # poly band-bucket base (oracle-parity banding)
 _POLY_BAND_P = 9_007_199_254_740_881  # largest prime < 2^53
 
 
+def lazy_cap_filter(
+    df: DataFrame,
+    keys: Sequence[str],
+    cap: int,
+    label: str,
+    detail: str = "",
+) -> DataFrame:
+    """Exclude every row whose ``keys`` group holds more than ``cap``
+    rows — without a driver-blocking job at plan-build time.
+
+    The original cap shape (groupBy sizes -> persist -> driver count ->
+    anti-join) ran a full pass over the index DURING QUERY CONSTRUCTION
+    just to emit the skip warning, and re-read the index for the
+    anti-join.  Here the group size rides a window count inside the main
+    plan: one shuffle on ``keys`` sizes AND filters the index, and —
+    because the window's output partitioning is exactly the bucket
+    self-join key — the downstream join reuses that exchange instead of
+    re-shuffling both sides.
+
+    Loudness is preserved, off the critical path: a daemon thread runs
+    the old group-sizing job (one scan + partial agg, the exact job the
+    eager shape ran inline) and logs the warning when it lands — query
+    construction never blocks on it.  (An ``Observation`` inside the
+    main plan would be free, but its CollectMetrics node is duplicated
+    by the downstream self-join every call site performs, and PySpark's
+    metrics row retrieval asserts on the duplicate.)  Results are
+    identical to the eager shape: a group's size is computed over the
+    same pre-exclusion frame.
+    """
+    import threading
+
+    if not CAP_WARNINGS:
+        sized = df.withColumn(
+            "__capsz", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
+        return sized.filter(F.col("__capsz") <= cap).drop("__capsz")
+
+    def _size_and_log() -> None:
+        try:
+            n_over = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__bsz"))
+                .filter(F.col("__bsz") > cap)
+                .count()
+            )
+        except Exception:  # pragma: no cover - session teardown
+            return
+        if n_over:
+            _LOG.warning(
+                "%s: skipping %d groups larger than bucket_cap=%d%s",
+                label,
+                n_over,
+                cap,
+                detail,
+            )
+
+    t = threading.Thread(
+        target=_size_and_log, daemon=True, name=f"cap-log-{label}"
+    )
+    t.start()
+    _CAP_LOG_THREADS.append(t)
+    sized = df.withColumn(
+        "__capsz", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    return sized.filter(F.col("__capsz") <= cap).drop("__capsz")
+
+
+_CAP_LOG_THREADS: list = []
+
+# The skip warning costs one extra scan+partial-agg pass per capped
+# operator (the same pass the old eager shape paid, now off the critical
+# path).  At very large scale an operator owner may not want to pay a
+# diagnostic pass at all: flip this off and the cap filter is pure plan.
+CAP_WARNINGS = True
+
+
+def drain_cap_logs(timeout: float = 30.0) -> None:
+    """Block until pending :func:`lazy_cap_filter` warning threads have
+    run their background sizing job and logged.  Test hook — production
+    code never needs to wait on the warnings."""
+    for t in list(_CAP_LOG_THREADS):
+        t.join(timeout)
+    _CAP_LOG_THREADS[:] = [t for t in _CAP_LOG_THREADS if t.is_alive()]
+
+
 def _hash_family(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) multiply-add coefficients over GF(2^31-1)."""
     import random
@@ -210,20 +295,15 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
     if bucket_cap is not None:
-        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("__bsz"))
-        oversized = sizes.filter(F.col("__bsz") > bucket_cap).persist()
-        n_over = oversized.count()
-        if n_over:
-            _LOG.warning(
-                "lsh_candidate_pairs: skipping %d band buckets larger than "
-                "bucket_cap=%d; affected pairs may still match via their "
-                "other %d bands",
-                n_over,
-                bucket_cap,
-                n_bands - 1,
-            )
-        banded = banded.join(
-            oversized.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        banded = lazy_cap_filter(
+            banded,
+            ["band", "bucket"],
+            bucket_cap,
+            "lsh_candidate_pairs",
+            detail=(
+                f"; affected pairs may still match via their other "
+                f"{n_bands - 1} bands"
+            ),
         )
     left = banded.withColumnRenamed("__id", "id_a")
     right = banded.withColumnRenamed("__id", "id_b")
@@ -612,18 +692,16 @@ def simhash_near_dup_pairs(
     ).select("__id", "simhash", "k.key_idx", "k.v1", "k.v2")
     join_key = ["key_idx", "v1", "v2"]
     if bucket_cap is not None:
-        sizes = keyed.groupBy(*join_key).agg(F.count("*").alias("__bsz"))
-        oversized = sizes.filter(F.col("__bsz") > bucket_cap).persist()
-        n_over = oversized.count()
-        if n_over:
-            _LOG.warning(
-                "simhash_near_dup_pairs: skipping %d index buckets larger "
-                "than bucket_cap=%d; affected pairs may still match via "
-                "their other combination keys",
-                n_over,
-                bucket_cap,
-            )
-        keyed = keyed.join(oversized.select(*join_key), join_key, "left_anti")
+        keyed = lazy_cap_filter(
+            keyed,
+            join_key,
+            bucket_cap,
+            "simhash_near_dup_pairs",
+            detail=(
+                "; affected pairs may still match via their other "
+                "combination keys"
+            ),
+        )
     left = keyed.select(
         F.col("__id").alias("id_a"), F.col("simhash").alias("__h_a"), *join_key
     )

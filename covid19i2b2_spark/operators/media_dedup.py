@@ -225,18 +225,18 @@ def hamming_pairs_multi_index(
     ).select("__id", "__sig", "k.key_idx", "k.v1", "k.v2")
     join_key = ["key_idx", "v1", "v2"]
     if bucket_cap is not None:
-        sizes = keyed.groupBy(*join_key).agg(F.count("*").alias("__bsz"))
-        oversized = sizes.filter(F.col("__bsz") > bucket_cap).persist()
-        n_over = oversized.count()
-        if n_over:
-            _LOG.warning(
-                "hamming_pairs_multi_index: skipping %d index buckets "
-                "larger than bucket_cap=%d; affected pairs may still "
-                "match via their other combination keys",
-                n_over,
-                bucket_cap,
-            )
-        keyed = keyed.join(oversized.select(*join_key), join_key, "left_anti")
+        from covid19i2b2_spark.operators.dedup import lazy_cap_filter
+
+        keyed = lazy_cap_filter(
+            keyed,
+            join_key,
+            bucket_cap,
+            "hamming_pairs_multi_index",
+            detail=(
+                "; affected pairs may still match via their other "
+                "combination keys"
+            ),
+        )
     left = keyed.select(
         F.col("__id").alias("id_a"), F.col("__sig").alias("__h_a"), *join_key
     )

@@ -73,18 +73,14 @@ def semantic_dedup_pairs(
     )
     assigned = ivf_assign(df, id_col, vec_col, cents, exact_decimal)
     if cluster_cap is not None:
-        sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("__csz"))
-        oversized = sizes.filter(F.col("__csz") > cluster_cap).persist()
-        n_over = oversized.count()
-        if n_over:
-            _LOG.warning(
-                "semantic_dedup_pairs: skipping %d clusters larger than "
-                "cluster_cap=%d — raise n_centroids to shrink clusters",
-                n_over,
-                cluster_cap,
-            )
-        assigned = assigned.join(
-            oversized.select("centroid_id"), "centroid_id", "left_anti"
+        from covid19i2b2_spark.operators.dedup import lazy_cap_filter
+
+        assigned = lazy_cap_filter(
+            assigned,
+            ["centroid_id"],
+            cluster_cap,
+            "semantic_dedup_pairs",
+            detail=" — raise n_centroids to shrink clusters",
         )
     a = assigned.select(
         "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")

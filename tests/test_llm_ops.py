@@ -435,6 +435,25 @@ def test_minhash_bucket_cap_bounds_skewed_corpus(spark):
     assert uncapped.count() == 200 * 199 // 2
 
 
+def test_lazy_cap_filter_warn_off_same_rows(spark):
+    """CAP_WARNINGS only toggles the diagnostic sizing pass — the rows
+    the cap filter keeps are identical either way."""
+    from covid19i2b2_spark.operators import dedup
+
+    df = spark.range(40).select(
+        F.least(F.col("id"), F.lit(3)).alias("k"), "id"
+    )
+    on = dedup.lazy_cap_filter(df, ["k"], 5, "warn-on-probe").collect()
+    try:
+        dedup.CAP_WARNINGS = False
+        off = dedup.lazy_cap_filter(df, ["k"], 5, "warn-off-probe").collect()
+    finally:
+        dedup.CAP_WARNINGS = True
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+    assert {r.id for r in on} == {0, 1, 2}  # the 37-row k=3 group is cut
+    dedup.drain_cap_logs()
+
+
 def test_multimodal_decode_plumbing(spark, docs):
     """mapInPandas fake decode: schema, determinism, frame sampling."""
     media = attach_fake_media(docs.limit(50), "doc_id", "text")

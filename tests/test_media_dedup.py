@@ -155,10 +155,15 @@ def test_bucket_cap_skips_loudly(spark, caplog):
     payloads = {i: bytes([7]) * 200 for i in range(1, 30)}
     df = _media_df(spark, payloads)
     sigs = media_blockhash(df)
+    from covid19i2b2_spark.operators.dedup import drain_cap_logs
+
     with caplog.at_level(logging.WARNING):
         got = hamming_pairs_multi_index(
             sigs, "media_id", "phash", 2, bucket_cap=5
         ).collect()
+        # the cap warning is observation-driven: it fires on a daemon
+        # thread once the action above completes, so wait for it
+        drain_cap_logs()
     assert got == []  # every bucket oversized -> all skipped
     assert any("bucket_cap" in r.message for r in caplog.records)
 
