@@ -59,17 +59,19 @@ def lazy_cap_filter(
     """Exclude every row whose ``keys`` group holds more than ``cap``
     rows — without a driver-blocking job at plan-build time.
 
-    The original cap shape (groupBy sizes -> persist -> driver count ->
-    anti-join) ran a full pass over the index DURING QUERY CONSTRUCTION
-    just to emit the skip warning, and re-read the index for the
-    anti-join.  Here the group size rides a window count inside the main
-    plan: one shuffle on ``keys`` sizes AND filters the index, and —
-    because the window's output partitioning is exactly the bucket
-    self-join key — the downstream join reuses that exchange instead of
-    re-shuffling both sides.
+    The original cap shape ran ``groupBy`` sizes -> ``persist`` ->
+    driver ``count`` DURING QUERY CONSTRUCTION just to emit the skip
+    warning.  The filter itself keeps the old anti-join shape — it is
+    the right one at every scale: the sizes side is a map-side partial
+    aggregate, so only (keys, count) rows cross the network and the
+    oversized list broadcasts into an anti join that never shuffles the
+    index rows.  (A window count over ``keys`` was tried instead and
+    reverted: it forces a full shuffle + sort of the index PER self-join
+    branch, which is strictly more bytes moved — guide §2.3, aggregate
+    before you shuffle.)
 
     Loudness is preserved, off the critical path: a daemon thread runs
-    the old group-sizing job (one scan + partial agg, the exact job the
+    the group-sizing job (one scan + partial agg, the exact job the
     eager shape ran inline) and logs the warning when it lands — query
     construction never blocks on it.  (An ``Observation`` inside the
     main plan would be free, but its CollectMetrics node is duplicated
@@ -80,11 +82,15 @@ def lazy_cap_filter(
     """
     import threading
 
+    oversized = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > cap)
+        .select(*keys)
+    )
+    filtered = df.join(oversized, list(keys), "left_anti")
     if not CAP_WARNINGS:
-        sized = df.withColumn(
-            "__capsz", F.count(F.lit(1)).over(Window.partitionBy(*keys))
-        )
-        return sized.filter(F.col("__capsz") <= cap).drop("__capsz")
+        return filtered
 
     def _size_and_log() -> None:
         try:
@@ -110,10 +116,7 @@ def lazy_cap_filter(
     )
     t.start()
     _CAP_LOG_THREADS.append(t)
-    sized = df.withColumn(
-        "__capsz", F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    )
-    return sized.filter(F.col("__capsz") <= cap).drop("__capsz")
+    return filtered
 
 
 _CAP_LOG_THREADS: list = []
