@@ -130,6 +130,7 @@ class CovidPipeline:
         self._med_map = med_map or DEFAULT_MED_CLASSES
         self._cohort: DataFrame | None = None
         self._adm: DataFrame | None = None
+        self._cev: DataFrame | None = None
 
     # -- code maps (S2: literal DataFrames, broadcast at use) ---------------
 
@@ -146,12 +147,34 @@ class CovidPipeline:
 
     # -- pipeline 1: cohort (~L330-520) -------------------------------------
 
+    def concept_events(self) -> DataFrame:
+        """ONE pushed-down observation scan shared by the cohort chain
+        (round 15, guide §1.1 first-principles pass count): the
+        covid-positive aggregate and the severe-marker subquery each
+        consumed their own full obs scan before; here the union of both
+        concept filters feeds a single scan reduced to the three columns
+        the chain needs, cached (narrow: marker rows only).  At 100 TB
+        this halves the observation-fact passes per cohort build."""
+        if self._cev is None:
+            pos_c = list(self.cfg.covid_pos_concepts)
+            sev_c = list(self.cfg.severe_concepts)
+            self._cev = (
+                self.obs.filter(F.col("concept_cd").isin(pos_c + sev_c))
+                .select(
+                    "patient_num",
+                    "start_date",
+                    F.col("concept_cd").isin(pos_c).alias("__is_pos"),
+                    F.col("concept_cd").isin(sev_c).alias("__is_sev"),
+                )
+                .cache()
+            )
+        return self._cev
+
     def covid_pos_patients(self) -> DataFrame:
         """First positive test per patient (A3/J9)."""
         return (
-            self.obs.filter(
-                F.col("concept_cd").isin(list(self.cfg.covid_pos_concepts))
-            )
+            self.concept_events()
+            .filter(F.col("__is_pos"))
             .groupBy("patient_num")
             .agg(F.min("start_date").alias("covid_pos_date"))
         )
@@ -184,7 +207,7 @@ class CovidPipeline:
         subquery), which otherwise scans obs/visits twice per cohort
         materialization."""
         if self._cohort is not None:
-            for frame in (self._adm, self._cohort):
+            for frame in (self._cev, self._adm, self._cohort):
                 if frame is not None and not frame.storageLevel.useMemory:
                     frame.cache()
             return self._cohort
@@ -202,7 +225,8 @@ class CovidPipeline:
         incrementally-maintained admissions table (streaming/cohort.py)
         flows through the identical cohort logic as the batch path."""
         severe = (
-            self.obs.filter(F.col("concept_cd").isin(list(self.cfg.severe_concepts)))
+            self.concept_events()
+            .filter(F.col("__is_sev"))
             .join(adm.select("patient_num", "admission_date"), "patient_num")
             .filter(F.col("start_date") >= F.col("admission_date"))
             .groupBy("patient_num")
