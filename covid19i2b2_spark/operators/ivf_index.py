@@ -228,9 +228,21 @@ class IvfIndex:
 
         vdir = self._vdir(version)
         cents.write.mode("overwrite").parquet(f"{vdir}/centroids")
-        assigned.filter(F.col("centroid_id").isNotNull()).write.mode(
-            "overwrite"
-        ).partitionBy("centroid_id").parquet(f"{vdir}/vectors")
+        # Cluster rows by the partition column before the partitioned
+        # write (round 15, guide §6.2 output file sizing): without it
+        # every upstream task emits one file per centroid it holds —
+        # n_tasks·nlist tiny files per version (~10k at the x10 bench
+        # corpus), which slows this write AND every later scan of the
+        # version (health, rebuild, probes all pay a footer per file).
+        # Hash-clustering on centroid_id lands each cluster wholly in
+        # one task -> exactly one file per cluster directory; the task
+        # count stays scale-adaptive (spark.sql.shuffle.partitions +
+        # AQE coalescing), and parquet files stay splittable on read.
+        assigned.filter(F.col("centroid_id").isNotNull()).repartition(
+            "centroid_id"
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{vdir}/vectors"
+        )
         # the read-back schema, pinned into meta: data columns in file
         # order, centroid_id (the partition column) last, at the
         # centroid table's key type — explicit-schema reads then work
@@ -365,7 +377,12 @@ class IvfIndex:
             total = assigned.count()
             good = assigned.filter(F.col("centroid_id").isNotNull())
             kept = good.count()
-            good.write.mode("append").partitionBy("centroid_id").parquet(
+            # cluster by the partition column first — one file per
+            # touched cluster per append instead of one per (task,
+            # cluster); see _write_version
+            good.repartition("centroid_id").write.mode(
+                "append"
+            ).partitionBy("centroid_id").parquet(
                 f"{self._vdir(m['version'])}/vectors"
             )
         finally:
@@ -457,9 +474,11 @@ class IvfIndex:
         new_v = m["version"] + 1
         ndir = self._vdir(new_v)
         cents.write.mode("overwrite").parquet(f"{ndir}/centroids")
-        vecs.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            f"{ndir}/vectors"
-        )
+        # cluster by the partition column (dropDuplicates shuffles on
+        # ALL columns, so rows arrive scattered) — see _write_version
+        vecs.repartition("centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{ndir}/vectors")
         spark.createDataFrame([(
             m["id_col"], m["vec_col"], m["exact_decimal"], m["impl"],
             m["n_centroids"], m["base_mean_cosine"], m["seed"],

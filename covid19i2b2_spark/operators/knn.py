@@ -52,16 +52,6 @@ from covid19i2b2_spark.operators.similarity import (
 )
 
 
-def _safe_cosine(a: str, b: str, exact_decimal: bool) -> Column:
-    """cosine() with a NULL (not ANSI DIVIDE_BY_ZERO) answer for
-    zero-norm operands — a kNN join must SKIP degenerate vectors, not
-    fail the stage; identical to similarity.cosine for valid ones."""
-    return F.try_divide(
-        dot(a, b, exact_decimal),
-        norm(a, exact_decimal) * norm(b, exact_decimal),
-    )
-
-
 def _knn_topk(scored: DataFrame, k: int) -> DataFrame:
     """(query_id, neighbor_id, __sim) -> top-k per query with rank.
     Ties break to the LOWER neighbor id — deterministic across runs,
@@ -69,9 +59,13 @@ def _knn_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id")
     )
+    # NULL sims are dropped AFTER the rank (DESC puts them last, so
+    # real neighbors hold the same 1..k numbers either way): filtering
+    # them before the window let the optimizer push the predicate into
+    # the upstream join condition, re-evaluating the cosine per pair
     return (
         scored.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
+        .filter((F.col("__rank") <= k) & F.col("__sim").isNotNull())
         .select(
             "query_id",
             "neighbor_id",
@@ -97,18 +91,32 @@ def knn_join_brute(
     neighbor and fall out of the top-k naturally."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    lhs = left.select(
-        F.col(left_id).alias("query_id"), F.col(left_vec).alias("__lv")
+    # per-row norms + per-side degenerate drop (same shape as
+    # knn_join_ivf, round 15): one dot product per pair instead of
+    # three array aggregates evaluated twice through a pushed filter
+    lhs = (
+        left.select(
+            F.col(left_id).alias("query_id"), F.col(left_vec).alias("__lv")
+        )
+        .withColumn("__ln", norm("__lv", exact_decimal))
+        .filter(F.col("__ln") > 0)
     )
-    rhs = right.select(
-        F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("__rv")
+    rhs = (
+        right.select(
+            F.col(right_id).alias("neighbor_id"),
+            F.col(right_vec).alias("__rv"),
+        )
+        .withColumn("__rn", norm("__rv", exact_decimal))
+        .filter(F.col("__rn") > 0)
     )
     scored = lhs.crossJoin(rhs).select(
         "query_id",
         "neighbor_id",
-        _safe_cosine("__lv", "__rv", exact_decimal).alias("__sim"),
+        F.try_divide(
+            dot("__lv", "__rv", exact_decimal), F.col("__ln") * F.col("__rn")
+        ).alias("__sim"),
     )
-    return _knn_topk(scored.filter(F.col("__sim").isNotNull()), k)
+    return _knn_topk(scored, k)
 
 
 def centroid_topp_kernel(
@@ -274,18 +282,38 @@ def knn_join_ivf(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if impl not in ("expr", "kernel"):
         raise ValueError(f"impl must be 'expr' or 'kernel', got {impl!r}")
-    lhs = left.select(
-        F.col(left_id).alias("query_id"), F.col(left_vec).alias("__lv")
+    # Round-15 (guide §4.2 "pass only what the function needs" applied
+    # to expressions, §3.1 deliberate join strategy): norms are computed
+    # ONCE PER ROW on each side before the candidate join.  The old
+    # shape computed _safe_cosine(__lv, __rv) per candidate PAIR — three
+    # array aggregates (dot + both norms) — and its eager
+    # .isNotNull() filter was pushed into the join condition, so the
+    # whole expression evaluated TWICE per pair (6 aggregates).  With
+    # per-side norms the pair cost is ONE dot product, and the
+    # degenerate-vector drop becomes a cheap per-row norm > 0 predicate
+    # pushed below the join on each side (same rows out: a NULL or
+    # zero-norm vector nulls every cosine it touches, which the old
+    # filter dropped pair-by-pair).
+    lhs = (
+        left.select(
+            F.col(left_id).alias("query_id"), F.col(left_vec).alias("__lv")
+        )
+        .withColumn("__ln", norm("__lv", exact_decimal))
+        .filter(F.col("__ln") > 0)
     )
     cid_type = centroids.schema["centroid_id"].dataType
     if assigned is None:
         assigned = ivf_assign(
             right, right_id, right_vec, centroids, exact_decimal
         )
-    assigned = assigned.select(
-        F.col(right_id).alias("neighbor_id"),
-        F.col(right_vec).alias("__rv"),
-        "centroid_id",
+    assigned = (
+        assigned.select(
+            F.col(right_id).alias("neighbor_id"),
+            F.col(right_vec).alias("__rv"),
+            "centroid_id",
+        )
+        .withColumn("__rn", norm("__rv", exact_decimal))
+        .filter(F.col("__rn") > 0)
     )
     if impl == "kernel":
         cents = [
@@ -308,24 +336,42 @@ def knn_join_ivf(
         scored_c = lhs.join(F.broadcast(centroids)).select(
             "query_id",
             "centroid_id",
-            _safe_cosine("__lv", "cvec", exact_decimal).alias("__csim"),
+            F.try_divide(
+                dot("__lv", "cvec", exact_decimal),
+                F.col("__ln") * norm("cvec", exact_decimal),
+            ).alias("__csim"),
         )
         wp = Window.partitionBy("query_id").orderBy(
             F.col("__csim").desc(), F.col("centroid_id").desc()
         )
         probes = (
-            scored_c.filter(F.col("__csim").isNotNull())
-            .withColumn("__rn", F.row_number().over(wp))
-            .filter(F.col("__rn") <= n_probe)
+            # NULL csims (zero-norm centroid / length-mismatched pair)
+            # are dropped AFTER the rank so the isNotNull predicate is
+            # not pushed into the broadcast-join condition, where it
+            # would re-evaluate the cosine per (query, centroid); DESC
+            # ordering puts NULLs last, so the surviving row numbers
+            # are identical either way
+            scored_c.withColumn("__rn", F.row_number().over(wp))
+            .filter((F.col("__rn") <= n_probe) & F.col("__csim").isNotNull())
             .select("query_id", "centroid_id")
         )
-    cand = probes.join(lhs, "query_id").join(assigned, "centroid_id")
+    # The probe set (≤ |L|·n_probe narrow rows plus each query's vector)
+    # broadcasts into the candidate join so the CORPUS side streams in
+    # place — without the hint the local planner broadcasts the corpus
+    # (the only side with size stats; the probes side sits behind a
+    # Python kernel), exactly backwards at 100 TB.  Candidate rows leave
+    # the join narrow (ids + one sim double) for the top-k windows.
+    cand = F.broadcast(probes.join(lhs, "query_id")).join(
+        assigned, "centroid_id"
+    )
     scored = cand.select(
         "query_id",
         "centroid_id",
         "neighbor_id",
-        _safe_cosine("__lv", "__rv", exact_decimal).alias("__sim"),
-    ).filter(F.col("__sim").isNotNull())
+        F.try_divide(
+            dot("__lv", "__rv", exact_decimal), F.col("__ln") * F.col("__rn")
+        ).alias("__sim"),
+    )
     if two_stage:
         # stage 1: per-(query, probed-cluster) partial top-k — each of a
         # query's n_probe clusters ranks its own candidates in its own
@@ -338,4 +384,6 @@ def knn_join_ivf(
             .filter(F.col("__r1") <= k)
             .drop("__r1")
         )
+    # residual NULL sims (only length-mismatched vector pairs can get
+    # here now) fall out inside _knn_topk, after the window barrier
     return _knn_topk(scored.drop("centroid_id"), k)

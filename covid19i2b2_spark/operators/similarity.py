@@ -428,9 +428,13 @@ def write_ivf_index(
     under __HIVE_DEFAULT_PARTITION__, which no probe ever reads — an
     unsearchable vector does not belong in a search index.  Count them
     upstream if the pipeline needs the audit."""
-    assigned.filter(F.col("centroid_id").isNotNull()).write.mode(
-        "overwrite"
-    ).partitionBy("centroid_id").parquet(path)
+    # cluster rows by the partition column first (round 15, guide §6.2):
+    # unclustered partitionBy emits one file per (task, centroid) —
+    # n_tasks·nlist tiny files that every probe pays a footer for; the
+    # hash-cluster makes it one file per cluster directory
+    assigned.filter(F.col("centroid_id").isNotNull()).repartition(
+        "centroid_id"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
 def append_to_ivf_index(
@@ -456,9 +460,11 @@ def append_to_ivf_index(
     what the streaming embedding ingest loop runs; these two functions
     remain the unmanaged primitives underneath it."""
     assigned = ivf_assign(new_vectors, id_col, vec_col, centroids)
-    assigned.filter(F.col("centroid_id").isNotNull()).write.mode(
-        "append"
-    ).partitionBy("centroid_id").parquet(path)
+    # cluster by the partition column — one file per touched cluster
+    # per append instead of one per (task, cluster); see write_ivf_index
+    assigned.filter(F.col("centroid_id").isNotNull()).repartition(
+        "centroid_id"
+    ).write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def probe_centroids(
