@@ -22,6 +22,14 @@ def spark(tmp_path_factory):
         app_name="covid19i2b2-tests",
         master="local[8]",
         shuffle_partitions=8,
+        # ONE driver JVM serves the whole ~680-test suite (~40k stages):
+        # accumulated cached relations (pipelines cache cohort frames and
+        # never unpersist — by design, the bench clears between queries
+        # but tests don't), broadcast blocks awaiting the async cleaner,
+        # and listener state overflowed the 1g default late in the suite
+        # (heap OOM inside a Catalyst transform in test_urls.py at ~93%,
+        # 2026-08-17).  4g is still ~3% of the harness box.
+        driver_memory="4g",
         extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield spark
