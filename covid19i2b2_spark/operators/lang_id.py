@@ -387,6 +387,7 @@ def classify_language(
     out_col: str = "lang",
     adv_col: str = "lang_lm_adv",
     cov_col: str = "lang_lm_coverage",
+    attach: bool = True,
 ) -> DataFrame:
     """df + (``out_col``, ``adv_col``): argmax language under the
     trained profiles, scored on the first ``max_chars`` characters
@@ -407,7 +408,18 @@ def classify_language(
     the same per-id aggregate as the scores (one extra count column);
     0.0 (default) skips the column and the gate.
 
-    Ties break by language order (same rule as lang_guess_scored)."""
+    Ties break by language order (same rule as lang_guess_scored).
+
+    ``attach=False`` (round 15, guide §2.4) returns ONLY
+    (``id_col``, ``out_col``, ``adv_col`` [, ``cov_col``]) — one row
+    per distinct id — instead of re-attaching the scores to ``df``.
+    The gram explode is an ``explode_outer`` (gram-less documents ride
+    the same aggregate with a NULL gram and score 'und'/NULL exactly
+    as before), so the per-id aggregate already covers EVERY input id
+    and the attach join exists purely to restore the caller's payload
+    columns.  A caller that only needs the verdict (q_lang_id) skips
+    that join: one fewer scan of the input and one fewer shuffle+sort
+    pair at every scale."""
     taken = [
         c
         for c in (out_col, adv_col, *((cov_col,) if min_coverage > 0 else ()))
@@ -468,7 +480,7 @@ def classify_language(
         padded_lang_norm(_c(text_col), max_chars).alias("__p"),
     ).select(
         "__id",
-        F.explode(_bigrams_of_padded(F.col("__p"))).alias("__gram"),
+        F.explode_outer(_bigrams_of_padded(F.col("__p"))).alias("__gram"),
     )
     joined = rows.join(
         F.broadcast(pivot), F.col("__gram") == F.col("gram"), "left"
@@ -523,6 +535,10 @@ def classify_language(
             )
             .drop("__n")
         )
+    if not attach:
+        return best.drop("__hit").withColumnRenamed(
+            "__id", id_col
+        ).withColumn(out_col, F.coalesce(F.col(out_col), F.lit("und")))
     out = df.join(best, df[id_col] == best["__id"], "left").drop(
         "__id", "__hit"
     )

@@ -51,88 +51,167 @@ from covid19i2b2_spark.operators.robots import _xml_unescape
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
 
-def _remove_dot_segments(p: Column) -> Column:
+def _let(val: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``val`` ONCE and feed it
+    to ``body`` as a lambda variable (single-element transform).  A
+    Column helper that references its argument N times otherwise
+    inlines the argument's whole tree N times — and through nested
+    helpers the duplication compounds exponentially (the round-13
+    links-staging trap; q_license_extract's pre-fix physical plan
+    carried one ~50 KB Project expression).  Catalyst cannot undo the
+    duplication (CollapseProject only guards adjacent projections, and
+    codegen subexpression elimination does not cross lazily-evaluated
+    CASE branches), so the builder must not create it (guide §1.2
+    step 2: per-task work; the same convention extract_links applies
+    via withColumn staging)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def _remove_dot_segments(p0: Column) -> Column:
     """RFC 3986 §5.2.4 over an ABSOLUTE path (leading '/'): one
     aggregate fold — '..' pops (a no-op at root), '.' skips, empty
     segments are real segments (preserved), and a trailing '/.' or
-    '/..' keeps the directory's trailing slash."""
-    segs = F.split(p, "/")
-    folded = F.aggregate(
-        segs,
-        F.slice(F.array(F.lit("")), 1, 0),      # empty array<string>
+    '/..' keeps the directory's trailing slash.
 
-        lambda acc, s: F.when(s == ".", acc)
-        .when(
-            s == "..",
-            F.when(
-                F.size(acc) > 1,
-                F.slice(acc, 1, F.size(acc) - 1),
-            ).otherwise(acc),
+    Both the input path and the folded join are let-bound: each is
+    referenced 2-3 times below, and ``p0`` is typically itself a
+    merge/extract expression at every call site."""
+
+    def _fold(p: Column) -> Column:
+        folded = F.aggregate(
+            F.split(p, "/"),
+            F.slice(F.array(F.lit("")), 1, 0),  # empty array<string>
+            lambda acc, s: F.when(s == ".", acc)
+            .when(
+                s == "..",
+                F.when(
+                    F.size(acc) > 1,
+                    F.slice(acc, 1, F.size(acc) - 1),
+                ).otherwise(acc),
+            )
+            .otherwise(F.concat(acc, F.array(s))),
         )
-        .otherwise(F.concat(acc, F.array(s))),
-    )
-    joined = F.array_join(folded, "/")
-    ends_dir = p.rlike(r"(^|/)\.\.?$")
-    joined = F.when(
-        ends_dir & ~joined.endswith("/"), F.concat(joined, F.lit("/"))
-    ).otherwise(joined)
-    return F.when(joined == "", F.lit("/")).otherwise(joined)
+
+        def _finish(joined: Column) -> Column:
+            ends_dir = p.rlike(r"(^|/)\.\.?$")
+            slashed = F.when(
+                ends_dir & ~joined.endswith("/"),
+                F.concat(joined, F.lit("/")),
+            ).otherwise(joined)
+            return _let(
+                slashed,
+                lambda j: F.when(j == "", F.lit("/")).otherwise(j),
+            )
+
+        return _let(F.array_join(folded, "/"), _finish)
+
+    return _let(p0, _fold)
 
 
 def resolve_url(base: Column | str, ref: Column | str) -> Column:
     """The absolute URL of reference ``ref`` against ``base`` (an
     absolute http(s) URL — crawl page URLs by construction).  NULL
     inputs resolve to NULL.  See the module docstring for the exact
-    RFC 3986 §5 semantics and the one documented urljoin divergence."""
-    b = F.col(base) if isinstance(base, str) else base
-    r0 = F.trim(F.col(ref) if isinstance(ref, str) else ref)
-    # fragments never resolve; (?s) because an embedded newline must
-    # not smuggle one through (review r12 pass 3)
-    r = F.regexp_replace(r0, r"(?s)#.*", "")
-    b_nofrag = F.regexp_replace(b, r"(?s)#.*", "")
-    b_scheme = F.lower(F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
-    b_auth = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
-    b_path = F.regexp_extract(
-        b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
-    )
-    rp = F.regexp_extract(r, r"(?s)^([^?]*)", 1)
-    rq = F.regexp_extract(r, r"(?s)(\?.*)$", 1)
-    prefix = F.concat(b_scheme, F.lit("://"), b_auth)
-    # relative merge (§5.3): the base directory is the path up to its
-    # last '/', or root when the base path is empty/slash-less
-    b_dir = F.regexp_extract(b_path, r"^(.*/)", 1)
-    b_dir = F.when(b_dir == "", F.lit("/")).otherwise(b_dir)
-    merged = F.concat(b_dir, rp)
-    # authority-bearing refs (own scheme://, or protocol-relative):
-    # rebuilt with dot segments removed (§5.2.2 — an empty path stays
-    # empty, never "/")
-    r_netloc = r.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
-    r_scheme = F.regexp_extract(r, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
-    na = F.regexp_extract(r, r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#]*)", 1)
-    np_ = F.regexp_extract(
-        r, r"(?s)^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//[^/?#]*([^?#]*)", 1
-    )
-    np_clean = F.when(np_ == "", F.lit("")).otherwise(
-        _remove_dot_segments(np_)
-    )
-    return F.when(
-        r0.isNull() | b.isNull(), F.lit(None).cast("string")
-    ).when(r == "", b_nofrag).when(
-        r_netloc,
-        F.concat(r_scheme, F.lit("://"), na, np_clean, rq),
-    ).when(
-        r.rlike(_SCHEME_RE), r                      # opaque (mailto:)
-    ).when(
-        r.startswith("//"),
-        F.concat(b_scheme, F.lit("://"), na, np_clean, rq),
-    ).when(
-        rp.startswith("/"),
-        F.concat(prefix, _remove_dot_segments(rp), rq),
-    ).when(
-        rp == "", F.concat(prefix, b_path, rq)      # query-only ref
-    ).otherwise(
-        F.concat(prefix, _remove_dot_segments(merged), rq)
-    )
+    RFC 3986 §5 semantics and the one documented urljoin divergence.
+
+    Every multiply-referenced piece (the de-fragmented ref, the
+    base/ref component extracts, the cleaned authority path, the base
+    directory) is let-bound via :func:`_let`, so the returned CASE
+    tree is LINEAR in the number of branches instead of exponential
+    in helper nesting (round 15; same values, same branch order)."""
+    b0 = F.col(base) if isinstance(base, str) else base
+    ref0 = F.col(ref) if isinstance(ref, str) else ref
+
+    def _with_b(b: Column) -> Column:
+        return _let(F.trim(ref0), lambda r0: _with_r0(b, r0))
+
+    def _with_r0(b: Column, r0: Column) -> Column:
+        # fragments never resolve; (?s) because an embedded newline
+        # must not smuggle one through (review r12 pass 3)
+        return _let(
+            F.regexp_replace(r0, r"(?s)#.*", ""),
+            lambda r: _with_r(b, r0, r),
+        )
+
+    def _with_r(b: Column, r0: Column, r: Column) -> Column:
+        # every component extract, computed exactly once per row
+        parts = F.struct(
+            F.regexp_replace(b, r"(?s)#.*", "").alias("b_nofrag"),
+            F.lower(
+                F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+            ).alias("b_scheme"),
+            F.regexp_extract(
+                b, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1
+            ).alias("b_auth"),
+            F.regexp_extract(
+                b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+            ).alias("b_path"),
+            F.regexp_extract(r, r"(?s)^([^?]*)", 1).alias("rp"),
+            F.regexp_extract(r, r"(?s)(\?.*)$", 1).alias("rq"),
+            F.regexp_extract(
+                r, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1
+            ).alias("r_scheme"),
+            F.regexp_extract(
+                r, r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#]*)", 1
+            ).alias("na"),
+            F.regexp_extract(
+                r,
+                r"(?s)^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//[^/?#]*([^?#]*)",
+                1,
+            ).alias("np"),
+        )
+        return _let(parts, lambda s: _with_parts(b, r0, r, s))
+
+    def _with_parts(b: Column, r0: Column, r: Column, s: Column) -> Column:
+        # authority-bearing refs (own scheme://, or protocol-relative):
+        # rebuilt with dot segments removed (§5.2.2 — an empty path
+        # stays empty, never "/")
+        np_clean = F.when(s["np"] == "", F.lit("")).otherwise(
+            _remove_dot_segments(s["np"])
+        )
+        # relative merge (§5.3): the base directory is the path up to
+        # its last '/', or root when the base path is empty/slash-less
+        b_dir = _let(
+            F.regexp_extract(s["b_path"], r"^(.*/)", 1),
+            lambda d: F.when(d == "", F.lit("/")).otherwise(d),
+        )
+        return _let(
+            np_clean,
+            lambda npc: _let(
+                b_dir, lambda bd: _branches(b, r0, r, s, npc, bd)
+            ),
+        )
+
+    def _branches(
+        b: Column, r0: Column, r: Column, s: Column, npc: Column, bd: Column
+    ) -> Column:
+        prefix = F.concat(s["b_scheme"], F.lit("://"), s["b_auth"])
+        r_netloc = r.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+        return F.when(
+            r0.isNull() | b.isNull(), F.lit(None).cast("string")
+        ).when(r == "", s["b_nofrag"]).when(
+            r_netloc,
+            F.concat(s["r_scheme"], F.lit("://"), s["na"], npc, s["rq"]),
+        ).when(
+            r.rlike(_SCHEME_RE), r                  # opaque (mailto:)
+        ).when(
+            r.startswith("//"),
+            F.concat(s["b_scheme"], F.lit("://"), s["na"], npc, s["rq"]),
+        ).when(
+            s["rp"].startswith("/"),
+            F.concat(prefix, _remove_dot_segments(s["rp"]), s["rq"]),
+        ).when(
+            s["rp"] == "",
+            F.concat(prefix, s["b_path"], s["rq"]),  # query-only ref
+        ).otherwise(
+            F.concat(
+                prefix,
+                _remove_dot_segments(F.concat(bd, s["rp"])),
+                s["rq"],
+            )
+        )
+
+    return _let(b0, _with_b)
 
 
 def extract_links(

@@ -1832,8 +1832,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
     )
+    # attach=False (round 15): the output needs only the verdict, so
+    # the explode_outer-covered per-id aggregate IS the result — no
+    # second documents scan + shuffle/sort pair to re-attach payload
+    # columns nothing selects (plans/r15/q_lang_id_{before,after}.txt:
+    # SortMergeJoin LeftOuter eliminated).
     out = classify_language(
-        docs, "doc_id", "text", prof, max_chars=_LANG_MAX_CHARS
+        docs, "doc_id", "text", prof, max_chars=_LANG_MAX_CHARS,
+        attach=False,
     )
     return out.select("doc_id", "lang", "lang_lm_adv").orderBy("doc_id")
 

@@ -27,7 +27,7 @@ import bench
 spark = get_spark(app_name="iso-probe", driver_memory="8g")
 # warm-up: JVM/parquet-footer startup outside the timing (bench.py's own
 # convention)
-bench.REGISTRY["q_conditional_agg"].fn(spark, sys.argv[3]).write.format(
+bench._fn("q_conditional_agg")(spark, sys.argv[3]).write.format(
     "noop").mode("overwrite").save()
 fn = bench._fn(sys.argv[2])
 t0 = time.perf_counter()

@@ -382,3 +382,41 @@ def test_fallback_output_column_collision_is_loud(spark):
         out_col="lang2", adv_col="adv2", cov_col="cov2",
     ).collect()[0]
     assert out["lang"] == "fr" and out["lang2"] == "en"
+
+
+def test_attach_false_equals_attach_true(spark):
+    """attach=False returns exactly the (id, lang, adv [, cov]) rows
+    the attach=True path carries — including gram-less documents,
+    which ride the explode_outer aggregate instead of reappearing via
+    the attach join (round 15: q_lang_id's plan drops the re-attach
+    SortMergeJoin + second input scan on this contract)."""
+    prof = train_lang_profiles(_seed_df(spark))
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog"),
+            (1, ""),                      # gram-less: empty
+            (2, "123 --- 456"),           # gram-less: letterless
+            (3, "el gato duerme sobre la alfombra caliente"),
+        ],
+        "doc_id int, text string",
+    )
+    for kw in ({}, {"min_coverage": 0.5}):
+        cols = ["doc_id", "lang", "lang_lm_adv"] + (
+            ["lang_lm_coverage"] if kw else []
+        )
+        attached = (
+            classify_language(docs, "doc_id", "text", prof, **kw)
+            .select(*cols)
+            .orderBy("doc_id")
+            .collect()
+        )
+        bare = (
+            classify_language(
+                docs, "doc_id", "text", prof, attach=False, **kw
+            )
+            .select(*cols)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert bare == attached, (kw, bare, attached)
+        assert [r["lang"] for r in bare[1:3]] == ["und", "und"]
