@@ -22,24 +22,17 @@ from pyspark.sql import SparkSession
 DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Size post-shuffle partitions by DATA, not core count (guide §2.2
-    # "fewer, larger reduce partitions"; round 15).  With Spark's
-    # default parallelismFirst=true, coalescing refuses to go below
-    # the session's default parallelism, so a KB-scale shuffle still
-    # launches cores-many reduce tasks — pure scheduling overhead on
-    # every exchange of every small stage, at ANY cluster size.
-    # Spark's own config reference recommends parallelismFirst=false
-    # in production so the advisory target is respected.  The advisory
-    # size is env-parameterised: the 16m local default keeps sf0.1's
-    # real shuffles (tens-of-MB) spread across the box while
-    # collapsing trivial exchanges to one task; a 100 TB deployment
-    # sets SPARK_GRAFT_ADVISORY_PARTITION=256m (guide §9) — the knob
-    # scales with data because AQE divides observed shuffle bytes by
-    # it, not because anything is tuned to local[32].
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
-        "SPARK_GRAFT_ADVISORY_PARTITION", "16m"
-    ),
+    # Round-15 note — coalescePartitions.parallelismFirst=false (+ a
+    # 16m advisory size) and canChangeCachedPlanOutputPartitioning=true
+    # were both TRIED AND REVERTED with measurements: byte-sized
+    # post-shuffle coalescing collapses the parallelism of
+    # compute-dense small-byte stages (pagerank x10 per-pass 1.7 ->
+    # 2.9-3.1 s when the repartition+localCheckpoint'd edge frames
+    # coalesce; MinHash verify +19% when the cached signature exchange
+    # coalesces under cached-plan AQE), while the wins on toy-scale
+    # exchanges were inside the noise band.  The engine's iterative
+    # operators deliberately key their layouts for downstream CPU
+    # parallelism, not shuffle bytes — see OPTIMIZATION_r15.md batch 6.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
