@@ -81,12 +81,15 @@ COMMENT = {
         "oracle (round 4 impl='kernel', A/B median 2.11 -> 1.35 s)."
     ),
     "q_lang_id": (
-        "Trained language ID (X4', registered round 14). Check: the "
-        "profile side enters through a BroadcastHashJoin (|langs|·K "
-        "rows — KBs) onto the bounded bigram explode; ONE grouped "
-        "aggregate then ONE id-keyed window for the argmax; no "
-        "row-Python anywhere (zero ArrowEvalPython/BatchEvalPython — "
-        "training and scoring are pure expressions)."
+        "Trained language ID (X4', registered round 14; scoring "
+        "restructured round 15). Check: the gram-pivoted profile "
+        "enters through ONE BroadcastHashJoin (|grams| rows — KBs) "
+        "onto the bounded explode_outer (gram-less docs ride the "
+        "aggregate, so there is NO re-attach join or second input "
+        "scan); ONE per-id hash aggregate computes every language's "
+        "sums and the argmax is a row-local array_min — no window, no "
+        "SortMergeJoin; no row-Python anywhere (zero ArrowEvalPython/"
+        "BatchEvalPython — training and scoring are pure expressions)."
     ),
     "q_suffix_array": (
         "Distributed suffix array (X88, registered round 14). Check: "
