@@ -714,6 +714,51 @@ def _local_dup_spans(
     return out
 
 
+def _cluster_span_kernel(
+    rows: DataFrame,
+    doc_type,
+    min_len: int,
+    min_occurrences: int,
+) -> DataFrame:
+    """Per-cluster span search as ONE Arrow group pass (round 15,
+    guide §2.4/§4.2): ``rows`` is (__cl, __doc, __txt) pre-filtered to
+    clusters whose candidate chars fit an executor task; each group
+    runs the exact :func:`_local_dup_spans` counting the driver-local
+    fast path uses (count scope = the cluster, identical semantics to
+    the distributed count window partitioned by (cluster, rank keys)).
+    One cluster-keyed exchange replaces floor(log2 min_len) doubling
+    shuffle rounds plus the count/run windows."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc", doc_type),
+            StructField("span_start", IntegerType(), True),
+            StructField("span_end", IntegerType(), True),
+            StructField("n_starts", LongType(), True),
+        ]
+    )
+
+    def emit(pdf):
+        import pandas as pd
+
+        spans = _local_dup_spans(
+            [(d, 0, t) for d, t in zip(pdf["__doc"], pdf["__txt"])],
+            min_len,
+            min_occurrences,
+        )
+        return pd.DataFrame(
+            spans, columns=["doc", "span_start", "span_end", "n_starts"]
+        )
+
+    return rows.groupBy("__cl").applyInPandas(emit, schema)
+
+
 def duplicated_spans_exact(
     df: DataFrame,
     id_col: str,
@@ -725,6 +770,7 @@ def duplicated_spans_exact(
     clusters: DataFrame | None = None,
     cluster_col: str = "cluster",
     local_cap: int = 1 << 16,
+    cluster_kernel_cap: int | None = None,
     probe: dict | None = None,
 ) -> DataFrame:
     """EXACT duplicated spans of length >= ``min_len`` characters:
@@ -768,7 +814,19 @@ def duplicated_spans_exact(
     latency on a few thousand characters, while the same counting in
     Python is milliseconds.  One cheap agg decides; the distributed
     path is unchanged past the cap and stays pinned by ``local_cap=0``
-    tests."""
+    tests.
+
+    ``cluster_kernel_cap`` (round 15, optimization — guide §1.2 step 1
+    and §2.4): under ``clusters``, occurrence counting is INDEPENDENT
+    per cluster, so a cluster whose candidate chars fit under this cap
+    needs no distributed doubling at all — its span search runs as one
+    Arrow ``applyInPandas`` group task (the exact ``_local_dup_spans``
+    the driver-local path uses), turning 4-6 shuffle-barrier rounds
+    plus two windows into ONE cluster-keyed exchange.  Clusters past
+    the cap (boilerplate-merged giants) keep the distributed doubling,
+    scoped to just their rows.  ``None`` follows ``local_cap`` (so
+    ``local_cap=0`` still pins the pure distributed plan); ``0``
+    disables the kernel explicitly."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if min_occurrences < 2:
@@ -802,12 +860,31 @@ def duplicated_spans_exact(
         wid, wtext = "__cdoc", "__t"
     else:
         work, wid, wtext = df, id_col, text_col
-    if local_cap > 0:
+    kcap = local_cap if cluster_kernel_cap is None else cluster_kernel_cap
+    kernel_out = None
+    if local_cap > 0 or (clusters is not None and kcap > 0):
         src = work.select(
             F.col(wid).alias("__k"), F.col(wtext).alias("__wt")
         ).filter(F.col("__k").isNotNull() & (F.length("__wt") > 0))
-        n_chars = src.agg(F.sum(F.length("__wt"))).collect()[0][0] or 0
-        if n_chars <= local_cap:
+        if clusters is not None and kcap > 0:
+            # one deciding agg yields BOTH gates: total candidate
+            # chars (driver-local cut) and the largest cluster
+            # (kernel-vs-doubling cut) — same job class as the plain
+            # sum the local_cap path always paid
+            st = (
+                src.groupBy(F.col("__k")["c"].alias("__scl"))
+                .agg(F.sum(F.length("__wt")).alias("__sch"))
+                .agg(F.sum("__sch").alias("t"), F.max("__sch").alias("m"))
+                .collect()[0]
+            )
+            n_chars = int(st["t"] or 0)
+            max_cluster = int(st["m"] or 0)
+        else:
+            n_chars = (
+                src.agg(F.sum(F.length("__wt"))).collect()[0][0] or 0
+            )
+            max_cluster = None
+        if local_cap > 0 and n_chars <= local_cap:
             from pyspark.sql.types import (
                 IntegerType,
                 LongType,
@@ -843,6 +920,50 @@ def duplicated_spans_exact(
                 probe["mode"] = "local"
                 probe["n_chars"] = int(n_chars)
             return df.sparkSession.createDataFrame(data, schema)
+        if clusters is not None and kcap > 0:
+            doc_type = df.schema[id_col].dataType
+            if max_cluster <= kcap:
+                # every cluster fits a task: the whole span search is
+                # one Arrow group pass, no doubling loop at all
+                if probe is not None:
+                    probe["mode"] = "cluster_kernel"
+                    probe["n_chars"] = int(n_chars)
+                    probe["max_cluster_chars"] = int(max_cluster)
+                return _cluster_span_kernel(
+                    src.select(
+                        F.col("__k")["c"].alias("__cl"),
+                        F.col("__k")["d"].alias("__doc"),
+                        F.col("__wt").alias("__txt"),
+                    ),
+                    doc_type,
+                    min_len,
+                    min_occurrences,
+                )
+            # mixed: sub-cap clusters ride the kernel, the oversized
+            # (boilerplate-merged) rest keeps the distributed doubling
+            # scoped to just its rows.  Counting is independent per
+            # cluster, so the split cannot change any count.
+            szw = Window.partitionBy(F.col(wid)["c"])
+            sized = work.withColumn(
+                "__csz", F.sum(F.length(wtext)).over(szw)
+            )
+            kernel_out = _cluster_span_kernel(
+                sized.filter(
+                    (F.col("__csz") <= kcap) & (F.length(wtext) > 0)
+                ).select(
+                    F.col(wid)["c"].alias("__cl"),
+                    F.col(wid)["d"].alias("__doc"),
+                    F.col(wtext).alias("__txt"),
+                ),
+                doc_type,
+                min_len,
+                min_occurrences,
+            )
+            work = sized.filter(F.col("__csz") > kcap).select(wid, wtext)
+            if probe is not None:
+                probe["mode"] = "mixed_kernel"
+                probe["n_chars"] = int(n_chars)
+                probe["max_cluster_chars"] = int(max_cluster)
     table = suffix_doubling_ranks(
         work,
         wid,
@@ -918,6 +1039,8 @@ def duplicated_spans_exact(
         .localCheckpoint(eager=True)
     )
     release_local_checkpoint(table)
+    if kernel_out is not None:
+        out = out.unionByName(kernel_out)
     return out
 
 
@@ -1041,6 +1164,7 @@ def exact_substring_dedup(
     clusters: DataFrame | None = None,
     cluster_col: str = "cluster",
     local_cap: int = 1 << 16,
+    cluster_kernel_cap: int | None = None,
     probe: dict | None = None,
 ) -> DataFrame:
     """df + ``out_col``: the text with EVERY duplicated span of
@@ -1071,6 +1195,7 @@ def exact_substring_dedup(
         clusters=clusters,
         cluster_col=cluster_col,
         local_cap=local_cap,
+        cluster_kernel_cap=cluster_kernel_cap,
         probe=probe,
     )
     # duplicated_spans_exact normalizes its id column to 'doc'
@@ -1235,6 +1360,7 @@ def clustered_exact_substring_dedup(
     out_col: str = "text_dedup",
     extra_clusters: DataFrame | None = None,
     local_cap: int = 1 << 16,
+    cluster_kernel_cap: int | None = None,
     probe: dict | None = None,
 ) -> DataFrame:
     """The 100 TB exact-substring pipeline (round 15, VERDICT r14
@@ -1293,6 +1419,7 @@ def clustered_exact_substring_dedup(
         clusters=clusters,
         cluster_col="cluster",
         local_cap=local_cap,
+        cluster_kernel_cap=cluster_kernel_cap,
         probe=probe,
     )
     release_local_checkpoint(pinned)

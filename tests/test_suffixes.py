@@ -608,6 +608,68 @@ def test_clustered_spans_chars_receipt(spark):
     assert cluster_chars < corpus_chars
 
 
+def test_cluster_kernel_matches_distributed(spark):
+    """The round-15 per-cluster Arrow kernel: forcing the kernel path
+    (local_cap too small for driver-local, per-cluster cap generous)
+    reproduces the distributed clustered answer row for row, and the
+    probe reports the mode."""
+    df = _docs_df(spark, CLUSTER_DOCS)
+    m = 30
+    key = lambda rows: sorted(
+        (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
+        for r in rows
+    )
+    want = duplicated_spans_exact(
+        df, "doc_id", "text", m,
+        clusters=_clusters_df(spark, CLUSTER_MAP), local_cap=0,
+    ).collect()
+    probe: dict = {}
+    got = duplicated_spans_exact(
+        df, "doc_id", "text", m,
+        clusters=_clusters_df(spark, CLUSTER_MAP),
+        local_cap=1, cluster_kernel_cap=1 << 16, probe=probe,
+    ).collect()
+    assert probe["mode"] == "cluster_kernel"
+    assert probe["max_cluster_chars"] <= 1 << 16
+    assert key(got) == key(want)
+    assert want != []
+
+
+def test_cluster_kernel_mixed_split_matches(spark):
+    """Mixed split: one cluster under the kernel cap, the other over
+    it — the union of the kernel leg and the doubling leg equals the
+    full distributed answer (counting is independent per cluster, so
+    the split cannot change any count)."""
+    df = _docs_df(spark, CLUSTER_DOCS)
+    m = 30
+    sizes = {
+        c: sum(len(CLUSTER_DOCS[d]) for d, cc in CLUSTER_MAP.items() if cc == c)
+        for c in set(CLUSTER_MAP.values())
+    }
+    assert len(set(sizes.values())) == 2  # distinct sizes split the caps
+    cap = min(sizes.values())  # smaller cluster -> kernel, bigger -> doubling
+    key = lambda rows: sorted(
+        (r["doc"], r["span_start"], r["span_end"], r["n_starts"])
+        for r in rows
+    )
+    want = duplicated_spans_exact(
+        df, "doc_id", "text", m,
+        clusters=_clusters_df(spark, CLUSTER_MAP), local_cap=0,
+    ).collect()
+    probe: dict = {}
+    got = duplicated_spans_exact(
+        df, "doc_id", "text", m,
+        clusters=_clusters_df(spark, CLUSTER_MAP),
+        local_cap=1, cluster_kernel_cap=cap, probe=probe,
+    ).collect()
+    assert probe["mode"] == "mixed_kernel"
+    assert probe["max_cluster_chars"] == max(sizes.values())
+    assert key(got) == key(want)
+    # both legs actually emitted spans (each cluster carries one passage)
+    docs_hit = {r["doc"] for r in got}
+    assert {"a1", "a2", "b1", "b2"} <= docs_hit
+
+
 def test_self_repeat_candidates_flags_repeater_only(spark):
     from covid19i2b2_spark.operators.suffixes import (
         self_repeat_candidates,
