@@ -88,14 +88,28 @@ FINGERPRINT_ORACLE = """
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: content fingerprinting — md5 over whitespace-normalized
     lowercase text; the exact-dedup key for crawled corpora.  min_
-    fingerprint pins actual hash values, not just counts."""
+    fingerprint pins actual hash values, not just counts.
+
+    Round 15: two-level aggregate.  A direct
+    ``count_distinct + min(fingerprint)`` plan is a SortAggregate
+    chain (a string MIN buffer is not hash-aggregable), so the whole
+    corpus was sorted by (source, fingerprint) before the first
+    partial aggregate.  Grouping to distinct (source, fingerprint)
+    with a pure COUNT first keeps the full-data pass a HashAggregate;
+    only the already-distinct fingerprint table (one row per distinct
+    hash) pays the string-MIN SortAggregate.  ``count("fingerprint")``
+    over the distinct rows equals COUNT(DISTINCT fingerprint) exactly
+    (both skip NULLs); ``sum(n_dup)`` equals COUNT(*)."""
     docs = read_table(spark, sf_dir, "documents")
     fp = docs.select("source", fingerprint("text").alias("fingerprint"))
+    per_fp = fp.groupBy("source", "fingerprint").agg(
+        F.count("*").alias("n_dup")
+    )
     return (
-        fp.groupBy("source")
+        per_fp.groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.count_distinct("fingerprint").alias("n_unique"),
+            F.sum("n_dup").alias("n_docs"),
+            F.count("fingerprint").alias("n_unique"),
             F.min("fingerprint").alias("min_fingerprint"),
         )
         .orderBy("source")

@@ -707,3 +707,23 @@ def test_suffix_dense_rank_window_is_partition_local(spark):
         # the partition key must be the range-partition id
         assert "__pid" in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_fingerprint_full_data_aggregate_is_hash(spark):
+    """X4 / q_fingerprint (round 15): the aggregate nearest the scan —
+    the one that sees every corpus row — must be a HashAggregate.  A
+    direct count_distinct + min(string) plan is a SortAggregate chain
+    (string MIN buffers are not hash-aggregable), which sorts the whole
+    corpus by (source, fingerprint); the two-level rewrite confines the
+    string-MIN SortAggregate to the distinct-fingerprint rows."""
+    from covid19i2b2_spark.queries.llm import q_fingerprint
+
+    plan = physical_plan(q_fingerprint(spark, SF_DIR))
+    lines = plan.splitlines()
+    scan_idx = next(
+        i for i, ln in enumerate(lines) if "Scan parquet" in ln
+    )
+    first_agg = next(
+        ln for ln in reversed(lines[:scan_idx]) if "Aggregate" in ln
+    )
+    assert "HashAggregate" in first_agg, first_agg
