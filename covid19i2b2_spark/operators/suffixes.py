@@ -929,6 +929,13 @@ def duplicated_spans_exact(
                     probe["mode"] = "cluster_kernel"
                     probe["n_chars"] = int(n_chars)
                     probe["max_cluster_chars"] = int(max_cluster)
+                # eager checkpoint: this function's contract is an
+                # eagerly-materialized frame (callers — e.g.
+                # clustered_exact_substring_dedup — release the
+                # candidate-clusters checkpoint right after it
+                # returns; a lazy kernel frame would still reference
+                # those blocks and fail with
+                # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
                 return _cluster_span_kernel(
                     src.select(
                         F.col("__k")["c"].alias("__cl"),
@@ -938,7 +945,7 @@ def duplicated_spans_exact(
                     doc_type,
                     min_len,
                     min_occurrences,
-                )
+                ).localCheckpoint(eager=True)
             # mixed: sub-cap clusters ride the kernel, the oversized
             # (boilerplate-merged) rest keeps the distributed doubling
             # scoped to just its rows.  Counting is independent per
@@ -1040,7 +1047,13 @@ def duplicated_spans_exact(
     )
     release_local_checkpoint(table)
     if kernel_out is not None:
-        out = out.unionByName(kernel_out)
+        # materialize the union eagerly (same contract as `out` alone:
+        # the caller may release the candidate-clusters checkpoint the
+        # kernel leg still references), then drop the now-superseded
+        # doubling-leg checkpoint
+        merged = out.unionByName(kernel_out).localCheckpoint(eager=True)
+        release_local_checkpoint(out)
+        out = merged
     return out
 
 

@@ -760,3 +760,43 @@ def test_clustered_exact_substring_dedup_matches_global(spark):
     assert ("u1", docs["u1"]) in got and ("u2", docs["u2"]) in got
     assert 0 < probe["cluster_chars"] < probe["corpus_chars"]
     assert probe["cluster_docs"] < len(docs)
+
+
+def test_clustered_kernel_survives_cluster_checkpoint_release(spark):
+    """Round-15 regression (found at sf0.1, not toy scale):
+    clustered_exact_substring_dedup releases the candidate-clusters
+    checkpoint right after duplicated_spans_exact returns, so the
+    kernel-mode returns must be EAGERLY materialized.  Before the fix
+    a lazy kernel frame still referenced the released blocks and the
+    final action died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    from covid19i2b2_spark.operators.suffixes import (
+        clustered_exact_substring_dedup,
+    )
+
+    df = _docs_df(spark, CLUSTER_DOCS)
+    want = {
+        (r["doc_id"], r["text_dedup"])
+        for r in clustered_exact_substring_dedup(
+            df, "doc_id", "text", 30
+        ).collect()
+    }
+    # local_cap=1 skips the driver-local path; generous kernel cap
+    # forces cluster_kernel mode through the release-after-return path
+    probe: dict = {}
+    got = clustered_exact_substring_dedup(
+        df, "doc_id", "text", 30,
+        local_cap=1, cluster_kernel_cap=1 << 16, probe=probe,
+    ).collect()
+    assert probe["mode"] == "cluster_kernel"
+    assert {(r["doc_id"], r["text_dedup"]) for r in got} == want
+    # mixed mode exercises the union-then-checkpoint path the same way
+    sizes: dict = {}
+    for d, c in CLUSTER_MAP.items():
+        sizes[c] = sizes.get(c, 0) + len(CLUSTER_DOCS[d])
+    probe2: dict = {}
+    got2 = clustered_exact_substring_dedup(
+        df, "doc_id", "text", 30,
+        local_cap=1, cluster_kernel_cap=min(sizes.values()), probe=probe2,
+    ).collect()
+    assert probe2["mode"] == "mixed_kernel"
+    assert {(r["doc_id"], r["text_dedup"]) for r in got2} == want
