@@ -53,6 +53,17 @@ DEFAULT_CONF: dict[str, str] = {
     # conf, so it only applies to sessions built here; errors still
     # carry the JVM-side context, just not the Python call site.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # Shuffle/IO codec (guide §2.3: "measure both").  Measured round 15
+    # (scripts/codec_probe.py, interleaved min-of-N at sf0.1): zstd is
+    # flat-to-worse locally (minhash +4%, pagerank -4%, suffix doubling
+    # +6% — all inside the noise band) because local-mode shuffles are
+    # KB-MB and loopback-fast, where lz4's lower latency wins.  On a
+    # real cluster, where shuffle bytes cross a network, zstd's ~2x
+    # better ratio usually pays — set SPARK_GRAFT_IO_CODEC=zstd there
+    # and A/B on the deployment's own network/disk balance.
+    "spark.io.compression.codec": os.environ.get(
+        "SPARK_GRAFT_IO_CODEC", "lz4"
+    ),
 }
 
 
