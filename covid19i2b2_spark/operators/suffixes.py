@@ -1331,26 +1331,44 @@ def span_candidate_clusters(
         .filter(F.col("__n") >= min_occurrences)
         .select("__h")
     )
+    # LONG node ids (round 15, guide §5 hash vs sort aggregate + §2.3
+    # narrower types): the star rounds' per-node MIN aggregates are
+    # only hash-aggregable with a fixed-width buffer — string node ids
+    # ("d:<doc>"/"h:<hash>") made EVERY round a full SortAggregate of
+    # the edge set.  Encode doc nodes as xxhash64(doc)<<1 and window-
+    # hash nodes as (h<<1)|1 (the parity bit keeps the namespaces
+    # disjoint; shifts wrap, which is fine for an opaque id).  A
+    # doc-node collision can only MERGE clusters — the same over-scan-
+    # never-wrong direction the hash nodes already document — and the
+    # mapping back to real doc ids joins on the same deterministic
+    # encoding.  The component id is cast to string at the boundary so
+    # the (id, cluster) output contract is unchanged.
+    d_node = F.shiftleft(F.xxhash64(F.col("__d").cast("string")), 1)
     edges = (
         wh.join(dup_h, "__h", "left_semi")
         .dropDuplicates(["__d", "__h"])
         .select(
-            F.concat(F.lit("d:"), F.col("__d").cast("string")).alias("a"),
-            F.concat(F.lit("h:"), F.col("__h").cast("string")).alias("b"),
+            d_node.alias("a"),
+            F.shiftleft(F.col("__h"), 1).bitwiseOR(F.lit(1)).alias("b"),
         )
     )
     cc_probe: dict = {}
     comp = connected_components_star(
         edges, "a", "b", plan_probe=cc_probe
     )
-    doc_nodes = comp.filter(F.col("node").startswith("d:")).select(
-        F.expr("substring(node, 3)").alias("__ds"),
-        F.col("component").alias("cluster"),
+    doc_nodes = comp.filter(
+        F.col("node").bitwiseAND(F.lit(1)) == F.lit(0)
+    ).select(
+        F.col("node").alias("__dn"),
+        F.col("component").cast("string").alias("cluster"),
     )
     out = (
         df.select(F.col(id_col))
-        .withColumn("__ds", F.col(id_col).cast("string"))
-        .join(doc_nodes, "__ds")
+        .withColumn(
+            "__dn",
+            F.shiftleft(F.xxhash64(F.col(id_col).cast("string")), 1),
+        )
+        .join(doc_nodes, "__dn")
         .select(F.col(id_col), "cluster")
         .localCheckpoint(eager=True)
     )
