@@ -1323,12 +1323,23 @@ def span_candidate_clusters(
         )
         .select(F.col(id_col).alias("__d"), F.explode(hashes).alias("__h"))
     )
-    # the hash table is read twice (count + edge semi-join) — pin it
-    wh = wh.localCheckpoint(eager=True)
+    # Aggregate BEFORE the checkpoint (round 15, guide §2.3): the two
+    # consumers (occurrence count + edge build) both work per
+    # (doc, hash), so pin the (doc, hash, n) aggregate — map-side
+    # partial aggregation shrinks the one O(positions) shuffle on
+    # repetitive text, the pinned table is distinct pairs rather than
+    # every window position (the storage that matters at corpus
+    # scale), and the former dropDuplicates exchange in the edge
+    # build is subsumed by this groupBy.
+    wh = (
+        wh.groupBy("__d", "__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     dup_h = (
         wh.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_occurrences)
+        .agg(F.sum("__n").alias("__tot"))
+        .filter(F.col("__tot") >= min_occurrences)
         .select("__h")
     )
     # LONG node ids (round 15, guide §5 hash vs sort aggregate + §2.3
@@ -1346,7 +1357,6 @@ def span_candidate_clusters(
     d_node = F.shiftleft(F.xxhash64(F.col("__d").cast("string")), 1)
     edges = (
         wh.join(dup_h, "__h", "left_semi")
-        .dropDuplicates(["__d", "__h"])
         .select(
             d_node.alias("a"),
             F.shiftleft(F.col("__h"), 1).bitwiseOR(F.lit(1)).alias("b"),
@@ -1373,7 +1383,9 @@ def span_candidate_clusters(
         .localCheckpoint(eager=True)
     )
     if probe is not None:
-        probe["n_window_positions"] = wh.count()
+        probe["n_window_positions"] = int(
+            wh.agg(F.sum("__n")).collect()[0][0] or 0
+        )
         probe["n_dup_hashes"] = dup_h.count()
         probe["cc_rounds"] = cc_probe.get("n_rounds")
     release_local_checkpoint(wh)
