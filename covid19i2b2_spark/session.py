@@ -108,8 +108,17 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
     assume our builder ran.  Everything in DEFAULT_CONF that is
     runtime-settable is applied here (best-effort: static conf raises and
     is skipped).
+
+    ``spark.io.compression.codec`` is excluded deliberately (ADVICE r15):
+    it is a SparkContext-level conf fixed at startup — ``conf.set`` on a
+    live session either raises or silently does nothing, so applying it
+    here would mislead an operator into thinking SPARK_GRAFT_IO_CODEC
+    took effect on an externally-built session.  The env knob only
+    applies to sessions built by :func:`get_spark`.
     """
     for k, v in DEFAULT_CONF.items():
+        if k == "spark.io.compression.codec":
+            continue
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -6,7 +6,7 @@ interleaved so box drift cancels; the recorded value is the MIN of N.
 
 Ops:
   minhash   — q_minhash_pairs noop run (banded LSH shuffle)
-  pagerank  — 5 pagerank passes over the x10 edge set (the repo's most
+  pagerank  — 4 pagerank passes over the sf edge set (the repo's most
               shuffle-iterative leg)
   suffix    — duplicated_spans_exact over sf documents, local_cap=0
               (forces the distributed doubling loop's shuffles)
@@ -61,9 +61,12 @@ print(json.dumps({"sec": round(time.perf_counter() - t0, 3)}))
 """
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def one(codec: str, op: str, sf: str) -> float | None:
     r = subprocess.run(
-        [sys.executable, "-c", CHILD, os.getcwd(), codec, op, sf],
+        [sys.executable, "-c", CHILD, REPO_ROOT, codec, op, sf],
         capture_output=True, text=True, timeout=900,
     )
     for line in reversed(r.stdout.strip().splitlines()):
