@@ -667,11 +667,20 @@ class DedupIndex:
                     self.bloom_fp_path,
                     lambda: build_bloom(idx_fp, "fingerprint", fpp=bloom_fpp),
                 )
-                hit = might_contain(
-                    fp_bloom, fingerprint(text_col), self._resources
-                )
-                maybe_dup = within.filter(hit)
-                definitely_new = within.filter(~hit)
+                # flag-column + persist, the sharded branch's shape
+                # (round 16, guide §4.4 duplicated evaluation): two
+                # filter(hit)/filter(~hit) branches each re-ran the
+                # exact-dedup window AND the probe UDF over the batch —
+                # one flagged frame evaluates both exactly once
+                flagged = within.withColumn(
+                    "__mc",
+                    might_contain(
+                        fp_bloom, fingerprint(text_col), self._resources
+                    ),
+                ).persist()
+                self._resources.append(flagged)
+                maybe_dup = flagged.filter(F.col("__mc")).drop("__mc")
+                definitely_new = flagged.filter(~F.col("__mc")).drop("__mc")
             maybe_dup = maybe_dup.persist()
             self._resources.append(maybe_dup)
             if maybe_dup.count() <= fp_cap:

@@ -18,6 +18,12 @@ def spark(tmp_path_factory):
     # catalog doesn't know the table, DROP TABLE IF EXISTS is a no-op,
     # and the next write fails LOCATION_ALREADY_EXISTS).
     warehouse = str(tmp_path_factory.mktemp("spark-warehouse"))
+    extra = {"spark.sql.warehouse.dir": warehouse}
+    # ad-hoc conf experiments without editing this file:
+    # TEST_EXTRA_CONF="k=v;k2=v2" python -m pytest ...
+    for kv in filter(None, os.environ.get("TEST_EXTRA_CONF", "").split(";")):
+        k, v = kv.split("=", 1)
+        extra[k] = v
     spark = get_spark(
         app_name="covid19i2b2-tests",
         master="local[8]",
@@ -30,7 +36,7 @@ def spark(tmp_path_factory):
         # (heap OOM inside a Catalyst transform in test_urls.py at ~93%,
         # 2026-08-17).  4g is still ~3% of the harness box.
         driver_memory="4g",
-        extra_conf={"spark.sql.warehouse.dir": warehouse},
+        extra_conf=extra,
     )
     yield spark
 

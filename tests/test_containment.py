@@ -151,7 +151,9 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 _WORDS = ["aa", "bb", "cc", "dd", "ee"]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)  # each example pays 2 full
+# Spark plans (~4.5 s); 4 keeps the shared-vocab worst case exercised
+# inside the driver's pytest window (VERDICT r15 #1)
 @given(
     texts=st.lists(
         st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8)

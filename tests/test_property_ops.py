@@ -27,7 +27,7 @@ def _ref_sessions(offsets_min: list[int], gap: int) -> list[int]:
     return out
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(
     offsets=st.lists(
         st.integers(min_value=0, max_value=600), min_size=1, max_size=25,
@@ -53,7 +53,7 @@ def test_sessionize_matches_reference(spark, offsets, gap):
     assert got == _ref_sessions(offsets, gap)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     data=st.data(),
     n_intervals=st.integers(min_value=1, max_value=12),
@@ -193,7 +193,7 @@ def test_chunk_documents_matches_reference(spark, n, chunk, overlap_frac):
     assert covered == set(range(1, n + 1))
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     items=st.lists(
         st.tuples(
@@ -242,7 +242,7 @@ def test_topk_merge_invariants(spark, items, k):
             assert it in est, (it, n, bound)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     docs=st.lists(
         st.lists(
@@ -285,7 +285,7 @@ def test_remove_duplicate_spans_matches_reference(spark, docs, k):
         assert got[i] == (" ".join(kept), len(covered)), (i, d)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     rows=st.lists(
         st.tuples(
@@ -428,7 +428,7 @@ def _ref_fuzzy_pairs(strings: list[str], max_dist: int):
     return out
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(
     strings=st.lists(
         st.text(
@@ -467,7 +467,7 @@ def test_fuzzy_pairs_completeness_property(spark, strings, max_dist, k, order):
     assert got == _ref_fuzzy_pairs(strings, max_dist)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     docs=st.lists(
         st.lists(

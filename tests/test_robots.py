@@ -191,7 +191,7 @@ _LINES = st.sampled_from([
 ])
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=6, deadline=None)  # one Spark parse per example (round 16: driver pytest window)
 @given(
     body_lines=st.lists(_LINES, min_size=0, max_size=14),
     ua=st.sampled_from(["mybot", "*"]),

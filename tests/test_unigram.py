@@ -119,8 +119,18 @@ def test_train_deterministic_across_partitionings(spark):
         assert a == pytest.approx(b, abs=1e-12)
 
 
-def test_tokenize_handles_unknown_chars(spark):
-    vocab = train_unigram(_corpus(spark), "text", vocab_size=40)
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def vocab40(spark):
+    """One shared training for the read-only consumers below (round 16:
+    each re-trained the identical vocab, ~3.5 s a time)."""
+    return train_unigram(_corpus(spark), "text", vocab_size=40)
+
+
+def test_tokenize_handles_unknown_chars(spark, vocab40):
+    vocab = vocab40
     df = spark.createDataFrame(
         [(1, "quick zürich 文字 dog"), (2, None), (3, "   ")],
         "id long, text string",
