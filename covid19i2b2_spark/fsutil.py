@@ -65,3 +65,18 @@ def write_text_file_atomic(spark: SparkSession, path: str, text: str) -> None:
         fs.delete(p, False)
     if not fs.rename(tmp_p, p):
         raise IOError(f"could not atomically write {path}")
+
+
+def one_partition_df(spark: SparkSession, rows: list, schema: str):
+    """A driver-local DataFrame materialized as ONE partition (round 16,
+    guide §1.2 per-task work): ``spark.createDataFrame(rows)``
+    parallelizes into defaultParallelism partitions (almost all empty
+    for metadata-sized row lists), and the ``coalesce(1)`` every tiny
+    control-table write then performed fused them into ONE task that
+    pays a sequential Python-runner handshake PER PARENT PARTITION —
+    measured 7-8 s per metadata write on local[32] vs ~0.3 s for this
+    shape (scripts/bloom_leg_probe.py receipts, OPTIMIZATION_r16.md).
+    One slice = one Python eval round = one output file, no coalesce."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

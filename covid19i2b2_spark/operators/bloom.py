@@ -261,6 +261,8 @@ def write_bloom_table(spark: SparkSession, spec: BloomSpec, path: str) -> None:
     with the atomicity of a parquet job commit (a torn write leaves a
     missing/unreadable table, which readers treat as 'no bloom', never a
     wrong one)."""
+    from covid19i2b2_spark.fsutil import one_partition_df
+
     chunks = [
         spec.bits[off : off + _BLOOM_CHUNK]
         for off in range(0, max(len(spec.bits), 1), _BLOOM_CHUNK)
@@ -270,11 +272,16 @@ def write_bloom_table(spark: SparkSession, spec: BloomSpec, path: str) -> None:
          len(chunks), _BLOOM_VERSION)
         for i, c in enumerate(chunks)
     ]
-    spark.createDataFrame(
+    # one_partition_df, NOT createDataFrame().coalesce(1): the coalesce
+    # fused defaultParallelism mostly-empty Python partitions into one
+    # task paying a sequential Python-runner handshake per parent —
+    # 7-8 s per bloom-table write on local[32] (round 16)
+    one_partition_df(
+        spark,
         rows,
         "chunk int, bits binary, n_hashes int, seed long, n_items long,"
         " n_chunks int, version int",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path)
 
 
 def read_bloom_table(spark: SparkSession, path: str) -> BloomSpec | None:

@@ -69,7 +69,9 @@ def concept_dimension(spark: SparkSession) -> DataFrame:
     """The ontology as a DataFrame.  A real deployment replaces this with
     spark.read.table('concept_dimension'); everything downstream only
     needs the three i2b2 columns."""
-    return spark.createDataFrame(ONTOLOGY, _SCHEMA)
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    return one_partition_df(spark, list(ONTOLOGY), _SCHEMA)
 
 
 def discover_codes(cdim: DataFrame, prefix: str) -> DataFrame:

@@ -261,13 +261,15 @@ class IvfIndex:
         )
         row = {**meta, "base_mean_cosine": base,
                "vectors_schema": vec_schema}
-        spark.createDataFrame([tuple(
+        from covid19i2b2_spark.fsutil import one_partition_df
+
+        one_partition_df(spark, [tuple(
             row[k] for k in (
                 "id_col", "vec_col", "exact_decimal", "impl",
                 "n_centroids", "base_mean_cosine", "seed",
                 "vectors_schema",
             )
-        )], _META_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        )], _META_SCHEMA).write.mode("overwrite").parquet(
             f"{vdir}/meta"
         )
         self._flip(spark, version)
@@ -479,11 +481,13 @@ class IvfIndex:
         vecs.repartition("centroid_id").write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(f"{ndir}/vectors")
-        spark.createDataFrame([(
+        from covid19i2b2_spark.fsutil import one_partition_df
+
+        one_partition_df(spark, [(
             m["id_col"], m["vec_col"], m["exact_decimal"], m["impl"],
             m["n_centroids"], m["base_mean_cosine"], m["seed"],
             m["vectors_schema"],
-        )], _META_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        )], _META_SCHEMA).write.mode("overwrite").parquet(
             f"{ndir}/meta"
         )
         self._flip(spark, new_v)

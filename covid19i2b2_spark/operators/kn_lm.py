@@ -469,10 +469,13 @@ class KnLmModel:
         tot_cc1, v_eff = _cc_scalars(
             stored_tri.groupBy("b", "c").agg(F.count("*").alias("cc2"))
         )
-        spark.createDataFrame(
+        from covid19i2b2_spark.fsutil import one_partition_df
+
+        one_partition_df(
+            spark,
             [(top_n_vocab, float(discount), tot_cc1, v_eff)],
             "top_n_vocab int, discount double, tot_cc1 long, v_eff long",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        ).write.mode("overwrite").parquet(f"{vdir}/meta")
         self._flip(spark, version)
 
     def build(

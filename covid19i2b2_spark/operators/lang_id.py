@@ -238,8 +238,10 @@ def _profiles_local(spark, counts_rows: list, top_k: int) -> DataFrame:
         data.append(
             (lang, gram, logp, math.floor((logp - oov) * _FIX + 0.5))
         )
-    prof = spark.createDataFrame(
-        data, "lang string, gram string, logp double, adv_fix long"
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    prof = one_partition_df(
+        spark, data, "lang string, gram string, logp double, adv_fix long"
     )
     prof._graft_profile_rows = [  # noqa: SLF001 (own attribute)
         (lang, gram, adv) for lang, gram, _, adv in data
@@ -301,7 +303,10 @@ def train_lang_profiles(
     if not rows:
         raise ValueError("seed corpus produced no character bigrams")
     tot_max = max(r["tot"] for r in rows)
-    local_kept = kept.sparkSession.createDataFrame(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    local_kept = one_partition_df(
+        kept.sparkSession,
         [(r["lang"], r["gram"], r["c"], r["tot"]) for r in rows],
         "lang string, gram string, c long, tot long",
     )
@@ -328,7 +333,10 @@ def _lang_gram_kept_counts(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     pairs = _seed_local_pairs(seed, lang_col, text_col, local_cap)
     if pairs is not None:
-        return seed.sparkSession.createDataFrame(
+        from covid19i2b2_spark.fsutil import one_partition_df
+
+        return one_partition_df(
+            seed.sparkSession,
             _kept_counts_rows_local(pairs, top_k),
             "lang string, gram string, c long, tot long",
         )
@@ -471,7 +479,10 @@ def classify_language(
             )
         advs[idx[lang]] = adv_fix
     a_cols = [f"__a{i}" for i in range(len(langs))]
-    pivot = df.sparkSession.createDataFrame(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    pivot = one_partition_df(
+        df.sparkSession,
         [(g, *advs) for g, advs in sorted(by_gram.items())],
         "gram string, " + ", ".join(f"{c} long" for c in a_cols),
     )
@@ -726,10 +737,13 @@ class LangIdModel:
             "overwrite"
         ).parquet(f"{vdir}/profiles")
         n_langs = stored.select("lang").distinct().count()
-        spark.createDataFrame(
+        from covid19i2b2_spark.fsutil import one_partition_df
+
+        one_partition_df(
+            spark,
             [(top_k, tot_max, n_langs)],
             "top_k int, tot_max long, n_langs int",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        ).write.mode("overwrite").parquet(f"{vdir}/meta")
         self._flip(spark, version)
 
     def build(

@@ -410,7 +410,10 @@ def train_centroids(
             break
         prev = new
     unit.unpersist()
-    return spark.createDataFrame(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    return one_partition_df(
+        spark,
         [(cid, list(v)) for cid, v in sorted(prev.items())],
         "centroid_id int, cvec array<double>",
     )

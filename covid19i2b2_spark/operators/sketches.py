@@ -414,7 +414,11 @@ def quantile_estimates(
         * F.pow(F.lit(gamma), F.col("bucket"))
         / F.lit(gamma + 1.0)
     )
-    qdf = flat.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    qdf = one_partition_df(
+        flat.sparkSession, [(float(q),) for q in qs], "q double"
+    )
     # rank clamps to [1, n]: q=0 means the minimum (rank 1), not "no row"
     rank = F.greatest(
         F.lit(1).cast("long"),
@@ -563,7 +567,11 @@ def cm_estimates(
     lookup moves summary rows only.  (depth, width, seed) must match
     the build."""
     spark = sketches.sparkSession
-    kdf = spark.createDataFrame([(k,) for k in keys], "key string").select(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    kdf = one_partition_df(
+        spark, [(k,) for k in keys], "key string"
+    ).select(
         "key",
         F.posexplode(_cm_cells(F.col("key"), depth, width, seed)).alias(
             "row", "cell"

@@ -192,7 +192,10 @@ def _rank_pairs_global(
     # O(partitions)-deep tree evaluated per row — noise at 32
     # partitions, a 2048-branch tree per row on a large-corpus run.
     # The join keeps the plan constant-depth at any partition count.
-    off_df = paired.sparkSession.createDataFrame(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    off_df = one_partition_df(
+        paired.sparkSession,
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
         "__pid int, __off long",
     )
@@ -628,7 +631,9 @@ def suffix_array(
             if probe is not None:
                 probe["mode"] = "local"
                 probe["n_chars"] = int(n_chars)
-            return df.sparkSession.createDataFrame(order, schema)
+            from covid19i2b2_spark.fsutil import one_partition_df
+
+            return one_partition_df(df.sparkSession, order, schema)
     partitions = _resolve_partitions(df, partitions)
     ranks = suffix_doubling_ranks(
         df,
@@ -661,7 +666,10 @@ def suffix_array(
         acc += counts[p]
     # broadcast (pid, offset) join, not a chained CASE WHEN — same
     # constant-depth fix as _rank_pairs_global (VERDICT r13 #2)
-    off_df = ranks.sparkSession.createDataFrame(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    off_df = one_partition_df(
+        ranks.sparkSession,
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
         "__pid int, __off long",
     )
@@ -919,7 +927,9 @@ def duplicated_spans_exact(
             if probe is not None:
                 probe["mode"] = "local"
                 probe["n_chars"] = int(n_chars)
-            return df.sparkSession.createDataFrame(data, schema)
+            from covid19i2b2_spark.fsutil import one_partition_df
+
+            return one_partition_df(df.sparkSession, data, schema)
         if clusters is not None and kcap > 0:
             doc_type = df.schema[id_col].dataType
             if max_cluster <= kcap:

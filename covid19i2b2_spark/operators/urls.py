@@ -263,7 +263,10 @@ def parse_psl_rules(spark, lines: list[str]) -> DataFrame:
             t = t.lower()
             k = t.count(".") + 1
             rows.append((t, k, k, False, False))
-    return spark.createDataFrame(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    return one_partition_df(
+        spark,
         rows,
         "suffix string, match_labels int, ps_labels int,"
         " is_exception boolean, is_wildcard boolean",
@@ -395,8 +398,10 @@ def parse_disallow_rules(spark, lines: list[str]) -> DataFrame:
                 continue
             host = host[4:]
         rows.append((host, is_suffix, prefix))
-    return spark.createDataFrame(
-        rows, "rule_host string, is_suffix boolean, prefix string"
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    return one_partition_df(
+        spark, rows, "rule_host string, is_suffix boolean, prefix string"
     )
 
 

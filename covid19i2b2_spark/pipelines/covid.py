@@ -135,14 +135,23 @@ class CovidPipeline:
     # -- code maps (S2: literal DataFrames, broadcast at use) ---------------
 
     def lab_map(self) -> DataFrame:
-        return self.spark.createDataFrame(
+        # one_partition_df: a code map materialized per artifact build;
+        # the default parallelize spread 5 rows over defaultParallelism
+        # mostly-empty Python partitions (round 16, guide §1.2)
+        from covid19i2b2_spark.fsutil import one_partition_df
+
+        return one_partition_df(
+            self.spark,
             [(f"LOINC:{l}", l, s) for l, _, s in self._lab_map],
             "concept_cd string, loinc string, scale_factor double",
         )
 
     def med_map(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            self._med_map, "med_class string, concept_cd string"
+        from covid19i2b2_spark.fsutil import one_partition_df
+
+        return one_partition_df(
+            self.spark, list(self._med_map),
+            "med_class string, concept_cd string"
         )
 
     # -- pipeline 1: cohort (~L330-520) -------------------------------------

@@ -216,7 +216,10 @@ def q_literal_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-map-broadcast shape is hash-verified through the covid
     artifact queries (pipelines/covid.py code maps); DF≡oracle parity for
     this query is asserted in tests/test_oracle_parity.py."""
-    seg_map = spark.createDataFrame(
+    from covid19i2b2_spark.fsutil import one_partition_df
+
+    seg_map = one_partition_df(
+        spark,
         [
             ("AUTOMOBILE", "consumer"),
             ("HOUSEHOLD", "consumer"),
